@@ -1,0 +1,89 @@
+"""Query catalog: one named entry per implemented operator.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL oracle string runnable by DuckDB on the same parquet
+tables. The driver hash-compares them at sf=0.01 (CORRECTNESS gate);
+``bench.py`` times the subset tagged ``bench`` at sf=0.1.
+
+Determinism contract (so value-hashes match the oracle bit-exact):
+- double SUMs are order-dependent in a distributed engine, so every money
+  aggregate is computed over exact DECIMAL casts (order-independent),
+  then rounded and cast back to double identically on both sides;
+- AVGs are derived as round(double(sum_decimal)/count, 6);
+- every computed column is aliased identically in Spark and SQL;
+- top-k sorts carry full tiebreaker key lists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    fn: SparkQuery
+    oracle: str | None  # None -> driver runs the weaker rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def query(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Register a catalog query. Used as a decorator over the Spark fn."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate catalog entry: {name}")
+        _REGISTRY[name] = CatalogEntry(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, CatalogEntry]:
+    """All entries, importing the query modules on first use."""
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {n: e.fn for n, e in registry().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {n: e.oracle for n, e in registry().items() if e.oracle is not None}
+
+
+def entries_tagged(tag: str) -> list[CatalogEntry]:
+    return [e for e in registry().values() if tag in e.tags]
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # Import for decorator side effects.
+    from taxi_data_pipeline_pset2_spark.queries import (  # noqa: F401
+        dedup,
+        relational,
+        scalars,
+        similarity,
+        text,
+    )
+
+    _LOADED = True

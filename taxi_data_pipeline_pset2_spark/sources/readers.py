@@ -1,0 +1,73 @@
+"""Typed source readers.
+
+Reference ingestion is HTTP-download -> pandas -> warehouse
+(``loader_yellow_green.py:38,63-79``; SURVEY.md S1-S4). Spark-first
+equivalent: ``spark.read`` with explicit schemas straight off columnar
+storage -- no row staging, no driver-side pandas. Parquet is self-typed so
+the driver testdata loads schema-on-read; the taxi raw schemas (which need
+pinned types, FIXTURES.md) live in ``schemas.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table.
+
+    Plain ``spark.read.parquet``: vectorized scan, predicate pushdown and
+    column pruning reach the row groups via Catalyst, so callers should
+    filter/select on the returned frame and let the optimizer prune.
+    """
+    # Force UTC session semantics regardless of who built the session: the
+    # events ts lands as TIMESTAMP_LTZ after ns->us conversion, and hour()/
+    # year() on LTZ follow the session timezone. The reference pins UTC at
+    # the session level too (exporter .../1759109036:87-88, SURVEY.md X9).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        _enable_nanos_as_long(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        # reader rejects. Read nanos as long (legacy conf) and floor-divide
+        # to microseconds with integer `div` -- float division would lose
+        # precision above 2^53 and round the microsecond differently than
+        # DuckDB's own ns->us truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries run
+    against the same catalog names the DuckDB oracle uses."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,51 @@
+"""The repo-local version of the driver's correctness gate: every catalog
+query with an oracle must hash-match DuckDB on the same parquet tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from taxi_data_pipeline_pset2_spark.queries import registry
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare_frames, duckdb_connection
+
+ENTRIES = sorted(registry().values(), key=lambda e: e.name)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("entry", ENTRIES, ids=[e.name for e in ENTRIES])
+def test_query_matches_oracle(spark, sf_dir, oracle_con, entry):
+    sdf = entry.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    assert len(spark_pdf.columns) > 0
+    if entry.oracle is None:
+        # rows-only check, mirroring the driver's weaker path
+        assert len(spark_pdf) >= 0
+        return
+    oracle_pdf = oracle_con.execute(entry.oracle).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{entry.name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.schema) > 0
+
+
+def test_contract_shapes():
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    os_ = mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 10
