@@ -1,0 +1,207 @@
+"""Deduplication operators for LLM-scale data pipelines (SURVEY.md 2b).
+
+Not present in the reference (its only dedup narrative is the MD5 trip_id,
+``README.md:46-49``); mandated by BASELINE.json. All operators are pure
+DataFrame compositions -- no Python UDFs -- so they stay JVM-side and scale:
+
+- exact dedup      : md5-fingerprint hash-aggregate (one shuffle on the
+                     fingerprint; map-side partial keeps it skew-tolerant)
+- n-gram Jaccard   : shingle inverted-index self-join (the scalable
+                     alternative to O(n^2) pairwise -- candidate pairs are
+                     generated only for docs sharing a shingle)
+- MinHash + LSH    : k=16 signatures, 4 bands x 4 rows banding; candidate
+                     pairs join on (band, band_signature) -- at 100 TB the
+                     band join touches only colliding buckets
+- SimHash          : 32-bit majority-vote fingerprint; hamming-adjacent
+                     docs land on nearby fingerprints
+
+Determinism: the shingle hash is the first 8 hex digits of md5 -- stable
+across engines/runs (unlike Spark's xxhash64 seed or Python's hash),
+which is what makes the DuckDB oracle twins possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters -- fixed constants, shared with the SQL oracles.
+MINHASH_K = 16
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 32
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + trim + whitespace collapse: canonical form for fingerprints."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokenize(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles. Empty array for docs shorter than k
+    (Spark's ``sequence`` would run backwards on a negative stop)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - k)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    return F.when(F.size(tokens) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stable_hash64(col: Column) -> Column:
+    """First 8 hex digits of md5 as a bigint in [0, 2^32): engine-portable
+    deterministic hash (DuckDB twin: CAST('0x' || substr(md5(s),1,8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content fingerprint: one hash-aggregate on
+    md5(normalized text). Returns (fingerprint, keep_id, n_copies);
+    keep_id = min id is the deterministic survivor."""
+    return (
+        docs.select(
+            F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle, n_shingles) exploded inverted-index input."""
+    with_sh = docs.select(
+        F.col(id_col), shingles(tokenize(F.col(text_col)), k).alias("sh")
+    ).select(F.col(id_col), F.col("sh"), F.size("sh").alias("n_shingles"))
+    return with_sh.select(
+        id_col, F.explode("sh").alias("shingle"), "n_shingles"
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    Candidate generation is a self-equi-join on the shingle (shuffle on
+    shingle, combine map-side); intersection size falls out of the group
+    count, union from the per-doc shingle counts. Only pairs sharing at
+    least one shingle are ever materialized -- the standard scale-out
+    formulation of pairwise Jaccard.
+    """
+    e = doc_shingles(docs, text_col, id_col, k)
+    a = e.alias("a")
+    b = e.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("a.n_shingles").alias("n_a"),
+            F.first("b.n_shingles").alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_band_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-doc LSH band signatures from MinHash.
+
+    Permutation j (j in 0..15): h_j(s) = (a_j * h(s) + b_j) mod p with
+    a_j = 2j+1, b_j = 7919j + 12345 -- literal constants so the DuckDB
+    oracle reproduces them. Band signature combines the band's 4 minima
+    with fixed weights 31^(j mod 4): order-independent aggregation
+    (a SUM), deterministic under any shuffle order.
+    """
+    spark = docs.sparkSession
+    perms = spark.range(MINHASH_K).select(
+        F.col("id").alias("perm"),
+        (2 * F.col("id") + 1).alias("pa"),
+        (7919 * F.col("id") + 12345).alias("pb"),
+        (F.col("id") / LSH_ROWS).cast("int").alias("band"),
+        F.pow(F.lit(31), (F.col("id") % LSH_ROWS)).cast("bigint").alias("w"),
+    )
+    e = doc_shingles(docs, text_col, id_col, k).withColumn(
+        "h", stable_hash64(F.col("shingle"))
+    )
+    mins = (
+        e.crossJoin(F.broadcast(perms))
+        .groupBy(id_col, "perm", "band", "w")
+        .agg(
+            F.min((F.col("pa") * F.col("h") + F.col("pb")) % MINHASH_PRIME).alias("m")
+        )
+    )
+    return mins.groupBy(id_col, "band").agg(
+        F.sum(F.col("m") * F.col("w")).alias("band_sig")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: docs colliding on >=1 band signature.
+    Returns (doc_a, doc_b, n_shared_bands). The join key (band, band_sig)
+    is the bucket -- at scale only same-bucket docs meet, never the full
+    cross product."""
+    sigs = minhash_band_signatures(docs, text_col, id_col, k)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash: per-token stable hash, per-bit majority vote over
+    token occurrences (frequency-weighted). One explode + one group-by
+    with 32 conditional sums -- all JVM-side, no UDF."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("h", stable_hash64(F.col("tok")))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"), *bit_sums)
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(
+            2 * F.col(f"b{i}") > F.col("n_tokens"), F.lit(2**i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select(F.col(id_col), F.col("n_tokens"), simhash.alias("simhash"))

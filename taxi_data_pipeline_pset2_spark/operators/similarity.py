@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (SURVEY.md 2b).
+
+Embeddings are plain ``array<float>`` columns. Cosine top-k is computed
+with higher-order functions (``zip_with`` + ``aggregate``) -- JVM-side,
+no UDF, no collect.
+
+Determinism: float dot products are order-sensitive, so embeddings are
+scaled to exact BIGINT (round(x * 1e6)) before the dot/norm sums. Integer
+sums are associative -> identical under any partitioning, and identical
+to the DuckDB oracle. Cosine is then one double division + sqrt (both
+IEEE-exact). The ~1e-6 quantization is far below any ranking-relevant
+signal, and it buys bit-reproducibility at every scale.
+
+Scale paths:
+- brute force     : broadcast the (small) query set, scan candidates once
+                    -- the right plan whenever |queries| << |corpus|
+- IVF-style       : restrict to matching coarse-bucket (the ``label``
+                    column stands in for a k-means assignment) -- prunes
+                    the scan to 1/n_buckets of the corpus
+- random-proj LSH : pyspark.ml BucketedRandomProjectionLSH wrapper for
+                    approx joins when both sides are huge
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 1_000_000
+
+
+def int_embedding(col: Column) -> Column:
+    """array<float> -> exact array<bigint> at 1e-6 quantization."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * SCALE).cast("bigint"))
+
+
+def int_norm2(col: Column) -> Column:
+    """Exact squared norm of an int-scaled embedding."""
+    return F.aggregate(
+        col, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _prepared(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    iv = int_embedding(F.col(vec_col))
+    return emb.select(
+        F.col(id_col), iv.alias("iv"), int_norm2(iv).alias("norm2"), *(
+            [F.col("label")] if "label" in emb.columns else []
+        )
+    )
+
+
+def knn_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query row (rows matching
+    ``query_pred``) against the whole corpus (or only the query's
+    ``bucket_col`` partition -- the IVF-style pruned path).
+
+    Physical plan: queries are broadcast (they are the small side by
+    construction), candidates stream through one scan; the per-query
+    top-k is a partitioned window -> shuffle on query_id only.
+    """
+    prep = _prepared(emb, id_col, vec_col)
+    q_cols = [F.col(id_col).alias("query_id"), F.col("iv").alias("q_iv"),
+              F.col("norm2").alias("q_norm2")]
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col("iv").alias("c_iv"),
+              F.col("norm2").alias("c_norm2")]
+    if bucket_col:
+        q_cols.append(F.col(bucket_col).alias("q_bucket"))
+        c_cols.append(F.col(bucket_col).alias("c_bucket"))
+    queries = prep.filter(query_pred).select(*q_cols)
+    cands = prep.select(*c_cols)
+
+    cond = F.col("query_id") != F.col("neighbor_id")
+    if bucket_col:
+        cond = cond & (F.col("q_bucket") == F.col("c_bucket"))
+    joined = cands.join(F.broadcast(queries), cond)
+
+    dot = int_dot(F.col("q_iv"), F.col("c_iv"))
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(F.col("q_norm2").cast("double")) * F.sqrt(F.col("c_norm2").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def brp_lsh_neighbors(
+    emb: DataFrame,
+    threshold: float = 6.0,
+    bucket_length: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate euclidean-distance self-join via
+    ``pyspark.ml.feature.BucketedRandomProjectionLSH`` -- the stock Spark
+    ANN primitive for huge-x-huge joins. Returns (id_a, id_b, dist).
+    Approximate by design -> no SQL oracle; tested in pytest against the
+    brute-force path (recall check)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=bucket_length, seed=seed
+    )
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, threshold, distCol="dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(F.col("dist"), 6).alias("dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

@@ -1,0 +1,128 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md 2b):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` compositions (split/filter/transform/
+aggregate higher-order functions) -- no Python in the row path, so these
+run inside whole-stage codegen and scale with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import (
+    normalize_text,
+    stable_hash64,
+    tokenize,
+)
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single symbol.
+# Kept to a regex subset with identical semantics in Java regex and RE2.
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# Marker-word tables for the n-gram-free language-ID heuristic. The lists
+# are deterministic engine constants; ties break by table order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "fast", "slow"],
+    "es": ["data", "row", "value", "table"],
+    "de": ["batch", "window", "join", "group"],
+    "zh": ["spark", "hash", "key", "scan"],
+}
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_REGEX), 0))
+
+
+def quality_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality features + composite score.
+
+    score = 0.4*stopword_ratio + 0.3*min(1, n_tokens/100) + 0.3*alpha_ratio
+    -- the shape of a fastText-style heuristic quality filter, built from
+    length/stopword/character-class ratios.
+    """
+    toks = tokenize(F.col(text_col))
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_tokens = F.size(toks)
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]", ""))
+    n_chars = F.length(F.col(text_col))
+    # Ratios in exact integer millionths: rounding a small-denominator
+    # rational at 1e-6 is engine-stable, but rounding a *sum of rounded*
+    # values is not (every value lands on the tie grid). So the composite
+    # score is integer arithmetic divided once -- no final round() at all.
+    stop_m = F.round(n_stop.cast("double") * 1_000_000 / n_tokens).cast("bigint")
+    alpha_m = F.round(n_alpha.cast("double") * 1_000_000 / n_chars).cast("bigint")
+    length_m = F.least(F.lit(1_000_000).cast("bigint"), (n_tokens * 10_000).cast("bigint"))
+    score_tenmillionths = 4 * stop_m + 3 * length_m + 3 * alpha_m
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(sum_tok_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        (stop_m.cast("double") / 1_000_000).alias("stopword_ratio"),
+        (alpha_m.cast("double") / 1_000_000).alias("alpha_ratio"),
+        (score_tenmillionths.cast("double") / 10_000_000).alias("quality_score"),
+    )
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language occurrence counts
+    over the token stream, argmax with table-order tie-break."""
+    toks = tokenize(F.col(text_col))
+
+    def _score(words: list[str]):
+        arr = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda tok: F.array_contains(arr, tok)))
+
+    scores = {
+        lang: _score(words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    }
+    scored = docs.select(F.col(id_col), F.col("lang").alias("lang_labeled"), *scores.values())
+    langs = list(LANG_MARKERS)
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else cond & c
+        branch = F.lit(lang)
+        if pred is None:
+            pred = F.when(cond, branch)
+        elif cond is not None:
+            pred = pred.when(cond, branch)
+        else:
+            pred = pred.otherwise(branch)
+    return scored.withColumn("pred_lang", pred).withColumn(
+        "is_match", F.col("pred_lang") == F.col("lang_labeled")
+    )
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprint bundle: content md5, 32-bit band hash (for
+    bucketed joins), and length bucket -- the join-key toolkit for
+    dedup/sharding at scale."""
+    norm = normalize_text(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        stable_hash64(norm).alias("band_hash"),
+        (F.length(F.col(text_col)) / 100).cast("int").alias("len_bucket"),
+    )

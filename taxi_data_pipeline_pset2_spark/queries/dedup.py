@@ -1,1 +1,138 @@
-"""Filled in by the extension milestone."""
+"""Dedup catalog entries (SURVEY.md 2b) over the ``documents`` table.
+
+Every entry -- including MinHash LSH and SimHash -- carries a full DuckDB
+oracle: the operators were designed around an engine-portable stable hash
+(md5-prefix) precisely so the approximate-dedup math is reproducible in
+plain SQL. The oracle CTE pipelines mirror the Spark operator stages
+1:1 (shingle -> hash -> permute -> band -> join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import (
+    LSH_ROWS,
+    MINHASH_K,
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash_fingerprints,
+)
+from taxi_data_pipeline_pset2_spark.queries._helpers import t
+from taxi_data_pipeline_pset2_spark.queries.catalog import query
+
+# Shared oracle CTE fragments (DuckDB lists are 1-based).
+_SQL_TOKS = (
+    "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks"
+    " FROM documents"
+)
+_SQL_SHINGLES = (
+    "SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN"
+    " list_transform(generate_series(1, len(toks) - 2),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    " ELSE CAST([] AS VARCHAR[]) END) AS sh FROM toks"
+)
+_SQL_HASH = "CAST(('0x' || substr(md5({v}), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY fingerprint
+    """,
+    tags=("bench", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text, hash-aggregate,
+    deterministic min-id survivor. Generalizes the reference's MD5 trip_id
+    dedup narrative (``fct_trips.sql:10``, ``README.md:46-49``) to content
+    dedup. One shuffle on the fingerprint; survives any scale."""
+    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH toks AS ({_SQL_TOKS}),
+        sh AS ({_SQL_SHINGLES}),
+        e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM sh),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                     any_value(a.n) AS n_a, any_value(b.n) AS n_b
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) AS jaccard
+        FROM p
+        WHERE ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.2
+    """,
+    tags=("bench", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) via the shingle
+    inverted-index self-join -- the scalable pairwise-similarity plan."""
+    return jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH toks AS ({_SQL_TOKS}),
+        sh AS ({_SQL_SHINGLES}),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        h AS (SELECT doc_id, {_SQL_HASH.format(v='shingle')} AS h FROM e),
+        perms AS (SELECT j, 2*j + 1 AS pa, 7919*j + 12345 AS pb,
+                         j // {LSH_ROWS} AS band,
+                         CAST(pow(31, j % {LSH_ROWS}) AS BIGINT) AS w
+                  FROM (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS j)),
+        mins AS (SELECT h.doc_id, p.j, p.band, p.w,
+                        min((p.pa * h.h + p.pb) % {MINHASH_PRIME}) AS m
+                 FROM h CROSS JOIN perms p GROUP BY 1, 2, 3, 4),
+        sigs AS (SELECT doc_id, band, CAST(sum(m * w) AS BIGINT) AS band_sig
+                 FROM mins GROUP BY 1, 2)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    tags=("bench", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=16) + LSH banding (4x4) candidate pairs. The band-bucket
+    equi-join is the 100 TB plan: collisions only, never a cross product.
+    Recall vs exact Jaccard is asserted in tests/test_dedup.py."""
+    return minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"sum((h >> {i}) & 1) AS b{i}" for i in range(SIMHASH_BITS)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2*b{i} > n_tokens THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                      FROM documents),
+        h AS (SELECT doc_id, {_SQL_HASH.format(v='tok')} AS h FROM toks),
+        agg AS (SELECT doc_id, count(*) AS n_tokens,
+               {bit_sums}
+                FROM h GROUP BY doc_id)
+        SELECT doc_id, n_tokens, CAST({bit_terms} AS BIGINT) AS simhash
+        FROM agg
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (frequency-weighted majority vote over
+    stable token hashes). Near-dups differ in few bits; pairing happens on
+    hamming bands downstream."""
+    return simhash_fingerprints(t(spark, sf_dir, "documents"))

@@ -1,1 +1,83 @@
-"""Filled in by the extension milestone."""
+"""Similarity-search catalog entries over the ``embeddings`` table
+(SURVEY.md 2b). Exact int-scaled arithmetic makes the cosine values
+bit-identical to the DuckDB oracle (see operators/similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.similarity import (
+    SCALE,
+    brp_lsh_neighbors,
+    knn_topk,
+)
+from taxi_data_pipeline_pset2_spark.queries._helpers import t
+from taxi_data_pipeline_pset2_spark.queries.catalog import query
+
+_SQL_PREP = f"""
+        prep AS (SELECT vec_id, label,
+                        list_transform(embedding::DOUBLE[],
+                                       x -> CAST(round(x * {SCALE}) AS BIGINT)) AS iv
+                 FROM embeddings),
+        n AS (SELECT vec_id, label, iv,
+                     CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS norm2
+              FROM prep)
+"""
+
+_SQL_COS = (
+    "ROUND(CAST(dot AS DOUBLE) /"
+    " (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 6)"
+)
+
+
+def _knn_oracle(extra_join: str) -> str:
+    return f"""
+        WITH {_SQL_PREP},
+        q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                                                      i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+                         q.norm2 AS qn, c.norm2 AS cn
+                  FROM q JOIN n c ON c.vec_id <> q.vec_id{extra_join})
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER w AS BIGINT) AS rank,
+               {_SQL_COS} AS cosine
+        FROM pairs
+        WINDOW w AS (PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id)
+        QUALIFY row_number() OVER w <= 5
+        ORDER BY query_id, rank
+    """
+
+
+@query("knn_bruteforce", oracle=_knn_oracle(""), tags=("bench", "similarity"))
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the query subset (vec_id % 50 == 0)
+    against the full corpus: broadcast queries, one candidate scan,
+    windowed top-k. The exact baseline every ANN variant is measured
+    against."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+@query(
+    "knn_ivf_label",
+    oracle=_knn_oracle(" AND c.label = q.label"),
+    tags=("bench", "similarity"),
+)
+def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned top-5: search only the query's coarse bucket (the
+    ``label`` column plays the k-means assignment). At 100 TB this is the
+    difference between scanning the corpus and scanning one cell; with the
+    corpus bucketed/partitioned by label the probe is partition-pruned."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_topk(emb, F.col("vec_id") % 50 == 0, k=5, bucket_col="label")
+
+
+@query("ann_brp_lsh", oracle=None, tags=("similarity",))
+def ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate euclidean self-join via pyspark.ml
+    BucketedRandomProjectionLSH (seeded). Approximate by design -> no SQL
+    oracle; recall vs brute force asserted in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return brp_lsh_neighbors(emb, threshold=6.0, bucket_length=2.0)

@@ -1,1 +1,195 @@
-"""Filled in by the extension milestone."""
+"""Text-analysis catalog entries over ``documents`` (SURVEY.md 2b):
+quality scoring, language ID, token counting, fingerprinting, profiling,
+plus the multimodal binary-column metadata path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.text import (
+    LANG_MARKERS,
+    TOKEN_REGEX,
+    fingerprints,
+    language_id,
+    quality_metrics,
+    token_count_bpe,
+    token_count_ws,
+)
+from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
+from taxi_data_pipeline_pset2_spark.queries._helpers import t
+from taxi_data_pipeline_pset2_spark.queries.catalog import query
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+        WITH tk AS (SELECT doc_id, text,
+                           string_split_regex(trim(lower(text)), '\\s+') AS toks
+                    FROM documents),
+        m AS (SELECT doc_id, text, toks,
+                     CAST(round(CAST(len(list_filter(toks,
+                          x -> list_contains({_sql_list(LANG_MARKERS['en'])}, x))) AS DOUBLE)
+                          * 1000000 / len(toks)) AS BIGINT) AS stop_m,
+                     CAST(round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                          * 1000000 / length(text)) AS BIGINT) AS alpha_m,
+                     least(CAST(1000000 AS BIGINT), CAST(len(toks) * 10000 AS BIGINT)) AS length_m
+              FROM tk)
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(toks) AS INT) AS n_tokens,
+               ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / len(toks), 6) AS avg_token_len,
+               CAST(stop_m AS DOUBLE) / 1000000 AS stopword_ratio,
+               CAST(alpha_m AS DOUBLE) / 1000000 AS alpha_ratio,
+               CAST(4 * stop_m + 3 * length_m + 3 * alpha_m AS DOUBLE) / 10000000 AS quality_score
+        FROM m
+    """,
+    tags=("bench", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features (length/stopword/char-class ratios) +
+    composite score -- the heuristic quality-filter stage of a pretraining
+    data pipeline."""
+    return quality_metrics(t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    scores = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(ws)}, x))) AS INT)"
+        f" AS score_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+        WITH tk AS (SELECT doc_id, lang AS lang_labeled,
+                           string_split_regex(trim(lower(text)), '\\s+') AS toks
+                    FROM documents),
+        s AS (SELECT doc_id, lang_labeled,
+               {scores}
+              FROM tk)
+        SELECT doc_id, lang_labeled, score_en, score_es, score_de, score_zh,
+               {case_sql} AS pred_lang,
+               ({case_sql}) = lang_labeled AS is_match
+        FROM s
+    """
+
+
+@query("lang_id", oracle=_langid_oracle(), tags=("text",))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: occurrence counts per language
+    table, argmax with deterministic tie-break, compared against the
+    labeled ``lang`` column."""
+    return language_id(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS INT) AS n_bpe_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS INT)
+                   AS n_distinct_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    pre-tokenization, distinct vocabulary size."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tokenize(F.col("text")))).alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5,
+               CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8))
+                    AS BIGINT) AS band_hash,
+               length(text) // 100 AS len_bucket
+        FROM documents
+    """,
+    tags=("text",),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint bundle: content md5 + 32-bit band hash + length bucket
+    (the sharding/join-key toolkit for dedup at scale)."""
+    df = fingerprints(t(spark, sf_dir, "documents"))
+    return df.withColumn("len_bucket", F.col("len_bucket").cast("long"))
+
+
+@query(
+    "docs_profile",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               ROUND(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("text", "agg"),
+)
+def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling aggregate: per-language doc counts, source
+    diversity, char-length stats."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS byte_len,
+               md5(text) AS payload_md5,
+               substr(md5(text), 1, 2) AS shard_key
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payload as ``binary`` (utf-8 bytes
+    stand in for image/audio blobs -- the decode libs are stubbed, see
+    operators/multimodal.py), byte length, content hash, shard key.
+    Proves schema/partition/hash handling of binary columns end-to-end."""
+    docs = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("byte_len"),
+        F.md5(payload).alias("payload_md5"),
+        F.substring(F.md5(payload), 1, 2).alias("shard_key"),
+    )

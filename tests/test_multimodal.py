@@ -1,0 +1,48 @@
+"""Multimodal plumbing tests: binary payload schema, mapInPandas feature
+extraction batch path, decode stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    attach_payloads,
+    decode_stub,
+    extract_features,
+    fake_features,
+)
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+
+def test_payload_schema_and_types(spark, sf_smoke_dir):
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    media = attach_payloads(docs)
+    assert [f.dataType.simpleString() for f in media.schema.fields] == [
+        "bigint", "binary", "string", "int",
+    ]
+    row = media.first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.byte_len == len(row.payload)
+
+
+def test_extract_features_mapinpandas(spark, sf_smoke_dir):
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    media = attach_payloads(docs).repartition(8)  # exercise multi-batch path
+    feats = extract_features(media, dim=8)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    sample = rows[0]
+    assert len(sample.features) == 8
+    assert all(0.0 <= f < 1.0 for f in sample.features)
+    # deterministic: same payload -> same features, matching driver-side calc
+    doc = docs.filter(F.col("doc_id") == sample.media_id).first()
+    expected = fake_features(doc.text.encode(), 8)
+    assert [pytest.approx(e, abs=1e-6) for e in expected] == list(sample.features)
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError, match="image/audio libraries"):
+        decode_stub(b"\x89PNG", "image/png")
