@@ -1,0 +1,103 @@
+"""dbt-style data-quality assertions (SURVEY.md section 2.10).
+
+The reference ships 32 schema tests -- 18 not_null, 8 unique,
+4 relationships, 2 accepted_values (``models/gold/schema.yml``,
+``models/silver/schema.yml``; ``README.md:101-123``). Each test compiles
+to a DataFrame returning *violating rows*; pass == empty, exactly dbt's
+contract. ``taxi_test_suite`` re-declares all 32 against the built
+medallion layer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(df: DataFrame, col: str) -> DataFrame:
+    return df.filter(F.col(col).isNull()).select(F.lit(col).alias("column"))
+
+
+def unique(df: DataFrame, col: str) -> DataFrame:
+    return (
+        df.groupBy(col).count().filter(F.col("count") > 1).select(
+            F.col(col).cast("string").alias("duplicate_key"), "count"
+        )
+    )
+
+
+def accepted_values(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    return df.filter(~F.col(col).isin(list(values)) | F.col(col).isNull()).select(
+        F.col(col).cast("string").alias("unexpected_value")
+    )
+
+
+def relationships(child: DataFrame, child_col: str, parent: DataFrame, parent_col: str) -> DataFrame:
+    """FK integrity as a broadcast left-anti join (operator J4)."""
+    return child.select(F.col(child_col)).join(
+        F.broadcast(parent.select(F.col(parent_col).alias(child_col))),
+        on=child_col,
+        how="left_anti",
+    )
+
+
+@dataclass(frozen=True)
+class TestResult:
+    name: str
+    passed: bool
+    failing_rows: int
+
+
+def run_tests(cases: dict[str, DataFrame]) -> list[TestResult]:
+    out = []
+    for name, violations in cases.items():
+        n = violations.count()
+        out.append(TestResult(name, n == 0, n))
+    return out
+
+
+def taxi_test_suite(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """All 32 reference tests against the built medallion tables
+    (definition sites cited in SURVEY.md section 2.10)."""
+    stg = tables["stg_trips_unified"]
+    fct = tables["fct_trips"]
+    d_date = tables["dim_date"]
+    d_zone = tables["dim_zone"]
+    d_pay = tables["dim_payment_type"]
+    d_rate = tables["dim_rate_code"]
+
+    cases: dict[str, DataFrame] = {}
+    # 18 not_null (silver/schema.yml:9-17..., gold/schema.yml:9-22...)
+    for col in ["service_type", "pickup_datetime", "dropoff_datetime",
+                "trip_distance", "fare_amount", "total_amount"]:
+        cases[f"not_null__stg__{col}"] = not_null(stg, col)
+    for col in ["trip_id", "service_type", "pickup_date_sk", "dropoff_date_sk",
+                "pickup_zone_sk", "dropoff_zone_sk", "pickup_datetime", "total_amount"]:
+        cases[f"not_null__fct__{col}"] = not_null(fct, col)
+    for tbl, df, col in [("dim_date", d_date, "date_sk"), ("dim_zone", d_zone, "zone_sk"),
+                         ("dim_payment_type", d_pay, "payment_type_sk"),
+                         ("dim_rate_code", d_rate, "rate_code_sk")]:
+        cases[f"not_null__{tbl}__{col}"] = not_null(df, col)
+    # 8 unique (gold/schema.yml:66-106)
+    cases["unique__fct__trip_id"] = unique(fct, "trip_id")
+    cases["unique__dim_date__date_sk"] = unique(d_date, "date_sk")
+    cases["unique__dim_date__date_actual"] = unique(d_date, "date_actual")
+    cases["unique__dim_zone__zone_sk"] = unique(d_zone, "zone_sk")
+    cases["unique__dim_zone__locationid"] = unique(d_zone, "locationid")
+    cases["unique__dim_payment_type__sk"] = unique(d_pay, "payment_type_sk")
+    cases["unique__dim_rate_code__sk"] = unique(d_rate, "rate_code_sk")
+    cases["unique__dim_payment_type__id"] = unique(d_pay, "payment_type_id")
+    # 4 relationships (gold/schema.yml:23-49)
+    # the fact's range filter guarantees every trip date exists in the
+    # spine, so no union with a default member is needed for dates
+    cases["relationships__fct__pickup_date_sk"] = relationships(fct, "pickup_date_sk", d_date, "date_sk")
+    cases["relationships__fct__dropoff_date_sk"] = relationships(fct, "dropoff_date_sk", d_date, "date_sk")
+    cases["relationships__fct__pickup_zone_sk"] = relationships(fct, "pickup_zone_sk", d_zone, "zone_sk")
+    cases["relationships__fct__dropoff_zone_sk"] = relationships(fct, "dropoff_zone_sk", d_zone, "zone_sk")
+    # 2 accepted_values (gold/schema.yml:16-17, silver/schema.yml:11-12)
+    cases["accepted_values__stg__service_type"] = accepted_values(stg, "service_type", ["yellow", "green"])
+    cases["accepted_values__fct__service_type"] = accepted_values(fct, "service_type", ["yellow", "green"])
+    return cases

@@ -1,0 +1,156 @@
+"""End-to-end medallion pipeline test: generate taxi-shaped fixtures,
+run the DAG, assert the 32 dbt-equivalent quality tests pass, and replay
+the reference's six golden analytics query shapes on the gold layer
+(``data_analysis.ipynb`` / ``evidencias/*.csv``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.plans.dag import taxi_pipeline
+from taxi_data_pipeline_pset2_spark.quality import run_tests, taxi_test_suite
+from taxi_data_pipeline_pset2_spark.sources.taxi_fixtures import (
+    gen_green,
+    gen_yellow,
+    gen_zones,
+)
+
+
+@pytest.fixture(scope="module")
+def medallion(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    yellow = gen_yellow(spark, 30_000)
+    green = gen_green(spark, 6_000)
+    zones = gen_zones(spark)
+    pipe = taxi_pipeline(wh, yellow, green, zones)
+    built, results = pipe.run(spark)
+    assert all(r.status == "success" for r in results), results
+    return built
+
+
+def test_row_flow(medallion):
+    stg_n = medallion["stg_trips_unified"].count()
+    fct_n = medallion["fct_trips"].count()
+    # quality filters drop dirty rows; range filter drops 2009 rows
+    assert 30_000 < stg_n < 36_000
+    assert 0 < fct_n <= stg_n
+    assert medallion["dim_date"].count() == 4018
+    assert medallion["dim_zone"].count() == 266  # 265 + Unknown member
+
+
+def test_quality_suite_all_pass(medallion):
+    results = run_tests(taxi_test_suite(medallion))
+    assert len(results) == 32
+    failures = [r for r in results if not r.passed]
+    assert not failures, failures
+
+
+def test_unknown_zone_member_catches_missing_ids(medallion):
+    fct = medallion["fct_trips"]
+    # fixture plants pulocationids 266-270 that are absent from zones ->
+    # they must map to the Unknown member (zone_sk=0), never drop
+    unknown = fct.filter(F.col("pickup_zone_sk") == 0).count()
+    assert unknown > 0
+
+
+def test_gold_layout_partitioned_by_service(medallion, spark):
+    fct = medallion["fct_trips"]
+    assert set(
+        r.service_type for r in fct.select("service_type").distinct().collect()
+    ) == {"yellow", "green"}
+
+
+def test_golden_query_shapes(medallion, spark):
+    """The six golden analytics queries (SURVEY.md section 5 item 3)."""
+    fct = medallion["fct_trips"].alias("f")
+    dz = medallion["dim_zone"]
+    dd = medallion["dim_date"]
+
+    # 1. demandaxzona: zone demand top-20 (ipynb:36-46)
+    q1 = (
+        fct.join(F.broadcast(dz), F.col("pickup_zone_sk") == dz.zone_sk)
+        .filter(F.col("zone_name") != "Unknown")
+        .groupBy("zone_name", "borough", F.year("pickup_date").alias("year"))
+        .agg(F.count("*").alias("total_trips"))
+        .orderBy(F.desc("total_trips"), "zone_name")
+        .limit(20)
+    )
+    rows = q1.collect()
+    assert len(rows) == 20 and rows[0].total_trips >= rows[-1].total_trips
+
+    # 2. ingresos_propinas: revenue + tip% by borough x year (ipynb:113-124)
+    q2 = (
+        fct.join(F.broadcast(dz), F.col("pickup_zone_sk") == dz.zone_sk)
+        .filter((F.col("tip_percentage") > 0) & (F.col("tip_percentage") < 100))
+        .groupBy("borough", F.year("pickup_date").alias("year"))
+        .agg(
+            F.sum("total_amount").alias("total_revenue"),
+            F.avg("tip_percentage").alias("avg_tip_pct"),
+            F.count("*").alias("trips"),
+        )
+    )
+    assert q2.count() > 0
+
+    # 3. duracion_percentiles: p50/p90 duration per zone w/ HAVING (ipynb:251-263)
+    q3 = (
+        fct.filter((F.col("trip_duration_hours") > 0) & (F.col("trip_duration_hours") < 5))
+        .join(F.broadcast(dz), F.col("pickup_zone_sk") == dz.zone_sk)
+        .groupBy("zone_name")
+        .agg(
+            F.expr("percentile(trip_duration_hours, array(0.5D, 0.9D))").alias("p"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 50)
+        .select("zone_name", F.col("p")[0].alias("p50"), F.col("p")[1].alias("p90"), "n")
+    )
+    r3 = q3.collect()
+    assert r3 and all(row.p50 <= row.p90 for row in r3)
+
+    # 4. elasticidad: year x hour grid (ipynb:348-355)
+    q4 = (
+        fct.groupBy(F.year("pickup_date").alias("year"), "pickup_hour")
+        .agg(F.count("*").alias("trips"), F.avg("total_amount").alias("avg_amount"))
+    )
+    assert q4.select("pickup_hour").distinct().count() == 24
+
+    # 5. velocidad_franja: borough x hour x daypart avg speed (evidencias)
+    q5 = (
+        fct.join(F.broadcast(dz), F.col("pickup_zone_sk") == dz.zone_sk)
+        .withColumn(
+            "franja",
+            F.when(F.col("pickup_hour").between(6, 18), "Diurno").otherwise("Nocturno"),
+        )
+        .groupBy("borough", "pickup_hour", "franja")
+        .agg(F.avg("avg_speed_mph").alias("avg_speed"), F.count("*").alias("n"))
+    )
+    assert q5.count() > 0
+
+    # 6. matriz-cobertura: coverage matrix w/ MIN/MAX (evidencias)
+    q6 = (
+        fct.groupBy(
+            F.year("pickup_date").alias("year"),
+            F.month("pickup_date").alias("month"),
+            "service_type",
+        )
+        .agg(
+            F.count("*").alias("total_trips"),
+            F.sum("trip_distance").alias("total_miles"),
+            F.sum("total_amount").alias("total_revenue"),
+            F.min("pickup_date").alias("first_trip"),
+            F.max("pickup_date").alias("last_trip"),
+        )
+    )
+    r6 = q6.collect()
+    assert r6 and all(row.first_trip <= row.last_trip for row in r6)
+    # green discontinued 2019-03: no green coverage after 2019
+    assert not [r for r in r6 if r.service_type == "green" and r.year > 2019]
+
+
+def test_fct_derived_metrics_sane(medallion):
+    fct = medallion["fct_trips"]
+    bad_speed = fct.filter(
+        (F.col("trip_duration_hours") <= 0) & (F.col("avg_speed_mph") != 0)
+    ).count()
+    assert bad_speed == 0  # guarded division never divides by zero
+    assert fct.filter(F.col("tip_percentage") < 0).count() == 0
