@@ -80,6 +80,7 @@ def _load_all() -> None:
     # Import for decorator side effects.
     from taxi_data_pipeline_pset2_spark.queries import (  # noqa: F401
         dedup,
+        pipeline_ops,
         relational,
         scalars,
         similarity,

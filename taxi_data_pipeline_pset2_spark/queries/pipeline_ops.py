@@ -1,0 +1,83 @@
+"""Catalog entries for the pipeline-operator surface: availability/gap
+manifest (SURVEY.md S4) and the streaming aggregation's batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.sources.manifest import coverage_gaps, load_manifest
+from taxi_data_pipeline_pset2_spark.queries._helpers import t
+from taxi_data_pipeline_pset2_spark.queries.catalog import query
+
+
+@query(
+    "coverage_gap_detection",
+    oracle="""
+        WITH spine AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-02-10',
+                                                     INTERVAL 1 DAY))::DATE AS d),
+        present AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS d FROM events)
+        SELECT strftime(s.d, '%Y-%m-%d') AS missing_period, 'brecha' AS status
+        FROM spine s
+        WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.d = s.d)
+        ORDER BY missing_period
+    """,
+    tags=("source", "manifest"),
+)
+def coverage_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection (S4): expected daily spine anti-joined against the
+    days actually present -- the reference's per-month HEAD-probe loop
+    with ``status='brecha'`` logging (``loader_yellow_green.py:13-19,
+    56-61``) as one declarative scan."""
+    return coverage_gaps(t(spark, sf_dir, "events"), "ts", "2024-01-01", "2024-02-10", unit="day")
+
+
+@query(
+    "load_manifest_months",
+    oracle="""
+        SELECT 'events' AS source,
+               strftime(date_trunc('month', ts), '%Y-%m') AS period,
+               count(*) AS n_rows,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY period
+        ORDER BY period
+    """,
+    tags=("source", "manifest"),
+)
+def load_manifest_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month load manifest (rows + span) -- the reference's resume
+    bookkeeping (``loader_yellow_green.py:31-81``) as an aggregate."""
+    return load_manifest(t(spark, sf_dir, "events"), "ts", "events")
+
+
+@query(
+    "events_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    tags=("bench", "streaming", "agg"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregate
+    (streaming/events.py hourly_event_counts): same grouping, same exact
+    decimal sum -- the batch/streaming parity check the driver can
+    hash-verify; the streaming path itself is asserted equal in
+    tests/test_streaming.py."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,202 @@
+"""Structured Streaming over the events table (SURVEY.md 2b).
+
+The reference is batch-only (monthly files, SURVEY.md section 2.9); this
+module adds the streaming surface a continuous ingest would need:
+
+- file-source stream with explicit schema (new parquet drops in a dir ->
+  incremental processing; the streaming twin of the reference's monthly
+  backfill loop)
+- event-time tumbling-window aggregation with a watermark for late data
+- gap-based sessionization via ``applyInPandasWithState`` (custom
+  stateful operator -- the extension path for semantics Spark's built-in
+  windows can't express)
+- ``foreachBatch`` parquet sink: idempotent batch-id-keyed append, the
+  exactly-once-ish equivalent of the reference's transactional
+  executemany exporter (``.../exporter_taxi.py/1759109036:178-233``)
+
+The events parquet carries TIMESTAMP(NANOS); like the batch reader
+(sources/readers.py) the stream reads nanos as long and converts with
+integer division.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (see module doc)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling 1h window with late-data watermark. At scale
+    the state store holds only windows newer than the watermark -- bounded
+    state regardless of stream length."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessionization per user via ``applyInPandasWithState``:
+    events closer than ``gap_minutes`` chain into one session; an
+    event-time timeout flushes a session once the watermark passes
+    session_end + gap. The canonical custom-stateful-operator shape
+    (state = open session aggregates, bounded per active user; the
+    watermark bounds both state age and late data).
+
+    Event-time (not processing-time) timeouts matter twice: sessions
+    close by stream-time semantics regardless of wall-clock replay
+    speed, and timers only fire as the watermark advances, so a finite
+    ``availableNow`` drain terminates (processing-time timers keep
+    requesting micro-batches forever)."""
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+        closed: list[tuple[int, int, int]] = []
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        else:
+            start_ms, end_ms, n = ts_ms[0], ts_ms[0], 0
+        for t in ts_ms:
+            if t - end_ms > gap_ms:
+                closed.append((start_ms, end_ms, n))
+                start_ms, end_ms, n = t, t, 1
+            else:
+                end_ms = max(end_ms, t)
+                n += 1
+        state.update((start_ms, end_ms, n))
+        # timer must be strictly ahead of the current watermark
+        state.setTimeoutTimestamp(max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType="start_ms long, end_ms long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_batchwise_to_parquet(
+    agg_stream: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: write each micro-batch atomically into a
+    batch-id-keyed subdirectory -- replayed batches overwrite their own
+    directory, so restarts are idempotent (the Spark equivalent of the
+    reference exporter's BEGIN/executemany/COMMIT + rollback)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    (
+        agg_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_complete_to_memory(
+    agg_stream: DataFrame, spark: SparkSession, table_name: str
+) -> DataFrame:
+    """Drain a finite stream (availableNow) into a memory sink; returns
+    the final result table. Test/debug harness."""
+    (
+        agg_stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(table_name)
