@@ -106,6 +106,153 @@ def knn_topk(
     )
 
 
+N_PLANES = 32
+COS_LSH_BANDS = 4
+COS_LSH_ROWS = N_PLANES // COS_LSH_BANDS  # 8-bit band signatures
+
+
+def hyperplane_signs(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic +-1 hyperplane matrix for sign-random-projection LSH.
+
+    Component (j, i) is the parity of the md5-prefix hash of "j_i" -- the
+    same engine-portable stable hash used for shingles (operators/dedup.py
+    ``stable_hash64``), computed driver-side once. Both the Spark plan
+    (literal arrays) and the DuckDB oracle (md5 in a CTE) reproduce the
+    identical matrix, which is what makes an approximate LSH operator
+    hash-verifiable."""
+    import hashlib
+
+    return [
+        [
+            1 - 2 * (int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8], 16) % 2)
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold, exact int-scaled arithmetic.
+
+    O(n^2) verify stage: the baseline the LSH path is measured against,
+    and the in-bucket verifier at scale (run it per LSH bucket, never on
+    the full corpus)."""
+    prep = _prepared(emb, id_col, vec_col)
+    a = prep.select(
+        F.col(id_col).alias("id_a"), F.col("iv").alias("iv_a"), F.col("norm2").alias("n2_a")
+    )
+    b = prep.select(
+        F.col(id_col).alias("id_b"), F.col("iv").alias("iv_b"), F.col("norm2").alias("n2_b")
+    )
+    cos = F.round(
+        int_dot(F.col("iv_a"), F.col("iv_b")).cast("double")
+        / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+        6,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_sketch_bands(
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, band_sig) sign-sketch LSH bucket keys.
+
+    bit_j = sign(iv . hyperplane_j); bands pack COS_LSH_ROWS bits into one
+    integer signature. Collision probability per bit is 1 - theta/pi, so
+    true near-dups (cosine >= 0.9) collide on >= 1 of the 4 bands w.p.
+    ~0.75+ while random pairs almost never do -- the 100 TB candidate
+    generator."""
+    S = hyperplane_signs(N_PLANES, dim)
+    prep = _prepared(emb, id_col, vec_col)
+    bits = [
+        F.aggregate(
+            F.zip_with(
+                F.col("iv"),
+                F.array(*[F.lit(v) for v in S[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        >= 0
+        for j in range(N_PLANES)
+    ]
+    band_structs = []
+    for band in range(COS_LSH_BANDS):
+        sig: Column | None = None
+        for r in range(COS_LSH_ROWS):
+            term = bits[band * COS_LSH_ROWS + r].cast("bigint") * F.lit(2**r).cast("bigint")
+            sig = term if sig is None else sig + term
+        band_structs.append(
+            F.struct(
+                F.lit(band).cast("int").alias("band"), sig.alias("band_sig")
+            )
+        )
+    return prep.select(F.col(id_col), F.inline(F.array(*band_structs)))
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucketed candidates, exact verify.
+
+    Candidates = pairs sharing >= 1 band signature (equi-join on the
+    bucket key -- only colliding docs ever meet); verify = exact
+    int-scaled cosine >= threshold on the candidate set only. The
+    two-phase shape is the scale plan: candidate volume is driven by the
+    sketch, verification cost by true-near-dup density, never by n^2."""
+    sigs = cosine_sketch_bands(emb, dim, id_col, vec_col)
+    cands = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    prep = _prepared(emb, id_col, vec_col)
+    a = prep.select(
+        F.col(id_col).alias("id_a"), F.col("iv").alias("iv_a"), F.col("norm2").alias("n2_a")
+    )
+    b = prep.select(
+        F.col(id_col).alias("id_b"), F.col("iv").alias("iv_b"), F.col("norm2").alias("n2_b")
+    )
+    cos = F.round(
+        int_dot(F.col("iv_a"), F.col("iv_b")).cast("double")
+        / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+        6,
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def brp_lsh_neighbors(
     emb: DataFrame,
     threshold: float = 6.0,

@@ -136,3 +136,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable token hashes). Near-dups differ in few bits; pairing happens on
     hamming bands downstream."""
     return simhash_fingerprints(t(spark, sf_dir, "documents"))
+
+
+# ---- embedding-cosine near-dup -------------------------------------------
+
+_SQL_EMB_PREP = """
+        prep AS (SELECT vec_id,
+                        list_transform(embedding::DOUBLE[],
+                                       x -> CAST(round(x * 1000000) AS BIGINT)) AS iv
+                 FROM embeddings),
+        n AS (SELECT vec_id, iv,
+                     CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS norm2
+              FROM prep)
+"""
+
+_SQL_EMB_COS = (
+    "ROUND(CAST(list_sum(list_transform(generate_series(1, 64),"
+    " i -> a.iv[i] * b.iv[i])) AS DOUBLE)"
+    " / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH {_SQL_EMB_PREP}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_EMB_COS} AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE {_SQL_EMB_COS} >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (threshold 0.4): the O(n^2)
+    verify baseline. Int-scaled arithmetic -> bit-identical to the oracle.
+    At scale this runs per LSH bucket, never corpus-wide (see
+    dedup_embedding_lsh)."""
+    from taxi_data_pipeline_pset2_spark.operators.similarity import cosine_pairs_exact
+
+    return cosine_pairs_exact(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _emb_lsh_oracle() -> str:
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        COS_LSH_ROWS,
+        N_PLANES,
+    )
+
+    return f"""
+        WITH {_SQL_EMB_PREP},
+        planes AS (
+            SELECT j, i,
+                   1 - 2 * (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 8))
+                                 AS BIGINT) % 2) AS s
+            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j),
+                 (SELECT unnest(generate_series(0, 63)) AS i)),
+        bits AS (
+            SELECT n.vec_id, p.j,
+                   CASE WHEN sum(n.iv[p.i + 1] * p.s) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM n CROSS JOIN planes p GROUP BY 1, 2),
+        sigs AS (
+            SELECT vec_id, j // {COS_LSH_ROWS} AS band,
+                   CAST(sum(bit * CAST(pow(2, j % {COS_LSH_ROWS}) AS BIGINT)) AS BIGINT) AS band_sig
+            FROM bits GROUP BY 1, 2),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b, {_SQL_EMB_COS} AS cosine
+        FROM cands c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
+        WHERE {_SQL_EMB_COS} >= 0.2
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_emb_lsh_oracle(), tags=("bench", "dedup", "similarity"))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via sign-random-projection LSH (32 deterministic
+    md5-derived hyperplanes, 4 bands x 8 bits) + exact in-candidate cosine
+    verify (threshold 0.2). The bucket equi-join is the 100 TB candidate
+    generator; the oracle reproduces the identical hyperplanes, so even
+    the approximate stage is hash-verified."""
+    from taxi_data_pipeline_pset2_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.2)

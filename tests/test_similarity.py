@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from taxi_data_pipeline_pset2_spark.operators.similarity import (
     brp_lsh_neighbors,
+    cosine_near_dup_pairs,
+    cosine_pairs_exact,
     knn_topk,
 )
 from taxi_data_pipeline_pset2_spark.sources.readers import load_table
@@ -41,3 +43,46 @@ def test_brp_lsh_agrees_with_bruteforce_on_closest(spark, sf_dir):
     assert pairs, "LSH join should find pairs within the distance threshold"
     # every reported distance honors the threshold and the dedup ordering
     assert all(r.dist <= 8.0 and r.id_a < r.id_b for r in pairs)
+
+
+def _planted_neardup_corpus(spark):
+    """Base corpus + near-identical copies (one flipped low-magnitude
+    component) with ids offset by 100000. Deterministic, no RNG."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").limit(200)
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63),
+            F.array((F.element_at("embedding", 64) + F.lit(0.01)).cast("float")),
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(copies)
+
+
+def test_cosine_lsh_recall_on_planted_neardups(spark):
+    corpus = _planted_neardup_corpus(spark)
+    # ground truth: every (v, v+100000) pair has cosine ~1
+    truth = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_exact(corpus, threshold=0.99).collect()
+    }
+    assert len(truth) >= 190, "planted copies must be near-identical"
+    found = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(corpus, threshold=0.99).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    # sign-LSH with 4 bands x 8 bits: P[collide] ~ 1 for cosine ~1.0
+    assert recall >= 0.95, f"recall {recall:.2f} too low for near-identical pairs"
+
+
+def test_cosine_lsh_verify_is_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_exact(emb, threshold=0.2).collect()
+    }
+    for r in cosine_near_dup_pairs(emb, threshold=0.2).collect():
+        assert (r.id_a, r.id_b) in exact
+        assert exact[(r.id_a, r.id_b)] == r.cosine
