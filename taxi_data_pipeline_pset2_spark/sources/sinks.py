@@ -32,9 +32,9 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     write to a staging dir, then swap directories. Readers see the old
     table until the rename; failures leave the old table intact."""
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
     try:
+        df.write.mode("overwrite").parquet(staging)
         if os.path.exists(path):
             os.rename(path, backup)
         os.rename(staging, path)

@@ -1,0 +1,102 @@
+"""Sink semantics: atomic replace, clustered layout, idempotent monthly
+partition overwrite (SURVEY.md S5-S8, X1, 2.11)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from taxi_data_pipeline_pset2_spark.sources.manifest import coverage_gaps
+from taxi_data_pipeline_pset2_spark.sources.sinks import (
+    atomic_overwrite,
+    clustered_write,
+    export_csv,
+    month_partitioned_ingest,
+    overwrite_table,
+)
+
+
+def test_atomic_overwrite_swaps_and_survives_failure(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    atomic_overwrite(spark.range(10), path)
+    assert spark.read.parquet(path).count() == 10
+    atomic_overwrite(spark.range(25), path)
+    assert spark.read.parquet(path).count() == 25
+    # a failing write must leave the previous table fully readable
+    poisoned = spark.range(5).select(
+        F.when(F.col("id") < 99, F.col("id"))
+        .otherwise(F.raise_error("boom"))
+        .alias("id"),
+        F.raise_error("boom").alias("bad"),
+    )
+    with pytest.raises(Exception):
+        atomic_overwrite(poisoned, path)
+    assert spark.read.parquet(path).select("id").count() == 25
+    # no staging/backup debris
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__staging" in d or "__old" in d] == []
+
+
+def test_clustered_write_layout(spark, sf_smoke_dir, tmp_path):
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    path = str(tmp_path / "gold")
+    orders = load_table(spark, sf_smoke_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    clustered_write(orders, path, partition_by=("o_year",), sort_by=("o_orderdate",))
+    parts = [d for d in os.listdir(path) if d.startswith("o_year=")]
+    assert len(parts) > 1
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: a single-year predicate reads a single directory
+    plan = (
+        back.filter(F.col("o_year") == 2024)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan or back.filter(F.col("o_year") == 2024).count() > 0
+
+
+def test_month_partitioned_ingest_is_idempotent_per_month(spark, tmp_path):
+    path = str(tmp_path / "bronze")
+    rows = [
+        (1, dt.datetime(2024, 1, 5)),
+        (2, dt.datetime(2024, 1, 20)),
+        (3, dt.datetime(2024, 2, 3)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    month_partitioned_ingest(spark, df, path, "ts")
+    assert spark.read.parquet(path).count() == 3
+    # re-ingest ONLY February with different content: January untouched
+    feb2 = spark.createDataFrame(
+        [(30, dt.datetime(2024, 2, 7)), (31, dt.datetime(2024, 2, 8))],
+        "id long, ts timestamp",
+    )
+    month_partitioned_ingest(spark, feb2, path, "ts")
+    back = spark.read.parquet(path)
+    assert back.count() == 4  # 2 jan + 2 new feb
+    assert {r.id for r in back.collect()} == {1, 2, 30, 31}
+
+
+def test_export_csv_single_file(spark, tmp_path):
+    path = str(tmp_path / "out_csv")
+    export_csv(spark.range(7).withColumn("x", F.col("id") * 2), path)
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1
+    assert spark.read.option("header", True).csv(path).count() == 7
+
+
+def test_coverage_gaps_detects_missing_period(spark):
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 10)),
+            (2, dt.datetime(2024, 3, 2)),
+        ],
+        "id long, ts timestamp",
+    )
+    gaps = coverage_gaps(df, "ts", "2024-01-01", "2024-03-31", unit="month").collect()
+    assert [r.missing_period for r in gaps] == ["2024-02-01"]
+    assert all(r.status == "brecha" for r in gaps)
