@@ -113,3 +113,92 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resized", BinaryType(), True),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode->resize->re-encode (a real
+    deployment swaps in PIL via ``decode_stub``): byte payload is
+    truncated/cycled to exactly width*height bytes, so output size is the
+    deterministic function of (w, h) a real resize would have."""
+    target = width * height
+    if not payload:
+        return b"\x00" * target
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Batch image resize over binary payloads (``mapInPandas``).
+
+    The Spark-side contract is the real one -- binary in, fixed-shape
+    binary out, Arrow batches, bounded memory; only the pixel transform is
+    the deterministic fake (no image libs in this container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "resized": [fake_resize(p, width, height) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+        StructField("frame_sha", StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling: 1 input row -> n_frames output rows
+    (``mapInPandas`` is a flat-map over batches, so the row-exploding
+    shape costs nothing extra). The fake "decoder" slices the payload
+    into n_frames even chunks at deterministic offsets -- the uniform
+    temporal sampling a real pyav/ffmpeg step would do."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = payload or b""
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = p[i * step : (i + 1) * step]
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_sha": [hashlib.sha256(f).hexdigest() for f in frames],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video/mp4").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -245,9 +245,15 @@ def monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     year predicate becomes partition pruning -- here it pushes to parquet
     row-group stats."""
     orders = t(spark, sf_dir, "orders")
-    min_year = orders.agg(F.min(F.year("o_orderdate"))).collect()[0][0]
+    # min(o_orderdate) is answered from parquet footer stats (aggregate
+    # pushdown) -- no data scan; the year filter is then a plain date-range
+    # predicate, which DOES push to row-group min/max (year(col) == y would
+    # not: function-wrapped columns defeat pushdown).
+    min_year = orders.agg(F.min("o_orderdate")).collect()[0][0].year
     return (
-        orders.filter(F.year("o_orderdate") == min_year)
+        orders.filter(
+            F.col("o_orderdate").between(f"{min_year}-01-01", f"{min_year}-12-31")
+        )
         .groupBy("o_orderpriority", F.date_trunc("month", F.col("o_orderdate")).alias("o_month"))
         .agg(F.count("*").alias("total_orders"), dec_avg("o_totalprice").alias("avg_price"))
         .orderBy("o_month", "o_orderpriority")

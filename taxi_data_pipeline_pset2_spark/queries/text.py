@@ -193,3 +193,60 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("payload_md5"),
         F.substring(F.md5(payload), 1, 2).alias("shard_key"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH v AS (SELECT doc_id AS media_id, text,
+                          greatest(length(text) // 4, 1) AS step
+                   FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT media_id, i AS frame_idx,
+                     substr(text, i * step + 1, step) AS fr
+              FROM v, (SELECT unnest(generate_series(0, 3)) AS i))
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, sha256(fr) AS frame_sha
+        FROM f
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real ``mapInPandas`` batch path
+    (operators/multimodal.py sample_frames): 1 video -> 4 deterministic
+    frame chunks. Even the Python-side "decoder" is hash-verified -- the
+    oracle reproduces the byte slicing in SQL (valid because the stand-in
+    payloads are ASCII; the Spark op itself is byte-correct for any
+    binary)."""
+    from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+        attach_payloads,
+        sample_frames,
+    )
+
+    media = attach_payloads(t(spark, sf_dir, "documents"))
+    return sample_frames(media, n_frames=4).select("media_id", "frame_idx", "frame_sha")
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+        SELECT doc_id AS media_id, CAST(16 AS INT) AS width, CAST(9 AS INT) AS height,
+               sha256(substr(repeat(text, CAST(ceil(144.0 / length(text)) AS INT)),
+                             1, 144)) AS resized_sha
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-shape media resize through ``mapInPandas`` (operators/
+    multimodal.py resize_media): binary in, exactly width*height bytes
+    out, Arrow-batched. The byte-cycling stand-in transform is mirrored
+    in SQL (repeat + substr on the ASCII payloads), so the full Python
+    batch path is hash-verified."""
+    from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+        attach_payloads,
+        resize_media,
+    )
+
+    media = attach_payloads(t(spark, sf_dir, "documents"))
+    return resize_media(media, width=16, height=9).select(
+        "media_id", "width", "height", F.sha2("resized", 256).alias("resized_sha")
+    )

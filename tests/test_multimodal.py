@@ -46,3 +46,41 @@ def test_extract_features_mapinpandas(spark, sf_smoke_dir):
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError, match="image/audio libraries"):
         decode_stub(b"\x89PNG", "image/png")
+
+
+def test_resize_media_fixed_shape(spark, sf_smoke_dir):
+    from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_smoke_dir, "documents").limit(50)
+    media = attach_payloads(docs)
+    out = resize_media(media, width=16, height=9)
+    assert out.schema == RESIZED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.resized) == 16 * 9 for r in rows)
+    assert all(r.width == 16 and r.height == 9 for r in rows)
+
+
+def test_sample_frames_explodes_videos_only(spark, sf_smoke_dir):
+    from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_smoke_dir, "documents").limit(60)
+    media = attach_payloads(docs)
+    n_videos = media.filter(F.col("media_type") == "video/mp4").count()
+    out = sample_frames(media, n_frames=4)
+    assert out.schema == FRAME_SCHEMA
+    rows = out.collect()
+    assert len(rows) == n_videos * 4
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())
+    # deterministic: re-running yields identical frame hashes
+    again = {(r.media_id, r.frame_idx): r.frame_sha for r in sample_frames(media, 4).collect()}
+    assert {(r.media_id, r.frame_idx): r.frame_sha for r in rows} == again
