@@ -536,3 +536,76 @@ def ranked_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"gap_to_prev": 0.0})
         .orderBy("n_name", "bal_rank")
     )
+
+
+@query(
+    "rolling_avg_value",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                          OVER w AS DOUBLE) / count(value) OVER w, 6) AS rolling_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec analytic window (extension beyond the reference's single
+    global ROW_NUMBER, SURVEY.md section 2.5): 3-row rolling average per
+    user in event-time order. ``rowsBetween`` frames shuffle once on the
+    partition key; decimal accumulation keeps the value deterministic
+    under any execution order."""
+    events = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    rolling = F.round(
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count("value").over(w),
+        6,
+    )
+    return events.select("event_id", "user_id", rolling.alias("rolling_avg"))
+
+
+@query("approx_distinct_users", oracle=None, tags=("approx",))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (SURVEY.md 2b approx
+    surface). At 100 TB the exact distinct's per-key shuffle of raw ids is
+    the bottleneck; the HLL sketch is constant-size per group and merges
+    map-side. No SQL oracle -- DuckDB's approx sketch differs -- so the
+    driver records rows-only; the error bound vs exact is pinned in
+    tests/test_approx.py."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("approx_value_percentiles", oracle=None, tags=("approx",))
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx twin of the exact percentile query (SURVEY.md A4
+    at scale): KLL-sketch quantiles, mergeable and single-pass. Rows-only
+    driver check; accuracy vs exact percentile pinned in
+    tests/test_approx.py."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        )
+        .select(
+            "event_type",
+            F.col("approx_pcts")[0].alias("p50"),
+            F.col("approx_pcts")[1].alias("p90"),
+            F.col("approx_pcts")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
