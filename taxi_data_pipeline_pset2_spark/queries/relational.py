@@ -609,3 +609,68 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rollup_revenue",
+    oracle=f"""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(coalesce(year(o_orderdate), 0) AS INT) AS o_year,
+               count(*) AS n_orders,
+               {sql_dec_sum("o_totalprice")} AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
+        ORDER BY priority, o_year
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine-surface extension beyond the
+    reference, SURVEY.md section 2.4 notes no grouping sets exist there).
+    Spark plans a single Expand + one aggregate -- one pass over the fact
+    for all hierarchy levels, the scale-safe way to get subtotals."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", F.year("o_orderdate").alias("o_year"))
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_year", F.lit(0)).cast("int").alias("o_year"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("priority", "o_year")
+    )
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+        WITH buyers AS (SELECT DISTINCT o_custkey AS c FROM orders),
+        high_bal AS (SELECT c_custkey AS c FROM customer WHERE c_acctbal > 5000)
+        SELECT 'buyer_and_high_bal' AS op, count(*) AS n
+        FROM (SELECT c FROM buyers INTERSECT SELECT c FROM high_bal)
+        UNION ALL
+        SELECT 'high_bal_never_bought' AS op, count(*) AS n
+        FROM (SELECT c FROM high_bal EXCEPT SELECT c FROM buyers)
+        ORDER BY op
+    """,
+    tags=("setop",),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT engine surface (absent from the reference,
+    SURVEY.md section 2.7). Spark plans both as aggregated semi/anti hash
+    joins -- same shuffle shape as a distinct, no row-by-row set logic."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    buyers = orders.select(F.col("o_custkey").alias("c")).distinct()
+    high_bal = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("c")
+    )
+    both = buyers.intersect(high_bal).agg(F.count("*").alias("n")).select(
+        F.lit("buyer_and_high_bal").alias("op"), "n"
+    )
+    never = high_bal.exceptAll(buyers).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("high_bal_never_bought").alias("op"), "n"
+    )
+    return both.unionByName(never).orderBy("op")
