@@ -1,0 +1,79 @@
+"""Skew- and shuffle-management operators (SURVEY.md §4 / 100 TB design).
+
+The reference outsources physical tuning to Snowflake; at Spark scale the
+engine owns it. Three tools, in escalation order:
+
+1. AQE (always on, session.py): runtime skew-join splitting and partition
+   coalescing -- handles moderate skew with zero code.
+2. Salted two-stage aggregation: for pathological hot keys where a single
+   reducer would own the hot group, spread each key over ``n_salts``
+   partial groups, then merge. Classic map-side-combine generalization;
+   the merge input is ``n_groups * n_salts`` rows regardless of data size.
+3. Salted broadcast-replicated join: replicate the small side per salt so
+   a hot join key's rows land on ``n_salts`` tasks instead of one.
+
+All pure DataFrame compositions -- deterministic results, any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, n_salts): hash of the full row's stable
+    id is overkill; monotonically_increasing_id is partition-stable but
+    not rerun-stable, so derive from ``spark_partition_id`` + a per-task
+    row index via hash of all columns."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for hot grouping keys.
+
+    ``aggs`` maps output name -> (partial_agg_expr, merge_agg_expr), e.g.
+    ``{"n": (F.count("*"), F.sum("n")), "total": (F.sum("x"), F.sum("total"))}``.
+    Stage 1 groups by (keys + salt) -- the hot key's rows split across
+    ``n_salts`` reducers; stage 2 merges the tiny partial table. For
+    algebraic aggregates (sum/count/min/max) results are exactly the
+    unsalted ones.
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def salted_shuffle_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle join where the left side has hot keys and the right side is
+    too big to broadcast (if it broadcasts, just broadcast -- no salt
+    needed; if AQE's skew-join split applies, prefer that). The skewed
+    side gets a deterministic salt, the other side is replicated
+    ``n_salts``x, and the join key becomes (on, salt): a hot key's rows
+    spread over ``n_salts`` reducers instead of one. Cost: ``other``
+    shuffles ``n_salts``x more bytes -- worth it exactly when the hot
+    reducer is the critical path."""
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    )
+    replicated = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, [on, "_salt"], how).drop("_salt")

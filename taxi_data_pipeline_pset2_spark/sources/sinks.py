@@ -67,6 +67,26 @@ def export_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     w.write.mode("overwrite").option("header", True).csv(path)
 
 
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write so every future
+    join/aggregate on ``bucket_by`` is exchange-free (Spark reads bucket
+    files co-located by key). The 100 TB answer for repeated large-large
+    joins the star schema can't broadcast -- pay the shuffle once, reuse
+    it forever. Requires ``saveAsTable`` (bucket metadata lives in the
+    catalog, not in plain parquet paths)."""
+    w = df.write.mode("overwrite").format("parquet")
+    w = w.bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
 def month_partitioned_ingest(
     spark: SparkSession, df: DataFrame, path: str, ts_col: str
 ) -> None:

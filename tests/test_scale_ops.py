@@ -1,0 +1,92 @@
+"""Scale machinery: salted aggregation/join correctness, bucketed-table
+exchange elimination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.skew import (
+    salted_aggregate,
+    salted_shuffle_join,
+)
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+from taxi_data_pipeline_pset2_spark.sources.sinks import bucketed_write
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag, r.l_linestatus): (r.n, r.total)
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.l_linestatus): (r.n, r.total)
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "total": (
+                    F.sum(F.col("l_quantity").cast("decimal(18,4)")),
+                    F.sum("total"),
+                ),
+            },
+            n_salts=16,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_shuffle_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = orders.join(customer, "k").count()
+    assert salted_shuffle_join(orders, customer, "k", n_salts=8).count() == plain
+    # row-level equality on a sample
+    a = {
+        (r.o_orderkey, r.c_name)
+        for r in orders.join(customer, "k").select("o_orderkey", "c_name").collect()
+    }
+    b = {
+        (r.o_orderkey, r.c_name)
+        for r in salted_shuffle_join(orders, customer, "k")
+        .select("o_orderkey", "c_name")
+        .collect()
+    }
+    assert a == b
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_smoke_dir):
+    # managed tables land in the session's warehouse dir; dropped in finally
+    orders = load_table(spark, sf_smoke_dir, "orders")
+    customer = load_table(spark, sf_smoke_dir, "customer")
+    bucketed_write(orders, "b_orders", "o_custkey", n_buckets=8)
+    bucketed_write(customer, "b_customer", "c_custkey", n_buckets=8)
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    joined = bo.join(bc, bo.o_custkey == bc.c_custkey).where(
+        F.col("o_totalprice") > 0
+    )
+    # force a non-broadcast plan so the bucketing is what saves the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
