@@ -81,3 +81,34 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "asof_last_purchase",
+    oracle="""
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        purchases AS (SELECT user_id, ts, value AS purchase_value
+                      FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, c.ts, p.purchase_value AS last_purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "asof"),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click event annotated with the
+    user's most recent prior purchase value. Spark has no native ASOF;
+    this is the one-shuffle union+window composition, hash-verified
+    against DuckDB's native ASOF LEFT JOIN."""
+    from taxi_data_pipeline_pset2_spark.operators.asof import asof_join
+
+    events = t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
+    ).withColumnRenamed("purchase_value_asof", "last_purchase_value")

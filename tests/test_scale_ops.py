@@ -90,3 +90,31 @@ def test_bucketed_join_eliminates_exchange(spark, sf_smoke_dir):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_asof_join_semantics_and_single_shuffle(spark):
+    import datetime as dt
+
+    from taxi_data_pipeline_pset2_spark.operators.asof import asof_join
+
+    ts = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(20)), (2, ts(5)), (3, ts(9))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(15), 150.0), (2, ts(6), 60.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts.second): r.v_asof
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out[(1, 10)] == 100.0  # tie at equal ts is inclusive
+    assert out[(1, 20)] == 150.0  # most recent prior, not first
+    assert out[(2, 5)] is None  # right row is later -> no match
+    assert out[(3, 9)] is None  # key absent from right
+    # one shuffle total: a single Exchange hashpartitioning on the key
+    plan = (
+        asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
