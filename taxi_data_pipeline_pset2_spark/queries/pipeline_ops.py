@@ -112,3 +112,91 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, on="user_id", left_ts="ts", right_ts="ts"
     ).withColumnRenamed("purchase_value_asof", "last_purchase_value")
+
+
+@query(
+    "session_counts",
+    oracle="""
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+            FROM d)
+        SELECT user_id, session_num, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_num
+    """,
+    tags=("window", "session"),
+)
+def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization (30 min), the window-function twin of the
+    streaming ``sessionize`` operator (streaming/events.py): lag to mark
+    session starts, running sum to number them, one aggregate for bounds.
+    Two window passes + one aggregate over a single shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("new_s", new_s)
+        .withColumn("session_num", F.sum("new_s").over(wsum).cast("bigint"))
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "recent_clicks_before_error",
+    oracle="""
+        WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT e.event_id, e.user_id, count(c.ts) AS n_recent_clicks
+        FROM errors e LEFT JOIN clicks c
+          ON c.user_id = e.user_id
+         AND c.ts > e.ts - INTERVAL 60 MINUTE AND c.ts <= e.ts
+        GROUP BY e.event_id, e.user_id
+    """,
+    tags=("join", "range"),
+)
+def recent_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: clicks within the hour before each error by
+    the same user. Equi-key (user_id) + range predicate: Spark plans the
+    equi part as the join key and the range as a post-join filter, so the
+    blowup is bounded per user -- the scalable shape for event-window
+    correlation (the unbounded form would be a cross join)."""
+    events = t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    win_us = 60 * 60 * 1_000_000
+    joined = errors.join(
+        clicks,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.unix_micros("c_ts") > F.unix_micros("e_ts") - win_us)
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "left",
+    )
+    return joined.groupBy(
+        "event_id", F.col("e_user").alias("user_id")
+    ).agg(F.count("c_ts").alias("n_recent_clicks"))

@@ -250,3 +250,39 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media, width=16, height=9).select(
         "media_id", "width", "height", F.sha2("resized", 256).alias("resized_sha")
     )
+
+
+@query(
+    "term_document_frequency",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+            FROM documents)
+        SELECT tok, count(*) AS df,
+               ROUND(ln((SELECT count(*) FROM documents) * 1.0 / count(*)), 6) AS idf
+        FROM toks GROUP BY tok
+        ORDER BY df DESC, tok LIMIT 50
+    """,
+    tags=("text",),
+)
+def term_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency + IDF, top-50 terms: the inverted-index /
+    TF-IDF building block (SURVEY.md 2b text analysis). Distinct tokens
+    per doc -> explode -> one hash aggregate on the token; the corpus
+    count is a broadcast scalar. Same single-shuffle shape at any corpus
+    size."""
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "tok", "df", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf")
+        )
+        .orderBy(F.desc("df"), "tok")
+        .limit(50)
+    )
