@@ -106,6 +106,66 @@ def knn_topk(
     )
 
 
+def knn_topk_vectorized(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same result as ``knn_topk`` (identical int-scaled math, same
+    oracle), but the dot products run as one numpy int64 matmul per Arrow
+    batch instead of per-pair interpreted ``aggregate``/``zip_with``.
+
+    The broadcast-queries-scan-candidates shape is unchanged; only the
+    inner loop moves from Catalyst's interpreted higher-order functions to
+    BLAS. This is the documented exception to "UDFs are the slow path":
+    for dense numeric kernels, one vectorized pandas batch beats
+    per-element expression evaluation by an order of magnitude.
+    """
+    import numpy as np
+    import pandas as pd
+
+    prep = _prepared(emb, id_col, vec_col)
+    q_rows = prep.filter(query_pred).collect()  # dim-sized by construction
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["iv"] for r in q_rows], dtype=np.int64)  # (Q, D)
+    q_norm = np.sqrt(np.array([r["norm2"] for r in q_rows], dtype=np.float64))
+    b_q = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def run(batches):
+        ids_b, mat_b, norm_b = b_q.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["iv"]), dtype=np.int64)  # (C, D)
+            c_norm = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
+            dots = c_mat @ mat_b.T  # (C, Q) int64 exact
+            raw = dots / (c_norm[:, None] * norm_b[None, :])
+            # round-half-away-from-zero to match Spark/DuckDB ROUND
+            # (np.round is half-even)
+            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            C, Q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids_b[None, :], C, axis=0).ravel(),
+                    "neighbor_id": np.repeat(c_ids[:, None], Q, axis=1).ravel(),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    pairs = prep.mapInPandas(run, schema=out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 N_PLANES = 32
 COS_LSH_BANDS = 4
 COS_LSH_ROWS = N_PLANES // COS_LSH_BANDS  # 8-bit band signatures

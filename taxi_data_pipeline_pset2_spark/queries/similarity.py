@@ -81,3 +81,20 @@ def ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; recall vs brute force asserted in tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     return brp_lsh_neighbors(emb, threshold=6.0, bucket_length=2.0)
+
+
+@query(
+    "knn_bruteforce_vectorized",
+    oracle=_knn_oracle(""),
+    tags=("bench", "similarity"),
+)
+def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics (and oracle) to knn_bruteforce, but the inner
+    loop is one numpy int64 matmul per Arrow batch (operators/similarity.py
+    knn_topk_vectorized) instead of interpreted higher-order functions --
+    the vectorized-pandas exception to the no-UDF rule for dense numeric
+    kernels."""
+    from taxi_data_pipeline_pset2_spark.operators.similarity import knn_topk_vectorized
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_topk_vectorized(emb, F.col("vec_id") % 50 == 0, k=5)

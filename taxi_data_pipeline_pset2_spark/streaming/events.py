@@ -163,6 +163,26 @@ def sessionize(
     )
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (small)
+    static dimension -- planned as a broadcast hash join per batch, no
+    streaming state at all. The streaming twin of the star-schema
+    enrichment joins (SURVEY.md J1-J3)."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def dedup_stream(
+    stream: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size tracks the duplicate-arrival
+    window, not the stream length -- the streaming twin of
+    ``exact_dedup_groups`` (operators/dedup.py) and the idempotent-ingest
+    guard for at-least-once sources."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_batchwise_to_parquet(
     agg_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

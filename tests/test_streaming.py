@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from taxi_data_pipeline_pset2_spark.queries.pipeline_ops import events_hourly
 from taxi_data_pipeline_pset2_spark.sources.readers import load_table
 from taxi_data_pipeline_pset2_spark.streaming.events import (
+    dedup_stream,
+    enrich_with_dim,
     hourly_event_counts,
     read_events_stream,
     run_batchwise_to_parquet,
@@ -85,3 +87,65 @@ def test_sessionize_stateful(spark, events_dir, tmp_path):
     for r in got:
         assert r.session_start <= r.session_end
         assert r.n_events >= 1
+
+
+def test_stream_static_join_matches_batch(spark, sf_smoke_dir, events_dir, tmp_path):
+    dim = (
+        load_table(spark, sf_smoke_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = enrich_with_dim(stream, dim, "user_id").groupBy("event_type").agg(
+        F.sum("user_total").alias("s")
+    )
+    got = {
+        (r.event_type, r.s)
+        for r in run_complete_to_memory(enriched, spark, "enrich_test").collect()
+    }
+    batch = load_table(spark, sf_smoke_dir, "events").join(dim, "user_id", "left")
+    want = {
+        (r.event_type, r.s)
+        for r in batch.groupBy("event_type").agg(F.sum("user_total").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_dedup_stream_removes_replayed_batch(spark, sf_smoke_dir, tmp_path):
+    # stage the same rows TWICE (two files) -- an at-least-once replay
+    src = str(tmp_path / "dup_in")
+    base = (
+        load_table(spark, sf_smoke_dir, "events")
+        .limit(300)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .withColumn("ts", F.expr("_us * 1000"))
+        .drop("_us")
+    )
+    base.coalesce(1).write.parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
+    raw = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, value double, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = dedup_stream(stream, ["event_id"])
+    ckpt = str(tmp_path / "dd_ckpt")
+    (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.table("dedup_test").collect()
+    assert len(out) == 300  # replay collapsed
+    assert len({r.event_id for r in out}) == 300
