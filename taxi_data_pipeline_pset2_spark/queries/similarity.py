@@ -98,3 +98,15 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return knn_topk_vectorized(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+@query("kmeans_clusters", oracle=None, tags=("similarity", "iterative"))
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (k=8, 5 rounds, deterministic init) over
+    the embeddings (operators/clustering.py). Non-SQL-expressible
+    (iterative) -> rows-only driver check; convergence and determinism
+    pinned in tests/test_clustering.py."""
+    from taxi_data_pipeline_pset2_spark.operators.clustering import kmeans_fit_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, k=8, n_iter=5)
