@@ -234,34 +234,38 @@ def cosine_sketch_bands(
     integer signature. Collision probability per bit is 1 - theta/pi, so
     true near-dups (cosine >= 0.9) collide on >= 1 of the 4 bands w.p.
     ~0.75+ while random pairs almost never do -- the 100 TB candidate
-    generator."""
-    S = hyperplane_signs(N_PLANES, dim)
+    generator.
+
+    All 32 plane dots are one exact int64 numpy matmul per Arrow batch
+    (the vectorized dense-kernel pattern, cf. knn_topk_vectorized) --
+    same bits as the expression formulation, ~10x cheaper than 32
+    interpreted higher-order aggregates per row."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(hyperplane_signs(N_PLANES, dim), dtype=np.int64)  # (P, D)
+    weights = (2 ** np.arange(COS_LSH_ROWS)).astype(np.int64)
     prep = _prepared(emb, id_col, vec_col)
-    bits = [
-        F.aggregate(
-            F.zip_with(
-                F.col("iv"),
-                F.array(*[F.lit(v) for v in S[j]]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        >= 0
-        for j in range(N_PLANES)
-    ]
-    band_structs = []
-    for band in range(COS_LSH_BANDS):
-        sig: Column | None = None
-        for r in range(COS_LSH_ROWS):
-            term = bits[band * COS_LSH_ROWS + r].cast("bigint") * F.lit(2**r).cast("bigint")
-            sig = term if sig is None else sig + term
-        band_structs.append(
-            F.struct(
-                F.lit(band).cast("int").alias("band"), sig.alias("band_sig")
+
+    def run(batches):
+        for pdf in batches:
+            X = np.array(list(pdf["iv"]), dtype=np.int64)  # (N, D)
+            bits = (X @ S.T) >= 0  # (N, P) exact integer sign
+            sigs = bits.reshape(-1, COS_LSH_BANDS, COS_LSH_ROWS).astype(np.int64) @ weights
+            n = len(X)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), COS_LSH_BANDS),
+                    "band": np.tile(
+                        np.arange(COS_LSH_BANDS, dtype=np.int32), n
+                    ),
+                    "band_sig": sigs.ravel(),
+                }
             )
-        )
-    return prep.select(F.col(id_col), F.inline(F.array(*band_structs)))
+
+    return prep.select(id_col, "iv").mapInPandas(
+        run, schema=f"{id_col} long, band int, band_sig long"
+    )
 
 
 def cosine_near_dup_pairs(
@@ -279,17 +283,28 @@ def cosine_near_dup_pairs(
     two-phase shape is the scale plan: candidate volume is driven by the
     sketch, verification cost by true-near-dup density, never by n^2."""
     sigs = cosine_sketch_bands(emb, dim, id_col, vec_col)
+    # bucket pairing via collect_list instead of a self-join: the sketch
+    # pipeline is evaluated ONCE (a self-join re-computes both sides), and
+    # pair generation happens inside each (band, band_sig) bucket -- LSH
+    # keeps buckets small by construction; a degenerate all-identical
+    # corpus would need a bucket-size cap, as with any LSH.
+    buckets = (
+        sigs.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cands = (
-        sigs.alias("a")
-        .join(
-            sigs.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     prep = _prepared(emb, id_col, vec_col)
