@@ -118,22 +118,40 @@ def jaccard_pairs(
     formulation of pairwise Jaccard.
     """
     e = doc_shingles(docs, text_col, id_col, k)
-    a = e.alias("a")
-    b = e.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+    # Pair generation inside each shingle's posting list (collect_list)
+    # instead of a self-join: the shingle pipeline is evaluated once, the
+    # posting list is sorted so pairs come out ordered (a < b), and the
+    # per-doc sizes ride along in the struct -- no join-back. Posting
+    # lists are bounded by a shingle's document frequency; a stopword-like
+    # shingle with huge df would need a df cap at extreme scale (standard
+    # prefix-filter territory), irrelevant at observed df <= dozens.
+    buckets = (
+        e.groupBy("shingle")
         .agg(
-            F.count("*").alias("n_inter"),
-            F.first("a.n_shingles").alias("n_a"),
-            F.first("b.n_shingles").alias("n_b"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("n_shingles").alias("n")))
+            ).alias("xs")
         )
+        .filter(F.size("xs") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "xs",
+            lambda x, i: F.transform(
+                F.slice("xs", i + 2, F.size("xs")),
+                lambda y: F.struct(
+                    x["i"].alias("doc_a"),
+                    y["i"].alias("doc_b"),
+                    x["n"].alias("n_a"),
+                    y["n"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .agg(F.count("*").alias("n_inter"))
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
