@@ -212,18 +212,27 @@ def minhash_candidate_pairs(
     is the bucket -- at scale only same-bucket docs meet, never the full
     cross product."""
     sigs = minhash_band_signatures(docs, text_col, id_col, k)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    # Same single-evaluation bucket pairing as jaccard_pairs: a self-join
+    # would re-run the whole shingle->hash->minima pipeline for both
+    # sides; collecting each band bucket's sorted posting list runs it
+    # once and emits ordered pairs in-map.
+    buckets = (
+        sigs.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
