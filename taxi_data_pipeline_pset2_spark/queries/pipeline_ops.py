@@ -200,3 +200,27 @@ def recent_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "event_id", F.col("e_user").alias("user_id")
     ).agg(F.count("c_ts").alias("n_recent_clicks"))
+
+
+@query("sketch_rollup_daily_users", oracle=None, tags=("approx", "rollup"))
+def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable sketch rollup (the hypertable-rollup pattern):
+    per-(event_type, day) HLL sketches of distinct users, then the
+    event_type totals computed by MERGING the daily sketches -- not by
+    re-scanning raw data. At 100 TB the daily sketch table is the only
+    thing ever re-read; any coarser grain (week/month/all-time) is a
+    cheap sketch union. Datasketches HLL binaries are not reproducible in
+    DuckDB -> rows-only driver check; estimate accuracy vs exact distinct
+    is pinned in tests/test_approx.py."""
+    events = t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -43,3 +43,24 @@ def test_approx_percentiles_bracket_exact(spark, sf_dir):
         assert abs(a50 - e50) <= 0.05 * spread
         assert abs(a90 - e90) <= 0.05 * spread
         assert abs(a99 - e99) <= 0.10 * spread
+
+
+def test_sketch_rollup_merge_matches_direct(spark, sf_dir):
+    """Merging daily HLL sketches must estimate the same cardinality as
+    sketching the raw column directly, and land near the exact count."""
+    from pyspark.sql import functions as F
+
+    rolled = {
+        r.event_type: r.merged_distinct_users
+        for r in spark_queries()["sketch_rollup_daily_users"](spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for et, ex in exact.items():
+        assert abs(rolled[et] - ex) <= max(0.05 * ex, 2.0), (et, rolled[et], ex)
