@@ -163,6 +163,31 @@ def sessionize(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window_minutes: int = 60,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval: left
+    rows match right rows with the same key and right.ts in
+    (left.ts - window, left.ts]. The watermarks + the time-bound
+    predicate are what make the state finite -- each side buffers only
+    rows newer than its watermark, so state size tracks the join window,
+    not the stream length. The streaming twin of the batch interval join
+    (queries/pipeline_ops.py recent_clicks_before_error)."""
+    l = left.alias("l").withWatermark("ts", left_watermark)
+    r = right.alias("r").withWatermark("ts", right_watermark)
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("r.ts") > F.col("l.ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: every micro-batch joins against the (small)
     static dimension -- planned as a broadcast hash join per batch, no

@@ -149,3 +149,61 @@ def test_dedup_stream_removes_replayed_batch(spark, sf_smoke_dir, tmp_path):
     out = spark.table("dedup_test").collect()
     assert len(out) == 300  # replay collapsed
     assert len({r.event_id for r in out}) == 300
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke_dir, tmp_path):
+    from taxi_data_pipeline_pset2_spark.streaming.events import interval_join_streams
+
+    src = str(tmp_path / "ssj_in")
+    load_table(spark, sf_smoke_dir, "events").coalesce(1).select(
+        "event_id",
+        F.unix_micros("ts").alias("_us"),
+        "user_id",
+        "event_type",
+        "value",
+    ).withColumn("ts", F.expr("_us * 1000")).drop("_us").write.parquet(src)
+    schema = "event_id long, user_id long, event_type string, value double, ts long"
+
+    def stream():
+        raw = spark.readStream.schema(schema).parquet(src)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts"
+    )
+    joined = interval_join_streams(clicks, purchases, on="user_id").select(
+        F.col("l.event_id").alias("click_id"), F.col("r.p_event_id").alias("purchase_id")
+    )
+    ckpt = str(tmp_path / "ssj_ckpt")
+    (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r.click_id, r.purchase_id) for r in spark.table("ssj_test").collect()}
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") > F.col("cts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("pts") <= F.col("cts")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
