@@ -35,7 +35,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # 128 MB input splits: at 100 TB -> ~800k tasks, the right granularity.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # Sort-stability aid: keep planner deterministic across runs.
+    # Runtime bloom-filter join pruning: build a filter from the small
+    # side and push it into the big side's scan -- cheap insurance on
+    # selective joins at scale.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
