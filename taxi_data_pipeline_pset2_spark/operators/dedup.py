@@ -32,6 +32,64 @@ LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 32
 
+# Posting-list chunk size for in-bucket pair generation. Bounds per-row
+# memory at ~CAP^2 pair structs no matter how hot a bucket gets.
+BUCKET_PAIR_CAP = 512
+
+
+def bucket_pairs(buckets: DataFrame, arr_col: str, cap: int = BUCKET_PAIR_CAP) -> DataFrame:
+    """Explode each bucket's sorted posting list into its unordered pairs
+    with bounded per-row memory.
+
+    A naive ``flatten(transform(...))`` builds a bucket's full O(b^2) pair
+    array inside ONE row -- a stopword-frequency shingle or degenerate LSH
+    bucket with b ~ 1e5 members would materialize ~5e9 structs on a single
+    executor thread (the round-1 `weak` finding). Here the list is viewed
+    as ceil(b/cap) chunks and one row is emitted per chunk pair (ci <= cj):
+    within-chunk rows generate the triangular pairs, cross-chunk rows the
+    full left x right product -- at most cap^2 pair structs per row
+    regardless of bucket size. The emitted pair SET is identical to the
+    naive formulation (each unordered pair exactly once, first element
+    earlier in the sorted list), so exactness and oracle hashes are
+    unchanged; the quadratic work is merely spread across (b/cap)^2 rows
+    that pipeline through executors instead of one monolithic array.
+
+    Returns a single column ``p`` = struct(a, b) over the array's element
+    type. Input buckets must already be filtered to size >= 2.
+    """
+    arr = F.col(arr_col)
+    n_chunks = F.ceil(F.size(arr) / F.lit(cap)).cast("int")
+    chunk_idx = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.transform(
+                F.sequence(i, n_chunks - 1),
+                lambda j: F.struct(i.alias("ci"), j.alias("cj")),
+            ),
+        )
+    )
+    chunked = buckets.select(arr.alias("_xs"), F.explode(chunk_idx).alias("c"))
+    xs = F.col("_xs")
+    left = F.slice(xs, F.col("c.ci") * cap + 1, cap)
+    right = F.slice(xs, F.col("c.cj") * cap + 1, cap)
+    tri = F.flatten(
+        F.transform(
+            left,
+            lambda x, i: F.transform(
+                F.slice(left, i + 2, cap),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            left,
+            lambda x: F.transform(right, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+        )
+    )
+    pair_arr = F.when(F.col("c.ci") == F.col("c.cj"), tri).otherwise(cross)
+    return chunked.select(F.explode(pair_arr).alias("p"))
+
 
 def normalize_text(col: Column) -> Column:
     """lower + trim + whitespace collapse: canonical form for fingerprints."""
@@ -108,23 +166,27 @@ def jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
 
-    Candidate generation is a self-equi-join on the shingle (shuffle on
-    shingle, combine map-side); intersection size falls out of the group
-    count, union from the per-doc shingle counts. Only pairs sharing at
-    least one shingle are ever materialized -- the standard scale-out
-    formulation of pairwise Jaccard.
+    Candidate generation happens inside each shingle's posting list
+    (collect_list) instead of a self-join: the shingle pipeline is
+    evaluated once, the posting list is sorted so pairs come out ordered
+    (a < b), and the per-doc sizes ride along in the struct -- no
+    join-back. Only pairs sharing at least one shingle are ever
+    materialized, and ``bucket_pairs`` chunks each posting list so a hot
+    shingle never builds an O(df^2) array on one executor.
+
+    ``max_df`` (optional, default off) is the standard prefix-filter
+    escape hatch for adversarial corpora: shingles whose document
+    frequency exceeds it are dropped from the index entirely. This is an
+    APPROXIMATION -- pairs connected only through dropped shingles are
+    missed and intersection counts exclude them, so reported jaccard is a
+    lower bound -- which is why it is off by default and excluded from
+    the SQL oracles.
     """
     e = doc_shingles(docs, text_col, id_col, k)
-    # Pair generation inside each shingle's posting list (collect_list)
-    # instead of a self-join: the shingle pipeline is evaluated once, the
-    # posting list is sorted so pairs come out ordered (a < b), and the
-    # per-doc sizes ride along in the struct -- no join-back. Posting
-    # lists are bounded by a shingle's document frequency; a stopword-like
-    # shingle with huge df would need a df cap at extreme scale (standard
-    # prefix-filter territory), irrelevant at observed df <= dozens.
     buckets = (
         e.groupBy("shingle")
         .agg(
@@ -134,23 +196,16 @@ def jaccard_pairs(
         )
         .filter(F.size("xs") >= 2)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "xs",
-            lambda x, i: F.transform(
-                F.slice("xs", i + 2, F.size("xs")),
-                lambda y: F.struct(
-                    x["i"].alias("doc_a"),
-                    y["i"].alias("doc_b"),
-                    x["n"].alias("n_a"),
-                    y["n"].alias("n_b"),
-                ),
-            ),
-        )
-    )
+    if max_df is not None:
+        buckets = buckets.filter(F.size("xs") <= max_df)
     inter = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        bucket_pairs(buckets, "xs")
+        .groupBy(
+            F.col("p.a.i").alias("doc_a"),
+            F.col("p.b.i").alias("doc_b"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.n").alias("n_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
@@ -215,24 +270,17 @@ def minhash_candidate_pairs(
     # Same single-evaluation bucket pairing as jaccard_pairs: a self-join
     # would re-run the whole shingle->hash->minima pipeline for both
     # sides; collecting each band bucket's sorted posting list runs it
-    # once and emits ordered pairs in-map.
+    # once, and bucket_pairs chunks degenerate buckets (e.g. a corpus of
+    # near-identical docs all landing on one band signature) so no single
+    # row ever holds an O(b^2) pair array.
     buckets = (
         sigs.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b")
+        bucket_pairs(buckets, "ids")
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
 

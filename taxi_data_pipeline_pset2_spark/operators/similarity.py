@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from taxi_data_pipeline_pset2_spark.operators.dedup import bucket_pairs
+
 SCALE = 1_000_000
 
 
@@ -286,25 +288,17 @@ def cosine_near_dup_pairs(
     # bucket pairing via collect_list instead of a self-join: the sketch
     # pipeline is evaluated ONCE (a self-join re-computes both sides), and
     # pair generation happens inside each (band, band_sig) bucket -- LSH
-    # keeps buckets small by construction; a degenerate all-identical
-    # corpus would need a bucket-size cap, as with any LSH.
+    # keeps buckets small on natural data, and bucket_pairs chunks a
+    # degenerate bucket (e.g. an all-identical corpus collapsing onto one
+    # signature) so per-row memory stays bounded at cap^2 pairs.
     buckets = (
         sigs.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     cands = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+        bucket_pairs(buckets, "ids")
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     prep = _prepared(emb, id_col, vec_col)
