@@ -78,6 +78,15 @@ def kmeans_fit_assign(
             .agg(F.avg("x").alias("m"))
             .collect()
         )
+        # Contract check: the driver-side traffic is k*D rows BY
+        # CONSTRUCTION (cluster in [0,k) from argmin, dim in [0,D)).
+        # A ragged vector column would silently break that; fail loudly.
+        if len(means) > k * centroids.shape[1]:
+            raise ValueError(
+                f"centroid update returned {len(means)} rows > k*D = "
+                f"{k * centroids.shape[1]}; embedding column has "
+                "inconsistent dimensions"
+            )
         new_c = centroids.copy()
         for r in means:
             new_c[r["cluster"], r["dim"]] = r["m"]

@@ -29,6 +29,11 @@ from pyspark.sql.window import Window
 
 from taxi_data_pipeline_pset2_spark.operators.dedup import bucket_pairs
 
+# Hard cap on rows a query predicate may select in the vectorized kNN
+# path: the query set is collected to the driver and broadcast, so it
+# must stay dim-sized no matter what predicate the caller passes.
+MAX_QUERY_ROWS = 100_000
+
 SCALE = 1_000_000
 
 
@@ -129,7 +134,16 @@ def knn_topk_vectorized(
     import pandas as pd
 
     prep = _prepared(emb, id_col, vec_col)
-    q_rows = prep.filter(query_pred).collect()  # dim-sized by construction
+    # The query set must be driver-sized: it is collected and broadcast.
+    # Enforce the contract instead of trusting the predicate -- a
+    # too-loose query_pred at 100 TB would otherwise OOM the driver.
+    q_rows = prep.filter(query_pred).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(q_rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query_pred selects more than {MAX_QUERY_ROWS} rows; "
+            "knn_topk_vectorized broadcasts the query set and requires it "
+            "to be driver-sized. Tighten the predicate or use knn_topk."
+        )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["iv"] for r in q_rows], dtype=np.int64)  # (Q, D)
     q_norm = np.sqrt(np.array([r["norm2"] for r in q_rows], dtype=np.float64))

@@ -69,7 +69,17 @@ def salted_shuffle_join(
     ``n_salts``x, and the join key becomes (on, salt): a hot key's rows
     spread over ``n_salts`` reducers instead of one. Cost: ``other``
     shuffles ``n_salts``x more bytes -- worth it exactly when the hot
-    reducer is the critical path."""
+    reducer is the critical path.
+
+    Only ``inner`` and ``left`` are supported: under right/full outer
+    semantics an unmatched replicated right row would surface once PER
+    SALT (n_salts duplicates), which is silently wrong."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_shuffle_join supports how='inner'/'left', got {how!r}: "
+            "right/full outer would duplicate unmatched replicated rows "
+            "n_salts times"
+        )
     salted = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     )

@@ -118,7 +118,7 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_counts",
     oracle="""
         WITH d AS (
-            SELECT user_id, ts,
+            SELECT user_id, event_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_s
@@ -126,7 +126,7 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
             SELECT user_id, ts,
-                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
             FROM d)
         SELECT user_id, session_num, count(*) AS n_events,

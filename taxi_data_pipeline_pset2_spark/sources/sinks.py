@@ -30,16 +30,30 @@ def append_table(df: DataFrame, path: str) -> None:
 def atomic_overwrite(df: DataFrame, path: str) -> None:
     """S6's BEGIN/COMMIT + rollback equivalent for full-table replace:
     write to a staging dir, then swap directories. Readers see the old
-    table until the rename; failures leave the old table intact."""
+    table until the rename; failures leave the old table intact.
+
+    The backup dir (the only remaining copy of the old table once
+    ``path`` has been moved aside) is deleted ONLY after the final swap
+    succeeds; if the swap fails mid-way the backup is restored to
+    ``path``, so every failure mode ends with the original table in
+    place. Staging is always cleaned up."""
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
     try:
         df.write.mode("overwrite").parquet(staging)
+        moved_aside = False
         if os.path.exists(path):
             os.rename(path, backup)
-        os.rename(staging, path)
+            moved_aside = True
+        try:
+            os.rename(staging, path)
+        except BaseException:
+            if moved_aside:
+                os.rename(backup, path)  # roll back: restore the old table
+            raise
+        if moved_aside:
+            shutil.rmtree(backup, ignore_errors=True)  # commit point passed
     finally:
-        shutil.rmtree(backup, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from taxi_data_pipeline_pset2_spark.operators.dedup import (
+    _bucket_pair_arrays,
     bucket_pairs,
     exact_dedup_groups,
     jaccard_pairs,
@@ -52,12 +53,31 @@ def test_bucket_pairs_chunked_equals_naive_and_bounds_rows(spark):
     got = {(r.p.a, r.p.b) for r in bucket_pairs(buckets, "ids", cap=cap).collect()}
     want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
     assert got == want  # exactness: every unordered pair exactly once
-    # per-chunk-pair-row bound: count pairs per exploded row via the same
-    # chunking arithmetic -- max possible is cap*cap (cross) / tri(cap)
-    import math
-    n_chunk_rows = math.ceil(len(ids) / cap)
-    n_rows = n_chunk_rows * (n_chunk_rows + 1) // 2
-    assert len(want) <= n_rows * cap * cap
+    # OBSERVED per-row bound: run the pre-explode plan and check every
+    # materialized pair array, rather than re-deriving the chunk
+    # arithmetic in Python (which would be a tautology).
+    sizes = [
+        r.s
+        for r in _bucket_pair_arrays(buckets, "ids", cap=cap)
+        .select(F.size("pair_arr").alias("s"))
+        .collect()
+    ]
+    assert sum(sizes) == len(want)  # no pair duplicated across rows
+    assert max(sizes) <= cap * cap, f"row with {max(sizes)} > cap^2 structs"
+
+
+def test_bucket_pairs_small_bucket_fast_path_and_degenerate_inputs(spark):
+    """Buckets at or under the cap expand in ONE row (the fast path that
+    recovers the r2 bench regression); size-0/1 buckets are filtered
+    defensively instead of tripping the sequence(0,-1) edge case."""
+    cap = 16
+    buckets = spark.createDataFrame(
+        [([],), ([7],), ([1, 2, 3],)], "ids array<int>"
+    )
+    got = {(r.p.a, r.p.b) for r in bucket_pairs(buckets, "ids", cap=cap).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    pre = _bucket_pair_arrays(buckets, "ids", cap=cap).collect()
+    assert len(pre) == 1  # one chunk row for the one size>=2 bucket
 
 
 def test_jaccard_survives_planted_hot_shingle(spark):

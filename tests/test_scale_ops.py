@@ -118,3 +118,14 @@ def test_asof_join_semantics_and_single_shuffle(spark):
         asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_salted_shuffle_join_rejects_outer(spark):
+    import pytest
+
+    left = spark.range(5).withColumnRenamed("id", "k")
+    right = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_shuffle_join(left, right, on="k", how="right")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_shuffle_join(left, right, on="k", how="full")

@@ -86,3 +86,16 @@ def test_cosine_lsh_verify_is_subset_of_exact(spark, sf_dir):
     for r in cosine_near_dup_pairs(emb, threshold=0.2).collect():
         assert (r.id_a, r.id_b) in exact
         assert exact[(r.id_a, r.id_b)] == r.cosine
+
+
+def test_knn_vectorized_enforces_query_size_contract(spark, sf_dir, monkeypatch):
+    """The vectorized path collects+broadcasts the query set; a predicate
+    selecting more than MAX_QUERY_ROWS must fail loudly, not OOM."""
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(similarity, "MAX_QUERY_ROWS", 3)
+    with pytest.raises(ValueError, match="driver-sized"):
+        similarity.knn_topk_vectorized(emb, F.lit(True), k=2)

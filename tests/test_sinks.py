@@ -41,6 +41,30 @@ def test_atomic_overwrite_swaps_and_survives_failure(spark, tmp_path):
     assert [d for d in os.listdir(parent) if "__staging" in d or "__old" in d] == []
 
 
+def test_atomic_overwrite_restores_backup_on_swap_failure(spark, tmp_path, monkeypatch):
+    """Failure injected BETWEEN the two renames: path has been moved to
+    backup, the staging->path swap fails. The backup is the only copy of
+    the old table at that instant -- it must be restored, not deleted."""
+    import taxi_data_pipeline_pset2_spark.sources.sinks as sinks
+
+    path = str(tmp_path / "tbl")
+    atomic_overwrite(spark.range(25), path)
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if "__staging" in src and dst == path:
+            raise OSError("injected failure between the two renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected"):
+        atomic_overwrite(spark.range(99), path)
+    monkeypatch.undo()
+    assert spark.read.parquet(path).count() == 25  # original table survived
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__staging" in d or "__old" in d] == []
+
+
 def test_clustered_write_layout(spark, sf_smoke_dir, tmp_path):
     from taxi_data_pipeline_pset2_spark.sources.readers import load_table
 
