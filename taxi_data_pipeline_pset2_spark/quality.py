@@ -52,11 +52,27 @@ class TestResult:
 
 
 def run_tests(cases: dict[str, DataFrame]) -> list[TestResult]:
-    out = []
-    for name, violations in cases.items():
-        n = violations.count()
-        out.append(TestResult(name, n == 0, n))
-    return out
+    """Run the whole suite as ONE Spark job: every violation frame is
+    projected to a tagged literal and unioned, then a single aggregate
+    counts failures per test. With 32 per-test ``count()`` actions the
+    scheduler overhead dominates and each test re-plans its inputs; one
+    unioned job lets Spark share scans between tests over the same table
+    and round-trips the cluster once."""
+    if not cases:
+        return []
+    it = iter(cases.items())
+    name0, v0 = next(it)
+    unioned = v0.select(F.lit(name0).alias("_test_name"))
+    for name, violations in it:
+        unioned = unioned.unionByName(violations.select(F.lit(name).alias("_test_name")))
+    counts = {
+        r["_test_name"]: r["n"]
+        for r in unioned.groupBy("_test_name").agg(F.count("*").alias("n")).collect()
+    }
+    return [
+        TestResult(name, counts.get(name, 0) == 0, counts.get(name, 0))
+        for name in cases
+    ]
 
 
 def taxi_test_suite(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:

@@ -431,41 +431,49 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "fk_integrity_violations",
+    "integrity_checks",
     oracle="""
-        SELECT o_orderkey, o_custkey FROM orders o
+        SELECT 'fk_orders_custkey' AS check_name, o_orderkey AS key_1, o_custkey AS key_2
+        FROM orders o
         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'unique_customer_custkey' AS check_name, c_custkey AS key_1,
+               count(*) AS key_2
+        FROM customer GROUP BY c_custkey HAVING count(*) > 1
     """,
-    tags=("test", "join"),
+    tags=("test", "join", "agg"),
 )
-def fk_integrity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dbt ``relationships`` test as a left-anti join: fact keys missing
-    from the dim (``models/gold/schema.yml:23-49``, operator J4). Healthy
-    data returns 0 rows. Anti join against a broadcast dim -- no shuffle."""
+def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt ``relationships`` + ``unique`` tests as ONE unioned violation
+    frame (``models/gold/schema.yml:23-49,66-83``, operators J4 + A9):
+    fact keys missing from the dim via a left-anti join against a
+    broadcast dim (no shuffle), and duplicate-key groups via count>1.
+    Healthy data returns 0 rows. The union-with-check_name shape is the
+    same one ``quality.run_tests`` uses to fire the whole suite as a
+    single Spark job."""
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
-    return orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left_anti"
-    ).select("o_orderkey", "o_custkey")
-
-
-@query(
-    "duplicate_key_check",
-    oracle="""
-        SELECT c_custkey, count(*) AS n FROM customer
-        GROUP BY c_custkey HAVING count(*) > 1
-    """,
-    tags=("test", "agg"),
-)
-def duplicate_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dbt ``unique`` test semantics (``models/gold/schema.yml:66-83``,
-    operator A9): group by key, keep groups with count>1; empty == pass."""
-    customer = t(spark, sf_dir, "customer")
-    return (
+    fk = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left_anti"
+        )
+        .select(
+            F.lit("fk_orders_custkey").alias("check_name"),
+            F.col("o_orderkey").alias("key_1"),
+            F.col("o_custkey").alias("key_2"),
+        )
+    )
+    dup = (
         customer.groupBy("c_custkey")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
+        .select(
+            F.lit("unique_customer_custkey").alias("check_name"),
+            F.col("c_custkey").alias("key_1"),
+            F.col("n").alias("key_2"),
+        )
     )
+    return fk.unionByName(dup)
 
 
 @query(
@@ -483,7 +491,7 @@ def duplicate_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT per group (engine surface behind the unique test,
     SURVEY.md A9). Spark expands distinct-agg to a two-phase plan
-    automatically; the approx twin for 100 TB is ``approx_distinct_users``."""
+    automatically; the approx twin for 100 TB is ``approx_event_profile``."""
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     return (
@@ -570,13 +578,15 @@ def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", "user_id", rolling.alias("rolling_avg"))
 
 
-@query("approx_distinct_users", oracle=None, tags=("approx",))
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event type (SURVEY.md 2b approx
-    surface). At 100 TB the exact distinct's per-key shuffle of raw ids is
-    the bottleneck; the HLL sketch is constant-size per group and merges
-    map-side. No SQL oracle -- DuckDB's approx sketch differs -- so the
-    driver records rows-only; the error bound vs exact is pinned in
+@query("approx_event_profile", oracle=None, tags=("approx",))
+def approx_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users AND KLL-sketch value quantiles per
+    event type in ONE aggregate pass (SURVEY.md 2b approx surface). At
+    100 TB the exact distinct's per-key shuffle of raw ids and the exact
+    percentile's full sort are the bottlenecks; both sketches are
+    constant-size per group and merge map-side, and fusing them halves
+    the scans. No SQL oracle -- DuckDB's sketches differ -- so the driver
+    records rows-only; error bounds vs exact are pinned in
     tests/test_approx.py."""
     events = t(spark, sf_dir, "events")
     return (
@@ -584,25 +594,12 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count("*").alias("n_events"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query("approx_value_percentiles", oracle=None, tags=("approx",))
-def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx twin of the exact percentile query (SURVEY.md A4
-    at scale): KLL-sketch quantiles, mergeable and single-pass. Rows-only
-    driver check; accuracy vs exact percentile pinned in
-    tests/test_approx.py."""
-    events = t(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
-        .agg(
             F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
         )
         .select(
             "event_type",
+            "approx_users",
+            "n_events",
             F.col("approx_pcts")[0].alias("p50"),
             F.col("approx_pcts")[1].alias("p90"),
             F.col("approx_pcts")[2].alias("p99"),

@@ -50,12 +50,18 @@ def _knn_oracle(extra_join: str) -> str:
     """
 
 
-@query("knn_bruteforce", oracle=_knn_oracle(""), tags=("bench", "similarity"))
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the query subset (vec_id % 50 == 0)
     against the full corpus: broadcast queries, one candidate scan,
     windowed top-k. The exact baseline every ANN variant is measured
-    against."""
+    against.
+
+    Deliberately NOT a catalog entry: ``knn_bruteforce_vectorized``
+    produces the identical result set (same oracle, hash-verified by the
+    driver) with the better kernel, and the driver caps its correctness
+    sweep at 50 queries -- the slot goes to an op that adds coverage.
+    Exactness of this interpreted-HOF kernel is still pinned against the
+    vectorized twin in tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     return knn_topk(emb, F.col("vec_id") % 50 == 0, k=5)
 

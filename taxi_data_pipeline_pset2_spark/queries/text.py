@@ -6,17 +6,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from taxi_data_pipeline_pset2_spark.operators.text import (
     LANG_MARKERS,
     TOKEN_REGEX,
-    fingerprints,
     language_id,
     quality_metrics,
     token_count_bpe,
     token_count_ws,
 )
-from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
+from taxi_data_pipeline_pset2_spark.operators.dedup import (
+    normalize_text,
+    stable_hash64,
+    tokenize,
+)
 from taxi_data_pipeline_pset2_spark.queries._helpers import t
 from taxi_data_pipeline_pset2_spark.queries.catalog import query
 
@@ -95,33 +99,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "token_counts",
+    "token_fingerprints",
     oracle=f"""
         SELECT doc_id,
                CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_ws_tokens,
                CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS INT) AS n_bpe_tokens,
                CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS INT)
-                   AS n_distinct_tokens
-        FROM documents
-    """,
-    tags=("text",),
-)
-def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting three ways: whitespace split, BPE-ish regex
-    pre-tokenization, distinct vocabulary size."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count_ws(F.col("text")).alias("n_ws_tokens"),
-        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
-        F.size(F.array_distinct(tokenize(F.col("text")))).alias("n_distinct_tokens"),
-    )
-
-
-@query(
-    "doc_fingerprints",
-    oracle="""
-        SELECT doc_id,
+                   AS n_distinct_tokens,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_md5,
                CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8))
                     AS BIGINT) AS band_hash,
@@ -130,11 +114,25 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text",),
 )
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint bundle: content md5 + 32-bit band hash + length bucket
-    (the sharding/join-key toolkit for dedup at scale)."""
-    df = fingerprints(t(spark, sf_dir, "documents"))
-    return df.withColumn("len_bucket", F.col("len_bucket").cast("long"))
+def token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (whitespace split, BPE-ish regex
+    pre-tokenization, distinct vocabulary size) + the fingerprint bundle
+    (content md5, 32-bit band hash, length bucket -- the sharding/join-key
+    toolkit for dedup at scale), one projection pass per doc. Two catalog
+    entries fused so both stay inside the driver's 50-query correctness
+    budget; the underlying operators (operators/text.py token_count_*,
+    fingerprints) are unchanged and separately unit-tested."""
+    docs = t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tokenize(F.col("text")))).alias("n_distinct_tokens"),
+        F.md5(norm).alias("content_md5"),
+        stable_hash64(norm).alias("band_hash"),
+        (F.length(F.col("text")) / 100).cast("int").cast("long").alias("len_bucket"),
+    )
 
 
 @query(
@@ -285,4 +283,56 @@ def term_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("df"), "tok")
         .limit(50)
+    )
+
+
+@query(
+    "tfidf_vectors",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        x AS (SELECT tf.doc_id, tf.term, tf.tf,
+                     ROUND(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / dfreq.df), 6)
+                         AS tf_idf
+              FROM tf JOIN dfreq USING (term)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tf_idf DESC, term) AS rnk
+              FROM x)
+        SELECT doc_id, term, tf, tf_idf, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 5
+    """,
+    tags=("text",),
+)
+def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF weights, top-5 terms per doc (SURVEY.md 2b: the
+    HashingTF+IDF shape, built on ``term_document_frequency``'s corpus DF).
+
+    Plan: one explode -> hash aggregate on (doc_id, term) for TF; the
+    document-frequency table is a second aggregate OF THE TF TABLE (no
+    second scan of the corpus); tf-idf joins the two on the term -- a
+    shuffle join, because at 100 TB the vocabulary is itself too big to
+    broadcast -- then a per-doc window takes the top-5 with a
+    deterministic (tf_idf DESC, term) tiebreak on the rounded weight."""
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tf_idf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "tf_idf", "rnk")
     )

@@ -214,7 +214,18 @@ def run_batchwise_to_parquet(
     """foreachBatch sink: write each micro-batch atomically into a
     batch-id-keyed subdirectory -- replayed batches overwrite their own
     directory, so restarts are idempotent (the Spark equivalent of the
-    reference exporter's BEGIN/executemany/COMMIT + rollback)."""
+    reference exporter's BEGIN/executemany/COMMIT + rollback).
+
+    READ CONTRACT: under ``update`` output mode a window re-emitted in a
+    later micro-batch lands in a NEWER ``batch_id=`` directory without
+    removing the older partial row, so a naive ``spark.read.parquet``
+    over the whole directory double-counts updated windows. Consumers
+    must read through :func:`read_batchwise_result`, which keeps only
+    each key's latest batch (last-writer-wins). That pairing -- not the
+    raw directory -- is what is exactly-once. (``append`` output mode
+    would avoid the discipline but withholds every window still inside
+    the watermark when an ``availableNow`` drain ends; the update+reader
+    pair delivers the complete, final result.)"""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
@@ -228,6 +239,25 @@ def run_batchwise_to_parquet(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def read_batchwise_result(
+    spark: SparkSession, out_dir: str, key_cols: list[str]
+) -> DataFrame:
+    """The read side of :func:`run_batchwise_to_parquet`'s exactly-once
+    contract: partition discovery exposes ``batch_id``; for each
+    aggregation key keep only the row from the highest batch_id (the
+    final value of that window). One window over the (small, result-
+    sized) sink table."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("batch_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
     )
 
 

@@ -11,7 +11,7 @@ from taxi_data_pipeline_pset2_spark.sources.readers import load_table
 def test_approx_count_distinct_within_rsd(spark, sf_dir):
     approx = {
         r.event_type: r.approx_users
-        for r in spark_queries()["approx_distinct_users"](spark, sf_dir).collect()
+        for r in spark_queries()["approx_event_profile"](spark, sf_dir).collect()
     }
     events = load_table(spark, sf_dir, "events")
     exact = {
@@ -28,7 +28,7 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
 def test_approx_percentiles_bracket_exact(spark, sf_dir):
     approx = {
         r.event_type: (r.p50, r.p90, r.p99)
-        for r in spark_queries()["approx_value_percentiles"](spark, sf_dir).collect()
+        for r in spark_queries()["approx_event_profile"](spark, sf_dir).collect()
     }
     events = load_table(spark, sf_dir, "events")
     exact = {

@@ -99,3 +99,21 @@ def test_knn_vectorized_enforces_query_size_contract(spark, sf_dir, monkeypatch)
     monkeypatch.setattr(similarity, "MAX_QUERY_ROWS", 3)
     with pytest.raises(ValueError, match="driver-sized"):
         similarity.knn_topk_vectorized(emb, F.lit(True), k=2)
+
+
+def test_knn_interpreted_equals_vectorized(spark, sf_dir):
+    """knn_topk (interpreted higher-order functions) and
+    knn_topk_vectorized (numpy matmul per Arrow batch) must produce the
+    identical result set -- the vectorized entry is the one the driver
+    hash-verifies, so this equality transitively pins the interpreted
+    kernel too."""
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        knn_topk_vectorized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    key = lambda r: (r.query_id, r.neighbor_id, r.cosine, r.rank)  # noqa: E731
+    a = {key(r) for r in knn_topk(emb, pred, k=5).collect()}
+    b = {key(r) for r in knn_topk_vectorized(emb, pred, k=5).collect()}
+    assert a == b

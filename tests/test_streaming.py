@@ -207,3 +207,71 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke_dir, tmp_path
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_batchwise_read_contract_equals_batch_twin(
+    spark, sf_smoke_dir, tmp_path
+):
+    """The exactly-once claim, closed end-to-end: drain the update-mode
+    foreachBatch sink, read it back through read_batchwise_result
+    (last-writer-wins per window), and require exact equality with the
+    batch twin -- then replay with the same checkpoint and require the
+    read-side result to be unchanged.
+
+    The source is staged in TIME ORDER (4 range slices, written
+    sequentially so file modification times make the file stream deliver
+    them oldest-first): with an out-of-order source a 1-hour watermark
+    would correctly drop whole batches as late, which tests the
+    watermark, not the sink."""
+    import time as _time
+
+    from pyspark.sql.window import Window
+
+    from taxi_data_pipeline_pset2_spark.streaming.events import read_batchwise_result
+
+    src = str(tmp_path / "rc_in")
+    ev = (
+        load_table(spark, sf_smoke_dir, "events")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .withColumn("ts", F.expr("_us * 1000"))
+        .drop("_us")
+        .withColumn("_slice", F.ntile(4).over(Window.orderBy("ts")))
+    )
+    for i in range(1, 5):
+        ev.filter(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    out = str(tmp_path / "rc_out")
+    ckpt = str(tmp_path / "rc_ckpt")
+    run_batchwise_to_parquet(
+        hourly_event_counts(read_events_stream(spark, src)), out, ckpt
+    )
+    keys = ["window_start", "event_type"]
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in read_batchwise_result(spark, out, keys).collect()
+    }
+    batch = events_hourly(spark, sf_smoke_dir)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    # replay (same checkpoint): nothing reprocessed, read side unchanged
+    run_batchwise_to_parquet(
+        hourly_event_counts(read_events_stream(spark, src)), out, ckpt
+    )
+    got2 = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in read_batchwise_result(spark, out, keys).collect()
+    }
+    assert got2 == want
