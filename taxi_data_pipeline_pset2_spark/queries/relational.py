@@ -224,6 +224,20 @@ def demand_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_trend_agg(orders_one_year: DataFrame) -> DataFrame:
+    """The flagship aggregate body, layout-agnostic: callers hand in the
+    already-filtered year of orders (flat scan with a pushed date-range
+    predicate, or a partition-pruned clustered table -- bench.py times
+    both layouts over this same body, the X1 comparison)."""
+    return (
+        orders_one_year.groupBy(
+            "o_orderpriority", F.date_trunc("month", F.col("o_orderdate")).alias("o_month")
+        )
+        .agg(F.count("*").alias("total_orders"), dec_avg("o_totalprice").alias("avg_price"))
+        .orderBy("o_month", "o_orderpriority")
+    )
+
+
 @query(
     "monthly_trend",
     oracle=f"""
@@ -250,13 +264,10 @@ def monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate, which DOES push to row-group min/max (year(col) == y would
     # not: function-wrapped columns defeat pushdown).
     min_year = orders.agg(F.min("o_orderdate")).collect()[0][0].year
-    return (
+    return monthly_trend_agg(
         orders.filter(
             F.col("o_orderdate").between(f"{min_year}-01-01", f"{min_year}-12-31")
         )
-        .groupBy("o_orderpriority", F.date_trunc("month", F.col("o_orderdate")).alias("o_month"))
-        .agg(F.count("*").alias("total_orders"), dec_avg("o_totalprice").alias("avg_price"))
-        .orderBy("o_month", "o_orderpriority")
     )
 
 

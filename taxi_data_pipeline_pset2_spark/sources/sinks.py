@@ -62,12 +62,29 @@ def clustered_write(
     path: str,
     partition_by: tuple[str, ...],
     sort_by: tuple[str, ...],
+    n_files: int | None = None,
 ) -> None:
     """X1: partition + in-partition sort so range predicates get partition
     pruning and parquet row-group min/max skipping -- the Spark rendering
-    of the reference's 16.3x ``cluster_by`` win (BASELINE.md)."""
+    of the reference's 16.3x ``cluster_by`` win (BASELINE.md).
+
+    ``repartitionByRange`` on (partition cols, sort cols) first: without
+    it every input task writes one file into EVERY partition directory
+    (tasks hold random rows), so a pruned read of one partition sees only
+    as many files as there were input tasks -- potentially ONE giant file,
+    serializing the scan the clustering was meant to speed up. Range
+    partitioning gives each directory ~``n_files``/n_partitions disjoint
+    sorted files: pruned AND parallel, the micro-partition layout."""
+    n = int(
+        n_files
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in (*partition_by, *sort_by)]
     (
-        df.sortWithinPartitions(*sort_by)
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*sort_by)
         .write.mode("overwrite")
         .partitionBy(*partition_by)
         .parquet(path)
