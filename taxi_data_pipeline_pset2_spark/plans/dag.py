@@ -7,16 +7,22 @@ dir (optionally partitioned+sorted -- the X1 clustering equivalent) and
 re-reads it, so downstream nodes scan materialized storage exactly like
 dbt's table materialization; ``ephemeral`` passes the lazy plan through.
 
-Execution is sequential in topological order -- within each node Spark
-already parallelizes across all cores, so node-level threading (dbt's
-4/8 threads, ``profiles.yml:12,24``) only helps when the cluster is
-underutilized by a single node; at 100 TB per-node it is not.
+Execution is sequential in topological order by default -- within each
+node Spark already parallelizes across all cores, so node-level
+threading (dbt's 4/8 threads, ``profiles.yml:12,24``) only helps when
+the cluster is underutilized by a single node. That is false for the
+100 TB fact build but true for the dim-sized nodes around it (a
+4018-row dim build leaves a 1000-executor cluster idle), so
+``run(threads=N)`` opts into dbt-style concurrent execution of
+independent nodes: Spark job submission is thread-safe, each thread
+submits its node's jobs and the scheduler interleaves stages.
 """
 
 from __future__ import annotations
 
 import time
 from collections.abc import Callable
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +45,8 @@ class NodeResult:
     seconds: float
     rows: int | None = None
     error: str | None = None
+    started_at: float = 0.0  # monotonic; lets tests assert node overlap
+    finished_at: float = 0.0
 
 
 @dataclass
@@ -73,42 +81,121 @@ class Pipeline:
             visit(n.name)
         return order
 
-    def run(self, spark: SparkSession) -> tuple[dict[str, DataFrame], list[NodeResult]]:
+    def _run_node(
+        self, spark: SparkSession, node: Node, upstream: dict[str, DataFrame]
+    ) -> tuple[DataFrame, NodeResult]:
+        t0 = time.perf_counter()
+        try:
+            df = node.fn(spark, **upstream)
+            rows = None
+            if node.materialization == "table":
+                path = f"{self.warehouse_dir}/{node.name}"
+                writer = df
+                if node.sort_within_partitions_by:
+                    writer = writer.sortWithinPartitions(
+                        *node.sort_within_partitions_by
+                    )
+                w = writer.write.mode("overwrite")
+                if node.partition_by:
+                    w = w.partitionBy(*node.partition_by)
+                w.parquet(path)
+                df = spark.read.parquet(path)
+                rows = df.count()
+            t1 = time.perf_counter()
+            return df, NodeResult(
+                node.name, "success", t1 - t0, rows, started_at=t0, finished_at=t1
+            )
+        except Exception as e:  # noqa: BLE001 - per-node status like Mage
+            t1 = time.perf_counter()
+            raise _NodeFailure(
+                NodeResult(
+                    node.name, "failed", t1 - t0, None, str(e), t0, t1
+                )
+            ) from e
+
+    def run(
+        self, spark: SparkSession, threads: int = 1
+    ) -> tuple[dict[str, DataFrame], list[NodeResult]]:
         """Materialize all nodes in dependency order; returns the final
         DataFrames (reading from materialized storage for tables) and
         per-node status, mirroring Mage's per-block status tracking
-        (``pipelines/taxi_zones/metadata.yaml:5-33``)."""
-        built: dict[str, DataFrame] = {}
-        results: list[NodeResult] = []
-        for node in self._topo_order():
-            t0 = time.perf_counter()
-            try:
-                upstream = {d: built[d] for d in node.deps}
-                df = node.fn(spark, **upstream)
-                rows = None
-                if node.materialization == "table":
-                    path = f"{self.warehouse_dir}/{node.name}"
-                    writer = df
-                    if node.sort_within_partitions_by:
-                        writer = writer.sortWithinPartitions(
-                            *node.sort_within_partitions_by
-                        )
-                    w = writer.write.mode("overwrite")
-                    if node.partition_by:
-                        w = w.partitionBy(*node.partition_by)
-                    w.parquet(path)
-                    df = spark.read.parquet(path)
-                    rows = df.count()
+        (``pipelines/taxi_zones/metadata.yaml:5-33``).
+
+        ``threads`` > 1 runs independent nodes concurrently (dbt's
+        threaded execution, reference ``profiles.yml:12,24``): a node is
+        submitted as soon as every dependency has materialized. Results
+        are returned in topological order either way, and a failure stops
+        new submissions, drains in-flight nodes, then re-raises."""
+        order = self._topo_order()
+        if threads <= 1:
+            built: dict[str, DataFrame] = {}
+            results: list[NodeResult] = []
+            for node in order:
+                try:
+                    df, res = self._run_node(
+                        spark, node, {d: built[d] for d in node.deps}
+                    )
+                except _NodeFailure as f:
+                    results.append(f.result)
+                    raise f.__cause__ from None
                 built[node.name] = df
-                results.append(
-                    NodeResult(node.name, "success", time.perf_counter() - t0, rows)
-                )
-            except Exception as e:  # noqa: BLE001 - per-node status like Mage
-                results.append(
-                    NodeResult(node.name, "failed", time.perf_counter() - t0, None, str(e))
-                )
-                raise
+                results.append(res)
+            return built, results
+        return self._run_concurrent(spark, order, threads)
+
+    def _run_concurrent(
+        self, spark: SparkSession, order: list[Node], threads: int
+    ) -> tuple[dict[str, DataFrame], list[NodeResult]]:
+        built: dict[str, DataFrame] = {}
+        by_result: dict[str, NodeResult] = {}
+        remaining = {n.name: set(n.deps) for n in order}
+        nodes = {n.name: n for n in order}
+        failure: _NodeFailure | None = None
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            futures = {}
+
+            def submit_ready() -> None:
+                for name in [n for n, deps in remaining.items() if not deps]:
+                    del remaining[name]
+                    node = nodes[name]
+                    futures[
+                        pool.submit(
+                            self._run_node,
+                            spark,
+                            node,
+                            {d: built[d] for d in node.deps},
+                        )
+                    ] = name
+
+            submit_ready()
+            while futures:
+                done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = futures.pop(fut)
+                    try:
+                        df, res = fut.result()
+                    except _NodeFailure as f:
+                        by_result[name] = f.result
+                        failure = failure or f
+                        continue
+                    built[name] = df
+                    by_result[name] = res
+                    for deps in remaining.values():
+                        deps.discard(name)
+                if failure is None:
+                    submit_ready()  # stop submitting after a failure
+        results = [by_result[n.name] for n in order if n.name in by_result]
+        if failure is not None:
+            raise failure.__cause__ from None
         return built, results
+
+
+class _NodeFailure(Exception):
+    """Carries the failed NodeResult across the executor boundary."""
+
+    def __init__(self, result: NodeResult):
+        super().__init__(result.error)
+        self.result = result
 
 
 def taxi_pipeline(

@@ -215,3 +215,38 @@ def test_fct_derived_metrics_sane(medallion):
     ).count()
     assert bad_speed == 0  # guarded division never divides by zero
     assert fct.filter(F.col("tip_percentage") < 0).count() == 0
+
+
+def test_threaded_dag_matches_sequential_and_overlaps(spark, tmp_path, medallion):
+    """run(threads=4): independent dims build concurrently (dbt's
+    threaded execution, reference profiles.yml:12,24) with results
+    identical to the sequential run."""
+    wh = str(tmp_path / "wh_threaded")
+    yellow = gen_yellow(spark, 30_000)
+    green = gen_green(spark, 6_000)
+    zones = gen_zones(spark)
+    built, results = taxi_pipeline(wh, yellow, green, zones).run(spark, threads=4)
+    assert all(r.status == "success" for r in results), results
+    assert [r.name for r in results] == [
+        "stg_trips_unified", "dim_date", "dim_zone", "dim_payment_type",
+        "dim_rate_code", "fct_trips",
+    ]
+    # identical results to the (module-fixture) sequential run
+    for name in built:
+        assert built[name].count() == medallion[name].count(), name
+    seq_fct = {r.trip_id for r in medallion["fct_trips"].select("trip_id").collect()}
+    thr_fct = {r.trip_id for r in built["fct_trips"].select("trip_id").collect()}
+    assert seq_fct == thr_fct
+    # concurrency observed: at least one pair of dim builds overlapped
+    spans = {
+        r.name: (r.started_at, r.finished_at)
+        for r in results
+        if r.name.startswith("dim_")
+    }
+    names = list(spans)
+    overlap = any(
+        spans[a][0] < spans[b][1] and spans[b][0] < spans[a][1]
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    )
+    assert overlap, f"no dim builds overlapped: {spans}"
