@@ -278,6 +278,13 @@ def minhash_band_signatures(
     oracle reproduces them. Band signature combines the band's 4 minima
     with fixed weights 31^(j mod 4): order-independent aggregation
     (a SUM), deterministic under any shuffle order.
+
+    Deliberately explode + hash-aggregate rather than a per-row
+    ``array_min`` fold over the shingle array: the md5 in the exploded
+    form runs under whole-stage codegen (interpreted higher-order
+    functions are ~3x slower per element, measured), and map-side
+    partial aggregation reduces the shuffle to ~one row per doc anyway
+    -- the explode never hits the network.
     """
     e = doc_shingles(docs, text_col, id_col, k).withColumn(
         "h", stable_hash64(F.col("shingle"))

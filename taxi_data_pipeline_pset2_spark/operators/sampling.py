@@ -1,0 +1,109 @@
+"""Deterministic sampling / dataset-split operators (SURVEY.md 2b
+extension surface: what a large-scale training-data pipeline needs
+around the corpus).
+
+Not present in the reference (batch BI pipeline); standard practice for
+pretraining-data curation. Everything here is HASH-derived, never
+``rand()``:
+
+- reshuffle-stable: the same row lands in the same split/sample on any
+  cluster, any partitioning, any rerun -- a re-partitioned 100 TB corpus
+  must not silently re-draw its validation set;
+- engine-portable: the hash is the md5-prefix bigint used across this
+  repo (``operators/dedup.py stable_hash64``), so DuckDB twins can
+  reproduce splits bit-exactly (pinned in tests/test_sampling.py).
+
+All pure DataFrame compositions: one narrow projection per operator, no
+shuffle at all except ``top_n_by_hash``'s TakeOrdered merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import stable_hash64
+
+HASH_SPACE = 1 << 32  # stable_hash64 range: [0, 2^32)
+
+
+def salted_hash(col: Column, salt: str) -> Column:
+    """Deterministic bigint in [0, 2^32) from (value, salt). Distinct
+    salts give independent draws, so a split and a downstream sample
+    don't correlate."""
+    return stable_hash64(F.concat(col.cast("string"), F.lit("|" + salt)))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test ...)
+    by hash-bucketing its id: bucket = h(id) / 2^32 falls into the
+    cumulative-weight interval of its split. Adds a ``split`` column.
+
+    Weights must sum to ~1. Deterministic per (id, salt): append-only
+    corpora keep historical rows' splits stable as new data arrives --
+    the property a time-partitioned ingest needs so val examples never
+    leak into train across backfills.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = salted_hash(F.col(id_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        bound = int(acc * HASH_SPACE)
+        expr = (
+            F.when(h < bound, F.lit(name))
+            if expr is None
+            else expr.when(h < bound, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    h(id) < fraction * 2^32, where the fraction may vary per stratum
+    (e.g. upsample a rare language, downsample boilerplate-heavy
+    sources). With no ``strata_col`` it is a plain uniform hash sample.
+
+    Hash-threshold sampling composes monotonically: the 1% sample is a
+    subset of the 10% sample under the same salt, so growing a data
+    mixture never discards previously selected rows.
+    """
+    h = salted_hash(F.col(id_col), salt)
+    if strata_col is None or not fractions:
+        return df.filter(h < int(fraction * HASH_SPACE))
+    frac_expr: Column = F.lit(fraction)
+    for value, f in fractions.items():
+        frac_expr = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac_expr)
+    return df.filter(h < (frac_expr * F.lit(float(HASH_SPACE))).cast("bigint"))
+
+
+def top_n_by_hash(
+    df: DataFrame, n: int, id_col: str = "doc_id", salt: str = "topn-v1"
+) -> DataFrame:
+    """Exact-size deterministic pseudo-uniform sample without
+    replacement: order by the salted hash, take n. Spark plans
+    sort+limit as TakeOrdered (per-partition top-n, then a single merge
+    of n*n_partitions candidate rows) -- no global sort, driver traffic
+    bounded by n. The fixed-size counterpart to the fraction-based
+    ``stratified_sample``."""
+    h = salted_hash(F.col(id_col), salt)
+    return df.withColumn("_h", h).orderBy("_h", id_col).limit(n).drop("_h")

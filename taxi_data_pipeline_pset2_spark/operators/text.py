@@ -126,3 +126,70 @@ def fingerprints(
         stable_hash64(norm).alias("band_hash"),
         (F.length(F.col(text_col)) / 100).cast("int").alias("len_bucket"),
     )
+
+
+# PII patterns (C4/CCNet-style corpus scrubbing). Kept to a regex subset
+# with identical semantics in Java regex and RE2; order matters -- emails
+# before phones so the phone pattern can't eat an address's digits.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_REGEX = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_REGEX = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+
+
+def redact_pii(col: Column, token: str = "<PII>") -> Column:
+    """Scrub emails, IPv4 addresses, and phone-shaped digit runs to a
+    fixed token -- the standard pre-training corpus hygiene pass. Pure
+    ``regexp_replace`` chain: codegen'd, scales with the scan, no UDF.
+    Heuristic by design (like C4's): a phone regex has false positives
+    on long digit runs, which is the accepted trade for never shipping
+    an unredacted true positive."""
+    out = F.regexp_replace(col, EMAIL_REGEX, token)
+    out = F.regexp_replace(out, IPV4_REGEX, token)
+    return F.regexp_replace(out, PHONE_REGEX, token)
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - n_lines / n_distinct_lines over newline-split, trimmed, non-empty
+      lines; dup_line_ratio = 1 - distinct/total (boilerplate detector);
+    - max_line_freq: occurrences of the most repeated line / total
+      (catches the nav-bar-pasted-50x page that a global ratio misses).
+
+    One per-row array pipeline (split -> filter -> distinct / frequency
+    fold) -- no explode, no shuffle: repetition is a property OF the row,
+    so it never needs to leave the row."""
+    lines_expr = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    # bind the lines array once (interpreted HOFs re-evaluate shared
+    # subexpressions; see dedup.doc_shingles)
+    from taxi_data_pipeline_pset2_spark.operators.dedup import _bind_once
+
+    metrics = _bind_once(
+        lines_expr,
+        lambda lines: F.struct(
+            F.size(lines).alias("n_lines"),
+            F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+            F.array_max(
+                F.transform(
+                    F.array_distinct(lines),
+                    lambda d: F.size(F.filter(lines, lambda l: l == d)),
+                )
+            ).alias("max_line_count"),
+        ),
+    )
+    return docs.select(F.col(id_col), metrics.alias("_m")).select(
+        id_col,
+        F.col("_m.n_lines").alias("n_lines"),
+        F.col("_m.n_distinct_lines").alias("n_distinct_lines"),
+        F.when(F.col("_m.n_lines") > 0,
+               F.round(1 - F.col("_m.n_distinct_lines") / F.col("_m.n_lines"), 6)
+        ).otherwise(F.lit(0.0)).alias("dup_line_ratio"),
+        F.when(F.col("_m.n_lines") > 0,
+               F.round(F.col("_m.max_line_count") / F.col("_m.n_lines"), 6)
+        ).otherwise(F.lit(0.0)).alias("max_line_freq"),
+    )

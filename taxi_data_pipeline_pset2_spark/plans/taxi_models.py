@@ -15,6 +15,18 @@ a <=4018-row dim (SURVEY.md X5); gold is written partitioned by
 service_type and sorted within partitions by pickup_date -- the Spark
 equivalent of the reference's Snowflake ``cluster_by`` (SURVEY.md X1,
 the 16.3x speedup in BASELINE.md).
+
+PARITY EXCLUSIONS -- columns that intentionally deviate from the
+reference's row-level output (each documented inline at its definition;
+any automated output-parity diff against reference results must skip
+them):
+- ``is_night_trip``: the reference's ``BETWEEN 22 AND 6`` is vacuously
+  false; we implement the evident intent (late-night pickups).
+- ``base_charges``: every addend is coalesced to 0, not just the last
+  two, so NULL fare/extra/mta_tax can't null the metric.
+- ``has_data_quality_issues``: additionally flags NULL passenger_count.
+- ``dbt_loaded_at`` / audit timestamps: nondeterministic by nature
+  (also excluded from the DuckDB oracles).
 """
 
 from __future__ import annotations

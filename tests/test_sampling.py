@@ -1,0 +1,90 @@
+"""Deterministic sampling/split operators: reshuffle stability, split
+exhaustiveness, monotone sample composition, and a DuckDB twin proving
+the hash derivation is engine-portable."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.sampling import (
+    HASH_SPACE,
+    hash_split,
+    stratified_sample,
+    top_n_by_hash,
+)
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+
+def test_hash_split_exhaustive_disjoint_and_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split = hash_split(docs, weights=w)
+    n = docs.count()
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # every row in exactly one split
+    assert 0.7 < counts["train"] / n < 0.9  # ~binomial tolerance at n=500
+    # reshuffle stability: a different physical partitioning gives the
+    # IDENTICAL assignment per id
+    again = hash_split(docs.repartition(7), weights=w)
+    a = {r.doc_id: r.split for r in split.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_hash_split_matches_duckdb_twin(spark, sf_dir):
+    """The split must be reproducible OUTSIDE Spark from the documented
+    hash formula -- the portability contract that lets any engine agree
+    on which rows are validation."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: r.split
+        for r in hash_split(docs, weights={"train": 0.8, "val": 0.2}, salt="s1")
+        .select("doc_id", "split")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    bound = int(0.8 * HASH_SPACE)
+    want = {
+        row[0]: row[1]
+        for row in con.execute(
+            f"""
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|s1'), 1, 8))
+                             AS BIGINT) < {bound}
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_stratified_sample_monotone_and_per_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in stratified_sample(docs, 0.1).select("doc_id").collect()}
+    large = {r.doc_id for r in stratified_sample(docs, 0.4).select("doc_id").collect()}
+    assert small <= large  # same salt: smaller fraction nests in larger
+    n = docs.count()
+    assert 0.02 < len(small) / n < 0.25
+    assert 0.25 < len(large) / n < 0.55
+    # per-stratum override: a stratum with fraction 1.0 keeps every row
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    boosted = stratified_sample(
+        docs, 0.05, strata_col="lang", fractions={langs[0]: 1.0}
+    )
+    kept = boosted.filter(F.col("lang") == langs[0]).count()
+    assert kept == docs.filter(F.col("lang") == langs[0]).count()
+
+
+def test_top_n_by_hash_fixed_size_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in top_n_by_hash(docs, 50).select("doc_id").collect()}
+    b = {r.doc_id for r in top_n_by_hash(docs.repartition(13), 50).select("doc_id").collect()}
+    assert len(a) == 50
+    assert a == b  # partitioning-independent
+    c = {r.doc_id for r in top_n_by_hash(docs, 50, salt="other").select("doc_id").collect()}
+    assert a != c  # a different salt is an independent draw
