@@ -1,0 +1,97 @@
+"""Sequence packing: greedy bin-packing of documents into fixed
+token-budget training sequences (SURVEY.md 2b extension surface -- the
+step between a curated corpus and a pretraining dataloader).
+
+Distribution model: packing is a local decision INSIDE a hash shard.
+Docs are hash-sharded by id (reshuffle-stable, like every id-derived
+operator in this repo), each shard packs independently with first-fit-
+decreasing via ``applyInPandas`` (the sanctioned Arrow-batched path for
+genuinely imperative per-group logic), and sequence ids are globally
+unique by construction (shard << 32 | local). One shuffle total -- the
+groupBy on the shard key -- regardless of corpus size; shard count, not
+corpus size, bounds the per-task working set.
+
+FFD inside a shard is the classic 11/9-OPT + 6/9 guarantee; sharding
+costs a little packing efficiency at the boundaries in exchange for
+linear scale-out, the standard trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import stable_hash64
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign every doc to a (seq_id, seq_pos) such that each sequence's
+    token sum fits ``token_budget``.
+
+    Returns (id, shard, seq_id, seq_pos, len, oversize): ``oversize``
+    docs (longer than the whole budget) get a dedicated sequence and are
+    flagged for the caller to truncate/split downstream -- packing never
+    silently drops or cuts data. Deterministic: shard assignment is the
+    salted-hash of the id, in-shard order is (len DESC, id ASC).
+    """
+    import pandas as pd
+
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    shard = F.pmod(stable_hash64(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
+        "int"
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(len_col).cast("long").alias(len_col),
+    ).withColumn("shard", shard)
+    out_schema = (
+        f"{id_col} long, shard int, seq_id long, seq_pos int, "
+        f"{len_col} long, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([len_col, id_col], ascending=[False, True])
+        shard_id = int(pdf["shard"].iloc[0])
+        bin_room: list[int] = []  # remaining tokens per open sequence
+        bin_fill: list[int] = []  # next position per open sequence
+        seq_ids, seq_pos, oversize = [], [], []
+        for ln in pdf[len_col].tolist():
+            if ln > token_budget:
+                # dedicated flagged sequence; never joins a shared bin
+                bin_room.append(0)
+                bin_fill.append(1)
+                seq_ids.append(len(bin_room) - 1)
+                seq_pos.append(0)
+                oversize.append(True)
+                continue
+            for b, room in enumerate(bin_room):
+                if room >= ln:
+                    break
+            else:
+                b = len(bin_room)
+                bin_room.append(token_budget)
+                bin_fill.append(0)
+            seq_ids.append(b)
+            seq_pos.append(bin_fill[b])
+            bin_room[b] -= ln
+            bin_fill[b] += 1
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "shard": shard_id,
+                "seq_id": [(shard_id << 32) | s for s in seq_ids],
+                "seq_pos": seq_pos,
+                len_col: pdf[len_col].to_numpy(),
+                "oversize": oversize,
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(pack, schema=out_schema)

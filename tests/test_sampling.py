@@ -88,3 +88,16 @@ def test_top_n_by_hash_fixed_size_deterministic(spark, sf_dir):
     assert a == b  # partitioning-independent
     c = {r.doc_id for r in top_n_by_hash(docs, 50, salt="other").select("doc_id").collect()}
     assert a != c  # a different salt is an independent draw
+
+
+def test_sampling_plans_are_shuffle_free(spark, sf_dir):
+    """Split/sample are row-local decisions: their physical plans must
+    contain no Exchange -- at 100 TB a sampling pass that shuffles is a
+    bug, not a slow path."""
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        hash_split(docs),
+        stratified_sample(docs, 0.1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
