@@ -6,9 +6,10 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query executes fully via the noop sink (no driver-side collect cost,
-no result materialization skew). Best-of-2 per query to damp JIT/first-read
-noise; the flagship comparison is BASELINE.md's clustering-demo aggregate
-(catalog ``monthly_trend``).
+no result materialization skew). Best-of-3 per query to damp JIT/first-read
+and ambient-load noise; the flagship comparison is BASELINE.md's
+clustering-demo aggregate (catalog ``monthly_trend``), measured flat AND
+clustered (``clustering_demo``).
 """
 
 from __future__ import annotations
@@ -147,8 +148,8 @@ def run() -> dict:
     timings: dict[str, float] = {}
     for e in entries:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+        for _ in range(3):  # best-of-3: ambient load added ~1.4x uniform
+            t0 = time.perf_counter()  # noise to the r2 best-of-2 numbers
             e.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[e.name] = round(best, 4)
