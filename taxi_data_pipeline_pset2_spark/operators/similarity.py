@@ -17,6 +17,9 @@ Scale paths:
 - IVF-style       : restrict to matching coarse-bucket (the ``label``
                     column stands in for a k-means assignment) -- prunes
                     the scan to 1/n_buckets of the corpus
+- true IVF        : ``knn_ivf_kmeans`` -- k-means coarse quantizer +
+                    n_probe nearest cells per query (the real inverted-
+                    file index; recall/scan-fraction trade is tunable)
 - random-proj LSH : pyspark.ml BucketedRandomProjectionLSH wrapper for
                     approx joins when both sides are huge
 """
@@ -367,4 +370,104 @@ def brp_lsh_neighbors(
             F.round(F.col("dist"), 6).alias("dist"),
         )
         .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def knn_ivf_kmeans(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """True IVF: coarse-quantize the corpus with k-means cells
+    (operators/clustering.py, Lloyd's with deterministic init), then for
+    each query search only its ``n_probe`` nearest cells.
+
+    The 100 TB shape: the cell assignment is a one-off corpus pass
+    (in practice materialized/bucketed by ``cell``); a query then scans
+    ~n_probe/n_cells of the corpus. Cell ranking per query runs on the
+    driver against the (n_cells x dim) centroid table -- dim-sized by
+    construction -- and ships to executors as a broadcast (query_id,
+    cell) probe list joined against the cell-restricted candidates.
+    Same int-scaled exact cosine + windowed top-k as ``knn_topk``, so
+    within probed cells the ranking is bit-identical to brute force.
+    Recall vs exact is pinned in tests/test_similarity.py.
+    """
+    import numpy as np
+
+    from taxi_data_pipeline_pset2_spark.operators.clustering import kmeans_fit_assign
+
+    spark = emb.sparkSession
+    assigned = kmeans_fit_assign(
+        emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(id_col, F.col("cluster").alias("cell"))
+    prep = _prepared(emb, id_col, vec_col).join(assigned, id_col)
+
+    # centroid table: k*D rows, dim-sized by construction (same contract
+    # as kmeans_fit_assign's update step)
+    means = (
+        emb.join(assigned, id_col)
+        .select("cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    n_dim = max(r.dim for r in means) + 1
+    cents = np.zeros((n_cells, n_dim))
+    for r in means:
+        cents[r.cell, r.dim] = r.m
+
+    q_rows = (
+        emb.filter(query_pred)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(MAX_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query_pred selects more than {MAX_QUERY_ROWS} rows; "
+            "knn_ivf_kmeans ranks probe cells driver-side and requires a "
+            "driver-sized query set"
+        )
+    probes = []
+    c_sq = (cents * cents).sum(axis=1)
+    for r in q_rows:
+        x = np.array(r.v, dtype=np.float64)
+        d2 = c_sq - 2.0 * (cents @ x)  # + ||x||^2, constant per query
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            probes.append((r[id_col], int(cell)))
+    probes_df = spark.createDataFrame(probes, "query_id long, cell int")
+
+    queries = prep.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    cands = prep.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("iv").alias("c_iv"),
+        F.col("norm2").alias("c_norm2"),
+        "cell",
+    )
+    joined = (
+        cands.join(F.broadcast(probes_df), "cell")
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    dot = int_dot(F.col("q_iv"), F.col("c_iv"))
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(F.col("q_norm2").cast("double")) * F.sqrt(F.col("c_norm2").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )

