@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around must be visible in `.explain` output, not just assumed.
+A refactor that silently turns a broadcast join into a shuffle join or
+un-pushes a filter passes value-equality tests but fails these."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.queries.catalog import registry
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_monthly_trend_filter_pushes_to_parquet(spark, sf_dir):
+    """The flagship's year predicate must reach the scan as a plain date
+    range (PushedFilters), not evaluate post-scan -- function-wrapped
+    predicates (year(col) = y) would defeat row-group skipping."""
+    plan = _plan(registry()["monthly_trend"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_star_joins_broadcast_never_shuffle(spark, sf_dir):
+    """demand_by_zone joins two dims: both must be BroadcastHashJoin.
+    A SortMergeJoin here means a full fact shuffle at 100 TB."""
+    plan = _plan(registry()["demand_by_zone"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_demand_by_zone_prunes_fact_columns(spark, sf_dir):
+    """Column pruning: the orders scan must read only the two columns the
+    query touches (o_custkey, o_orderdate), not the full 9-column fact."""
+    plan = _plan(registry()["demand_by_zone"].fn(spark, sf_dir))
+    orders_scan = next(
+        seg for seg in plan.split("FileScan parquet") if "orders.parquet" in seg[:400]
+    )
+    schema = orders_scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" in schema and "o_orderdate" in schema
+    assert "o_totalprice" not in schema and "o_comment" not in schema
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """The canonical aggregate must run map-side partial + final
+    (two HashAggregate levels around one Exchange) -- the shape that
+    shuffles group states, not raw rows."""
+    plan = _plan(registry()["pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan  # map-side combine present
+
+
+def test_whole_stage_codegen_on_relational_path(spark, sf_dir):
+    """Relational queries must run inside whole-stage codegen spans; an
+    interpreted hot path would show a bare Project/Filter chain. AQE
+    wraps plans as AdaptiveSparkPlan(isFinalPlan=false) before
+    execution, hiding codegen nodes -- disable it for the inspection."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("pricing_summary", "quality_filter", "case_flags"):
+            plan = _plan(registry()[name].fn(spark, sf_dir))
+            # codegen'd operators carry a *(stage_id) marker in the
+            # simple plan string
+            assert "*(1)" in plan, f"{name}: no codegen span\n{plan[:800]}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dedup_pipelines_have_no_cartesian(spark, sf_dir):
+    """Candidate generation is equi-bucketed everywhere: no
+    CartesianProduct / BroadcastNestedLoopJoin may appear in any dedup
+    plan at any scale."""
+    for name in (
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_lsh",
+    ):
+        plan = _plan(registry()[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
