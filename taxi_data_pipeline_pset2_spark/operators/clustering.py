@@ -32,8 +32,13 @@ def kmeans_fit_assign(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_centroids: bool = False,
 ) -> DataFrame:
-    """Returns (id, cluster, dist) after ``n_iter`` Lloyd rounds."""
+    """Returns (id, cluster, dist) after ``n_iter`` Lloyd rounds; with
+    ``return_centroids`` also the final (k, D) centroid array -- the
+    model consumers like IVF need, without re-deriving it with another
+    corpus pass (and the re-derived means would be one Lloyd step ahead
+    of the centroids that produced the assignment)."""
     import numpy as np
     import pandas as pd
 
@@ -92,7 +97,10 @@ def kmeans_fit_assign(
             new_c[r["cluster"], r["dim"]] = r["m"]
         centroids = new_c
 
-    return base.mapInPandas(make_assign(centroids), schema=out_schema)
+    assigned = base.mapInPandas(make_assign(centroids), schema=out_schema)
+    if return_centroids:
+        return assigned, centroids
+    return assigned
 
 
 def kmeans_inertia(assigned: DataFrame) -> float:

@@ -30,8 +30,19 @@ HASH_SPACE = 1 << 32  # stable_hash64 range: [0, 2^32)
 def salted_hash(col: Column, salt: str) -> Column:
     """Deterministic bigint in [0, 2^32) from (value, salt). Distinct
     salts give independent draws, so a split and a downstream sample
-    don't correlate."""
-    return stable_hash64(F.concat(col.cast("string"), F.lit("|" + salt)))
+    don't correlate.
+
+    NULL ids hash as the literal sentinel ``<null-id>``: without the
+    coalesce, ``concat`` propagates NULL and every comparison against it
+    is neither true nor false -- hash_split would dump ALL null-id rows
+    into the fallback split while stratified_sample silently dropped
+    them. With the sentinel, null-id rows are one deterministic cohort
+    treated consistently by every hash-derived operator."""
+    return stable_hash64(
+        F.concat(
+            F.coalesce(col.cast("string"), F.lit("<null-id>")), F.lit("|" + salt)
+        )
+    )
 
 
 def hash_split(

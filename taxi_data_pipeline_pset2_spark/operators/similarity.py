@@ -390,36 +390,38 @@ def knn_ivf_kmeans(
     The 100 TB shape: the cell assignment is a one-off corpus pass
     (in practice materialized/bucketed by ``cell``); a query then scans
     ~n_probe/n_cells of the corpus. Cell ranking per query runs on the
-    driver against the (n_cells x dim) centroid table -- dim-sized by
-    construction -- and ships to executors as a broadcast (query_id,
-    cell) probe list joined against the cell-restricted candidates.
-    Same int-scaled exact cosine + windowed top-k as ``knn_topk``, so
-    within probed cells the ranking is bit-identical to brute force.
-    Recall vs exact is pinned in tests/test_similarity.py.
+    driver against the (n_cells x dim) centroid table the k-means fit
+    already produced (same centroids that partitioned the corpus -- a
+    re-derived mean table would be one Lloyd step ahead and could rank
+    a cell the true neighbors were not assigned to) and ships to
+    executors as a broadcast (query_id, cell) probe list joined against
+    the cell-restricted candidates. Cells that ended up EMPTY are
+    excluded from ranking so they cannot waste probe slots. Same
+    int-scaled exact cosine + windowed top-k as ``knn_topk``, so within
+    probed cells the ranking is bit-identical to brute force. Recall vs
+    exact is pinned in tests/test_similarity.py.
     """
     import numpy as np
 
     from taxi_data_pipeline_pset2_spark.operators.clustering import kmeans_fit_assign
 
     spark = emb.sparkSession
-    assigned = kmeans_fit_assign(
-        emb, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-    ).select(id_col, F.col("cluster").alias("cell"))
+    assigned, cents = kmeans_fit_assign(
+        emb,
+        k=n_cells,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
+    assigned = assigned.select(id_col, F.col("cluster").alias("cell"))
     prep = _prepared(emb, id_col, vec_col).join(assigned, id_col)
 
-    # centroid table: k*D rows, dim-sized by construction (same contract
-    # as kmeans_fit_assign's update step)
-    means = (
-        emb.join(assigned, id_col)
-        .select("cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(F.avg("x").alias("m"))
-        .collect()
+    # an empty cell has no candidates: probing it silently shrinks the
+    # effective n_probe, so rank only populated cells
+    populated = sorted(
+        r.cell for r in assigned.select("cell").distinct().collect()
     )
-    n_dim = max(r.dim for r in means) + 1
-    cents = np.zeros((n_cells, n_dim))
-    for r in means:
-        cents[r.cell, r.dim] = r.m
 
     q_rows = (
         emb.filter(query_pred)
@@ -434,12 +436,13 @@ def knn_ivf_kmeans(
             "driver-sized query set"
         )
     probes = []
-    c_sq = (cents * cents).sum(axis=1)
+    cents_pop = cents[populated]  # rank populated cells only
+    c_sq = (cents_pop * cents_pop).sum(axis=1)
     for r in q_rows:
         x = np.array(r.v, dtype=np.float64)
-        d2 = c_sq - 2.0 * (cents @ x)  # + ||x||^2, constant per query
-        for cell in np.argsort(d2, kind="stable")[:n_probe]:
-            probes.append((r[id_col], int(cell)))
+        d2 = c_sq - 2.0 * (cents_pop @ x)  # + ||x||^2, constant per query
+        for i in np.argsort(d2, kind="stable")[:n_probe]:
+            probes.append((r[id_col], int(populated[i])))
     probes_df = spark.createDataFrame(probes, "query_id long, cell int")
 
     queries = prep.filter(query_pred).select(

@@ -71,14 +71,21 @@ def salted_shuffle_join(
     shuffles ``n_salts``x more bytes -- worth it exactly when the hot
     reducer is the critical path.
 
-    Only ``inner`` and ``left`` are supported: under right/full outer
-    semantics an unmatched replicated right row would surface once PER
-    SALT (n_salts duplicates), which is silently wrong."""
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    Only left-preserving joins (inner / left / left_semi / left_anti)
+    are supported: under right/full outer semantics an unmatched
+    replicated right row would surface once PER SALT (n_salts
+    duplicates), which is silently wrong. Semi/anti are safe -- each
+    skewed-side row is emitted at most once regardless of replication,
+    and the replicated side carries every salt for every key."""
+    allowed = (
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+    )
+    if how not in allowed:
         raise ValueError(
-            f"salted_shuffle_join supports how='inner'/'left', got {how!r}: "
-            "right/full outer would duplicate unmatched replicated rows "
-            "n_salts times"
+            f"salted_shuffle_join supports left-preserving joins "
+            f"(inner/left/left_semi/left_anti), got {how!r}: right/full "
+            "outer would duplicate unmatched replicated rows n_salts times"
         )
     salted = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))

@@ -113,19 +113,27 @@ def language_id(
     )
 
 
+def fingerprint_columns(text_col: Column) -> list[Column]:
+    """The fingerprint bundle as columns -- content md5, 32-bit band
+    hash, length bucket. Single source of truth: ``fingerprints`` and
+    the catalog's ``token_fingerprints`` both build from here, so a
+    change to the normalization or hash cannot silently fork the dedup
+    fingerprint definition between operator and oracle-checked query."""
+    norm = normalize_text(text_col)
+    return [
+        F.md5(norm).alias("content_md5"),
+        stable_hash64(norm).alias("band_hash"),
+        (F.length(text_col) / 100).cast("int").alias("len_bucket"),
+    ]
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Document fingerprint bundle: content md5, 32-bit band hash (for
     bucketed joins), and length bucket -- the join-key toolkit for
     dedup/sharding at scale."""
-    norm = normalize_text(F.col(text_col))
-    return docs.select(
-        F.col(id_col),
-        F.md5(norm).alias("content_md5"),
-        stable_hash64(norm).alias("band_hash"),
-        (F.length(F.col(text_col)) / 100).cast("int").alias("len_bucket"),
-    )
+    return docs.select(F.col(id_col), *fingerprint_columns(F.col(text_col)))
 
 
 # PII patterns (C4/CCNet-style corpus scrubbing). Kept to a regex subset
@@ -169,17 +177,35 @@ def repetition_metrics(
     # subexpressions; see dedup.doc_shingles)
     from taxi_data_pipeline_pset2_spark.operators.dedup import _bind_once
 
+    # max line frequency via sort + linear run-length fold: the naive
+    # per-distinct-line count is O(distinct x lines) -- quadratic on
+    # exactly the boilerplate-heavy docs this metric exists to catch.
+    # Sorted equal lines are adjacent; one aggregate pass tracks the
+    # current and best run. "" as the initial prev can't collide: empty
+    # lines were filtered out above.
+    def _max_run(lines: Column) -> Column:
+        run_next = lambda acc, x: F.when(  # noqa: E731
+            x == acc["prev"], acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.aggregate(
+            F.array_sort(lines),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run_next(acc, x).alias("run"),
+                F.greatest(acc["best"], run_next(acc, x)).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
     metrics = _bind_once(
         lines_expr,
         lambda lines: F.struct(
             F.size(lines).alias("n_lines"),
             F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
-            F.array_max(
-                F.transform(
-                    F.array_distinct(lines),
-                    lambda d: F.size(F.filter(lines, lambda l: l == d)),
-                )
-            ).alias("max_line_count"),
+            _max_run(lines).alias("max_line_count"),
         ),
     )
     return docs.select(F.col(id_col), metrics.alias("_m")).select(

@@ -11,16 +11,13 @@ from pyspark.sql.window import Window
 from taxi_data_pipeline_pset2_spark.operators.text import (
     LANG_MARKERS,
     TOKEN_REGEX,
+    fingerprint_columns,
     language_id,
     quality_metrics,
     token_count_bpe,
     token_count_ws,
 )
-from taxi_data_pipeline_pset2_spark.operators.dedup import (
-    normalize_text,
-    stable_hash64,
-    tokenize,
-)
+from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
 from taxi_data_pipeline_pset2_spark.queries._helpers import t
 from taxi_data_pipeline_pset2_spark.queries.catalog import query
 
@@ -123,15 +120,15 @@ def token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget; the underlying operators (operators/text.py token_count_*,
     fingerprints) are unchanged and separately unit-tested."""
     docs = t(spark, sf_dir, "documents")
-    norm = normalize_text(F.col("text"))
+    md5_col, band_col, len_col = fingerprint_columns(F.col("text"))
     return docs.select(
         "doc_id",
         token_count_ws(F.col("text")).alias("n_ws_tokens"),
         token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
         F.size(F.array_distinct(tokenize(F.col("text")))).alias("n_distinct_tokens"),
-        F.md5(norm).alias("content_md5"),
-        stable_hash64(norm).alias("band_hash"),
-        (F.length(F.col("text")) / 100).cast("int").cast("long").alias("len_bucket"),
+        md5_col,
+        band_col,
+        len_col.cast("long").alias("len_bucket"),
     )
 
 

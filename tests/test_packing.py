@@ -66,3 +66,18 @@ def test_packing_deterministic_and_efficient(spark, sf_dir):
     # FFD in 64 shards: within 3x of the global lower bound on this corpus
     assert n_seqs <= 3 * lower_bound, (n_seqs, lower_bound)
     assert n_seqs < docs.count()  # actually packs, not one-doc-per-seq
+
+
+def test_packing_zero_token_docs_never_join_oversize_bins(spark):
+    """Regression: a zero/low-token doc must not slip into an oversize
+    doc's dedicated sequence (old first-fit accepted room >= 0)."""
+    rows = [(1, BUDGET * 3), (2, 0), (3, 0), (4, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, BUDGET, n_shards=1)
+    by_seq: dict[int, list] = {}
+    for r in packed.collect():
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for rows_ in by_seq.values():
+        if any(r.oversize for r in rows_):
+            assert len(rows_) == 1  # oversize sits alone
+    assert packed.count() == 4  # nothing dropped

@@ -101,3 +101,18 @@ def test_sampling_plans_are_shuffle_free(spark, sf_dir):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_null_ids_are_one_deterministic_cohort(spark):
+    """Regression: NULL ids must hash as a sentinel -- not fall through
+    to the last split in hash_split while being dropped entirely by
+    stratified_sample."""
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c"), (2, "d")], "doc_id long, x string"
+    )
+    split = hash_split(df, weights={"train": 0.5, "val": 0.5})
+    assert split.filter(F.col("split").isNull()).count() == 0
+    null_splits = {r.split for r in split.filter(F.col("doc_id").isNull()).collect()}
+    assert len(null_splits) == 1  # one cohort, one deterministic split
+    # the full-fraction sample keeps null-id rows instead of dropping them
+    assert stratified_sample(df, 1.0).count() == 4
