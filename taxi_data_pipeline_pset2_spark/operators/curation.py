@@ -1,0 +1,77 @@
+"""End-to-end corpus curation: the composed pipeline a pretraining-data
+team actually runs, built entirely from this repo's operators --
+demonstrating that the pieces compose into one lazy DataFrame program
+(single Catalyst plan per stage, no driver-side row loops anywhere).
+
+Stages (each optional, all deterministic):
+ 1. exact dedup        -- keep each content fingerprint's min-id survivor
+ 2. PII redaction      -- emails/IPs/phones scrubbed in place
+ 3. quality gate       -- composite score + repetition thresholds
+ 4. language filter    -- keep the allowed predicted languages
+ 5. split assignment   -- reshuffle-stable train/val/test hash split
+
+The output carries provenance columns (quality_score, dup_line_ratio,
+pred_lang, split) so downstream consumers can re-slice without re-running
+the gates. At 100 TB every stage is scan-shaped except the dedup
+aggregate (one shuffle on the md5 fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import exact_dedup_groups
+from taxi_data_pipeline_pset2_spark.operators.sampling import hash_split
+from taxi_data_pipeline_pset2_spark.operators.text import (
+    language_id,
+    quality_metrics,
+    redact_pii,
+    repetition_metrics,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    max_dup_line_ratio: float = 0.5,
+    allowed_langs: tuple[str, ...] | None = None,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Returns the curated corpus: one row per surviving doc with
+    ``text`` redacted and provenance columns attached."""
+    # 1. exact dedup: survivors only (min id per content fingerprint)
+    survivors = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept = docs.join(survivors, id_col)
+
+    # 2+3. per-doc signals, computed once and carried as provenance
+    quality = quality_metrics(kept, text_col, id_col).select(
+        id_col, "quality_score"
+    )
+    repetition = repetition_metrics(kept, text_col, id_col).select(
+        id_col, "dup_line_ratio"
+    )
+    lang = language_id(kept, text_col=text_col, id_col=id_col).select(
+        id_col, "pred_lang"
+    )
+    out = (
+        kept.join(quality, id_col)
+        .join(repetition, id_col)
+        .join(lang, id_col)
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("dup_line_ratio") <= max_dup_line_ratio)
+        )
+    )
+    if allowed_langs:
+        out = out.filter(F.col("pred_lang").isin(list(allowed_langs)))
+
+    # redact AFTER the gates (signals reflect the original content)
+    out = out.withColumn(text_col, redact_pii(F.col(text_col)))
+
+    # 5. stable split assignment rides along as the final column
+    return hash_split(out, id_col=id_col, weights=split_weights)

@@ -93,7 +93,11 @@ def language_id(
         lang: _score(words).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     }
-    scored = docs.select(F.col(id_col), F.col("lang").alias("lang_labeled"), *scores.values())
+    # the labeled column is optional: a production corpus has no ground
+    # truth; lang_labeled/is_match appear only when a label exists
+    has_label = "lang" in docs.columns
+    label_cols = [F.col("lang").alias("lang_labeled")] if has_label else []
+    scored = docs.select(F.col(id_col), *label_cols, *scores.values())
     langs = list(LANG_MARKERS)
     pred = None
     for i, lang in enumerate(langs):
@@ -108,9 +112,10 @@ def language_id(
             pred = pred.when(cond, branch)
         else:
             pred = pred.otherwise(branch)
-    return scored.withColumn("pred_lang", pred).withColumn(
-        "is_match", F.col("pred_lang") == F.col("lang_labeled")
-    )
+    out = scored.withColumn("pred_lang", pred)
+    if has_label:
+        out = out.withColumn("is_match", F.col("pred_lang") == F.col("lang_labeled"))
+    return out
 
 
 def fingerprint_columns(text_col: Column) -> list[Column]:

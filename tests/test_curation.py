@@ -1,0 +1,64 @@
+"""End-to-end corpus curation: the composed operator pipeline must
+dedup, gate, redact, and split in one lazy program."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.curation import curate_corpus
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant: 3 exact dups (must collapse), one PII doc (must be scrubbed),
+    # one boilerplate doc (must be gated out by dup_line_ratio)
+    base = docs.limit(3).collect()
+    extra = [
+        (1_000_000 + i, base[i].text) for i in range(3)
+    ] + [
+        (2_000_000, "the fast table row contact me at leak@example.com " * 5),
+        (2_000_001, "\n".join(["the same fast line on the table"] * 20)),
+    ]
+    corpus = docs.unionByName(spark.createDataFrame(extra, "doc_id long, text string"))
+
+    out = curate_corpus(
+        corpus, min_quality=0.2, max_dup_line_ratio=0.5,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+
+    # dedup: planted copies lose to the original min-id survivors
+    assert not (ids & {1_000_000, 1_000_001, 1_000_002})
+    assert {b.doc_id for b in base} <= ids | {b.doc_id for b in base}
+    # boilerplate doc gated by repetition
+    assert 2_000_001 not in ids
+    # PII doc survives the gates but its text is scrubbed
+    pii = [r for r in rows if r.doc_id == 2_000_000]
+    if pii:  # quality gate may drop it depending on thresholds
+        assert "leak@example.com" not in pii[0].text
+        assert "<PII>" in pii[0].text
+    assert out.filter(F.col("text").contains("@")).count() == 0
+
+    # provenance + split columns present and valid
+    assert {"quality_score", "dup_line_ratio", "pred_lang", "split"} <= set(out.columns)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # deterministic: same corpus, same result set
+    again = {
+        r.doc_id
+        for r in curate_corpus(
+            corpus.repartition(9), min_quality=0.2, max_dup_line_ratio=0.5,
+            split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    assert again == ids
+
+
+def test_curation_language_filter_without_label_column(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    langs = {
+        r.pred_lang
+        for r in curate_corpus(docs, allowed_langs=("en", "es")).collect()
+    }
+    assert langs <= {"en", "es"}
