@@ -75,6 +75,14 @@ def test_clustered_write_layout(spark, sf_smoke_dir, tmp_path):
     clustered_write(orders, path, partition_by=("o_year",), sort_by=("o_orderdate",))
     parts = [d for d in os.listdir(path) if d.startswith("o_year=")]
     assert len(parts) > 1
+    # pruned reads must stay parallel: the range-repartition spreads each
+    # partition dir over multiple files (one giant file would serialize
+    # the very scan clustering is meant to speed up)
+    files_per_part = [
+        len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+        for d in parts
+    ]
+    assert max(files_per_part) > 1, files_per_part
     back = spark.read.parquet(path)
     assert back.count() == orders.count()
     # partition pruning: a single-year predicate reads a single directory
