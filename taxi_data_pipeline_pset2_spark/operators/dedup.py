@@ -250,13 +250,25 @@ def jaccard_pairs(
     )
     if max_df is not None:
         buckets = buckets.filter(F.size("xs") <= max_df)
+    # Length filter (standard similarity-join pruning): jaccard(A,B) is
+    # at most min(|A|,|B|)/max(|A|,|B|), so pairs whose size ratio falls
+    # below the threshold can never qualify -- drop them BEFORE the
+    # counting shuffle. The 1e-6 slack keeps the filter strictly weaker
+    # than the post-rounding threshold test (round(jac, 6) could round a
+    # boundary pair up), so the emitted pair set is bit-identical to the
+    # unfiltered formulation and the oracle hash is unchanged.
+    n_a, n_b = F.col("p.a.n"), F.col("p.b.n")
+    length_ok = (n_a >= (threshold - 1e-6) * n_b) & (
+        n_b >= (threshold - 1e-6) * n_a
+    )
     inter = (
         bucket_pairs(buckets, "xs")
+        .filter(length_ok)
         .groupBy(
             F.col("p.a.i").alias("doc_a"),
             F.col("p.b.i").alias("doc_b"),
-            F.col("p.a.n").alias("n_a"),
-            F.col("p.b.n").alias("n_b"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
         )
         .agg(F.count("*").alias("n_inter"))
     )
