@@ -8,7 +8,6 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from taxi_data_pipeline_pset2_spark.sources.manifest import coverage_gaps
 from taxi_data_pipeline_pset2_spark.sources.sinks import (
@@ -16,7 +15,6 @@ from taxi_data_pipeline_pset2_spark.sources.sinks import (
     clustered_write,
     export_csv,
     month_partitioned_ingest,
-    overwrite_table,
 )
 
 

@@ -4,7 +4,6 @@ foreachBatch sink idempotency layout, stateful sessionization."""
 from __future__ import annotations
 
 import os
-import shutil
 
 import pytest
 from pyspark.sql import functions as F
