@@ -1,0 +1,86 @@
+"""SCD2 snapshot collapsing: version boundaries, half-open intervals,
+NULL-safe change detection, dbt-default deletion semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.plans.scd import scd2_from_snapshots
+
+T1, T2, T3 = (dt.datetime(2024, m, 1) for m in (1, 2, 3))
+
+
+def _snapshots(spark):
+    rows = [
+        # key 1: never changes -> one open version
+        (1, "gold", "NYC", T1), (1, "gold", "NYC", T2), (1, "gold", "NYC", T3),
+        # key 2: segment changes at T2 -> two versions
+        (2, "silver", "BOS", T1), (2, "gold", "BOS", T2), (2, "gold", "BOS", T3),
+        # key 3: appears at T2 (late arrival)
+        (3, "bronze", "SFO", T2), (3, "bronze", "SFO", T3),
+        # key 4: NULL -> value at T3 is a change; NULL == NULL is not
+        (4, None, "LAX", T1), (4, None, "LAX", T2), (4, "silver", "LAX", T3),
+        # key 5: present only at T1 (deleted upstream) -> stays open
+        (5, "gold", "CHI", T1),
+    ]
+    return spark.createDataFrame(
+        rows, "cust_id long, segment string, city string, snapshot_ts timestamp"
+    )
+
+
+def test_scd2_versions_and_intervals(spark):
+    out = scd2_from_snapshots(
+        _snapshots(spark), key_cols=["cust_id"], attr_cols=["segment", "city"]
+    )
+    rows = {(r.cust_id, r.effective_from): r for r in out.collect()}
+    assert out.count() == 7  # 1 + 2 + 1 + 2 + 1 versions
+
+    assert rows[(1, T1)].is_current and rows[(1, T1)].effective_to is None
+
+    v1, v2 = rows[(2, T1)], rows[(2, T2)]
+    assert v1.segment == "silver" and v1.effective_to == T2 and not v1.is_current
+    assert v2.segment == "gold" and v2.effective_to is None and v2.is_current
+
+    assert rows[(3, T2)].effective_from == T2 and rows[(3, T2)].is_current
+
+    n1, n2 = rows[(4, T1)], rows[(4, T3)]
+    assert n1.segment is None and n1.effective_to == T3  # NULL==NULL: no split at T2
+    assert n2.segment == "silver" and n2.is_current
+
+    assert rows[(5, T1)].is_current  # dbt-default: deletion keeps it open
+
+    # half-open intervals: per key, effective_from strictly increasing and
+    # each effective_to equals the next effective_from
+    for key in (1, 2, 3, 4, 5):
+        vs = sorted(
+            (r for (k, _), r in rows.items() if k == key),
+            key=lambda r: r.effective_from,
+        )
+        for a, b in zip(vs, vs[1:]):
+            assert a.effective_to == b.effective_from
+        assert vs[-1].effective_to is None
+
+
+def test_scd2_supports_asof_fact_join(spark):
+    """The history table must answer 'which version was in effect at
+    event time' via the repo's as-of join."""
+    from taxi_data_pipeline_pset2_spark.operators.asof import asof_join
+
+    dim = scd2_from_snapshots(
+        _snapshots(spark), key_cols=["cust_id"], attr_cols=["segment", "city"]
+    )
+    facts = spark.createDataFrame(
+        [(100, 2, dt.datetime(2024, 1, 15)), (101, 2, dt.datetime(2024, 2, 15))],
+        "event_id long, cust_id long, ts timestamp",
+    )
+    joined = asof_join(
+        facts,
+        dim.select("cust_id", F.col("effective_from").alias("ts"), "segment"),
+        on="cust_id",
+        left_ts="ts",
+        right_ts="ts",
+    )
+    got = {r.event_id: r.segment_asof for r in joined.collect()}
+    assert got == {100: "silver", 101: "gold"}
