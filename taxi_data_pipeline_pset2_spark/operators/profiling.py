@@ -1,0 +1,94 @@
+"""Data observability: table profiling and schema-drift detection.
+
+``profile_table`` is the ANALYZE TABLE / dbt-docs surface: one
+aggregate pass computes per-column null fraction, approximate distinct
+count, and min/max. Everything is a single Spark job (one wide agg row,
+transposed driver-side into a column-per-row frame) -- at 100 TB the
+profile costs one scan, never per-column jobs.
+
+``schema_drift`` guards the ingest boundary: compare the expected
+schema against what a parquet path actually carries BEFORE reading data
+through it -- the reference's loader discovers drift by crashing
+mid-load (new TLC columns appear yearly); here it is a zero-row
+metadata check with a structured report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StructType
+
+
+def profile_table(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
+    """Per-column profile: (column, dtype, n_rows, n_nulls, null_frac,
+    approx_distinct, min_value, max_value) -- min/max as strings so one
+    frame covers every column type. ONE aggregate job for the whole
+    table."""
+    spark = df.sparkSession
+    cols = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for f in cols:
+        c = F.col(f.name)
+        aggs += [
+            F.count(F.when(c.isNull(), 1)).alias(f"{f.name}__nulls"),
+            F.approx_count_distinct(f.name, rsd=approx_rsd).alias(f"{f.name}__ndv"),
+            F.min(c).cast("string").alias(f"{f.name}__min"),
+            F.max(c).cast("string").alias(f"{f.name}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = row["_n"]
+    out = [
+        Row(
+            column=f.name,
+            dtype=f.dataType.simpleString(),
+            n_rows=n,
+            n_nulls=row[f"{f.name}__nulls"],
+            null_frac=round(row[f"{f.name}__nulls"] / n, 6) if n else 0.0,
+            approx_distinct=row[f"{f.name}__ndv"],
+            min_value=row[f"{f.name}__min"],
+            max_value=row[f"{f.name}__max"],
+        )
+        for f in cols
+    ]
+    return spark.createDataFrame(out)
+
+
+@dataclass(frozen=True)
+class SchemaDrift:
+    missing: tuple[str, ...]  # expected but absent in the files
+    added: tuple[str, ...]  # present in the files, not expected
+    type_changed: tuple[tuple[str, str, str], ...]  # (col, expected, actual)
+
+    @property
+    def clean(self) -> bool:
+        return not (self.missing or self.added or self.type_changed)
+
+    @property
+    def breaking(self) -> bool:
+        """Added columns are additive (ignorable); missing or retyped
+        columns break typed readers."""
+        return bool(self.missing or self.type_changed)
+
+
+def schema_drift(
+    spark: SparkSession, expected: StructType, path: str
+) -> SchemaDrift:
+    """Footer-only drift check: no data rows are read."""
+    actual = spark.read.parquet(path).schema
+    exp = {f.name: f.dataType for f in expected.fields}
+    act = {f.name: f.dataType for f in actual.fields}
+    missing = tuple(sorted(set(exp) - set(act)))
+    added = tuple(sorted(set(act) - set(exp)))
+    type_changed = tuple(
+        (name, exp[name].simpleString(), act[name].simpleString())
+        for name in sorted(set(exp) & set(act))
+        if exp[name] != act[name]
+        # numeric widenings the coercing reader (F14) absorbs are not drift
+        and not (
+            isinstance(exp[name], NumericType) and isinstance(act[name], NumericType)
+        )
+    )
+    return SchemaDrift(missing, added, type_changed)

@@ -1,0 +1,97 @@
+"""Table profiling (one-job per-column stats) and schema-drift
+detection at the ingest boundary."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from taxi_data_pipeline_pset2_spark.operators.profiling import (
+    profile_table,
+    schema_drift,
+)
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+
+def test_profile_table_matches_duckdb_exact_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    prof = {r.column: r for r in profile_table(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    n, n_langs, min_c, max_c = con.execute(
+        "SELECT count(*), count(DISTINCT lang), min(n_chars), max(n_chars) FROM documents"
+    ).fetchone()
+    assert prof["doc_id"].n_rows == n and prof["doc_id"].n_nulls == 0
+    assert prof["n_chars"].min_value == str(min_c)
+    assert prof["n_chars"].max_value == str(max_c)
+    # HLL at rsd=0.05 on a handful of languages is exact
+    assert prof["lang"].approx_distinct == n_langs
+    assert set(prof) == {"doc_id", "lang", "n_chars"}
+
+
+def test_profile_table_null_fractions(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, s string"
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["s"].n_nulls == 2 and prof["s"].null_frac == 0.5
+    assert prof["id"].null_frac == 0.0
+
+
+def test_schema_drift_classification(spark, tmp_path):
+    path = str(tmp_path / "drifted")
+    spark.createDataFrame(
+        [(1, "x", 2.5)], "id long, renamed string, value double"
+    ).write.parquet(path)
+    expected = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("legacy_col", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    drift = schema_drift(spark, expected, path)
+    assert drift.missing == ("legacy_col",)
+    assert drift.added == ("renamed",)
+    assert drift.type_changed == ()
+    assert drift.breaking and not drift.clean
+
+    # identical schema -> clean; numeric widening -> absorbed, not drift
+    clean = schema_drift(
+        spark,
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("renamed", StringType()),
+                StructField("value", LongType()),  # numeric vs double: absorbed
+            ]
+        ),
+        path,
+    )
+    assert clean.clean
+
+    # type change string -> double IS breaking
+    retyped = schema_drift(
+        spark,
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("renamed", DoubleType()),
+                StructField("value", DoubleType()),
+            ]
+        ),
+        path,
+    )
+    assert retyped.type_changed == (("renamed", "double", "string"),)
+    assert retyped.breaking
