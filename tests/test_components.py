@@ -1,0 +1,84 @@
+"""Connected-components / cluster-resolution tests: ground truth is a
+pure-Python union-find, exercised on adversarial topologies (long
+chains, rings, stars, many islands) and random graphs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.components import (
+    connected_components,
+    resolve_duplicate_clusters,
+)
+from taxi_data_pipeline_pset2_spark.operators.dedup import jaccard_pairs
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    return {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+
+def test_components_on_adversarial_topologies(spark):
+    chain = [(i, i + 1) for i in range(100, 200)]  # diameter 100
+    ring = [(i, i + 1) for i in range(300, 320)] + [(320, 300)]
+    star = [(400, v) for v in range(401, 430)]
+    islands = [(1000 + 2 * i, 1001 + 2 * i) for i in range(50)]
+    edges = chain + ring + star + islands
+    got = _spark_components(spark, edges)
+    assert got == _union_find(edges)
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 200
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _spark_components(spark, edges)
+        assert got == _union_find(edges), f"trial {trial}"
+
+
+def test_components_empty_and_single_edge(spark):
+    assert _spark_components(spark, [(7, 3)]) == {7: 3, 3: 3}
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_resolve_keeps_one_doc_per_cluster(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    kept = resolve_duplicate_clusters(docs, pairs)
+    comp = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert comp, "fixture should contain near-dup clusters"
+    survivors = set(comp.values())
+    losers = {n for n, c in comp.items() if n != c}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - losers
+    assert survivors <= kept_ids
