@@ -1,0 +1,106 @@
+"""Benchmark decontamination: flag / drop training docs that overlap an
+evaluation set (SURVEY.md 2b extension surface). Not present in the
+reference (batch BI pipeline); standard practice before pretraining --
+the GPT-3 appendix-C method (13-gram collision removal) and its
+fraction-of-ngrams variants.
+
+Mechanics: shingle both corpora into k-token n-grams (reusing the dedup
+pipeline's single-evaluation shingle kernel), hash each shingle to the
+repo's engine-portable 64-bit id, and count per-train-doc collisions
+against the distinct benchmark shingle set.
+
+100 TB notes: the training side is scan-shaped (project + explode, no
+shuffle before the per-doc aggregate); the benchmark side is eval-sized
+(thousands of docs -> at most a few million distinct shingle hashes), so
+the collision join broadcasts by default and the big side never
+shuffles for it. With ``broadcast_bench=False`` it degrades to a plain
+hash join on the 8-byte shingle hash for pathologically large benchmark
+suites. No UDFs anywhere; everything stays in whole-stage codegen
+except the interpreted shingle zip (shared with dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import (
+    doc_shingles,
+    stable_hash64,
+)
+
+
+def contamination_scores(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-train-doc overlap with the benchmark shingle set.
+
+    Returns (id_col, n_shingles, n_contaminated, contamination_frac),
+    one row per train doc that has at least one k-shingle (docs shorter
+    than k tokens have no shingles, hence no row -- callers treat
+    absence as clean). ``contamination_frac`` is the fraction of the
+    doc's DISTINCT k-grams that appear anywhere in the benchmark.
+    """
+    # doc_shingles arrays are array_distinct'd, so (id, shingle) rows
+    # are already unique -- count(*) below is a distinct-shingle count.
+    train_sh = doc_shingles(train, text_col, id_col, k).select(
+        F.col(id_col), stable_hash64(F.col("shingle")).alias("h")
+    )
+    bench_sh = (
+        doc_shingles(bench, bench_text_col, id_col, k)
+        .select(stable_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    hits = train_sh.join(bench_sh, "h").groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated")
+    )
+    totals = train_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 13,
+    max_frac: float | None = None,
+    min_hits: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Drop contaminated train docs; returns the surviving rows intact.
+
+    Default policy is GPT-3-style any-collision removal at k=13
+    (``min_hits=1`` when neither knob is given). Pass ``max_frac`` for
+    the softer fraction-of-ngrams policy (drop when contamination_frac
+    >= max_frac); when both are given a doc is dropped if EITHER trips.
+    Docs with no k-shingle (shorter than k tokens) always survive.
+    """
+    if max_frac is None and min_hits is None:
+        min_hits = 1
+    scores = contamination_scores(
+        train, bench, k, text_col, id_col, bench_text_col, broadcast_bench
+    )
+    dirty = F.lit(False)
+    if min_hits is not None:
+        dirty = dirty | (F.col("n_contaminated") >= F.lit(min_hits))
+    if max_frac is not None:
+        dirty = dirty | (F.col("contamination_frac") >= F.lit(max_frac))
+    drop_ids = scores.filter(dirty).select(id_col)
+    return train.join(drop_ids, id_col, "left_anti")
