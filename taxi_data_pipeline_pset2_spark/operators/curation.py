@@ -5,6 +5,11 @@ demonstrating that the pieces compose into one lazy DataFrame program
 
 Stages (each optional, all deterministic):
  1. exact dedup        -- keep each content fingerprint's min-id survivor
+ 1b. near-dup resolve  -- caller-supplied candidate pairs (jaccard /
+     minhash / embedding) collapsed to one min-id survivor per
+     connected component
+ 1c. decontamination   -- drop docs colliding with a benchmark/eval set
+     (GPT-3-style k-gram collision)
  2. PII redaction      -- emails/IPs/phones scrubbed in place
  3. quality gate       -- composite score + repetition thresholds
  4. language filter    -- keep the allowed predicted languages
@@ -21,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from taxi_data_pipeline_pset2_spark.operators.components import (
+    resolve_duplicate_clusters,
+)
+from taxi_data_pipeline_pset2_spark.operators.decontamination import decontaminate
 from taxi_data_pipeline_pset2_spark.operators.dedup import exact_dedup_groups
 from taxi_data_pipeline_pset2_spark.operators.sampling import hash_split
 from taxi_data_pipeline_pset2_spark.operators.text import (
@@ -39,14 +48,37 @@ def curate_corpus(
     max_dup_line_ratio: float = 0.5,
     allowed_langs: tuple[str, ...] | None = None,
     split_weights: dict[str, float] | None = None,
+    near_dup_pairs: DataFrame | None = None,
+    benchmarks: DataFrame | None = None,
+    decontam_k: int = 13,
 ) -> DataFrame:
     """Returns the curated corpus: one row per surviving doc with
-    ``text`` redacted and provenance columns attached."""
+    ``text`` redacted and provenance columns attached.
+
+    ``near_dup_pairs``: optional (doc_a, doc_b) candidate pairs from any
+    generator (`jaccard_pairs`, `minhash_candidate_pairs`, embedding
+    LSH); clusters collapse to their min-id member. Pairs computed on
+    the pre-dedup corpus are safe: a cluster's global min id is also the
+    min of its own exact-fingerprint group, so it survives stage 1.
+
+    ``benchmarks``: optional eval-set docs (same text column name); any
+    train doc sharing a ``decontam_k``-gram with them is dropped.
+    """
     # 1. exact dedup: survivors only (min id per content fingerprint)
     survivors = exact_dedup_groups(docs, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
     kept = docs.join(survivors, id_col)
+
+    # 1b. near-dup cluster resolution over caller-chosen candidate pairs
+    if near_dup_pairs is not None:
+        kept = resolve_duplicate_clusters(kept, near_dup_pairs, id_col)
+
+    # 1c. benchmark decontamination (any-collision policy)
+    if benchmarks is not None:
+        kept = decontaminate(
+            kept, benchmarks, k=decontam_k, text_col=text_col, id_col=id_col
+        )
 
     # 2+3. per-doc signals, computed once and carried as provenance
     quality = quality_metrics(kept, text_col, id_col).select(

@@ -62,3 +62,31 @@ def test_curation_language_filter_without_label_column(spark, sf_dir):
         for r in curate_corpus(docs, allowed_langs=("en", "es")).collect()
     }
     assert langs <= {"en", "es"}
+
+
+def test_curation_near_dup_and_decontamination_stages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from taxi_data_pipeline_pset2_spark.operators.components import (
+        connected_components,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    cluster_losers = {
+        r.node
+        for r in connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .collect()
+    }
+    assert cluster_losers, "fixture should contain near-dup clusters"
+
+    bench = docs.orderBy("doc_id").limit(5)
+    out = curate_corpus(
+        docs, min_quality=0.0, max_dup_line_ratio=1.0,
+        near_dup_pairs=pairs, benchmarks=bench, decontam_k=8,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    # near-dup cluster members (non-min) are gone
+    assert ids.isdisjoint(cluster_losers)
+    # benchmark members themselves collide fully -> gone
+    assert ids.isdisjoint({r.doc_id for r in bench.collect()})
