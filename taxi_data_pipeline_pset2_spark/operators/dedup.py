@@ -330,20 +330,15 @@ def minhash_band_signatures(
     )
 
 
-def minhash_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
-) -> DataFrame:
-    """LSH candidate pairs: docs colliding on >=1 band signature.
-    Returns (doc_a, doc_b, n_shared_bands). The join key (band, band_sig)
-    is the bucket -- at scale only same-bucket docs meet, never the full
-    cross product."""
-    sigs = minhash_band_signatures(docs, text_col, id_col, k)
-    # Same single-evaluation bucket pairing as jaccard_pairs: a self-join
-    # would re-run the whole shingle->hash->minima pipeline for both
-    # sides; collecting each band bucket's sorted posting list runs it
-    # once, and bucket_pairs chunks degenerate buckets (e.g. a corpus of
-    # near-identical docs all landing on one band signature) so no single
-    # row ever holds an O(b^2) pair array.
+def band_collision_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) from a (id, band, band_sig) frame.
+
+    Same single-evaluation bucket pairing as jaccard_pairs: a self-join
+    would re-run the whole shingle->hash->minima pipeline for both
+    sides; collecting each band bucket's sorted posting list runs it
+    once, and bucket_pairs chunks degenerate buckets (e.g. a corpus of
+    near-identical docs all landing on one band signature) so no single
+    row ever holds an O(b^2) pair array."""
     buckets = (
         sigs.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -354,6 +349,17 @@ def minhash_candidate_pairs(
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: docs colliding on >=1 band signature.
+    Returns (doc_a, doc_b, n_shared_bands). The join key (band, band_sig)
+    is the bucket -- at scale only same-bucket docs meet, never the full
+    cross product."""
+    sigs = minhash_band_signatures(docs, text_col, id_col, k)
+    return band_collision_pairs(sigs, id_col)
 
 
 def simhash_fingerprints(

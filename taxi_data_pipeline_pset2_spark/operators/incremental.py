@@ -1,0 +1,142 @@
+"""Incremental near-dup detection: screen a new ingest batch against a
+persisted corpus SIGNATURE INDEX, never against the corpus itself
+(SURVEY.md 2b extension surface; the reference's monthly-ingest loop,
+`loader_yellow_green.py:38`, re-expressed for a dedup pipeline).
+
+The batch-mode dedup family (`operators/dedup.py`) pairs a corpus
+against itself -- the right shape for a one-shot clean, the wrong shape
+for a pipeline that ingests daily into a 100 TB corpus: re-pairing
+all of history per batch is O(corpus) work for O(batch) new data.
+The incremental contract:
+
+- The index is the (doc_id, band, band_sig) frame produced by
+  ``minhash_band_signatures`` -- LSH_BANDS small rows per document,
+  append-only, engine-portable (plain parquet; reproducible bit-for-bit
+  from the text, so it can always be rebuilt).
+- Per batch: signatures are computed for the NEW docs only, then
+  matched against the index with one equi-join on (band, band_sig).
+  The batch side is broadcast, so the corpus-sized index is scanned
+  exactly once with NO shuffle -- per-batch cost is O(batch) + one
+  index scan, independent of how many batches came before. (If the
+  index table is bucketed by band_sig via ``sinks.bucketed_write``,
+  even that scan prunes.)
+- Within-batch dups resolve via the same band-collision pairing +
+  connected components as batch mode; survivors' signatures are
+  appended to the index for the next batch.
+
+A doc whose id already exists in the index is NOT matched against its
+own signatures (re-ingest of batch N must be a no-op, not a
+self-dedup); it IS still matched against other docs' signatures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.components import (
+    resolve_duplicate_clusters,
+)
+from taxi_data_pipeline_pset2_spark.operators.dedup import (
+    band_collision_pairs,
+    minhash_band_signatures,
+)
+
+
+@dataclass(frozen=True)
+class IncrementalDedupResult:
+    """Outputs of one ingest batch.
+
+    survivors: new docs kept (no corpus match; one winner per
+        within-batch near-dup cluster).
+    matches: (doc_id, corpus_id, n_shared_bands) -- every new doc that
+        collided with an indexed doc, for audit / lineage.
+    index: the input index plus the survivors' signatures; persist this
+        (e.g. ``sinks.atomic_overwrite`` or an append) for the next
+        batch.
+    """
+
+    survivors: DataFrame
+    matches: DataFrame
+    index: DataFrame
+
+
+def match_against_index(
+    sigs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """(doc_id, corpus_id, n_shared_bands) for batch signatures that
+    collide with the index on >= ``min_shared_bands`` band buckets.
+
+    The batch side is explicitly broadcast: the index is the 100 TB-side
+    relation and must not shuffle. The post-join aggregate runs over
+    collision rows only (dup-sized, not corpus-sized)."""
+    corpus = index.select(
+        F.col(id_col).alias("corpus_id"), "band", "band_sig"
+    )
+    hits = corpus.join(
+        F.broadcast(sigs), on=["band", "band_sig"], how="inner"
+    ).filter(F.col("corpus_id") != F.col(id_col))
+    return (
+        hits.groupBy(id_col, "corpus_id")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared_bands: int = 1,
+) -> IncrementalDedupResult:
+    """Screen ``new_docs`` against ``index``, dedup the batch
+    internally, and emit the grown index.
+
+    Corpus-matched docs are removed first; within-batch clusters are
+    then resolved among the remainder only (a pair whose other endpoint
+    already fell to a corpus match must not eliminate a clean doc --
+    the cluster's duplicate-of-corpus evidence applies to the matched
+    endpoint, not transitively).
+    """
+    # The signature pipeline feeds three consumers (corpus match,
+    # within-batch pairing, index append); localCheckpoint materializes
+    # it once instead of re-running shingle->hash->minima three times.
+    # Batch-sized, so executor storage is fine.
+    sigs = minhash_band_signatures(
+        new_docs, text_col=text_col, id_col=id_col, k=k
+    ).localCheckpoint(eager=False)
+
+    matches = match_against_index(sigs, index, id_col, min_shared_bands)
+    corpus_dups = matches.select(id_col).distinct()
+
+    clean = new_docs.join(corpus_dups, id_col, "left_anti")
+    within = (
+        band_collision_pairs(sigs, id_col)
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+        # dup-sized side, broadcast anti-joins: drop pairs whose endpoint
+        # already fell to a corpus match, per the contract above
+        .join(
+            F.broadcast(corpus_dups.withColumnRenamed(id_col, "doc_a")),
+            "doc_a",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(corpus_dups.withColumnRenamed(id_col, "doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+    )
+    survivors = resolve_duplicate_clusters(clean, within, id_col=id_col)
+
+    keep_ids = survivors.select(id_col)
+    grown = index.unionByName(
+        sigs.join(F.broadcast(keep_ids), id_col, "left_semi")
+    )
+    return IncrementalDedupResult(survivors=survivors, matches=matches, index=grown)

@@ -1,0 +1,118 @@
+"""Incremental dedup: batch-vs-index matching agrees with batch-mode
+LSH on the union, re-ingest is idempotent, the index grows by exactly
+the survivors, and the corpus-sized side never shuffles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import (
+    LSH_BANDS,
+    minhash_band_signatures,
+    minhash_candidate_pairs,
+)
+from taxi_data_pipeline_pset2_spark.operators.incremental import (
+    incremental_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "pack my box with five dozen liquor jugs says the old shipping manifest"),
+    (3, "sphinx of black quartz judge my vow said the museum curator at dawn"),
+]
+
+
+def test_matches_agree_with_batch_mode_on_union(spark):
+    batch = [
+        # near-dup of corpus doc 1 (one token changed)
+        (10, "the quick brown fox jumps over the lazy cat near the river bank"),
+        # fresh
+        (11, "completely unrelated text about spark shuffle partitions and codegen"),
+    ]
+    corpus = _docs(spark, BASE)
+    index = minhash_band_signatures(corpus)
+    res = incremental_dedup(_docs(spark, batch), index)
+
+    got = {
+        (r.doc_id, r.corpus_id, r.n_shared_bands) for r in res.matches.collect()
+    }
+    # ground truth: batch-mode candidate pairs on the union, restricted
+    # to cross (corpus, batch) pairs -- incremental must find exactly
+    # these, with identical shared-band counts
+    full = minhash_candidate_pairs(_docs(spark, BASE + batch))
+    want = {
+        (b, a, n)
+        for a, b, n in (
+            (r.doc_a, r.doc_b, r.n_shared_bands) for r in full.collect()
+        )
+        if a <= 3 < b
+    }
+    assert got == want
+    assert {r.doc_id for r in res.matches.collect()} == {10}
+    assert {r.doc_id for r in res.survivors.collect()} == {11}
+
+
+def test_within_batch_cluster_resolved_and_index_grows(spark):
+    batch = [
+        (20, "colorless green ideas sleep furiously in the abandoned data center"),
+        (21, "colorless green ideas sleep furiously in the abandoned data centre"),
+        (22, "an entirely different document about watermarks and late arriving events"),
+    ]
+    corpus = _docs(spark, BASE)
+    index = minhash_band_signatures(corpus)
+    res = incremental_dedup(_docs(spark, batch), index)
+
+    kept = {r.doc_id for r in res.survivors.collect()}
+    assert kept == {20, 22}  # min-id survivor of the 20/21 cluster
+    # index gained exactly LSH_BANDS rows per survivor
+    assert res.index.count() == index.count() + len(kept) * LSH_BANDS
+    assert {r.doc_id for r in res.index.select("doc_id").distinct().collect()} == {
+        1, 2, 3, 20, 22,
+    }
+
+
+def test_reingest_is_idempotent(spark):
+    corpus = _docs(spark, BASE)
+    index = minhash_band_signatures(corpus)
+    res = incremental_dedup(corpus, index)
+    # every doc self-collides on all bands, but self-matches are
+    # excluded: nothing is flagged, everything survives
+    assert res.matches.count() == 0
+    assert {r.doc_id for r in res.survivors.collect()} == {1, 2, 3}
+    # same content under a NEW id is a dup
+    renamed = _docs(spark, [(100, BASE[0][1])])
+    res2 = incremental_dedup(renamed, index)
+    assert {(r.doc_id, r.corpus_id) for r in res2.matches.collect()} == {(100, 1)}
+    assert res2.survivors.count() == 0
+
+
+def test_corpus_matched_endpoint_does_not_eliminate_clean_doc(spark):
+    # 30 duplicates corpus doc 1; 31 near-dups 30 but NOT doc 1 enough
+    # to collide with the corpus itself. 30 falls to the corpus match;
+    # 31 must survive -- the 30-31 pair may not elect 30 and kill 31.
+    batch = [
+        (30, BASE[0][1]),
+        (31, BASE[0][1] + " with three extra trailing tokens appended here"),
+    ]
+    corpus = _docs(spark, BASE)
+    index = minhash_band_signatures(corpus)
+    res = incremental_dedup(_docs(spark, batch), index)
+    matched = {r.doc_id for r in res.matches.collect()}
+    kept = {r.doc_id for r in res.survivors.collect()}
+    assert 30 in matched
+    assert kept == {30, 31} - matched
+
+
+def test_index_side_is_not_shuffled(spark):
+    corpus = _docs(spark, BASE)
+    index = minhash_band_signatures(corpus)
+    res = incremental_dedup(_docs(spark, [(40, "some new text here entirely")]), index)
+    plan = res.matches._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
