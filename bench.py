@@ -143,21 +143,34 @@ def run() -> dict:
 
     entries = sorted(entries_tagged("bench"), key=lambda e: e.name)
     # Warm-up: JVM/codegen/file-listing costs land here, not in timings.
-    entries[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        entries[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
+    # Per-query fault isolation: one broken query must degrade to one
+    # "errors" entry, never zero the whole benchmark (r3 lesson: a driver
+    # testdata schema change took out the entire BENCH via one reader).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for e in entries:
         best = float("inf")
-        for _ in range(3):  # best-of-3: ambient load added ~1.4x uniform
-            t0 = time.perf_counter()  # noise to the r2 best-of-2 numbers
-            e.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[e.name] = round(best, 4)
+        try:
+            for _ in range(3):  # best-of-3: ambient load added ~1.4x uniform
+                t0 = time.perf_counter()  # noise to the r2 best-of-2 numbers
+                e.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[e.name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 - report, keep benching
+            errors[e.name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    cl = clustering_demo(spark, sf_dir)
+    try:
+        cl = clustering_demo(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        cl = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    return {
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -165,6 +178,9 @@ def run() -> dict:
         "clustering": cl,
         "sf": float(m.group(1)) if m else None,
     }
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 if __name__ == "__main__":

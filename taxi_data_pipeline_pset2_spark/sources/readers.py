@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TESTDATA_TABLES = (
     "region",
@@ -45,12 +46,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _enable_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects. Read nanos as long (legacy conf) and floor-divide
-        # to microseconds with integer `div` -- float division would lose
-        # precision above 2^53 and round the microsecond differently than
-        # DuckDB's own ns->us truncation.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts has shipped as TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects -- the nanosAsLong conf surfaces it as
+        # a long) and as TIMESTAMP(MICROS) without UTC adjustment (which
+        # Spark 4 infers as TIMESTAMP_NTZ). Normalize both to session-UTC
+        # TIMESTAMP so downstream hour()/window()/unix_micros() semantics
+        # are identical either way. Integer `div` for the ns path: float
+        # division would lose precision above 2^53 and round the
+        # microsecond differently than DuckDB's own ns->us truncation.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

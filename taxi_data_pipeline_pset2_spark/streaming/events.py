@@ -14,9 +14,12 @@ module adds the streaming surface a continuous ingest would need:
   exactly-once-ish equivalent of the reference's transactional
   executemany exporter (``.../exporter_taxi.py/1759109036:178-233``)
 
-The events parquet carries TIMESTAMP(NANOS); like the batch reader
-(sources/readers.py) the stream reads nanos as long and converts with
-integer division.
+The events parquet has shipped both as TIMESTAMP(NANOS) (read nanos-as-
+long and integer-divide, like the batch reader in sources/readers.py) and
+as TIMESTAMP(MICROS) without UTC adjustment (Spark 4 infers
+TIMESTAMP_NTZ); ``read_events_stream`` probes one file's footer and
+declares the matching stream schema, normalizing ``ts`` to session-UTC
+TIMESTAMP either way.
 """
 
 from __future__ import annotations
@@ -37,16 +40,20 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (see module doc)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),  # nanos-as-long OR timestamp_ntz
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_raw_schema(LongType())
 
 SESSION_SCHEMA = StructType(
     [
@@ -59,15 +66,27 @@ SESSION_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
+    """File-source stream over a directory of events parquet files.
+
+    Streams need an explicit schema up front, so probe one already-staged
+    file with a batch read (footer only) to learn which ``ts`` physical
+    type this directory carries; fall back to the nanos-as-long layout if
+    the directory is still empty."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type: object = LongType()
+    try:
+        ts_type = spark.read.parquet(events_dir).schema["ts"].dataType
+    except Exception:  # noqa: BLE001 - empty dir: keep the legacy default
+        pass
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
 
 
 def hourly_event_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
