@@ -1,0 +1,121 @@
+"""Unigram language-model scoring (CCNet-style perplexity proxy).
+
+A standard pretraining-corpus quality gate (Wenzek et al., "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data",
+LREC 2020) scores documents by per-token log-probability under a
+reference LM and drops the worst tail. The full KenLM 5-gram model needs
+an external library; the unigram version is the dependency-light,
+SQL-expressible member of the same family and is what this engine ships:
+fit add-one-smoothed unigram probabilities on a reference corpus, score
+each document by mean token log-prob.
+
+Determinism contract (same device as operators/similarity.py): per-term
+log-probs are rounded once to integer millionths (bigint), so the per-doc
+sum is an associative integer sum -- identical under any partitioning and
+identical to the DuckDB oracle twin -- and the mean is a single double
+division at the end.
+
+100 TB plan shape:
+- model fit: one corpus scan -> explode(tokens) -> hash aggregate on the
+  term (map-side partial combine does the heavy lifting); the model is
+  vocabulary-sized, not corpus-sized.
+- scoring: explode(tokens) -> join the model on the term -> hash
+  aggregate on doc_id. The model join is left to AQE: a web-scale
+  vocabulary (~10^7 terms) sits at the broadcast boundary, and AQE's
+  runtime size check picks broadcast vs shuffle better than a static
+  hint would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
+
+LOGP_SCALE = 1_000_000
+
+
+def unigram_model(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, int, int]:
+    """Fit an add-one-smoothed unigram model on ``docs``.
+
+    Returns ``(model, total_tokens, vocab_size)`` where ``model`` is
+    (term, n, logp_m): term count and ln((n+1)/(total+vocab)) in integer
+    millionths. The two scalars come from one aggregate over the
+    vocabulary-sized count table, not a second corpus scan.
+    """
+    counts = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total, vocab = counts.agg(
+        F.sum("n").cast("bigint"), F.count("*").cast("bigint")
+    ).first()
+    denom = float(total + vocab)
+    model = counts.select(
+        "term",
+        "n",
+        F.round(F.log((F.col("n") + 1).cast("double") / F.lit(denom)) * LOGP_SCALE)
+        .cast("bigint")
+        .alias("logp_m"),
+    )
+    return model, int(total), int(vocab)
+
+
+def doc_logprob(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean token log-probability under the unigram model
+    fit on ``model_docs`` (default: ``docs`` itself -- the self-scored
+    corpus-hygiene pass).
+
+    Returns (id, n_tokens, mean_logprob, ppl_proxy): ppl_proxy =
+    exp(-mean_logprob) is the unigram perplexity, the number CCNet
+    thresholds on. Out-of-vocabulary terms take the smoothed floor
+    ln(1/(total+vocab)) -- a no-op when the model is fit on ``docs``.
+    """
+    model, total, vocab = unigram_model(
+        model_docs if model_docs is not None else docs, text_col
+    )
+    import math
+
+    floor_m = round(math.log(1.0 / (total + vocab)) * LOGP_SCALE)
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    per_doc = (
+        toks.join(model.select("term", "logp_m"), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("logp_m", F.lit(floor_m))).alias("_sum_logp_m"),
+        )
+    )
+    mean = F.col("_sum_logp_m").cast("double") / LOGP_SCALE / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(mean, 6).alias("mean_logprob"),
+        F.round(F.exp(-F.round(mean, 6)), 4).alias("ppl_proxy"),
+    )
+
+
+def logprob_filter(
+    docs: DataFrame,
+    max_ppl: float,
+    model_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents whose unigram perplexity proxy exceeds ``max_ppl``
+    (the CCNet tail cut). Join-shaped: docs survive by anti-joining the
+    over-threshold id set, so the corpus-sized side streams once."""
+    scored = doc_logprob(docs, model_docs, text_col, id_col)
+    bad = scored.filter(F.col("ppl_proxy") > max_ppl).select(id_col)
+    return docs.join(bad, id_col, "left_anti")

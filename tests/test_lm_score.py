@@ -1,0 +1,100 @@
+"""Unigram LM scoring: exact DuckDB twin (the determinism contract),
+monotonic intuition checks, and the CCNet-style tail filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.lm_score import (
+    doc_logprob,
+    logprob_filter,
+    unigram_model,
+)
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+from .oracle_utils import compare_frames, duckdb_connection
+
+DOC_LOGPROB_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents),
+counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM counts),
+model AS (
+    SELECT term,
+           CAST(round(ln((n + 1.0) / (total + vocab)) * 1000000) AS BIGINT)
+               AS logp_m
+    FROM counts, tot),
+scored AS (
+    SELECT t.doc_id, m.logp_m
+    FROM toks t JOIN model m USING (term))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(sum(logp_m) / 1000000.0 / count(*), 6) AS mean_logprob,
+       round(exp(-round(sum(logp_m) / 1000000.0 / count(*), 6)), 4) AS ppl_proxy
+FROM scored GROUP BY doc_id
+"""
+
+
+def test_doc_logprob_matches_duckdb_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = doc_logprob(docs).toPandas()
+    con = duckdb_connection(sf_dir)
+    want = con.execute(DOC_LOGPROB_ORACLE).df()
+    assert compare_frames(got, want) == []
+
+
+def test_model_probabilities_sum_below_one(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    model, total, vocab = unigram_model(docs)
+    assert total > 0 and vocab > 0
+    # add-one smoothing: seen-term mass = (sum n + vocab)/(total + vocab) = 1,
+    # so sum over the model of (n+1) must equal total + vocab exactly
+    s = model.agg(F.sum(F.col("n") + 1)).first()[0]
+    assert s == total + vocab
+
+
+def test_common_token_doc_scores_higher_than_rare(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # build two synthetic docs from the corpus's own most/least frequent
+    # terms; score them against the corpus model
+    model, _, _ = unigram_model(docs)
+    common = [r.term for r in model.orderBy(F.desc("n"), "term").limit(5).collect()]
+    rare = [r.term for r in model.orderBy(F.asc("n"), "term").limit(5).collect()]
+    probe = docs.sparkSession.createDataFrame(
+        [(9_000_001, " ".join(common)), (9_000_002, " ".join(rare))],
+        "doc_id long, text string",
+    )
+    scored = {
+        r.doc_id: r.mean_logprob
+        for r in doc_logprob(probe, model_docs=docs).collect()
+    }
+    assert scored[9_000_001] > scored[9_000_002]
+
+
+def test_oov_tokens_take_smoothed_floor(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.sparkSession.createDataFrame(
+        [(9_000_003, "zzqx_never_seen_token_1 zzqx_never_seen_token_2")],
+        "doc_id long, text string",
+    )
+    row = doc_logprob(probe, model_docs=docs).collect()[0]
+    import math
+
+    _, total, vocab = unigram_model(docs)
+    floor = round(round(math.log(1.0 / (total + vocab)) * 1e6) / 1e6, 6)
+    assert row.n_tokens == 2
+    assert abs(row.mean_logprob - floor) < 1e-9
+
+
+def test_logprob_filter_drops_high_perplexity_tail(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = doc_logprob(docs)
+    cutoff = scored.approxQuantile("ppl_proxy", [0.9], 0.0)[0]
+    kept = logprob_filter(docs, max_ppl=cutoff)
+    n_docs, n_kept = docs.count(), kept.count()
+    assert n_kept < n_docs
+    # every surviving doc is at or below the cutoff
+    survivors = doc_logprob(docs).join(kept.select("doc_id"), "doc_id")
+    assert survivors.filter(F.col("ppl_proxy") > cutoff).count() == 0
