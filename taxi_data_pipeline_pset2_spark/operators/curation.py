@@ -11,7 +11,8 @@ Stages (each optional, all deterministic):
  1c. decontamination   -- drop docs colliding with a benchmark/eval set
      (GPT-3-style k-gram collision)
  2. PII redaction      -- emails/IPs/phones scrubbed in place
- 3. quality gate       -- composite score + repetition thresholds
+ 3. quality gate       -- composite score + repetition thresholds,
+     optionally a CCNet-style unigram-perplexity tail cut
  4. language filter    -- keep the allowed predicted languages
  5. split assignment   -- reshuffle-stable train/val/test hash split
 
@@ -51,6 +52,7 @@ def curate_corpus(
     near_dup_pairs: DataFrame | None = None,
     benchmarks: DataFrame | None = None,
     decontam_k: int = 13,
+    max_ppl: float | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: one row per surviving doc with
     ``text`` redacted and provenance columns attached.
@@ -63,6 +65,10 @@ def curate_corpus(
 
     ``benchmarks``: optional eval-set docs (same text column name); any
     train doc sharing a ``decontam_k``-gram with them is dropped.
+
+    ``max_ppl``: optional unigram-perplexity ceiling (operators/lm_score);
+    the model is fit on the already-deduped corpus so boilerplate mass
+    cannot drag the reference distribution toward itself.
     """
     # 1. exact dedup: survivors only (min id per content fingerprint)
     survivors = exact_dedup_groups(docs, text_col, id_col).select(
@@ -101,6 +107,13 @@ def curate_corpus(
     )
     if allowed_langs:
         out = out.filter(F.col("pred_lang").isin(list(allowed_langs)))
+
+    # 3b. optional unigram-perplexity tail cut (model fit on the deduped
+    # corpus, scored over the gate survivors)
+    if max_ppl is not None:
+        from taxi_data_pipeline_pset2_spark.operators.lm_score import logprob_filter
+
+        out = logprob_filter(out, max_ppl, model_docs=kept, text_col=text_col, id_col=id_col)
 
     # redact AFTER the gates (signals reflect the original content)
     out = out.withColumn(text_col, redact_pii(F.col(text_col)))

@@ -90,3 +90,21 @@ def test_curation_near_dup_and_decontamination_stages(spark, sf_dir):
     assert ids.isdisjoint(cluster_losers)
     # benchmark members themselves collide fully -> gone
     assert ids.isdisjoint({r.doc_id for r in bench.collect()})
+
+
+def test_curation_perplexity_tail_cut(spark, sf_dir):
+    from taxi_data_pipeline_pset2_spark.operators.lm_score import doc_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # gibberish doc: every token OOV relative to the corpus model -> takes
+    # the smoothed floor, the worst possible score
+    noise = spark.createDataFrame(
+        [(3_000_000, "qzxv1 qzxv2 qzxv3 qzxv4 qzxv5 qzxv6 qzxv7 qzxv8")],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(noise)
+    cutoff = doc_logprob(corpus).approxQuantile("ppl_proxy", [0.95], 0.0)[0]
+    out = curate_corpus(corpus, min_quality=0.0, max_dup_line_ratio=1.0, max_ppl=cutoff)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 3_000_000 not in ids
+    assert len(ids) > 0
