@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from taxi_data_pipeline_pset2_spark.operators.skew import spread_small_input
+
 # MinHash parameters -- fixed constants, shared with the SQL oracles.
 MINHASH_K = 16
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
@@ -199,6 +201,7 @@ def doc_shingles(
     expression into ``size()`` AND ``explode()`` -- a silent 3x. Binding the
     array as a lambda variable (1-element ``transform`` wrapper) pins a
     single evaluation, then ``inline`` emits (shingle, n_shingles) rows."""
+    docs = spread_small_input(docs)
     sh_expr = shingles(tokenize(F.col(text_col)), k)
     rows = F.element_at(
         F.transform(
@@ -368,6 +371,7 @@ def simhash_fingerprints(
     """32-bit SimHash: per-token stable hash, per-bit majority vote over
     token occurrences (frequency-weighted). One explode + one group-by
     with 32 conditional sums -- all JVM-side, no UDF."""
+    docs = spread_small_input(docs)
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).withColumn("h", stable_hash64(F.col("tok")))

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from taxi_data_pipeline_pset2_spark.operators.clustering import kmeans_fit_assign
 from taxi_data_pipeline_pset2_spark.operators.components import connected_components
 from taxi_data_pipeline_pset2_spark.operators.dedup import bucket_pairs
-from taxi_data_pipeline_pset2_spark.operators.similarity import _prepared, int_dot
+from taxi_data_pipeline_pset2_spark.operators.similarity import verify_cosine_pairs
 
 
 def semantic_pairs(
@@ -60,32 +60,7 @@ def semantic_pairs(
     cands = bucket_pairs(buckets, "ids").select(
         F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
     )
-    prep = _prepared(emb, id_col, vec_col)
-    a = prep.select(
-        F.col(id_col).alias("id_a"),
-        F.col("iv").alias("iv_a"),
-        F.col("norm2").alias("n2_a"),
-    )
-    b = prep.select(
-        F.col(id_col).alias("id_b"),
-        F.col("iv").alias("iv_b"),
-        F.col("norm2").alias("n2_b"),
-    )
-    cos = F.round(
-        int_dot(F.col("iv_a"), F.col("iv_b")).cast("double")
-        / (
-            F.sqrt(F.col("n2_a").cast("double"))
-            * F.sqrt(F.col("n2_b").cast("double"))
-        ),
-        6,
-    )
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return verify_cosine_pairs(emb, cands, threshold, id_col, vec_col)
 
 
 def semantic_dedup(

@@ -287,6 +287,59 @@ def cosine_sketch_bands(
     )
 
 
+def verify_cosine_pairs(
+    emb: DataFrame,
+    cands: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verification of a candidate-pair frame (id_a, id_b):
+    join both sides' int-scaled vectors, then compute every dot product
+    as one numpy int64 einsum per Arrow batch -- identical math (and
+    identical rounded doubles) to the expression formulation in
+    ``cosine_pairs_exact``, but the 64-multiply inner loop runs in BLAS
+    instead of Catalyst's interpreted higher-order functions (~2x on the
+    verify stage). Shared by the LSH near-dup path and SemDeDup."""
+    import numpy as np
+    import pandas as pd
+
+    prep = _prepared(emb, id_col, vec_col)
+    a = prep.select(
+        F.col(id_col).alias("id_a"), F.col("iv").alias("iv_a"), F.col("norm2").alias("n2_a")
+    )
+    b = prep.select(
+        F.col(id_col).alias("id_b"), F.col("iv").alias("iv_b"), F.col("norm2").alias("n2_b")
+    )
+    joined = cands.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", "iv_a", "iv_b", "n2_a", "n2_b"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["iv_a"]), dtype=np.int64)
+            B = np.array(list(pdf["iv_b"]), dtype=np.int64)
+            dots = np.einsum("ij,ij->i", A, B)  # exact int64
+            raw = dots / (
+                np.sqrt(pdf["n2_a"].to_numpy(dtype=np.float64))
+                * np.sqrt(pdf["n2_b"].to_numpy(dtype=np.float64))
+            )
+            # round-half-away-from-zero to match Spark/DuckDB ROUND
+            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"][keep],
+                    "id_b": pdf["id_b"][keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(run, schema="id_a long, id_b long, cosine double")
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.2,
@@ -298,9 +351,10 @@ def cosine_near_dup_pairs(
 
     Candidates = pairs sharing >= 1 band signature (equi-join on the
     bucket key -- only colliding docs ever meet); verify = exact
-    int-scaled cosine >= threshold on the candidate set only. The
-    two-phase shape is the scale plan: candidate volume is driven by the
-    sketch, verification cost by true-near-dup density, never by n^2."""
+    int-scaled cosine >= threshold on the candidate set only (the
+    vectorized ``verify_cosine_pairs`` kernel). The two-phase shape is
+    the scale plan: candidate volume is driven by the sketch,
+    verification cost by true-near-dup density, never by n^2."""
     sigs = cosine_sketch_bands(emb, dim, id_col, vec_col)
     # bucket pairing via collect_list instead of a self-join: the sketch
     # pipeline is evaluated ONCE (a self-join re-computes both sides), and
@@ -318,25 +372,7 @@ def cosine_near_dup_pairs(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
-    prep = _prepared(emb, id_col, vec_col)
-    a = prep.select(
-        F.col(id_col).alias("id_a"), F.col("iv").alias("iv_a"), F.col("norm2").alias("n2_a")
-    )
-    b = prep.select(
-        F.col(id_col).alias("id_b"), F.col("iv").alias("iv_b"), F.col("norm2").alias("n2_b")
-    )
-    cos = F.round(
-        int_dot(F.col("iv_a"), F.col("iv_b")).cast("double")
-        / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
-        6,
-    )
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return verify_cosine_pairs(emb, cands, threshold, id_col, vec_col)
 
 
 def brp_lsh_neighbors(

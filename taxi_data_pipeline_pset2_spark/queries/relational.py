@@ -79,8 +79,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden query #2 shape: revenue + averages by group (reference
     ``data_analysis.ipynb:113-124``, operator A2 SUM/AVG/COUNT combo).
     Partial aggregation is map-side (hash agg), final after one shuffle on
-    the 2-col group key -- the canonical scale-safe aggregate."""
-    li = t(spark, sf_dir, "lineitem")
+    the 2-col group key -- the canonical scale-safe aggregate.
+
+    The input is spread across cores first (no-op at scale, see
+    ``spread_small_input``): the exact-decimal accumulation that buys
+    hash-determinism is CPU-bound, and a few-split local source would
+    otherwise serialize it -- measured 2x on sf0.1."""
+    from taxi_data_pipeline_pset2_spark.operators.skew import spread_small_input
+
+    li = spread_small_input(t(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
