@@ -129,3 +129,21 @@ def test_salted_shuffle_join_rejects_outer(spark):
         salted_shuffle_join(left, right, on="k", how="right")
     with pytest.raises(ValueError, match="inner.*left"):
         salted_shuffle_join(left, right, on="k", how="full")
+
+
+def test_spread_small_input_conditional(spark):
+    from taxi_data_pipeline_pset2_spark.operators.skew import spread_small_input
+
+    target = max(spark.sparkContext.defaultParallelism // 2, 2)
+    # under-partitioned source gets spread to the target
+    small = spark.range(1000).coalesce(1)
+    assert spread_small_input(small).rdd.getNumPartitions() == target
+    # a well-partitioned (at-scale) source passes through with NO new
+    # shuffle: the returned plan is the input plan itself
+    big = spark.range(1000).repartition(target)
+    out = spread_small_input(big)
+    assert out is big
+    # values survive the round-robin untouched
+    assert sorted(
+        r.id for r in spread_small_input(small).collect()
+    ) == list(range(1000))
