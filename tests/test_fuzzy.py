@@ -1,0 +1,85 @@
+"""Blocked fuzzy matching: DuckDB-oracle equality, planted-typo recall,
+multi-pass blocking behavior, and cluster resolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.fuzzy import (
+    fuzzy_dedup,
+    fuzzy_pairs,
+    fuzzy_pairs_multi,
+)
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+from .oracle_utils import compare_frames, duckdb_connection
+
+PAIRS_ORACLE = """
+WITH n AS (
+    SELECT c_custkey AS id,
+           regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS s
+    FROM customer),
+p AS (
+    SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+    FROM n a JOIN n b
+      ON substr(a.s, 1, 12) = substr(b.s, 1, 12) AND a.id < b.id
+    WHERE abs(len(a.s) - len(b.s)) <= 1)
+SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+FROM p WHERE levenshtein(sa, sb) <= 1
+"""
+
+
+def test_fuzzy_pairs_match_duckdb_oracle(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    got = fuzzy_pairs(
+        cust, "c_name", "c_custkey", max_distance=1, block_len=12
+    ).toPandas()
+    con = duckdb_connection(sf_dir)
+    want = con.execute(PAIRS_ORACLE).df()
+    assert compare_frames(got, want) == []
+    assert len(got) > 0, "customer names differing by one digit must pair"
+
+
+def test_planted_typo_found_and_resolved(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    first = cust.orderBy("c_custkey").limit(1).collect()[0]
+    # typo in the LAST character -> prefix block still catches it
+    typo = first.c_name[:-1] + ("X" if first.c_name[-1] != "X" else "Y")
+    planted = spark.createDataFrame(
+        [(9_000_000, typo)], "c_custkey long, c_name string"
+    )
+    df = cust.unionByName(planted)
+    pairs = fuzzy_pairs(df, "c_name", "c_custkey", max_distance=1, block_len=8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (first.c_custkey, 9_000_000) in found
+
+    kept = fuzzy_dedup(df, "c_name", "c_custkey", max_distance=1, block_len=8)
+    kept_ids = {r.c_custkey for r in kept.select("c_custkey").collect()}
+    # min-id survivor: the original stays, the planted typo is dropped
+    assert first.c_custkey in kept_ids
+    assert 9_000_000 not in kept_ids
+
+
+def test_multi_pass_blocking_catches_prefix_typos(spark):
+    # a typo in the FIRST character escapes prefix blocking but not
+    # suffix blocking; multi-pass must find it
+    df = spark.createDataFrame(
+        [(1, "customer alpha one"), (2, "Xustomer alpha one"), (3, "unrelated row")],
+        "id long, name string",
+    )
+    single = fuzzy_pairs(df, "name", "id", max_distance=1, block_len=4)
+    assert single.count() == 0
+    multi = fuzzy_pairs_multi(df, "name", "id", max_distance=1, block_len=4)
+    found = {(r.id_a, r.id_b, r.dist) for r in multi.collect()}
+    assert found == {(1, 2, 1)}
+
+
+def test_length_prune_is_safe(spark):
+    # deletion typo changes length by 1; must survive the prune at d=1
+    df = spark.createDataFrame(
+        [(1, "shared prefix abcdef"), (2, "shared prefix abcde")],
+        "id long, name string",
+    )
+    pairs = fuzzy_pairs(df, "name", "id", max_distance=1, block_len=8)
+    rows = pairs.collect()
+    assert len(rows) == 1 and rows[0].dist == 1
