@@ -109,6 +109,32 @@ def hourly_event_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def sliding_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in window/slide
+    overlapping windows (here 2). State cost scales with windows-open x
+    groups, still bounded by the watermark -- the standard
+    trailing-window rate metric a monitoring pipeline emits."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     stream: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
 ) -> DataFrame:
@@ -205,6 +231,30 @@ def interval_join_streams(
         & (F.col("r.ts") <= F.col("l.ts"))
     )
     return l.join(r, cond, "inner")
+
+
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window_minutes: int = 60,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like
+    :func:`interval_join_streams`, but left rows with no match emit a
+    null-padded row once the watermark proves no match can still arrive.
+    That proof is the point -- outer results are held in state until the
+    right watermark passes the join window, so correctness depends on
+    BOTH watermarks, and state stays bounded by the same windows."""
+    l = left.alias("l").withWatermark("ts", left_watermark)
+    r = right.alias("r").withWatermark("ts", right_watermark)
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("r.ts") > F.col("l.ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+    )
+    return l.join(r, cond, "leftOuter")
 
 
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:

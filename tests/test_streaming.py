@@ -274,3 +274,105 @@ def test_batchwise_read_contract_equals_batch_twin(
         for r in read_batchwise_result(spark, out, keys).collect()
     }
     assert got2 == want
+
+
+def test_sliding_window_matches_batch_twin(spark, sf_smoke_dir, events_dir):
+    from taxi_data_pipeline_pset2_spark.streaming.events import sliding_event_counts
+
+    stream = read_events_stream(spark, events_dir)
+    got_df = run_complete_to_memory(
+        sliding_event_counts(stream), spark, "sliding_counts_test"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in got_df.collect()
+    }
+    ev = load_table(spark, sf_smoke_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    # every event appears in exactly window/slide = 2 windows
+    assert sum(v[0] for v in got.values()) == 2 * ev.count()
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_smoke_dir, tmp_path):
+    from taxi_data_pipeline_pset2_spark.streaming.events import (
+        interval_join_streams_outer,
+    )
+
+    src = str(tmp_path / "ssoj_in")
+    load_table(spark, sf_smoke_dir, "events").coalesce(1).select(
+        "event_id",
+        F.unix_micros("ts").alias("_us"),
+        "user_id",
+        "event_type",
+        "value",
+    ).withColumn("ts", F.expr("_us * 1000")).drop("_us").write.parquet(src)
+    schema = "event_id long, user_id long, event_type string, value double, ts long"
+
+    def stream():
+        raw = spark.readStream.schema(schema).parquet(src)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts"
+    )
+    joined = interval_join_streams_outer(clicks, purchases, on="user_id").select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.p_event_id").alias("purchase_id"),
+    )
+    ckpt = str(tmp_path / "ssoj_ckpt")
+    (
+        joined.writeStream.format("memory")
+        .queryName("ssoj_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.table("ssoj_test").collect()
+    got_matched = {(r.click_id, r.purchase_id) for r in rows if r.purchase_id is not None}
+    got_null = {r.click_id for r in rows if r.purchase_id is None}
+
+    # matched rows must equal the batch inner interval join
+    ev = load_table(spark, sf_smoke_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") > F.col("cts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("pts") <= F.col("cts")),
+    )
+    want_matched = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got_matched == want_matched
+
+    # null-padded rows: genuinely matchless clicks only, never overlapping
+    # with a matched click
+    matchless = {r.click_id for r in c.join(batch.select("click_id"), "click_id", "left_anti").collect()}
+    assert got_null <= matchless
+    assert not (got_null & {m[0] for m in want_matched})
+    # the watermark must have released at least some outer results
+    assert got_null, "expected null-padded outer rows for matchless clicks"
