@@ -16,6 +16,7 @@ from taxi_data_pipeline_pset2_spark.operators.dedup import (
     stable_hash64,
     tokenize,
 )
+from taxi_data_pipeline_pset2_spark.operators.skew import spread_small_input
 
 # BPE-ish pre-tokenization: letter runs | digit runs | single symbol.
 # Kept to a regex subset with identical semantics in Java regex and RE2.
@@ -50,6 +51,7 @@ def quality_metrics(
     -- the shape of a fastText-style heuristic quality filter, built from
     length/stopword/character-class ratios.
     """
+    docs = spread_small_input(docs)
     toks = tokenize(F.col(text_col))
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
     n_tokens = F.size(toks)
