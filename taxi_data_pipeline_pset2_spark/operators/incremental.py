@@ -140,3 +140,91 @@ def incremental_dedup(
         sigs.join(F.broadcast(keep_ids), id_col, "left_semi")
     )
     return IncrementalDedupResult(survivors=survivors, matches=matches, index=grown)
+
+
+def incremental_embedding_dedup(
+    new_emb: DataFrame,
+    index: DataFrame,
+    corpus_emb: DataFrame | None = None,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_shared_bands: int = 1,
+) -> IncrementalDedupResult:
+    """The embedding-modality twin of :func:`incremental_dedup`: screen a
+    batch of vectors against a persisted sign-LSH signature index
+    (``similarity.cosine_sketch_bands`` rows, same (id, band, band_sig)
+    shape as the MinHash index, so the match/collision machinery is
+    shared verbatim).
+
+    With ``corpus_emb`` provided, candidate collisions are verified by
+    exact int-scaled cosine >= ``threshold`` (the vectorized
+    ``verify_cosine_pairs`` kernel). The corpus-sided work stays
+    scan-shaped: candidates are dup-sized, so the vector-lookup joins
+    broadcast the candidate side against the corpus scan. Without
+    ``corpus_emb`` (vectors archived elsewhere), matches carry
+    band-collision evidence only -- the MinHash-style contract.
+    """
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        cosine_sketch_bands,
+        verify_cosine_pairs,
+    )
+
+    sigs = cosine_sketch_bands(new_emb, dim, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    cand = match_against_index(sigs, index, id_col, min_shared_bands)
+    if corpus_emb is not None:
+        all_emb = new_emb.select(id_col, vec_col).unionByName(
+            corpus_emb.select(id_col, vec_col)
+        )
+        verified = verify_cosine_pairs(
+            all_emb,
+            cand.select(
+                F.col(id_col).alias("id_a"), F.col("corpus_id").alias("id_b")
+            ),
+            threshold,
+            id_col,
+            vec_col,
+        )
+        matches = verified.select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("corpus_id"),
+            "cosine",
+        )
+    else:
+        matches = cand
+    corpus_dups = matches.select(id_col).distinct()
+
+    clean = new_emb.join(corpus_dups, id_col, "left_anti")
+    within_cand = (
+        band_collision_pairs(sigs, id_col)
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+        .join(
+            F.broadcast(corpus_dups.withColumnRenamed(id_col, "doc_a")),
+            "doc_a",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(corpus_dups.withColumnRenamed(id_col, "doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+    )
+    within = verify_cosine_pairs(
+        new_emb,
+        within_cand.select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+        threshold,
+        id_col,
+        vec_col,
+    )
+    survivors = resolve_duplicate_clusters(
+        clean, within, id_col=id_col, src="id_a", dst="id_b"
+    )
+    grown = index.unionByName(
+        sigs.join(F.broadcast(survivors.select(id_col)), id_col, "left_semi")
+    )
+    return IncrementalDedupResult(survivors=survivors, matches=matches, index=grown)

@@ -116,3 +116,84 @@ def test_index_side_is_not_shuffled(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _emb(spark, rows):
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_incremental_embedding_dedup_flags_and_grows(spark, sf_dir):
+    from taxi_data_pipeline_pset2_spark.operators.incremental import (
+        incremental_embedding_dedup,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        COS_LSH_BANDS,
+        cosine_sketch_bands,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index = cosine_sketch_bands(corpus)
+    base = corpus.orderBy("vec_id").limit(2).collect()
+
+    # batch: one exact copy of a corpus vector (dup) + one orthogonal-ish
+    # fresh vector built by negating a corpus vector (cosine -1: collides
+    # on no band and verifies false regardless)
+    fresh_vec = [-float(x) for x in base[1].embedding]
+    batch = _emb(
+        spark,
+        [(8_000_000, list(base[0].embedding)), (8_000_001, fresh_vec)],
+    )
+    res = incremental_embedding_dedup(
+        batch, index, corpus_emb=corpus, threshold=0.999
+    )
+    matches = {(r.vec_id, r.corpus_id) for r in res.matches.collect()}
+    assert (8_000_000, base[0].vec_id) in matches
+    survivors = {r.vec_id for r in res.survivors.collect()}
+    assert survivors == {8_000_001}
+    # index grew by exactly the survivor's band rows
+    assert res.index.count() == index.count() + COS_LSH_BANDS
+    # within-batch: a batch with two copies of the same NEW vector keeps one
+    twin_batch = _emb(
+        spark,
+        [(8_100_000, fresh_vec), (8_100_001, fresh_vec)],
+    )
+    res2 = incremental_embedding_dedup(
+        twin_batch, index, corpus_emb=corpus, threshold=0.999
+    )
+    assert {r.vec_id for r in res2.survivors.collect()} == {8_100_000}
+
+
+def test_incremental_embedding_without_corpus_vectors(spark, sf_dir):
+    """Vectors archived elsewhere: matches carry band-collision evidence
+    only (no cosine verify), exact copies still flag."""
+    from taxi_data_pipeline_pset2_spark.operators.incremental import (
+        incremental_embedding_dedup,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        cosine_sketch_bands,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index = cosine_sketch_bands(corpus)
+    first = corpus.orderBy("vec_id").limit(1).collect()[0]
+    batch = _emb(spark, [(8_200_000, list(first.embedding))])
+    res = incremental_embedding_dedup(batch, index, corpus_emb=None)
+    flagged = {(r.vec_id, r.corpus_id) for r in res.matches.collect()}
+    assert (8_200_000, first.vec_id) in flagged
+    assert res.survivors.count() == 0
