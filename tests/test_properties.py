@@ -79,3 +79,78 @@ def test_salted_aggregate_matches_bruteforce(rows, n_salts):
         n, tot = want.get(k, (0, 0))
         want[k] = (n + 1, tot + x)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    max_d=st.integers(min_value=0, max_value=2),
+)
+def test_fuzzy_pairs_match_bruteforce_within_block(texts, max_d):
+    """Every emitted pair is a true <=d Levenshtein pair, and every true
+    pair that shares the block key is emitted (blocking recall is exact
+    within blocks)."""
+    import re
+
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import fuzzy_pairs
+
+    spark = _spark()
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, "name", "id", max_distance=max_d, block_len=2).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and norm(a)[:2] == norm(b)[:2]:
+                d = lev(norm(a), norm(b))
+                if d <= max_d:
+                    want[(i, j)] = d
+    assert got == want, (got, want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pivot_matches_bruteforce(vals):
+    from taxi_data_pipeline_pset2_spark.operators.reshape import pivot_agg
+
+    spark = _spark()
+    df = spark.createDataFrame(vals, "g long, p long, v long")
+    wide = pivot_agg(df, ["g"], "p", [0, 1, 2, 3], F.sum("v")).collect()
+    got = {
+        (r.g, p): r[str(p)] for r in wide for p in (0, 1, 2, 3)
+    }
+    for g in {v[0] for v in vals}:
+        for p in (0, 1, 2, 3):
+            cell = [v for (gg, pp, v) in vals if gg == g and pp == p]
+            want = sum(cell) if cell else None
+            assert got[(g, p)] == want, (g, p, got[(g, p)], want)
