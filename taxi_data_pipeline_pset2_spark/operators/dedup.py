@@ -154,19 +154,24 @@ def tokenize(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
-def shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles as ``zip_with`` over k shifted slices.
-
-    ~8x faster than the index-``transform`` + per-element ``slice``
-    formulation (no per-shingle array copies; one linear zip per offset).
-    ``greatest(.., 0)`` yields an empty array for docs shorter than k."""
+def positioned_shingles(tokens: Column, k: int = 3) -> Column:
+    """All k-token shingles in document order (index = 0-based start
+    position), as ``zip_with`` over k shifted slices. ~8x faster than the
+    index-``transform`` + per-element ``slice`` formulation (no
+    per-shingle array copies; one linear zip per offset). ``greatest(..,
+    0)`` yields an empty array for docs shorter than k."""
     n_out = F.greatest(F.size(tokens) - (k - 1), F.lit(0))
     sh = F.slice(tokens, 1, n_out)
     for off in range(1, k):
         sh = F.zip_with(
             sh, F.slice(tokens, off + 1, n_out), lambda x, y: F.concat(x, F.lit(" "), y)
         )
-    return F.array_distinct(sh)
+    return sh
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (the set-similarity form)."""
+    return F.array_distinct(positioned_shingles(tokens, k))
 
 
 def stable_hash64(col: Column) -> Column:
