@@ -526,13 +526,16 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ranked_in_group",
     oracle="""
-        SELECT c_custkey, c_name, n_name, c_acctbal,
-               CAST(row_number() OVER w AS BIGINT) AS bal_rank,
-               CAST(rank() OVER w AS BIGINT) AS bal_rank_dense_input,
-               ROUND(CAST(c_acctbal - lag(c_acctbal, 1, c_acctbal) OVER w AS DOUBLE), 6) AS gap_to_prev
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
-        QUALIFY row_number() OVER w <= 3
+        SELECT c_custkey, c_name, n_name, c_acctbal, bal_rank,
+               bal_rank_dense_input, gap_to_prev
+        FROM (
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   CAST(row_number() OVER w AS BIGINT) AS bal_rank,
+                   CAST(rank() OVER w AS BIGINT) AS bal_rank_dense_input,
+                   ROUND(CAST(c_acctbal - lag(c_acctbal, 1, c_acctbal) OVER w AS DOUBLE), 6) AS gap_to_prev
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+        ) WHERE bal_rank <= 3
         ORDER BY n_name, bal_rank
     """,
     tags=("window", "topk"),

@@ -179,7 +179,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   WHEN 'O' THEN 'open'
                                   ELSE 'partial' END AS status_name,
                o_orderstatus = 'F' AND o_totalprice > 50000 AS is_big_finished,
-               CAST(COALESCE(NULLIF(o_orderpriority, ''), 'UNKNOWN') AS VARCHAR) AS priority_clean
+               CAST(COALESCE(NULLIF(o_orderpriority, ''), 'UNKNOWN') AS STRING) AS priority_clean
         FROM orders
     """,
     tags=("scalar", "case"),
