@@ -79,3 +79,41 @@ def register_views(
     against the same catalog names the DuckDB oracle uses."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """S3 hardened: CSV scan that QUARANTINES malformed rows instead of
+    silently nulling (PERMISSIVE default) or killing the job (FAILFAST).
+
+    Returns ``(good, bad)``: ``good`` is schema-typed clean rows, ``bad``
+    is the raw text of every row that failed to parse, preserved verbatim
+    for repair/re-ingest -- the ingest contract a production loader needs
+    (the reference's loader drops malformed taxi rows on the floor).
+
+    The parsed frame is cached: Spark disallows queries that reference
+    only the internal corrupt-record column of a streaming-parsed CSV
+    (SPARK-21610), and the cache also means the file is parsed once for
+    both outputs. For a table-scale quarantine pass use
+    ``persist(StorageLevel.DISK_ONLY)`` upstream instead.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(list(schema.fields)).add("_corrupt_record", StringType())
+    df = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return good, bad

@@ -130,3 +130,38 @@ def test_coverage_gaps_detects_missing_period(spark):
     gaps = coverage_gaps(df, "ts", "2024-01-01", "2024-03-31", unit="month").collect()
     assert [r.missing_period for r in gaps] == ["2024-02-01"]
     assert all(r.status == "brecha" for r in gaps)
+
+
+def test_read_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from taxi_data_pipeline_pset2_spark.sources.readers import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alpha,10.5\n"
+        "2,beta,not_a_number\n"   # type failure -> quarantined
+        "3,gamma,7.25\n"
+        "4,delta,1.0,EXTRA_COL\n"  # arity failure -> quarantined
+        "5,epsilon,3.5\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("amount", DoubleType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert {r.id for r in good.collect()} == {1, 3, 5}
+    raw = {r.raw_record for r in bad.collect()}
+    assert raw == {"2,beta,not_a_number", "4,delta,1.0,EXTRA_COL"}
+    # clean rows keep full typed values
+    assert {r.amount for r in good.collect()} == {10.5, 7.25, 3.5}
