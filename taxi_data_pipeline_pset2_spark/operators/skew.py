@@ -36,6 +36,8 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     Results are unaffected: every downstream consumer is
     order-independent by the engine's determinism contract.
     """
+    if df.isStreaming:
+        return df  # partitioning is the source's concern per micro-batch
     target = max(df.sparkSession.sparkContext.defaultParallelism // 2, 2)
     if df.rdd.getNumPartitions() >= target:
         return df
