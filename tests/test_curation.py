@@ -108,3 +108,47 @@ def test_curation_perplexity_tail_cut(spark, sf_dir):
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert 3_000_000 not in ids
     assert len(ids) > 0
+
+
+def test_curation_full_stack_composition(spark, sf_dir):
+    """The whole dedup arsenal in one program: exact dedup + jaccard
+    near-dups + duplicated-span pairs feed a single curate_corpus call
+    with the perplexity tail cut -- one lazy composition, planted
+    artifacts of every class handled."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.dedup import jaccard_pairs
+    from taxi_data_pipeline_pset2_spark.operators.spans import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.orderBy("doc_id").limit(2).collect()
+    shared = " ".join(f"boiler{i}" for i in range(25))
+    planted = spark.createDataFrame(
+        [
+            (4_000_000, base[0].text),                      # exact dup
+            (4_000_001, f"{base[1].text} tiny tail"),        # jaccard near-dup
+            (4_000_002, f"{shared} first framing words"),    # span pair A
+            (4_000_003, f"other intro text {shared}"),       # span pair B
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(planted)
+
+    pairs = (
+        jaccard_pairs(corpus, threshold=0.5).select("doc_a", "doc_b")
+        .unionByName(
+            duplicated_spans(corpus, min_tokens=20, k=8).select("doc_a", "doc_b")
+        )
+    )
+    out = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        max_dup_line_ratio=1.0,
+        near_dup_pairs=pairs,
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 4_000_000 not in ids          # exact dup collapsed
+    assert 4_000_001 not in ids          # jaccard near-dup resolved
+    # span pair: exactly one of the two sharers survives
+    assert len(ids & {4_000_002, 4_000_003}) == 1
+    assert base[0].doc_id in ids and base[1].doc_id in ids
