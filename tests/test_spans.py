@@ -97,3 +97,41 @@ def test_span_dedup_drops_higher_id_sharer(spark):
     )
     kept = {r.doc_id for r in span_dedup(docs, min_tokens=20, k=K).collect()}
     assert kept == {1, 3}
+
+
+def test_spans_are_verbatim_and_maximal_property(spark):
+    """Algorithm-independent check on random corpora: every reported
+    span's token slices match verbatim, and no span can be extended a
+    token in either direction (maximality)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        shared = [rng.choice(vocab) for _ in range(rng.randint(12, 20))]
+        docs_py = {}
+        for did in range(1, 5):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+            if did <= 2:  # two docs embed the shared run
+                toks += shared
+            toks += [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+            docs_py[did] = toks
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_py.items()],
+            "doc_id long, text string",
+        )
+        spans = duplicated_spans(df, min_tokens=10, k=5).collect()
+        assert spans, f"trial {trial}: planted shared run must be found"
+        for s in spans:
+            a, b = docs_py[s.doc_a], docs_py[s.doc_b]
+            sl_a = a[s.a_start : s.a_start + s.span_tokens]
+            sl_b = b[s.b_start : s.b_start + s.span_tokens]
+            assert sl_a == sl_b, (trial, s)
+            # maximality: one more token on either side must mismatch or
+            # run off a document boundary
+            left_ok = s.a_start == 0 or s.b_start == 0 or (
+                a[s.a_start - 1] != b[s.b_start - 1]
+            )
+            ae, be = s.a_start + s.span_tokens, s.b_start + s.span_tokens
+            right_ok = ae >= len(a) or be >= len(b) or (a[ae] != b[be])
+            assert left_ok and right_ok, (trial, s)
