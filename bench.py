@@ -128,6 +128,12 @@ def clustering_demo(spark, sf_dir: str, scale: int = 64, n_flat_files: int = 64)
             if out["clustered_bytes_read"]
             else None
         )
+        out["note"] = (
+            "wall-clock parity is expected on a page-cached local disk "
+            "(fixed multi-stage overhead dominates sub-second queries); "
+            "bytes_pruned_ratio is the signal that becomes the speedup "
+            "on a real cluster where the scan is the cost"
+        )
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
