@@ -96,3 +96,38 @@ def test_unpivot_round_trips_pivot(spark, sf_dir):
         )._jdf.queryExecution().analyzed().toString()
     )
     assert "Expand" in plan
+
+
+CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def test_cube_and_grouping_sets_dual_dialect(spark, sf_dir):
+    """CUBE / GROUPING SETS run as the SAME SQL text on Spark SQL and
+    DuckDB with identical results -- one Expand pass in Spark (no
+    repeated scans per grouping)."""
+    from taxi_data_pipeline_pset2_spark.sources.readers import register_views
+
+    from .oracle_utils import canonical_rows
+
+    register_views(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    for sql in (CUBE_SQL, GROUPING_SETS_SQL):
+        got = spark.sql(sql).toPandas()
+        want = con.execute(sql).df()
+        assert sorted(got.columns) == sorted(want.columns)
+        assert canonical_rows(got) == canonical_rows(want)
+    plan = spark.sql(CUBE_SQL)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and plan.count("FileScan") == 1, plan
