@@ -370,6 +370,69 @@ def minhash_candidate_pairs(
     return band_collision_pairs(sigs, id_col)
 
 
+def verify_jaccard_pairs(
+    docs: DataFrame,
+    cands: DataFrame,
+    threshold: float = 0.2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard verification of a candidate-pair frame
+    (doc_a, doc_b): shingle sets are materialized ONLY for docs that
+    appear in a candidate pair (semi-join -- dup-sized, not
+    corpus-sized), then each pair's intersection is one
+    ``array_intersect`` -- no inverted-index pass over the corpus.
+
+    This is the verify stage of the two-phase scale plan
+    (:func:`minhash_verified_pairs`); ``jaccard_pairs`` remains the
+    one-shot exact operator whose inverted index touches every doc."""
+    ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets_df = (
+        docs.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            shingles(tokenize(F.col(text_col)), k).alias("sh"),
+        )
+    )
+    a = sets_df.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.round(inter / union, 6)
+    return (
+        cands.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The two-phase 100 TB text near-dup plan: MinHash-LSH band
+    collisions generate candidates (never n^2), exact Jaccard verifies
+    candidates only (never the corpus). Versus ``jaccard_pairs`` this
+    trades the stopword-shingle inverted index for the banded one and
+    misses only pairs that collide on zero bands (recall pinned vs the
+    exact operator in tests)."""
+    cands = minhash_candidate_pairs(docs, text_col, id_col, k).select(
+        "doc_a", "doc_b"
+    )
+    return verify_jaccard_pairs(docs, cands, threshold, k, text_col, id_col)
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

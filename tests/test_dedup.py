@@ -121,3 +121,36 @@ def test_simhash_locality(spark, sf_dir):
     if rows:  # fixture-dependent; >=0.7-jaccard pairs should be close in hamming
         avg_h = sum(r.hamming for r in rows) / len(rows)
         assert avg_h <= 10, f"avg hamming {avg_h} too high for near-dup pairs"
+
+
+def test_minhash_verified_pairs_exact_on_candidates(spark, sf_dir):
+    """Verified-pair jaccard values must equal the one-shot exact
+    operator's values on the shared pair set, and every verified pair
+    must be a band-colliding candidate."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        minhash_verified_pairs,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_verified_pairs(docs, threshold=0.2).collect()
+    }
+    assert verified, "corpus must contain banded near-dups"
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert set(verified) <= cands
+    # on candidate pairs the two formulations agree exactly
+    for pair, j in verified.items():
+        assert exact.get(pair) == j, pair
+    # recall vs exact: every exact pair that collided on >= 1 band is kept
+    assert set(verified) == {p for p in exact if p in cands}
