@@ -203,3 +203,40 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    delete_pred=None,
+) -> None:
+    """MERGE INTO for plain parquet: rows in ``updates`` replace
+    same-key rows in the target (last-writer-wins on the full row),
+    unmatched update rows are inserted, and rows matching
+    ``delete_pred`` (evaluated on the merged frame) are dropped --
+    the update/insert/delete triad of SQL MERGE, rendered as one
+    anti-join + union + filter and committed through
+    :func:`atomic_overwrite` so readers never see a partial table.
+
+    Scale notes: the anti-join shuffles on the merge key exactly like a
+    real MERGE's join; with an updates side that is batch-sized Spark's
+    AQE broadcasts it and the target is scan-shaped. Unlike a
+    transactional table format (Delta/Iceberg) this rewrites the whole
+    table -- the honest contract for plain parquet; partition-scoped
+    upserts go through ``month_partitioned_ingest``'s dynamic overwrite
+    instead."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    target = spark.read.parquet(path)
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge schema mismatch: target {sorted(target.columns)} vs "
+            f"updates {sorted(updates.columns)}"
+        )
+    kept = target.join(updates.select(*key_cols).distinct(), list(key_cols), "left_anti")
+    merged = kept.unionByName(updates)
+    if delete_pred is not None:
+        merged = merged.filter(~delete_pred)
+    atomic_overwrite(merged, path)

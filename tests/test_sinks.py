@@ -165,3 +165,42 @@ def test_read_csv_quarantine_splits_good_and_bad(spark, tmp_path):
     assert raw == {"2,beta,not_a_number", "4,delta,1.0,EXTRA_COL"}
     # clean rows keep full typed values
     assert {r.amount for r in good.collect()} == {10.5, 7.25, 3.5}
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "merge_tbl")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    merge_upsert(spark, path, updates, ("id",))
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # delete clause: drop rows with v >= 30 during the next merge
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([(1, "a2", 11.0)], "id long, name string, v double"),
+        ("id",),
+        delete_pred=F.col("v") >= 30.0,
+    )
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a2", 11.0), 2: ("b2", 25.0)}
+
+    # schema mismatch is refused before any write
+    import pytest
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(
+            spark, path,
+            spark.createDataFrame([(9, "x")], "id long, name string"),
+            ("id",),
+        )
