@@ -92,3 +92,39 @@ def schema_drift(
         )
     )
     return SchemaDrift(missing, added, type_changed)
+
+
+def column_histogram(df, col: str, bins: int = 10):
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n) with
+    ``bins`` rows. One min/max aggregate (driver-sized) + one hash
+    aggregate on the bin id -- two scans, both scan-shaped; the bin
+    arithmetic is floor((v - min) / width) clamped to the last bin, a
+    pure codegen expression identical in the DuckDB twin."""
+    from pyspark.sql import functions as F
+
+    mn, mx = df.agg(
+        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+    ).first()
+    if mn is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin int, lo double, hi double, n bigint"
+        )
+    width = (mx - mn) / bins if mx > mn else 1.0
+    bin_id = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col(col).cast("double") - F.lit(mn)) / F.lit(width)),
+    ).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    edges = df.sparkSession.createDataFrame(
+        [(i, mn + i * width, mn + (i + 1) * width) for i in range(bins)],
+        "bin int, lo double, hi double",
+    )
+    return (
+        edges.join(counts, "bin", "left")
+        .select("bin", "lo", "hi", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("bin")
+    )

@@ -95,3 +95,38 @@ def test_schema_drift_classification(spark, tmp_path):
     )
     assert retyped.type_changed == (("renamed", "double", "string"),)
     assert retyped.breaking
+
+
+def test_column_histogram_matches_duckdb(spark, sf_dir):
+    from taxi_data_pipeline_pset2_spark.operators.profiling import column_histogram
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    from .oracle_utils import duckdb_connection
+
+    bins = 8
+    got = {
+        r.bin: (r.lo, r.hi, r.n)
+        for r in column_histogram(
+            load_table(spark, sf_dir, "orders"), "o_totalprice", bins
+        ).collect()
+    }
+    con = duckdb_connection(sf_dir)
+    mn, mx = con.execute(
+        "SELECT min(o_totalprice), max(o_totalprice) FROM orders"
+    ).fetchone()
+    width = (mx - mn) / bins
+    want = dict(
+        con.execute(
+            f"""
+            SELECT CAST(least({bins - 1}, floor((o_totalprice - {mn!r}) / {width!r})) AS INT) AS bin,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY bin
+            """
+        ).fetchall()
+    )
+    assert sum(v[2] for v in got.values()) == sum(want.values())
+    for b, (lo, hi, n) in got.items():
+        assert n == want.get(b, 0), b
+        assert abs(lo - (mn + b * width)) < 1e-9
+    # full coverage: every bin row present, even empty ones
+    assert set(got) == set(range(bins))
