@@ -118,3 +118,42 @@ def top_n_by_hash(
     ``stratified_sample``."""
     h = salted_hash(F.col(id_col), salt)
     return df.withColumn("_h", h).orderBy("_h", id_col).limit(n).drop("_h")
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, n items,
+    inclusion probability proportional to ``weight_col`` (Efraimidis &
+    Spirakis 2006: key = u^(1/w) with u uniform from the salted hash;
+    the top-n keys are the sample). Same contract as everything here:
+    hash-derived, reshuffle-stable, engine-portable.
+
+    Distributed shape: one narrow projection computes the key, then a
+    TakeOrdered top-n merge (per-partition heaps + driver merge of n
+    rows) -- no full sort, no shuffle of the corpus. n is driver-sized
+    by contract, like ``top_n_by_hash``.
+
+    Zero/negative weights are excluded (their inclusion probability is
+    zero); ties on the key (measure-zero under distinct hashes) break by
+    id for determinism.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    u = (salted_hash(F.col(id_col), salt) + 1).cast("double") / F.lit(
+        float(HASH_SPACE + 1)
+    )  # u in (0, 1] -- never exactly 0, so ln(u) is finite
+    # key = u^(1/w) ranks equivalently to ln(u)/w (monotone transform);
+    # use the log form for numeric stability at tiny weights
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), F.col(id_col))
+        .limit(n)
+        .drop("_wkey")
+    )

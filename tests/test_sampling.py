@@ -116,3 +116,44 @@ def test_null_ids_are_one_deterministic_cohort(spark):
     assert len(null_splits) == 1  # one cohort, one deterministic split
     # the full-fraction sample keeps null-id rows instead of dropping them
     assert stratified_sample(df, 1.0).count() == 4
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.sampling import weighted_sample_n
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    got = weighted_sample_n(docs, 50, "n_chars")
+    ids = [r.doc_id for r in got.collect()]
+    assert len(ids) == 50 and len(set(ids)) == 50
+
+    # deterministic + reshuffle-stable
+    re_ids = [
+        r.doc_id
+        for r in weighted_sample_n(docs.repartition(7), 50, "n_chars").collect()
+    ]
+    assert sorted(ids) == sorted(re_ids)
+
+    # weight-proportional inclusion: heavy rows must be overrepresented.
+    # Give the lowest-id half weight 10, the rest weight 1; the sample
+    # of 100 should be dominated by heavy rows (E[heavy] ~ 91%).
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    weighted = docs.withColumn(
+        "w", F.when(F.col("doc_id") <= mid, F.lit(10.0)).otherwise(F.lit(1.0))
+    )
+    sample = weighted_sample_n(weighted, 100, "w", salt="bias-test")
+    heavy = sample.filter(F.col("doc_id") <= mid).count()
+    assert heavy > 70, heavy
+
+    # zero-weight rows never appear
+    zw = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    s2 = weighted_sample_n(zw, 50, "w")
+    assert s2.filter(F.col("doc_id") % 2 == 0).count() == 0
+
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample_n(docs, 0, "n_chars")
