@@ -119,3 +119,81 @@ def logprob_filter(
     scored = doc_logprob(docs, model_docs, text_col, id_col)
     bad = scored.filter(F.col("ppl_proxy") > max_ppl).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def bigram_model(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Fit an add-one-smoothed bigram model: P(cur|prev) =
+    (c(prev,cur) + 1) / (c(prev) + V). Returns (bigram_counts,
+    unigram_counts, vocab_size); log-probs are derived at scoring time
+    so both count tables stay re-usable and re-aggregatable.
+
+    One corpus scan: bigrams come from zipping the token array with its
+    own tail (no self-join, no window shuffle) and explode into a hash
+    aggregate on the pair. The model is vocabulary^2-bounded in theory,
+    observed-bigrams-sized in practice."""
+    toks = tokenize(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    exploded = docs.select(F.explode(pairs).alias("p")).select("p.prev", "p.cur")
+    bi = exploded.groupBy("prev", "cur").agg(F.count("*").alias("n_bi"))
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_uni"))
+    )
+    vocab = uni.count()
+    return bi, uni, vocab
+
+
+def doc_bigram_logprob(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability -- the order-2 member of
+    the CCNet scoring family (the unigram one is :func:`doc_logprob`).
+    Docs with < 2 tokens have no bigrams and are absent.
+
+    Unseen (prev, cur) pairs back off to the smoothed floor
+    1 / (c(prev) + V) when prev is known, and 1 / V when even prev is
+    out of vocabulary. Integer-millionth determinism as everywhere."""
+    import math
+
+    bi, uni, vocab = bigram_model(
+        model_docs if model_docs is not None else docs, text_col
+    )
+    toks = tokenize(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    doc_pairs = docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.prev", "p.cur"
+    )
+    joined = (
+        doc_pairs.join(bi, ["prev", "cur"], "left")
+        .join(uni.withColumnRenamed("term", "prev"), "prev", "left")
+    )
+    denom = F.coalesce(F.col("n_uni"), F.lit(0)) + F.lit(vocab)
+    num = F.coalesce(F.col("n_bi"), F.lit(0)) + 1
+    logp_m = F.round(
+        F.log(num.cast("double") / denom.cast("double")) * LOGP_SCALE
+    ).cast("bigint")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(logp_m).alias("_sum_logp_m"),
+    )
+    mean = F.col("_sum_logp_m").cast("double") / LOGP_SCALE / F.col("n_bigrams")
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(mean, 6).alias("mean_logprob"),
+        F.round(F.exp(-F.round(mean, 6)), 4).alias("ppl_proxy"),
+    )

@@ -98,3 +98,69 @@ def test_logprob_filter_drops_high_perplexity_tail(spark, sf_dir):
     # every surviving doc is at or below the cutoff
     survivors = doc_logprob(docs).join(kept.select("doc_id"), "doc_id")
     assert survivors.filter(F.col("ppl_proxy") > cutoff).count() == 0
+
+
+BIGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents),
+pairs AS (
+    SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2),
+bi AS (SELECT prev, cur, count(*) AS n_bi FROM pairs GROUP BY prev, cur),
+uni AS (SELECT unnest(t) AS term FROM toks),
+unic AS (SELECT term, count(*) AS n_uni FROM uni GROUP BY term),
+v AS (SELECT count(*) AS vocab FROM unic),
+scored AS (
+    SELECT p.doc_id,
+           CAST(round(ln((COALESCE(b.n_bi, 0) + 1.0)
+                         / (COALESCE(u.n_uni, 0) + (SELECT vocab FROM v)))
+                      * 1000000) AS BIGINT) AS logp_m
+    FROM pairs p
+    LEFT JOIN bi b ON p.prev = b.prev AND p.cur = b.cur
+    LEFT JOIN unic u ON p.prev = u.term)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(sum(logp_m) / 1000000.0 / count(*), 6) AS mean_logprob,
+       round(exp(-round(sum(logp_m) / 1000000.0 / count(*), 6)), 4) AS ppl_proxy
+FROM scored GROUP BY doc_id
+"""
+
+
+def test_doc_bigram_logprob_matches_duckdb_oracle(spark, sf_dir):
+    from taxi_data_pipeline_pset2_spark.operators.lm_score import doc_bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = doc_bigram_logprob(docs).toPandas()
+    con = duckdb_connection(sf_dir)
+    want = con.execute(BIGRAM_ORACLE).df()
+    assert compare_frames(got, want) == []
+
+
+def test_bigram_scores_order_sensitivity(spark, sf_dir):
+    """The bigram model must distinguish natural order from shuffled
+    tokens where the unigram model cannot: a doc made of REVERSED
+    corpus bigrams scores lower than the same tokens in corpus order."""
+    from taxi_data_pipeline_pset2_spark.operators.lm_score import (
+        doc_bigram_logprob,
+        doc_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    toks = first.text.strip().lower().split()
+    probe = spark.createDataFrame(
+        [(9_100_000, " ".join(toks)), (9_100_001, " ".join(reversed(toks)))],
+        "doc_id long, text string",
+    )
+    big = {
+        r.doc_id: r.mean_logprob
+        for r in doc_bigram_logprob(probe, model_docs=docs).collect()
+    }
+    assert big[9_100_000] > big[9_100_001]
+    unig = {
+        r.doc_id: r.mean_logprob
+        for r in doc_logprob(probe, model_docs=docs).collect()
+    }
+    assert unig[9_100_000] == unig[9_100_001]  # unigram is order-blind
