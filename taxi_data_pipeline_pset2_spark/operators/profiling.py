@@ -128,3 +128,24 @@ def column_histogram(df, col: str, bins: int = 10):
         .select("bin", "lo", "hi", F.coalesce("n", F.lit(0)).alias("n"))
         .orderBy("bin")
     )
+
+
+def quantile_bin(df, col: str, bins: int = 10, out_col: str | None = None):
+    """Equal-frequency discretization: adds ``out_col`` (default
+    ``{col}_bin``) in [0, bins) with ~equal row counts per bin -- the
+    feature-engineering twin of ``column_histogram`` (equi-width) and
+    the same quantile-cell machinery the Z-order layout uses.
+
+    One approxQuantile sketch pass for the boundaries (driver gets
+    bins-1 literals); the assignment is a codegen comparison chain, no
+    shuffle. Duplicate boundaries (heavy ties) are collapsed, so bins on
+    a low-cardinality column may be fewer but never empty-by-split."""
+    from pyspark.sql import functions as F
+
+    out_col = out_col or f"{col}_bin"
+    probs = [i / bins for i in range(1, bins)]
+    bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
+    cell = F.lit(0).cast("int")
+    for b in bounds:
+        cell = cell + (F.col(col).cast("double") > F.lit(float(b))).cast("int")
+    return df.withColumn(out_col, F.when(F.col(col).isNotNull(), cell))

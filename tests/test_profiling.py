@@ -130,3 +130,35 @@ def test_column_histogram_matches_duckdb(spark, sf_dir):
         assert abs(lo - (mn + b * width)) < 1e-9
     # full coverage: every bin row present, even empty ones
     assert set(got) == set(range(bins))
+
+
+def test_quantile_bin_equal_frequency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.profiling import quantile_bin
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    binned = quantile_bin(orders, "o_totalprice", bins=10)
+    counts = {
+        r.o_totalprice_bin: r.n
+        for r in binned.groupBy("o_totalprice_bin").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert set(counts) == set(range(10))
+    # equal frequency within sketch tolerance: every bin within 30% of ideal
+    ideal = total / 10
+    for b, n in counts.items():
+        assert 0.7 * ideal < n < 1.3 * ideal, (b, n, ideal)
+    # monotone: higher bins hold strictly higher value ranges
+    edges = binned.groupBy("o_totalprice_bin").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).orderBy("o_totalprice_bin").collect()
+    for prev, cur in zip(edges, edges[1:]):
+        assert prev.hi <= cur.lo or abs(prev.hi - cur.lo) < 1e-9
+    # null passthrough
+    with_null = orders.withColumn(
+        "o_totalprice", F.when(F.col("o_orderkey") % 97 == 0, None).otherwise(F.col("o_totalprice"))
+    )
+    nb = quantile_bin(with_null, "o_totalprice", bins=5)
+    assert nb.filter(F.col("o_totalprice").isNull() & F.col("o_totalprice_bin").isNotNull()).count() == 0
