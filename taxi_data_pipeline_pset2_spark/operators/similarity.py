@@ -287,6 +287,37 @@ def cosine_sketch_bands(
     )
 
 
+def _round_half_up_6(raw):
+    """ROUND(x, 6) with Spark/DuckDB semantics: HALF_UP on the double's
+    exact decimal expansion (java.math.BigDecimal HALF_UP / DuckDB round).
+
+    The fast vectorized form ``floor(|x|*1e6 + 0.5)`` computes in float64
+    and can disagree with BigDecimal when ``|x|*1e6`` lands within one ULP
+    of a .5 boundary, so elements near a boundary are re-rounded through
+    Python ``decimal`` -- ``Decimal(float)`` is the exact binary expansion
+    and ``ROUND_HALF_UP`` is ties-away-from-zero, the same path the JVM
+    takes. Boundary cases are measure-zero in practice, so the slow path
+    touches a handful of elements per batch at most."""
+    import decimal
+
+    import numpy as np
+
+    raw = np.asarray(raw, dtype=np.float64)
+    scaled = np.abs(raw) * 1e6
+    out = np.sign(raw) * np.floor(scaled + 0.5) / 1e6
+    frac = scaled - np.floor(scaled)
+    suspect = np.abs(frac - 0.5) < 1e-6
+    if suspect.any():
+        q = decimal.Decimal("0.000001")
+        for i in np.flatnonzero(suspect):
+            out[i] = float(
+                decimal.Decimal(float(raw[i])).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def verify_cosine_pairs(
     emb: DataFrame,
     cands: DataFrame,
@@ -326,8 +357,7 @@ def verify_cosine_pairs(
                 np.sqrt(pdf["n2_a"].to_numpy(dtype=np.float64))
                 * np.sqrt(pdf["n2_b"].to_numpy(dtype=np.float64))
             )
-            # round-half-away-from-zero to match Spark/DuckDB ROUND
-            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            cos = _round_half_up_6(raw)
             keep = cos >= threshold
             yield pd.DataFrame(
                 {

@@ -13,6 +13,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def overwrite_table(df: DataFrame, path: str) -> None:
@@ -227,8 +228,6 @@ def merge_upsert(
     table -- the honest contract for plain parquet; partition-scoped
     upserts go through ``month_partitioned_ingest``'s dynamic overwrite
     instead."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     target = spark.read.parquet(path)
     if set(target.columns) != set(updates.columns):
         raise ValueError(
@@ -238,5 +237,8 @@ def merge_upsert(
     kept = target.join(updates.select(*key_cols).distinct(), list(key_cols), "left_anti")
     merged = kept.unionByName(updates)
     if delete_pred is not None:
-        merged = merged.filter(~delete_pred)
+        # SQL MERGE's DELETE removes only rows where the predicate is TRUE;
+        # a bare ~pred would also drop NULL-predicate rows (3VL: ~NULL is
+        # NULL, filtered out), so coalesce NULL to "not deleted".
+        merged = merged.filter(~F.coalesce(delete_pred, F.lit(False)))
     atomic_overwrite(merged, path)

@@ -74,10 +74,15 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     the directory is still empty."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.errors import AnalysisException
+
     ts_type: object = LongType()
     try:
         ts_type = spark.read.parquet(events_dir).schema["ts"].dataType
-    except Exception:  # noqa: BLE001 - empty dir: keep the legacy default
+    except AnalysisException:
+        # path-not-found / empty dir: keep the legacy nanos-as-long
+        # default. Anything else (permissions, corrupt footer) propagates
+        # as the real error instead of a confusing stream-schema mismatch.
         pass
     raw = (
         spark.readStream.schema(_events_raw_schema(ts_type))

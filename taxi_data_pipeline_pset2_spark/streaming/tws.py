@@ -72,8 +72,13 @@ class GapSessionProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
+        # timer_ms is the timestamp actually passed to registerTimer (which
+        # may have been clamped to watermark+1, see below) -- deleteTimer
+        # must be given that exact value, not a recomputed end_ms+gap,
+        # or a clamped stale timer survives and later fires mid-session,
+        # splitting it.
         self.session = handle.getValueState(
-            "session", "start_ms long, end_ms long, n long"
+            "session", "start_ms long, end_ms long, n long, timer_ms long"
         )
 
     def handleInputRows(
@@ -83,8 +88,7 @@ class GapSessionProcessor(StatefulProcessor):
         pdf = pd.concat(list(rows)).sort_values("ts")
         ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
         if self.session.exists():
-            start_ms, end_ms, n = self.session.get()
-            old_timer = end_ms + self.gap_ms
+            start_ms, end_ms, n, old_timer = self.session.get()
         else:
             start_ms, end_ms, n = ts_ms[0], ts_ms[0], 0
             old_timer = None
@@ -96,15 +100,16 @@ class GapSessionProcessor(StatefulProcessor):
             else:
                 end_ms = max(end_ms, t)
                 n += 1
-        self.session.update((start_ms, end_ms, n))
         # named timers are explicit on this API: drop the stale one, arm
         # the new close time (strictly ahead of the watermark so an
         # already-passed watermark still fires it on the next advance)
-        if old_timer is not None:
-            self.handle.deleteTimer(old_timer)
-        self.handle.registerTimer(
-            max(end_ms + self.gap_ms, timerValues.getCurrentWatermarkInMs() + 1)
+        new_timer = max(
+            end_ms + self.gap_ms, timerValues.getCurrentWatermarkInMs() + 1
         )
+        if old_timer is not None and old_timer != new_timer:
+            self.handle.deleteTimer(old_timer)
+        self.handle.registerTimer(new_timer)
+        self.session.update((start_ms, end_ms, n, new_timer))
         for s, e, c in closed:
             yield _session_row(user_id, s, e, c)
 
@@ -113,7 +118,7 @@ class GapSessionProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if self.session.exists():
-            start_ms, end_ms, n = self.session.get()
+            start_ms, end_ms, n, _timer_ms = self.session.get()
             self.session.clear()
             yield _session_row(user_id, start_ms, end_ms, n)
 
