@@ -1,0 +1,315 @@
+"""Catalog entries for the round-3/4 operator families (SURVEY.md 2b):
+funnel, decontamination, pivot/unpivot, heavy hitters, deterministic
+sampling, SCD2. Each wraps the operator module it fronts with a full
+DuckDB oracle so the external driver hash-verifies the family instead of
+relying on the local pytest replay alone.
+
+Determinism notes follow catalog.py's contract: exact-decimal money
+sums, ROUND(x, 6) on fractions, engine-portable md5-prefix hashes
+(``operators/dedup.py stable_hash64``; DuckDB twin
+``CAST('0x' || substr(md5(s),1,8) AS BIGINT)``), identical aliases on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.queries._helpers import t
+from taxi_data_pipeline_pset2_spark.queries.catalog import query
+
+# ---------------------------------------------------------------------------
+# Funnel (operators/funnel.py)
+
+_FUNNEL_ORACLE = """
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT s0.user_id, min(e.ts) AS t1 FROM s0
+           JOIN events e ON e.user_id = s0.user_id
+            AND e.event_type = 'click' AND e.ts > s0.t0
+           GROUP BY s0.user_id),
+    s2 AS (SELECT s1.user_id, min(e.ts) AS t2 FROM s1
+           JOIN events e ON e.user_id = s1.user_id
+            AND e.event_type = 'purchase' AND e.ts > s1.t1
+           GROUP BY s1.user_id),
+    c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+                 (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2)
+    SELECT 0 AS stage, c0 AS users, round(c0 / c0, 6) AS conversion_from_start FROM c
+    UNION ALL SELECT 1, c1, round(c1 / c0, 6) FROM c
+    UNION ALL SELECT 2, c2, round(c2 / c0, 6) FROM c
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("bench", "funnel", "agg"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel view -> click -> purchase over the
+    events table (operators/funnel.py): per-user stage times resolve in
+    ONE hash aggregate + array expressions (no join chain); the summary
+    is a 3-row conversion table. Oracle is the classic min-after-prior
+    join-chain formulation -- semantically identical, quadratically
+    worse at scale, which is the point of the operator."""
+    from taxi_data_pipeline_pset2_spark.operators.funnel import (
+        funnel_stages,
+        funnel_summary,
+    )
+
+    stages = funnel_stages(
+        t(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+    return funnel_summary(stages, 3)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/decontamination.py)
+
+_DECON_K = 8
+_SHINGLE_CONCAT = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_DECON_K)).replace(
+    "toks[i+0]", "toks[i]"
+)
+_DECON_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents),
+    sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= {_DECON_K} THEN
+             list_transform(generate_series(1, len(toks) - {_DECON_K - 1}),
+                            i -> {_SHINGLE_CONCAT})
+           ELSE CAST([] AS VARCHAR[]) END) AS sh FROM toks),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    hs AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM e),
+    train AS (SELECT * FROM hs WHERE doc_id % 20 != 0),
+    bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+    hits AS (SELECT tr.doc_id, count(*) AS n_contaminated FROM train tr
+             JOIN bench b ON tr.h = b.h GROUP BY tr.doc_id)
+    SELECT tt.doc_id, tt.n_shingles,
+           coalesce(hi.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(hi.n_contaminated, 0) / tt.n_shingles, 6) AS contamination_frac
+    FROM totals tt LEFT JOIN hits hi ON tt.doc_id = hi.doc_id
+"""
+
+
+@query(
+    "decontamination_scores",
+    oracle=_DECON_ORACLE,
+    tags=("bench", "dedup", "decontamination"),
+)
+def decontamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontamination.py): every
+    20th doc plays the eval set, the rest the training corpus; each
+    train doc is scored by how many of its distinct 8-gram shingles
+    collide with the benchmark shingle set (GPT-3 appendix-C family).
+    The bench side broadcasts; the train side stays scan-shaped."""
+    from taxi_data_pipeline_pset2_spark.operators.decontamination import (
+        contamination_scores,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_scores(train, bench, k=_DECON_K)
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (operators/reshape.py)
+
+_PIVOT_ORACLE = """
+    SELECT l_returnflag,
+           round(CAST(sum(CASE WHEN l_linestatus = 'O'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                      AS DOUBLE), 2) AS "O",
+           round(CAST(sum(CASE WHEN l_linestatus = 'F'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                      AS DOUBLE), 2) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("pivot_category_totals", oracle=_PIVOT_ORACLE, tags=("reshape", "agg"))
+def pivot_category_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (operators/reshape.py pivot_agg): revenue per returnflag
+    pivoted wide on linestatus with an EXPLICIT value list -- one hash
+    aggregate, CASE-bucketed partials, map-side combine (the A6 pattern
+    generalized). Exact decimal sum then rounded double on both sides."""
+    from taxi_data_pipeline_pset2_spark.operators.reshape import pivot_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    return pivot_agg(
+        li,
+        ["l_returnflag"],
+        "l_linestatus",
+        ["O", "F"],
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2),
+    )
+
+
+_UNPIVOT_ORACLE = """
+    WITH w AS (SELECT l_returnflag,
+                      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+    UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+"""
+
+
+@query("unpivot_wide_metrics", oracle=_UNPIVOT_ORACLE, tags=("reshape",))
+def unpivot_wide_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (operators/reshape.py unpivot_longify): a wide two-metric
+    aggregate melted back to (group, metric, value) rows -- pure per-row
+    Expand, no shuffle beyond the producing aggregate."""
+    from taxi_data_pipeline_pset2_spark.operators.reshape import unpivot_longify
+
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_price"),
+    )
+    return unpivot_longify(wide, ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (operators/frequency.py)
+
+_HH_SUPPORT = 0.04
+_HH_ORACLE = f"""
+    SELECT CAST(p_brand AS VARCHAR) AS value, count(*) AS n,
+           round(count(*) / (SELECT count(*) FROM part), 6) AS frac
+    FROM part GROUP BY p_brand
+    HAVING count(*) >= CAST({_HH_SUPPORT} AS DOUBLE) * (SELECT count(*) FROM part)
+    ORDER BY n DESC, value
+"""
+
+
+@query("heavy_hitters_brand", oracle=_HH_ORACLE, tags=("frequency", "approx"))
+def heavy_hitters_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase heavy hitters (operators/frequency.py): freqItems
+    candidate superset (one pass, driver traffic <= 1/support items),
+    then EXACT counts for candidates only -- never a full group-by of
+    the value domain. The oracle is the naive full group-by + HAVING,
+    equivalent on the result set; the CAST to DOUBLE pins the threshold
+    to the same IEEE product Python computes (a DECIMAL literal times
+    BIGINT would round differently at exact-integer thresholds)."""
+    from taxi_data_pipeline_pset2_spark.operators.frequency import heavy_hitters
+
+    return heavy_hitters(t(spark, sf_dir, "part"), "p_brand", support=_HH_SUPPORT)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py)
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_B1 = int(0.8 * (1 << 32))
+_B2 = int((0.8 + 0.1) * (1 << 32))
+_SPLIT_ORACLE = f"""
+    WITH h AS (SELECT CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null-id>')
+                                           || '|split-v1'), 1, 8)) AS BIGINT) AS hv
+               FROM documents)
+    SELECT CASE WHEN hv < {_B1} THEN 'train'
+                WHEN hv < {_B2} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM h GROUP BY split ORDER BY split
+"""
+
+
+@query("hash_split_counts", oracle=_SPLIT_ORACLE, tags=("sampling",))
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py
+    hash_split): engine-portable salted md5 bucketing -- reshuffle-stable
+    and reproducible outside Spark, which is exactly what the oracle
+    does. One narrow projection + one tiny aggregate."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, weights=dict(_SPLIT_WEIGHTS))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
+_WSAMPLE_N = 100
+_WSAMPLE_ORACLE = f"""
+    WITH w AS (SELECT doc_id, text, lang, source, n_chars,
+                      ln((CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null-id>')
+                                               || '|wsample-v1'), 1, 8)) AS BIGINT) + 1)
+                         / 4294967297.0) / CAST(n_chars AS DOUBLE) AS k
+               FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+    SELECT doc_id, text, lang, source, n_chars
+    FROM w ORDER BY k DESC, doc_id LIMIT {_WSAMPLE_N}
+"""
+
+
+@query("weighted_sample_topn", oracle=_WSAMPLE_ORACLE, tags=("sampling",))
+def weighted_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.py weighted_sample_n, Efraimidis-Spirakis hash keys with
+    n_chars weights): TakeOrdered top-n merge, no corpus shuffle. The
+    oracle recomputes the identical ln(u)/w keys from the documented
+    md5 formula and takes the same top 100."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import weighted_sample_n
+
+    docs = t(spark, sf_dir, "documents")
+    return weighted_sample_n(docs, _WSAMPLE_N, weight_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (plans/scd.py)
+
+_SCD_SNAPS = (("2024-01-01", 1000), ("2024-02-01", 1000), ("2024-03-01", 500))
+_SCD_SNAP_SQL = "\n      UNION ALL ".join(
+    f"SELECT c_custkey, TIMESTAMP '{ts}' AS snapshot_ts, c_mktsegment AS segment,"
+    f" CAST(floor(c_acctbal / {div}) AS BIGINT) AS bal_bucket FROM customer"
+    for ts, div in _SCD_SNAPS
+)
+_SCD_ORACLE = f"""
+    WITH snaps AS (
+      {_SCD_SNAP_SQL}
+    ),
+    lagged AS (SELECT *, lag(segment) OVER w AS p_seg, lag(bal_bucket) OVER w AS p_bal,
+                      lag(snapshot_ts) OVER w AS p_ts
+               FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY snapshot_ts)),
+    flagged AS (SELECT *, CASE WHEN p_ts IS NULL
+                                 OR NOT (segment IS NOT DISTINCT FROM p_seg)
+                                 OR NOT (bal_bucket IS NOT DISTINCT FROM p_bal)
+                               THEN 1 ELSE 0 END AS nv FROM lagged),
+    ver AS (SELECT *, sum(nv) OVER (PARTITION BY c_custkey ORDER BY snapshot_ts
+                                    ROWS UNBOUNDED PRECEDING) AS v FROM flagged),
+    pv AS (SELECT c_custkey, v, min(snapshot_ts) AS effective_from,
+                  min(segment) AS segment, min(bal_bucket) AS bal_bucket
+           FROM ver GROUP BY c_custkey, v),
+    fin AS (SELECT c_custkey, segment, bal_bucket, effective_from,
+                   lead(effective_from) OVER (PARTITION BY c_custkey ORDER BY v) AS effective_to
+            FROM pv)
+    SELECT c_custkey, segment, bal_bucket, effective_from, effective_to,
+           effective_to IS NULL AS is_current
+    FROM fin
+"""
+
+
+@query("scd2_history", oracle=_SCD_ORACLE, tags=("scd", "window"))
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (plans/scd.py scd2_from_snapshots): three
+    monthly full snapshots of a customer dimension (the balance bucket
+    coarsens in the third month, so some keys change and some do not)
+    collapsed into effective-dated versions -- half-open intervals,
+    NULL-safe change detection, is_current on the open row. One shuffle
+    on the business key; the oracle is the same lag/running-sum window
+    SQL in DuckDB."""
+    from taxi_data_pipeline_pset2_spark.plans.scd import scd2_from_snapshots
+
+    cust = t(spark, sf_dir, "customer")
+    snaps = None
+    for ts, div in _SCD_SNAPS:
+        s = cust.select(
+            "c_custkey",
+            F.lit(ts).cast("timestamp").alias("snapshot_ts"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / div).cast("bigint").alias("bal_bucket"),
+        )
+        snaps = s if snaps is None else snaps.unionByName(s)
+    return scd2_from_snapshots(
+        snaps, ["c_custkey"], ["segment", "bal_bucket"], "snapshot_ts"
+    )
