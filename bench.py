@@ -21,34 +21,56 @@ import sys
 import time
 
 
-def clustering_demo(spark, sf_dir: str, scale: int = 64, n_flat_files: int = 64) -> dict:
+def _fadvise_dontneed(d: str) -> None:
+    """Evict a directory's parquet files from the OS page cache
+    (best-effort, POSIX_FADV_DONTNEED on clean pages) so the next read
+    pays real disk I/O -- the state every scan is in on a 100 TB cluster,
+    where the working set never fits in cache."""
+    for r, _, fs in os.walk(d):
+        for f in fs:
+            if f.endswith(".parquet"):
+                fd = os.open(os.path.join(r, f), os.O_RDONLY)
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                finally:
+                    os.close(fd)
+
+
+def clustering_demo(spark, sf_dir: str, scale: int = 512, n_flat_files: int = 64) -> dict:
     """The reference's headline number (README.md:79-97 / BASELINE.md:
     826M-row aggregate 1,500 ms unclustered -> 92 ms clustered, 16.3x),
     reproduced as the same data in two layouts:
 
-    - unclustered: rows round-robin shuffled across ``n_flat_files``
-      files, so every file's o_orderdate min/max spans the whole range
-      and no row group can be skipped (Snowflake's "no clustering");
+    - unclustered: every flat file's o_orderdate min/max spans the whole
+      date range, so no file or row group can be skipped (Snowflake's
+      "no clustering");
     - clustered (X1): partitioned by order year, sorted by o_orderdate
-      within partitions, so the year predicate prunes whole directories.
+      within partitions across ~128 files (micro-partition-sized, so the
+      pruned scan keeps full thread parallelism -- a handful of giant
+      sorted files would serialize it), so the year predicate prunes
+      whole directories.
 
-    The identical flagship aggregate body runs against both. The fact is
-    replicated ``scale``x first (both layouts get the identical scaled
-    frame) because at local SF the raw orders table is a single small
-    file where fixed per-query overhead hides any layout effect; the
-    reference's own demo runs on 826M rows.
+    The identical demo aggregate (the reference's own query shape:
+    GROUP BY month, COUNT + plain AVG -- README.md:90-96; NOT the
+    catalog's decimal-exact twin, whose exact-decimal accumulation buys
+    oracle-hash determinism at a per-row cost that swamps the layout
+    difference) runs against both. The fact is replicated ``scale``x
+    first (both layouts get the identical scaled frame) because at
+    local SF the raw orders table is a single small file where fixed
+    per-query overhead hides any layout effect; the reference's own
+    demo runs on 826M rows. Every replica gets jittered keys, prices
+    AND second-level date offsets so neither layout can RLE-collapse
+    replicas into artificially small or fast files.
 
-    Besides wall-clock (which on a page-cached local disk understates
-    the win: the shared aggregate + fixed multi-stage overhead dominate
-    sub-second queries), the demo reports the BYTES each layout must
-    read -- the filesystem fact that becomes the speedup on a real
-    cluster, where the scan, not the 60-row aggregate, is the cost."""
+    Both a COLD first read (page cache dropped via posix_fadvise --
+    the scan-bound regime a real cluster lives in) and warm best-of-3
+    are reported; the headline ``speedup`` is the cold one, with the
+    warm pair alongside, and the BYTES each layout must read."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from taxi_data_pipeline_pset2_spark.queries.relational import monthly_trend_agg
     from taxi_data_pipeline_pset2_spark.sources.readers import load_table
     from taxi_data_pipeline_pset2_spark.sources.sinks import clustered_write
 
@@ -59,55 +81,141 @@ def clustering_demo(spark, sf_dir: str, scale: int = 64, n_flat_files: int = 64)
         orders = load_table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate")
         )
-        # Replicas get distinct keys/prices (jitter) so the clustered
-        # copy can't RLE-collapse 32 identical adjacent rows after the
-        # sort -- that would overstate the byte win as a replication
-        # artifact. Dates repeat across replicas, as real fact dates do.
+        # Repartition the SMALL base before the explode: the flat layout
+        # needs every file to span the full date range, which a random
+        # shuffle of the 150k-row base already guarantees -- shuffling
+        # the exploded GB-scale frame instead would add nothing but a
+        # gigabyte shuffle to every bench round.
+        # EVERY column gets hash-random replica jitter. Replicas are
+        # adjacent in the flat files (the explode runs after the
+        # base-table repartition), so any column left constant or
+        # sequential across replicas would RLE/delta-collapse there
+        # while the date-sorted clustered files get no such gift --
+        # an encoding artifact that deflates the byte comparison, not a
+        # property of an unclustered table. Hash jitter also matches the
+        # reference, whose trip_id is an MD5 (random, incompressible)
+        # surrogate over high-entropy fact columns.
+        def _h(*cols):
+            return F.xxhash64(*cols, F.col("_rep"))
+
+        statuses = F.array(F.lit("F"), F.lit("O"), F.lit("P"))
+        priorities = F.array(
+            *[F.lit(p) for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")]
+        )
         scaled = (
-            orders.withColumn(
-                "_rep", F.explode(F.array(*[F.lit(i) for i in range(scale)]))
-            )
-            .withColumn(
-                "o_orderkey", F.col("o_orderkey") * scale + F.col("_rep")
-            )
+            orders.repartition(n_flat_files)
+            .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(scale - 1))))
             .withColumn(
                 "o_totalprice",
-                F.col("o_totalprice") + F.col("_rep").cast("double") / 100.0,
+                F.col("o_totalprice")
+                + F.pmod(_h(F.col("o_orderkey")), F.lit(10000)).cast("double") / 100.0,
             )
+            .withColumn("o_custkey", F.pmod(_h(F.col("o_custkey")), F.lit(150000)))
+            .withColumn(
+                "o_orderstatus",
+                F.element_at(statuses, (F.pmod(_h(F.col("o_orderkey"), F.lit(1)), F.lit(3)) + 1).cast("int")),
+            )
+            .withColumn(
+                "o_orderpriority",
+                F.element_at(priorities, (F.pmod(_h(F.col("o_orderkey"), F.lit(2)), F.lit(5)) + 1).cast("int")),
+            )
+            .withColumn(
+                # seconds-level jitter: stays inside the same day/month
+                # (base dates are midnight-aligned), but adjacent
+                # replicas stay distinct
+                "o_orderdate",
+                F.timestamp_add("SECOND", F.col("_rep"), F.col("o_orderdate")),
+            )
+            .withColumn("o_orderkey", _h(F.col("o_orderkey")))
             .drop("_rep")
         )
-        scaled.repartition(n_flat_files).write.mode("overwrite").parquet(flat_path)
+        t0 = time.perf_counter()
+        scaled.write.mode("overwrite").parquet(flat_path)
+        flat_write_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
         clustered_write(
-            scaled, clus_path, partition_by=("o_year",), sort_by=("o_orderdate",)
+            spark.read.parquet(flat_path),
+            clus_path,
+            partition_by=("o_year",),
+            sort_by=("o_orderdate",),
+            n_files=128,
         )
         write_sec = time.perf_counter() - t0
 
-        # The reference's timed query targets a CONSTANT year
-        # (``WHERE pickup_date IN 2020``); resolve min-year once outside
-        # both timings so the comparison is scan-vs-scan, not probe cost.
+        # The reference's timed query targets a CONSTANT date range
+        # (``WHERE pickup_date IN 2020`` against date-granular
+        # micro-partition clustering); resolve min-year once outside
+        # both timings so the comparison is scan-vs-scan, not probe
+        # cost. The predicate is the first QUARTER of that year: the
+        # clustered layout then prunes twice -- the o_year directory,
+        # and (because files are date-sorted) parquet row-group min/max
+        # stats skip the rest of the year inside it, the Spark analogue
+        # of Snowflake's date-granular micro-partition pruning. The
+        # flat layout can skip nothing at either level.
         min_year = orders.agg(F.min("o_year")).collect()[0][0]
+        cutoff = f"{min_year}-04-01"
 
         def flagship(path: str):
-            back = spark.read.parquet(path)
-            return monthly_trend_agg(back.filter(F.col("o_year") == min_year))
+            # the reference's demo aggregate shape (plain AVGs):
+            # SELECT service_type, DATE_TRUNC('month', pickup_date),
+            #        COUNT(*), AVG(...) ... GROUP BY 1,2 ORDER BY 2,1
+            back = spark.read.parquet(path).filter(
+                (F.col("o_year") == min_year)
+                & (F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            )
+            return (
+                back.groupBy(
+                    "o_orderpriority",
+                    F.date_trunc("month", F.col("o_orderdate")).alias("o_month"),
+                )
+                .agg(
+                    F.count("*").alias("total_orders"),
+                    F.avg("o_totalprice").alias("avg_price"),
+                )
+                .orderBy("o_month", "o_orderpriority")
+            )
 
-        # interleaved best-of-3 so page-cache state and machine noise hit
-        # both layouts symmetrically
-        best = {"flat_sec": float("inf"), "clustered_sec": float("inf")}
+        def timed(path: str) -> float:
+            t0 = time.perf_counter()
+            flagship(path).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        # cold first reads: flush the just-written dirty pages first
+        # (fadvise cannot evict dirty pages, and a concurrent writeback
+        # would pollute the timing), then evict BOTH layouts before each
+        # measurement so the flat scan can't warm the clustered files'
+        # pages or vice versa
+        os.sync()
+        _fadvise_dontneed(flat_path)
+        _fadvise_dontneed(clus_path)
+        cold_flat = timed(flat_path)
+        _fadvise_dontneed(flat_path)
+        _fadvise_dontneed(clus_path)
+        cold_clus = timed(clus_path)
+
+        # interleaved warm best-of-3 so page-cache state and machine
+        # noise hit both layouts symmetrically
+        best = {"warm_flat_sec": float("inf"), "warm_clustered_sec": float("inf")}
         for _ in range(3):
-            for name, path in (("flat_sec", flat_path), ("clustered_sec", clus_path)):
-                t0 = time.perf_counter()
-                flagship(path).write.format("noop").mode("overwrite").save()
-                best[name] = min(best[name], time.perf_counter() - t0)
-        out = {name: round(v, 4) for name, v in best.items()}
-        out["clustered_write_sec"] = round(write_sec, 4)
-        out["scale"] = scale
-        out["speedup"] = (
-            round(out["flat_sec"] / out["clustered_sec"], 2)
-            if out["clustered_sec"] > 0
+            for name, path in (
+                ("warm_flat_sec", flat_path),
+                ("warm_clustered_sec", clus_path),
+            ):
+                best[name] = min(best[name], timed(path))
+        out = {
+            "flat_sec": round(cold_flat, 4),
+            "clustered_sec": round(cold_clus, 4),
+            "speedup": round(cold_flat / cold_clus, 2) if cold_clus > 0 else None,
+        }
+        out.update({name: round(v, 4) for name, v in best.items()})
+        out["warm_speedup"] = (
+            round(best["warm_flat_sec"] / best["warm_clustered_sec"], 2)
+            if best["warm_clustered_sec"] > 0
             else None
         )
+        out["flat_write_sec"] = round(flat_write_sec, 4)
+        out["clustered_write_sec"] = round(write_sec, 4)
+        out["scale"] = scale
 
         def _dir_bytes(d: str) -> int:
             return sum(
@@ -117,10 +225,40 @@ def clustering_demo(spark, sf_dir: str, scale: int = 64, n_flat_files: int = 64)
                 if f.endswith(".parquet")
             )
 
-        # the unclustered scan must read every file; the clustered scan
-        # lists and reads only the predicate's partition directory
+        def _pruned_bytes(year_dir: str) -> int:
+            # what a stats-pruning scanner must read: files in the
+            # predicate's partition directory whose footer min(o_orderdate)
+            # falls inside the quarter (files are date-sorted, so every
+            # other file's row groups fail the min/max check and are
+            # skipped -- Spark's parquet pushdown does exactly this)
+            import datetime
+
+            import pyarrow.parquet as pq
+
+            lim = datetime.datetime(min_year, 4, 1)
+            total = 0
+            for f in os.listdir(year_dir):
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(year_dir, f)
+                md = pq.ParquetFile(fp).metadata
+                idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }["o_orderdate"]
+                fmin = min(
+                    md.row_group(rg).column(idx).statistics.min
+                    for rg in range(md.num_row_groups)
+                )
+                if fmin.replace(tzinfo=None) < lim:
+                    total += os.path.getsize(fp)
+            return total
+
+        # the unclustered scan must read every file (full-range stats
+        # defeat both directory and row-group pruning); the clustered
+        # scan reads only the quarter's date-sorted files inside the
+        # year directory
         out["flat_bytes_read"] = _dir_bytes(flat_path)
-        out["clustered_bytes_read"] = _dir_bytes(
+        out["clustered_bytes_read"] = _pruned_bytes(
             os.path.join(clus_path, f"o_year={min_year}")
         )
         out["bytes_pruned_ratio"] = (
@@ -129,14 +267,68 @@ def clustering_demo(spark, sf_dir: str, scale: int = 64, n_flat_files: int = 64)
             else None
         )
         out["note"] = (
-            "wall-clock parity is expected on a page-cached local disk "
-            "(fixed multi-stage overhead dominates sub-second queries); "
-            "bytes_pruned_ratio is the signal that becomes the speedup "
-            "on a real cluster where the scan is the cost"
+            "demo query: the reference's aggregate shape filtered to one "
+            "QUARTER; the clustered layout prunes the year directory AND "
+            "date-sorted row groups inside it (the Spark analogue of "
+            "Snowflake's date-granular micro-partition pruning). "
+            "flat_sec/clustered_sec/speedup are COLD first reads (page "
+            "cache synced+dropped via posix_fadvise) -- the scan-bound "
+            "regime a real cluster lives in; warm_* is interleaved "
+            "best-of-3 on a page-cached disk, where fixed multi-stage "
+            "overhead compresses the gap; bytes_pruned_ratio is the "
+            "layout fact driving both"
         )
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pipeline_extras() -> dict:
+    """Bench-only callables for the LLM-pipeline composites that are not
+    catalog entries (multi-output / stateful, so no single oracle row):
+    end-to-end curation, sequence packing, incremental dedup against a
+    persisted index. Regressions here are the r2->r4 dedup story all
+    over again -- keep them on the per-round radar."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    def curate(spark, sf_dir):
+        from taxi_data_pipeline_pset2_spark.operators.curation import curate_corpus
+
+        docs = load_table(spark, sf_dir, "documents")
+        return curate_corpus(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            benchmarks=docs.filter(F.col("doc_id") % 20 == 0),
+            decontam_k=8,
+        )
+
+    def pack(spark, sf_dir):
+        from taxi_data_pipeline_pset2_spark.operators.packing import pack_sequences
+
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+        )
+        return pack_sequences(docs, token_budget=2048)
+
+    def incremental(spark, sf_dir):
+        from taxi_data_pipeline_pset2_spark.operators.dedup import (
+            minhash_band_signatures,
+        )
+        from taxi_data_pipeline_pset2_spark.operators.incremental import (
+            incremental_dedup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        index = minhash_band_signatures(docs.filter(F.col("doc_id") % 5 != 0))
+        res = incremental_dedup(docs.filter(F.col("doc_id") % 5 == 0), index)
+        return res.survivors
+
+    return {
+        "curate_corpus": curate,
+        "pack_sequences": pack,
+        "incremental_dedup": incremental,
+    }
 
 
 def run() -> dict:
@@ -157,18 +349,28 @@ def run() -> dict:
     # Per-query fault isolation: one broken query must degrade to one
     # "errors" entry, never zero the whole benchmark (r3 lesson: a driver
     # testdata schema change took out the entire BENCH via one reader).
+    runnables = [(e.name, e.fn) for e in entries] + sorted(
+        _pipeline_extras().items()
+    )
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for e in entries:
+    for name, fn in runnables:
         best = float("inf")
         try:
-            for _ in range(3):  # best-of-3: ambient load added ~1.4x uniform
+            for i in range(3):  # best-of-3: ambient load added ~1.4x uniform
                 t0 = time.perf_counter()  # noise to the r2 best-of-2 numbers
-                e.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[e.name] = round(best, 4)
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                took = time.perf_counter() - t0
+                if i == 0:
+                    # first run carries codegen/file-listing/page-cache
+                    # state; reporting it alongside best-of-3 makes
+                    # ambient-drift rounds diagnosable (r2's +47%)
+                    first_run[name] = round(took, 4)
+                best = min(best, took)
+            timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 - report, keep benching
-            errors[e.name] = f"{type(exc).__name__}: {exc}"[:300]
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     try:
         cl = clustering_demo(spark, sf_dir)
@@ -181,6 +383,7 @@ def run() -> dict:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "first_run_sec": first_run,
         "clustering": cl,
         "sf": float(m.group(1)) if m else None,
     }
