@@ -225,9 +225,9 @@ def merge_upsert(
     real MERGE's join; with an updates side that is batch-sized Spark's
     AQE broadcasts it and the target is scan-shaped. Unlike a
     transactional table format (Delta/Iceberg) this rewrites the whole
-    table -- the honest contract for plain parquet; partition-scoped
-    upserts go through ``month_partitioned_ingest``'s dynamic overwrite
-    instead."""
+    table -- the honest contract for UNPARTITIONED plain parquet; for a
+    directory-partitioned table use :func:`merge_upsert_partitioned`,
+    which rewrites only the partitions the batch touches."""
     target = spark.read.parquet(path)
     if set(target.columns) != set(updates.columns):
         raise ValueError(
@@ -242,3 +242,145 @@ def merge_upsert(
         # NULL, filtered out), so coalesce NULL to "not deleted".
         merged = merged.filter(~F.coalesce(delete_pred, F.lit(False)))
     atomic_overwrite(merged, path)
+
+
+def _partition_dirnames(spark: SparkSession, partition_col: str, values: list) -> dict:
+    """Map each partition value to the ``<col>=<escaped>`` directory name
+    Spark writes for it. Resolved by letting Spark itself write a
+    one-row-per-value frame into a scratch dir and listing the result --
+    engine-authoritative escaping instead of a reimplementation of the
+    partition-path encoder. One tiny (len(values)-row) local job."""
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="partnames_")
+    out_dir = os.path.join(scratch, "names")
+    try:
+        (
+            spark.createDataFrame([(v, 1) for v in values], [partition_col, "_x"])
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
+        dirs = sorted(
+            d for d in os.listdir(out_dir) if d.startswith(f"{partition_col}=")
+        )
+        if len(dirs) != len(set(values)):
+            raise ValueError(
+                f"partition-name resolution mismatch: {len(set(values))} "
+                f"values -> {len(dirs)} directories (NULL partition values "
+                f"are not mergeable)"
+            )
+        from urllib.parse import unquote
+
+        mapping = {}
+        for d in dirs:
+            decoded = unquote(d.split("=", 1)[1])
+            # match the decoded dir value back to the original python
+            # value (str() matches Spark's partition-path rendering for
+            # the string/int partition types used here)
+            for v in values:
+                if str(v) == decoded:
+                    mapping[v] = d
+                    break
+        if len(mapping) != len(set(values)):
+            raise ValueError(
+                f"could not map partition values to directory names: "
+                f"{sorted(set(map(str, values)) - set(map(str, mapping)))}"
+            )
+        return mapping
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+    delete_pred=None,
+    max_partitions: int = 10_000,
+) -> None:
+    """Partition-scoped MERGE for a directory-partitioned parquet table
+    (``path/<partition_col>=<value>/...`` as written by
+    ``month_partitioned_ingest`` / ``clustered_write``).
+
+    Only the partitions present in the updates batch are read, merged
+    and atomically swapped; every other partition's files are untouched
+    bytes on disk -- at 100 TB a merge into one month must not rewrite
+    ten years. The merge itself is the same anti-join + union + DELETE
+    triad as :func:`merge_upsert`, but the target side is a
+    partition-pruned scan (the ``isin`` filter prunes at planning time,
+    so unaffected partitions are never opened).
+
+    Contract: a key's partition value must be stable across target and
+    updates (the usual MERGE-on-partitioned-table invariant -- e.g. the
+    partition is derived from an immutable attribute of the key). A key
+    moved to a different partition by an update would leave its old row
+    in an unaffected partition untouched.
+
+    Swap protocol: merged partitions are staged, then swapped in
+    directory-by-directory with the displaced originals kept as backups
+    until every swap has succeeded; any failure rolls every completed
+    swap back, so readers see either the old or the new state of each
+    partition and never a half-written one. A partition whose rows are
+    all deleted by ``delete_pred`` is removed. ``max_partitions`` bounds
+    the driver-side partition list (the affected set is batch-sized by
+    design; a batch spanning ten thousand partitions is a full-table
+    rewrite and should use :func:`merge_upsert`)."""
+    target = spark.read.parquet(path)
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge schema mismatch: target {sorted(target.columns)} vs "
+            f"updates {sorted(updates.columns)}"
+        )
+    if partition_col not in updates.columns:
+        raise ValueError(f"updates lack partition column {partition_col!r}")
+    vals = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]  # batch-bounded by contract; guarded below
+    if any(v is None for v in vals):
+        raise ValueError("NULL partition values are not mergeable")
+    if len(vals) > max_partitions:
+        raise ValueError(
+            f"updates span {len(vals)} partitions (> {max_partitions}); "
+            "use merge_upsert for a full-table rewrite"
+        )
+    affected = target.filter(F.col(partition_col).isin(vals))
+    kept = affected.join(
+        updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    )
+    merged = kept.unionByName(updates)
+    if delete_pred is not None:
+        merged = merged.filter(~F.coalesce(delete_pred, F.lit(False)))
+
+    staging = f"{path}__mstage_{uuid.uuid4().hex[:8]}"
+    backup = f"{path}__mold_{uuid.uuid4().hex[:8]}"
+    names = _partition_dirnames(spark, partition_col, vals)
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        os.makedirs(backup, exist_ok=True)
+        moved_in: list[str] = []  # staged dirs renamed into the table
+        moved_out: list[str] = []  # original dirs moved aside to backup
+        try:
+            for d in sorted(names.values()):
+                tdir = os.path.join(path, d)
+                sdir = os.path.join(staging, d)
+                if os.path.exists(tdir):
+                    os.rename(tdir, os.path.join(backup, d))
+                    moved_out.append(d)
+                if os.path.exists(sdir):
+                    os.rename(sdir, tdir)
+                    moved_in.append(d)
+        except BaseException:
+            # roll back in reverse: staged dirs return to staging, then
+            # displaced originals return to the table
+            for d in reversed(moved_in):
+                os.rename(os.path.join(path, d), os.path.join(staging, d))
+            for d in reversed(moved_out):
+                os.rename(os.path.join(backup, d), os.path.join(path, d))
+            raise
+        shutil.rmtree(backup, ignore_errors=True)  # commit point passed
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -204,3 +204,120 @@ def test_merge_upsert_update_insert_delete(spark, tmp_path):
             spark.createDataFrame([(9, "x")], "id long, name string"),
             ("id",),
         )
+
+
+def _partition_file_state(path: str, dirname: str) -> dict:
+    """(relative file -> (size, mtime_ns)) for one partition directory."""
+    d = os.path.join(path, dirname)
+    return {
+        f: (os.path.getsize(os.path.join(d, f)), os.stat(os.path.join(d, f)).st_mtime_ns)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    }
+
+
+def _make_partitioned_table(spark, path: str) -> None:
+    spark.createDataFrame(
+        [
+            (1, "a", 10.0, "2024-01"),
+            (2, "b", 20.0, "2024-01"),
+            (3, "c", 30.0, "2024-02"),
+            (4, "d", 40.0, "2024-02"),
+            (5, "e", 50.0, "2024-03"),
+        ],
+        "id long, name string, v double, month string",
+    ).write.partitionBy("month").parquet(path)
+
+
+def test_merge_upsert_partitioned_touches_only_affected(spark, tmp_path):
+    """The 100 TB contract: merging one month must leave every other
+    month's files untouched ON DISK (same bytes, same mtimes)."""
+    from taxi_data_pipeline_pset2_spark.sources.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "ptbl")
+    _make_partitioned_table(spark, path)
+    before_feb = _partition_file_state(path, "month=2024-02")
+    before_mar = _partition_file_state(path, "month=2024-03")
+
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "2024-01"),  # update in-place
+            (6, "f", 60.0, "2024-01"),  # insert into existing partition
+            (7, "g", 70.0, "2024-04"),  # insert into brand-new partition
+        ],
+        "id long, name string, v double, month string",
+    )
+    merge_upsert_partitioned(spark, path, updates, ("id",), "month")
+
+    got = {r.id: (r.name, r.v, r.month) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", 10.0, "2024-01"),
+        2: ("b2", 21.0, "2024-01"),
+        3: ("c", 30.0, "2024-02"),
+        4: ("d", 40.0, "2024-02"),
+        5: ("e", 50.0, "2024-03"),
+        6: ("f", 60.0, "2024-01"),
+        7: ("g", 70.0, "2024-04"),
+    }
+    # untouched partitions: identical files, sizes AND mtimes
+    assert _partition_file_state(path, "month=2024-02") == before_feb
+    assert _partition_file_state(path, "month=2024-03") == before_mar
+
+
+def test_merge_upsert_partitioned_delete_can_empty_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.sources.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "ptbl_del")
+    _make_partitioned_table(spark, path)
+    before_mar = _partition_file_state(path, "month=2024-03")
+
+    # the delete predicate wipes every 2024-02 row; NULL-pred rows survive
+    updates = spark.createDataFrame(
+        [(3, "c", 30.0, "2024-02"), (4, "d", 40.0, "2024-02")],
+        "id long, name string, v double, month string",
+    )
+    merge_upsert_partitioned(
+        spark, path, updates, ("id",), "month", delete_pred=F.col("v") >= 0.0
+    )
+    assert not os.path.exists(os.path.join(path, "month=2024-02"))
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 5}
+    assert _partition_file_state(path, "month=2024-03") == before_mar
+
+
+def test_merge_upsert_partitioned_swap_failure_rolls_back(spark, tmp_path, monkeypatch):
+    """A failure mid-swap must restore every partition to its pre-merge
+    state -- no half-merged table."""
+    from taxi_data_pipeline_pset2_spark.sources import sinks
+
+    path = str(tmp_path / "ptbl_rb")
+    _make_partitioned_table(spark, path)
+    before = {r.id: (r.name, r.v, r.month) for r in spark.read.parquet(path).collect()}
+
+    updates = spark.createDataFrame(
+        [(1, "a2", 11.0, "2024-01"), (3, "c2", 31.0, "2024-02")],
+        "id long, name string, v double, month string",
+    )
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        # let the first partition's swap (move-aside + move-in) succeed,
+        # then fail while the second partition is mid-swap
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OSError("injected swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", failing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        sinks.merge_upsert_partitioned(spark, path, updates, ("id",), "month")
+    monkeypatch.undo()
+
+    after = {r.id: (r.name, r.v, r.month) for r in spark.read.parquet(path).collect()}
+    assert after == before
