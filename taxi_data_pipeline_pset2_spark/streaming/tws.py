@@ -14,9 +14,24 @@ one session per user; a session closes either inline (a later event
 arrives past the gap) or via an event-time timer once the watermark
 passes session_end + gap.
 
-State per key is one (start_ms, end_ms, n) value -- bounded by active
-users exactly like the old API; timers replace the manual
+State per key is one (start_ms, end_ms, n, timer_ms) value -- bounded by
+active users exactly like the old API; timers replace the manual
 ``state.hasTimedOut`` protocol.
+
+Dependency marker (CI): ``transformWithStateInPandas`` requires the
+``protobuf`` package -- its Python worker speaks a protobuf-framed
+state-server protocol to the JVM (upstream: ``python/pyspark/sql/
+streaming/proto/StateMessage_pb2.py`` in the Spark distribution imports
+``google.protobuf``). This container ships without protobuf and without
+network access (install attempt logged round 5: ``pip download
+protobuf`` -> DNS failure ``Name or service not known`` against the
+configured index; the build environment also forbids package installs),
+so the runtime path is exercised only on environments that have it --
+``tests/test_streaming.py::test_transformwithstate_sessionize_matches_legacy_api``
+runs the full stream≡legacy equality there and pins the ImportError
+contract here. Everything else in this module (processor logic, state
+shape, timer bookkeeping) is plain pandas/python and is covered by the
+equality test whenever the dependency exists.
 """
 
 from __future__ import annotations

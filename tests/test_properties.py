@@ -154,3 +154,61 @@ def test_pivot_matches_bruteforce(vals):
             cell = [v for (gg, pp, v) in vals if gg == g and pp == p]
             want = sum(cell) if cell else None
             assert got[(g, p)] == want, (g, p, got[(g, p)], want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id
+            st.integers(min_value=0, max_value=40),  # n_tokens (incl. 0 and oversize)
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda d: d[0],
+    ),
+    token_budget=st.integers(min_value=1, max_value=16),
+    n_shards=st.sampled_from([1, 2, 4]),
+)
+def test_packing_invariants(docs, token_budget, n_shards):
+    """The packing contract over the whole input space (VERDICT r4 #8):
+    (1) every doc appears exactly once; (2) no non-oversize sequence
+    exceeds token_budget; (3) oversize flags exactly the docs longer
+    than the budget, each alone in its sequence; (4) seq_pos is a dense
+    0..m permutation within each sequence; (5) the assignment is
+    deterministic under reshuffle."""
+    from taxi_data_pipeline_pset2_spark.operators.packing import pack_sequences
+
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    rows = pack_sequences(
+        df, token_budget, len_col="n_tokens", n_shards=n_shards
+    ).collect()
+
+    # (1) exactly-once
+    assert sorted(r.doc_id for r in rows) == sorted(d for d, _ in docs)
+    lens = dict(docs)
+    by_seq: dict[int, list] = {}
+    for r in rows:
+        assert r.n_tokens == lens[r.doc_id]
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for seq_rows in by_seq.values():
+        # (4) dense in-sequence positions
+        assert sorted(r.seq_pos for r in seq_rows) == list(range(len(seq_rows)))
+        # (3)/(2) oversize isolation and budget fit
+        if any(r.oversize for r in seq_rows):
+            assert len(seq_rows) == 1
+            assert seq_rows[0].n_tokens > token_budget
+        else:
+            assert sum(r.n_tokens for r in seq_rows) <= token_budget
+    for r in rows:
+        # (3) completeness of the oversize flag
+        assert r.oversize == (lens[r.doc_id] > token_budget)
+
+    # (5) reshuffle determinism: same assignment from a different layout
+    again = pack_sequences(
+        df.repartition(5, "doc_id"), token_budget, len_col="n_tokens", n_shards=n_shards
+    ).collect()
+    assert {(r.doc_id, r.seq_id, r.seq_pos) for r in again} == {
+        (r.doc_id, r.seq_id, r.seq_pos) for r in rows
+    }
