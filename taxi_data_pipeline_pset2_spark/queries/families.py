@@ -313,3 +313,149 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_snapshots(
         snaps, ["c_custkey"], ["segment", "bal_bucket"], "snapshot_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Entries past the driver's 50-query window (recorded only if the driver
+# honors >50 registered queries; always replayed by the local pytest
+# oracle). Each promotes a DuckDB twin that already existed in tests.
+
+_FUZZY_ORACLE = """
+    WITH n AS (
+        SELECT c_custkey AS id,
+               regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS s
+        FROM customer),
+    p AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        FROM n a JOIN n b
+          ON substr(a.s, 1, 12) = substr(b.s, 1, 12) AND a.id < b.id
+        WHERE abs(len(a.s) - len(b.s)) <= 1)
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+    FROM p WHERE levenshtein(sa, sb) <= 1
+"""
+
+
+@query("fuzzy_blocked_matches", oracle=_FUZZY_ORACLE, tags=("fuzzy", "dedup"))
+def fuzzy_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (operators/fuzzy.py fuzzy_pairs): prefix
+    blocking + length prune bound the candidate set, exact Levenshtein
+    verifies -- never an all-pairs edit-distance scan. Oracle is the
+    same block/prune/verify pipeline on DuckDB's native levenshtein."""
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        t(spark, sf_dir, "customer"), "c_name", "c_custkey",
+        max_distance=1, block_len=12,
+    )
+
+
+_LOGPROB_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents),
+    counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM counts),
+    model AS (
+        SELECT term,
+               CAST(round(ln((n + 1.0) / (total + vocab)) * 1000000) AS BIGINT)
+                   AS logp_m
+        FROM counts, tot),
+    scored AS (
+        SELECT t.doc_id, m.logp_m
+        FROM toks t JOIN model m USING (term))
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(logp_m) / 1000000.0 / count(*), 6) AS mean_logprob,
+           round(exp(-round(sum(logp_m) / 1000000.0 / count(*), 6)), 4) AS ppl_proxy
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("unigram_doc_logprob", oracle=_LOGPROB_ORACLE, tags=("lm", "text"))
+def unigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM scoring (operators/lm_score.py
+    doc_logprob): add-one-smoothed corpus model, per-doc mean token
+    log-prob and perplexity proxy. Log-probs are fixed-point (micro-nat
+    bigint) so the distributed sum is order-independent and the oracle
+    hash-matches bit-exact."""
+    from taxi_data_pipeline_pset2_spark.operators.lm_score import doc_logprob
+
+    return doc_logprob(t(spark, sf_dir, "documents"))
+
+
+_SPANS_K = 8
+_SPANS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + {_SPANS_K - 1}), ' ')), 1, 8)) AS BIGINT) AS h
+        FROM toks, unnest(generate_series(1, len(t) - {_SPANS_K - 1})) AS u(i)
+        WHERE len(t) >= {_SPANS_K}),
+    anchors AS (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b,
+               a.pos - b.pos AS diag
+        FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM anchors)
+    SELECT doc_a, doc_b, min(pos_a) AS a_start, min(pos_b) AS b_start,
+           CAST(count(*) + {_SPANS_K - 1} AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+    HAVING count(*) + {_SPANS_K - 1} >= 12
+"""
+
+
+@query("duplicated_spans_docs", oracle=_SPANS_ORACLE, tags=("spans", "dedup"))
+def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated spans (operators/spans.py duplicated_spans;
+    Lee et al. substring dedup): positional k-gram anchors equi-join on
+    hash, diagonal gaps-and-islands runs, maximal spans >= 12 tokens.
+    Oracle is the same anchors->diagonal-runs SQL in DuckDB."""
+    from taxi_data_pipeline_pset2_spark.operators.spans import duplicated_spans
+
+    return duplicated_spans(
+        t(spark, sf_dir, "documents"), min_tokens=12, k=_SPANS_K
+    )
+
+
+_STRAT_FRACS = {"en": 0.8, "de": 0.25}
+_STRAT_DEFAULT = 0.5
+_STRAT_CASE = " ".join(
+    f"WHEN lang = '{v}' THEN CAST(floor({f} * 4294967296.0) AS BIGINT)"
+    for v, f in _STRAT_FRACS.items()
+)
+_STRAT_ORACLE = f"""
+    WITH h AS (SELECT lang,
+                      CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null-id>')
+                                           || '|sample-v1'), 1, 8)) AS BIGINT) AS hv
+               FROM documents)
+    SELECT lang, count(*) AS n
+    FROM h
+    WHERE hv < CASE {_STRAT_CASE}
+               ELSE CAST(floor({_STRAT_DEFAULT} * 4294967296.0) AS BIGINT) END
+    GROUP BY lang ORDER BY lang
+"""
+
+
+@query("stratified_sample_counts", oracle=_STRAT_ORACLE, tags=("sampling",))
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (operators/sampling.py
+    stratified_sample): per-language keep fractions (upsample en,
+    downsample de, default elsewhere) as one hash-threshold filter --
+    reshuffle-stable, monotone under fraction growth, reproduced
+    bit-exact by the oracle's identical md5 thresholds."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, _STRAT_DEFAULT, strata_col="lang", fractions=dict(_STRAT_FRACS)
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
