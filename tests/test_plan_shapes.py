@@ -83,3 +83,49 @@ def test_dedup_pipelines_have_no_cartesian(spark, sf_dir):
         plan = _plan(registry()[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_funnel_stages_single_shuffle_no_join(spark, sf_dir):
+    """The funnel resolves the whole stage chain from ONE hash aggregate
+    of per-step sorted arrays -- the plan must contain no join at all and
+    exactly one exchange (the groupBy). A k-step funnel written as k
+    self-joins re-shuffles the event table k times at 100 TB."""
+    from taxi_data_pipeline_pset2_spark.operators.funnel import funnel_stages
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plan = _plan(funnel_stages(events, steps=("view", "click", "purchase")))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_decontamination_broadcasts_bench_side(spark, sf_dir):
+    """The collision join must broadcast the eval-sized benchmark
+    shingle set; a shuffle join here re-partitions the 100 TB train
+    side on the 8-byte shingle hash."""
+    from taxi_data_pipeline_pset2_spark.operators.decontamination import (
+        contamination_scores,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = contamination_scores(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        k=8,
+    )
+    plan = _plan(scores)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_pivot_one_scan_map_side_combine(spark, sf_dir):
+    """pivot_agg with an explicit value list must read the fact ONCE
+    (the values-less overload adds a distinct discovery scan) and keep
+    map-side combine on both aggregate levels; the second exchange
+    carries only (group x pivot-value) states, never raw rows."""
+    from taxi_data_pipeline_pset2_spark.queries.catalog import registry as _reg
+
+    plan = _plan(_reg()["pivot_category_totals"].fn(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan  # no discovery scan
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial_pivotfirst" in plan and "partial_sum" in plan
