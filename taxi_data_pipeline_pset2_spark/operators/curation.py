@@ -34,10 +34,10 @@ from taxi_data_pipeline_pset2_spark.operators.decontamination import decontamina
 from taxi_data_pipeline_pset2_spark.operators.dedup import exact_dedup_groups
 from taxi_data_pipeline_pset2_spark.operators.sampling import hash_split
 from taxi_data_pipeline_pset2_spark.operators.text import (
-    language_id,
-    quality_metrics,
     redact_pii,
-    repetition_metrics,
+    with_dup_line_ratio,
+    with_pred_lang,
+    with_quality_score,
 )
 
 
@@ -70,9 +70,16 @@ def curate_corpus(
     the model is fit on the already-deduped corpus so boilerplate mass
     cannot drag the reference distribution toward itself.
     """
-    # 1. exact dedup: survivors only (min id per content fingerprint)
-    survivors = exact_dedup_groups(docs, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    # 1. exact dedup: survivors only (min id per content fingerprint).
+    # The id frame is persisted: `kept` is referenced by several later
+    # stages (decontamination reads it three times, the perplexity model
+    # once), and without the cache every reference re-runs the
+    # fingerprint aggregate over the corpus. The cached frame is
+    # id-sized, not corpus-sized.
+    survivors = (
+        exact_dedup_groups(docs, text_col, id_col)
+        .select(F.col("keep_id").alias(id_col))
+        .persist()
     )
     kept = docs.join(survivors, id_col)
 
@@ -86,20 +93,14 @@ def curate_corpus(
             kept, benchmarks, k=decontam_k, text_col=text_col, id_col=id_col
         )
 
-    # 2+3. per-doc signals, computed once and carried as provenance
-    quality = quality_metrics(kept, text_col, id_col).select(
-        id_col, "quality_score"
-    )
-    repetition = repetition_metrics(kept, text_col, id_col).select(
-        id_col, "dup_line_ratio"
-    )
-    lang = language_id(kept, text_col=text_col, id_col=id_col).select(
-        id_col, "pred_lang"
-    )
+    # 2+3. per-doc signals attached as chained projections -- the gates
+    # are properties OF the row, so they never need a join (each join
+    # here would both shuffle and re-derive the dedup+decon subtree)
     out = (
-        kept.join(quality, id_col)
-        .join(repetition, id_col)
-        .join(lang, id_col)
+        with_pred_lang(
+            with_dup_line_ratio(with_quality_score(kept, text_col), text_col),
+            text_col,
+        )
         .filter(
             (F.col("quality_score") >= min_quality)
             & (F.col("dup_line_ratio") <= max_dup_line_ratio)

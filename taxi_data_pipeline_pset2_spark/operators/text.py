@@ -42,16 +42,20 @@ def token_count_bpe(col: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_REGEX), 0))
 
 
-def quality_metrics(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-doc quality features + composite score.
+def _quality_exprs(text_col: str) -> dict[str, Column]:
+    """The per-doc quality feature expressions, keyed by output name.
+    Single source of truth for ``quality_metrics`` (id + metrics frame)
+    and ``with_quality_score`` (chainable, join-free column attach).
 
     score = 0.4*stopword_ratio + 0.3*min(1, n_tokens/100) + 0.3*alpha_ratio
     -- the shape of a fastText-style heuristic quality filter, built from
     length/stopword/character-class ratios.
+
+    Ratios in exact integer millionths: rounding a small-denominator
+    rational at 1e-6 is engine-stable, but rounding a *sum of rounded*
+    values is not (every value lands on the tie grid). So the composite
+    score is integer arithmetic divided once -- no final round() at all.
     """
-    docs = spread_small_input(docs)
     toks = tokenize(F.col(text_col))
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
     n_tokens = F.size(toks)
@@ -61,45 +65,55 @@ def quality_metrics(
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     n_alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]", ""))
     n_chars = F.length(F.col(text_col))
-    # Ratios in exact integer millionths: rounding a small-denominator
-    # rational at 1e-6 is engine-stable, but rounding a *sum of rounded*
-    # values is not (every value lands on the tie grid). So the composite
-    # score is integer arithmetic divided once -- no final round() at all.
     stop_m = F.round(n_stop.cast("double") * 1_000_000 / n_tokens).cast("bigint")
     alpha_m = F.round(n_alpha.cast("double") * 1_000_000 / n_chars).cast("bigint")
     length_m = F.least(F.lit(1_000_000).cast("bigint"), (n_tokens * 10_000).cast("bigint"))
     score_tenmillionths = 4 * stop_m + 3 * length_m + 3 * alpha_m
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(sum_tok_len.cast("double") / n_tokens, 6),
+        "stopword_ratio": stop_m.cast("double") / 1_000_000,
+        "alpha_ratio": alpha_m.cast("double") / 1_000_000,
+        "quality_score": score_tenmillionths.cast("double") / 10_000_000,
+    }
+
+
+def quality_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality features + composite score (see
+    :func:`_quality_exprs` for the definitions)."""
+    docs = spread_small_input(docs)
+    exprs = _quality_exprs(text_col)
     return docs.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(sum_tok_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
-        (stop_m.cast("double") / 1_000_000).alias("stopword_ratio"),
-        (alpha_m.cast("double") / 1_000_000).alias("alpha_ratio"),
-        (score_tenmillionths.cast("double") / 10_000_000).alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
     )
 
 
-def language_id(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Marker-word language-ID heuristic: per-language occurrence counts
-    over the token stream, argmax with table-order tie-break."""
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chainable form: the input frame plus a ``quality_score`` column --
+    a pure projection, so composed pipelines (curate_corpus) attach the
+    gate signal without a join and without re-deriving the input."""
+    return docs.select("*", _quality_exprs(text_col)["quality_score"].alias("quality_score"))
+
+
+def _lang_score_exprs(text_col: str) -> dict[str, Column]:
+    """score_<lang> marker-occurrence counts over the token stream."""
     toks = tokenize(F.col(text_col))
 
     def _score(words: list[str]):
         arr = F.array([F.lit(w) for w in words])
         return F.size(F.filter(toks, lambda tok: F.array_contains(arr, tok)))
 
-    scores = {
-        lang: _score(words).alias(f"score_{lang}")
-        for lang, words in LANG_MARKERS.items()
-    }
-    # the labeled column is optional: a production corpus has no ground
-    # truth; lang_labeled/is_match appear only when a label exists
-    has_label = "lang" in docs.columns
-    label_cols = [F.col("lang").alias("lang_labeled")] if has_label else []
-    scored = docs.select(F.col(id_col), *label_cols, *scores.values())
+    return {f"score_{lang}": _score(words) for lang, words in LANG_MARKERS.items()}
+
+
+def _lang_argmax_expr() -> Column:
+    """argmax over the score_<lang> columns with table-order tie-break.
+    Must run in a projection AFTER the scores are bound as columns: each
+    score is referenced against every other language, and interpreted
+    higher-order functions re-evaluate repeated subexpressions."""
     langs = list(LANG_MARKERS)
     pred = None
     for i, lang in enumerate(langs):
@@ -114,10 +128,38 @@ def language_id(
             pred = pred.when(cond, branch)
         else:
             pred = pred.otherwise(branch)
-    out = scored.withColumn("pred_lang", pred)
+    return pred
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language occurrence counts
+    over the token stream, argmax with table-order tie-break."""
+    scores = _lang_score_exprs(text_col)
+    # the labeled column is optional: a production corpus has no ground
+    # truth; lang_labeled/is_match appear only when a label exists
+    has_label = "lang" in docs.columns
+    label_cols = [F.col("lang").alias("lang_labeled")] if has_label else []
+    scored = docs.select(
+        F.col(id_col), *label_cols, *[c.alias(n) for n, c in scores.items()]
+    )
+    out = scored.withColumn("pred_lang", _lang_argmax_expr())
     if has_label:
         out = out.withColumn("is_match", F.col("pred_lang") == F.col("lang_labeled"))
     return out
+
+
+def with_pred_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chainable form: the input frame plus a ``pred_lang`` column (the
+    intermediate score columns are bound in one projection and dropped
+    after the argmax) -- no join, no input re-derivation."""
+    scores = _lang_score_exprs(text_col)
+    return (
+        docs.select("*", *[c.alias(n) for n, c in scores.items()])
+        .withColumn("pred_lang", _lang_argmax_expr())
+        .drop(*scores)
+    )
 
 
 def fingerprint_columns(text_col: Column) -> list[Column]:
@@ -163,19 +205,9 @@ def redact_pii(col: Column, token: str = "<PII>") -> Column:
     return F.regexp_replace(out, PHONE_REGEX, token)
 
 
-def repetition_metrics(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Gopher-style repetition quality signals, per document:
-
-    - n_lines / n_distinct_lines over newline-split, trimmed, non-empty
-      lines; dup_line_ratio = 1 - distinct/total (boilerplate detector);
-    - max_line_freq: occurrences of the most repeated line / total
-      (catches the nav-bar-pasted-50x page that a global ratio misses).
-
-    One per-row array pipeline (split -> filter -> distinct / frequency
-    fold) -- no explode, no shuffle: repetition is a property OF the row,
-    so it never needs to leave the row."""
+def _repetition_struct(text_col: str) -> Column:
+    """The once-bound (n_lines, n_distinct_lines, max_line_count) struct
+    underlying both repetition entry points."""
     lines_expr = F.filter(
         F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
         lambda l: l != "",
@@ -207,7 +239,7 @@ def repetition_metrics(
             lambda acc: acc["best"],
         )
 
-    metrics = _bind_once(
+    return _bind_once(
         lines_expr,
         lambda lines: F.struct(
             F.size(lines).alias("n_lines"),
@@ -215,14 +247,49 @@ def repetition_metrics(
             _max_run(lines).alias("max_line_count"),
         ),
     )
+
+
+def _dup_line_ratio_from(m: Column) -> Column:
+    return (
+        F.when(
+            m["n_lines"] > 0,
+            F.round(1 - m["n_distinct_lines"] / m["n_lines"], 6),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - n_lines / n_distinct_lines over newline-split, trimmed, non-empty
+      lines; dup_line_ratio = 1 - distinct/total (boilerplate detector);
+    - max_line_freq: occurrences of the most repeated line / total
+      (catches the nav-bar-pasted-50x page that a global ratio misses).
+
+    One per-row array pipeline (split -> filter -> distinct / frequency
+    fold) -- no explode, no shuffle: repetition is a property OF the row,
+    so it never needs to leave the row."""
+    metrics = _repetition_struct(text_col)
     return docs.select(F.col(id_col), metrics.alias("_m")).select(
         id_col,
         F.col("_m.n_lines").alias("n_lines"),
         F.col("_m.n_distinct_lines").alias("n_distinct_lines"),
-        F.when(F.col("_m.n_lines") > 0,
-               F.round(1 - F.col("_m.n_distinct_lines") / F.col("_m.n_lines"), 6)
-        ).otherwise(F.lit(0.0)).alias("dup_line_ratio"),
+        _dup_line_ratio_from(F.col("_m")).alias("dup_line_ratio"),
         F.when(F.col("_m.n_lines") > 0,
                F.round(F.col("_m.max_line_count") / F.col("_m.n_lines"), 6)
         ).otherwise(F.lit(0.0)).alias("max_line_freq"),
+    )
+
+
+def with_dup_line_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chainable form: the input frame plus a ``dup_line_ratio`` column
+    (struct bound in one projection, then consumed) -- no join, no input
+    re-derivation."""
+    return (
+        docs.select("*", _repetition_struct(text_col).alias("_m"))
+        .withColumn("dup_line_ratio", _dup_line_ratio_from(F.col("_m")))
+        .drop("_m")
     )
