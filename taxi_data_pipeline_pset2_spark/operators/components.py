@@ -23,6 +23,14 @@ State is the edge set itself, monotonically contracting toward stars.
 not grow with iterations (the classic iterative-Spark failure mode).
 Convergence is detected by an (edge-count, xxhash64-checksum) pair --
 one tiny aggregate per round, not a full self-comparison join.
+
+Small-edge-set fast path: candidate-pair frames are DUP-sized, not
+corpus-sized, and usually fit the driver with room to spare; below
+``DRIVER_CC_EDGE_CAP`` edges the components come from one collect + an
+exact union-find (identical output, no per-round Spark jobs) -- the
+same bounded-fast-path discipline as the in-bucket verifier in
+operators/dedup.py. Above the cap the distributed alternation runs
+unchanged, so the operator never depends on the graph fitting anywhere.
 """
 
 from __future__ import annotations
@@ -33,6 +41,11 @@ from pyspark.sql import functions as F
 # O(log^2 n) expected; 50 rounds covers any conceivable corpus. Hitting
 # the cap raises rather than silently returning a partial clustering.
 MAX_CC_ROUNDS = 50
+
+# Edge sets at or below this size resolve on the driver (one collect of
+# (u, v) rows; ~16 bytes/edge -> a few MB). Dup-pair sets above it fall
+# through to the distributed star alternation automatically.
+DRIVER_CC_EDGE_CAP = 200_000
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -75,17 +88,58 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return (row.n, int(row.h))
 
 
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a collected (bounded, see caller) edge set;
+    emits the same (node, component-min) rows as the distributed path."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = edges.collect()  # bounded: caller checked <= DRIVER_CC_EDGE_CAP
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in rows:
+        for n in (r.u, r.v):
+            parent.setdefault(n, n)
+        ra, rb = find(r.u), find(r.v)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        if root not in comp_min or n < comp_min[root]:
+            comp_min[root] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    schema = StructType(
+        [
+            StructField("node", edges.schema["u"].dataType),
+            StructField("component", edges.schema["u"].dataType),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = MAX_CC_ROUNDS,
+    driver_cap: int = DRIVER_CC_EDGE_CAP,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
     ``component`` is the minimum node id in its connected component.
 
     Only nodes present in at least one pair are returned -- an isolated
     doc is its own survivor and needs no row (callers left-join).
+
+    Edge sets at or below ``driver_cap`` resolve via one collect + exact
+    union-find (identical output, no iterative Spark jobs); larger sets
+    run the distributed star alternation. ``driver_cap=0`` forces the
+    distributed path (tests pin both paths equal).
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -94,6 +148,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = _edge_checksum(edges)
+    if prev[0] <= driver_cap:
+        return _driver_components(edges)
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _edge_checksum(edges)

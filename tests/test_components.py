@@ -33,10 +33,10 @@ def _union_find(edges):
     return {n: find(n) for n in parent}
 
 
-def _spark_components(spark, edges):
+def _spark_components(spark, edges, **kw):
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     return {
-        r.node: r.component for r in connected_components(df).collect()
+        r.node: r.component for r in connected_components(df, **kw).collect()
     }
 
 
@@ -60,6 +60,19 @@ def test_components_match_union_find_on_random_graphs(spark):
         edges = [(a, b) for a, b in edges if a != b]
         got = _spark_components(spark, edges)
         assert got == _union_find(edges), f"trial {trial}"
+
+
+def test_distributed_path_matches_driver_fast_path(spark):
+    """driver_cap=0 forces the star alternation; both paths must emit
+    identical (node, component) sets on every topology class."""
+    chain = [(i, i + 1) for i in range(100, 160)]
+    star = [(400, v) for v in range(401, 430)]
+    rng = random.Random(7)
+    rand = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    edges = chain + star + [(a, b) for a, b in rand if a != b]
+    fast = _spark_components(spark, edges)  # small -> driver union-find
+    dist = _spark_components(spark, edges, driver_cap=0)  # forced distributed
+    assert fast == dist == _union_find(edges)
 
 
 def test_components_empty_and_single_edge(spark):
