@@ -293,3 +293,55 @@ def with_dup_line_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_line_ratio", _dup_line_ratio_from(F.col("_m")))
         .drop("_m")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows -- the standard
+    pretraining/RAG preprocessing step between curation and embedding.
+
+    Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text):
+    chunk i covers tokens [i*step, i*step + max_tokens) with
+    step = max_tokens - overlap, so consecutive chunks share ``overlap``
+    tokens and every token is covered. The last chunk is the final
+    window and may be shorter; a doc with <= max_tokens tokens yields
+    exactly one chunk (its full text, whitespace-normalized). Docs with
+    no tokens yield no row.
+
+    Plan shape: one projection binds the token array, one explode emits
+    chunk indices, one projection slices -- scan-shaped, no shuffle, no
+    UDF; at 100 TB chunking rides the corpus scan it is fused into.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    step = max_tokens - overlap
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # number of windows: 1 + ceil((n - max_tokens) / step) for n > max
+    extra = F.ceil((n - F.lit(max_tokens)).cast("double") / F.lit(step)).cast("int")
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(F.lit(1) + extra)
+    start = F.col("chunk_id") * F.lit(step)  # 0-based token offset
+    piece = F.slice(toks, start + 1, F.lit(max_tokens))
+    return (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            start.alias("chunk_start"),
+            F.size(piece).alias("n_chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

@@ -459,3 +459,39 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang")
     )
+
+
+_CHUNK_MAX, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STEP = _CHUNK_MAX - _CHUNK_OVERLAP
+_CHUNK_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents WHERE len(trim(text)) > 0),
+    n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    c AS (SELECT doc_id, t, n,
+                 CASE WHEN n <= {_CHUNK_MAX} THEN 1
+                      ELSE 1 + CAST(ceil((n - {_CHUNK_MAX}) / {_CHUNK_STEP}.0) AS INT)
+                 END AS n_chunks FROM n),
+    e AS (SELECT doc_id, t, CAST(unnest(generate_series(0, n_chunks - 1)) AS INT) AS chunk_id
+          FROM c)
+    SELECT doc_id, chunk_id,
+           chunk_id * {_CHUNK_STEP} AS chunk_start,
+           CAST(len(t[chunk_id * {_CHUNK_STEP} + 1 : chunk_id * {_CHUNK_STEP} + {_CHUNK_MAX}]) AS INT) AS n_chunk_tokens,
+           array_to_string(t[chunk_id * {_CHUNK_STEP} + 1 : chunk_id * {_CHUNK_STEP} + {_CHUNK_MAX}], ' ') AS chunk_text
+    FROM e
+"""
+
+
+@query("chunk_documents_tokens", oracle=_CHUNK_ORACLE, tags=("text", "chunking"))
+def chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py
+    chunk_documents): 32-token windows with 8-token overlap -- the
+    pretraining/RAG preprocessing step between curation and embedding.
+    Scan-shaped (bind tokens -> explode chunk ids -> slice); the oracle
+    is the same windowing as DuckDB list arithmetic."""
+    from taxi_data_pipeline_pset2_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"),
+        max_tokens=_CHUNK_MAX,
+        overlap=_CHUNK_OVERLAP,
+    )

@@ -34,3 +34,53 @@ def test_repetition_metrics_flags_boilerplate(spark):
     assert got[1].dup_line_ratio == 0.8 and got[1].max_line_freq == 0.9
     assert got[2].dup_line_ratio == 0.0 and got[2].max_line_freq == 0.1
     assert got[3].n_lines == 0 and got[3].dup_line_ratio == 0.0
+
+
+def test_chunk_documents_geometry_and_coverage(spark, sf_dir):
+    """Chunk windows must tile the token stream exactly: python-side
+    reference slices per doc, chunk-count formula, overlap sharing, and
+    the one-chunk short-doc case."""
+    import math
+
+    from taxi_data_pipeline_pset2_spark.operators.text import chunk_documents
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    max_t, ov = 20, 5
+    step = max_t - ov
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    ref = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in docs.collect()
+        if r.text.strip()
+    }
+    rows = chunk_documents(docs, max_tokens=max_t, overlap=ov).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(ref)
+    for doc_id, chunks in by_doc.items():
+        toks = ref[doc_id]
+        n = len(toks)
+        want_chunks = 1 if n <= max_t else 1 + math.ceil((n - max_t) / step)
+        assert sorted(c.chunk_id for c in chunks) == list(range(want_chunks))
+        for c in chunks:
+            assert c.chunk_start == c.chunk_id * step
+            want = toks[c.chunk_start : c.chunk_start + max_t]
+            assert c.chunk_text == " ".join(want)
+            assert c.n_chunk_tokens == len(want) <= max_t
+        # every token covered: the last chunk must reach the end
+        last = max(chunks, key=lambda c: c.chunk_id)
+        assert last.chunk_start + last.n_chunk_tokens == n
+
+
+def test_chunk_documents_validates_params(spark, sf_dir):
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.text import chunk_documents
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(docs, max_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_tokens=10, overlap=10)
