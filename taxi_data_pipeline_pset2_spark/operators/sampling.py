@@ -157,3 +157,32 @@ def weighted_sample_n(
         .limit(n)
         .drop("_wkey")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    n_files: int | None = None,
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every row gets
+    a salted-hash order key (salt = the epoch number), the frame is
+    range-partitioned and sorted by it. Writing the result yields
+    ``n_files`` shards whose concatenation IS the epoch's order --
+    different epochs draw independent permutations, the same epoch is
+    bit-reproducible on any cluster/partitioning.
+
+    One range shuffle (the unavoidable cost of a global permutation);
+    no driver involvement, no rand(). The key column is dropped -- order
+    is carried by the layout, exactly like ``clustered_write``."""
+    n = int(
+        n_files
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    key = salted_hash(F.col(id_col), f"epoch-{epoch}")
+    return (
+        df.withColumn("_ekey", key)
+        .repartitionByRange(n, F.col("_ekey"), F.col(id_col))
+        .sortWithinPartitions("_ekey", id_col)
+        .drop("_ekey")
+    )

@@ -117,3 +117,35 @@ def read_csv_quarantine(
         F.col("_corrupt_record").alias("raw_record")
     )
     return good, bad
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL twin of :func:`read_csv_quarantine` -- the interchange
+    format training-data pipelines actually ship. Returns ``(good,
+    bad)``: schema-typed clean rows, and the raw text of every line
+    that failed to parse or type-check, preserved verbatim for
+    repair/re-ingest instead of PERMISSIVE's silent nulls.
+
+    Same SPARK-21610 caveat as the CSV path: the parsed frame is cached
+    so the corrupt-record column is queryable and the file parses once
+    for both outputs.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(list(schema.fields)).add("_corrupt_record", StringType())
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return good, bad

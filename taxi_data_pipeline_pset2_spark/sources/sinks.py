@@ -99,6 +99,16 @@ def export_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     w.write.mode("overwrite").option("header", True).csv(path)
 
 
+def export_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSONL export -- the interchange format training corpora ship in.
+    One .jsonl(.gz) file per partition (never coalesced: a corpus export
+    is table-scale, and downstream loaders shard by file)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def bucketed_write(
     df: DataFrame,
     table: str,
