@@ -129,3 +129,14 @@ def test_pivot_one_scan_map_side_combine(spark, sf_dir):
     assert plan.count("FileScan") == 1, plan  # no discovery scan
     assert plan.count("Exchange") <= 2, plan
     assert "partial_pivotfirst" in plan and "partial_sum" in plan
+
+
+def test_chunking_rides_the_scan(spark, sf_dir):
+    """chunk_documents is bind -> explode -> slice: zero exchanges, so
+    at 100 TB chunking fuses into the corpus scan it rides."""
+    from taxi_data_pipeline_pset2_spark.operators.text import chunk_documents
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(chunk_documents(docs, max_tokens=32, overlap=8))
+    assert "Exchange" not in plan, plan

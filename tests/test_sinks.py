@@ -321,3 +321,24 @@ def test_merge_upsert_partitioned_swap_failure_rolls_back(spark, tmp_path, monke
 
     after = {r.id: (r.name, r.v, r.month) for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_merge_upsert_partitioned_int_partition_column(spark, tmp_path):
+    """Directory-name resolution must hold for non-string partition
+    types (Spark renders int partitions as <col>=<int>)."""
+    from taxi_data_pipeline_pset2_spark.sources.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "ptbl_int")
+    spark.createDataFrame(
+        [(1, "a", 2023), (2, "b", 2023), (3, "c", 2024)],
+        "id long, name string, yr int",
+    ).write.partitionBy("yr").parquet(path)
+    before_2024 = _partition_file_state(path, "yr=2024")
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 2023), (9, "z", 2025)], "id long, name string, yr int"
+    )
+    merge_upsert_partitioned(spark, path, updates, ("id",), "yr")
+    got = {r.id: (r.name, r.yr) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 2023), 2: ("b2", 2023), 3: ("c", 2024), 9: ("z", 2025)}
+    assert _partition_file_state(path, "yr=2024") == before_2024
