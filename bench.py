@@ -36,7 +36,7 @@ def _fadvise_dontneed(d: str) -> None:
                     os.close(fd)
 
 
-def clustering_demo(spark, sf_dir: str, scale: int = 512, n_flat_files: int = 64) -> dict:
+def clustering_demo(spark, sf_dir: str, scale: int = 768, n_flat_files: int = 64) -> dict:
     """The reference's headline number (README.md:79-97 / BASELINE.md:
     826M-row aggregate 1,500 ms unclustered -> 92 ms clustered, 16.3x),
     reproduced as the same data in two layouts:
