@@ -495,3 +495,71 @@ def chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_tokens=_CHUNK_MAX,
         overlap=_CHUNK_OVERLAP,
     )
+
+
+_RETENTION_ORACLE = """
+    WITH pu AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
+    c AS (SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort FROM pu)
+    SELECT cohort,
+           CAST(floor(date_diff('day', cohort, p) / 7.0) AS INT) AS period_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM c GROUP BY cohort, period_offset
+    ORDER BY cohort, period_offset
+"""
+
+
+@query("cohort_retention_weekly", oracle=_RETENTION_ORACLE, tags=("retention", "agg"))
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/retention.py): users
+    bucketed by first-activity week, distinct-user counts at each week
+    offset. Spark side is two shuffles with no window function (per-user
+    period sets via one hash aggregate, cohort = array_min); the oracle
+    is the equivalent window-SQL formulation."""
+    from taxi_data_pipeline_pset2_spark.operators.retention import cohort_retention
+
+    return cohort_retention(t(spark, sf_dir, "events"), period="week")
+
+
+_FUNNEL_W = 240  # minutes
+_FUNNEL_WINDOWED_ORACLE = f"""
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT s0.user_id, s0.t0, min(e.ts) AS t1 FROM s0
+           JOIN events e ON e.user_id = s0.user_id
+            AND e.event_type = 'click' AND e.ts > s0.t0
+            AND e.ts <= s0.t0 + INTERVAL {_FUNNEL_W} MINUTE
+           GROUP BY s0.user_id, s0.t0),
+    s2 AS (SELECT s1.user_id, min(e.ts) AS t2 FROM s1
+           JOIN events e ON e.user_id = s1.user_id
+            AND e.event_type = 'purchase' AND e.ts > s1.t1
+            AND e.ts <= s1.t0 + INTERVAL {_FUNNEL_W} MINUTE
+           GROUP BY s1.user_id),
+    c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+                 (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2)
+    SELECT 0 AS stage, c0 AS users, round(c0 / c0, 6) AS conversion_from_start FROM c
+    UNION ALL SELECT 1, c1, round(c1 / c0, 6) FROM c
+    UNION ALL SELECT 2, c2, round(c2 / c0, 6) FROM c
+"""
+
+
+@query(
+    "funnel_conversion_windowed",
+    oracle=_FUNNEL_WINDOWED_ORACLE,
+    tags=("funnel", "agg"),
+)
+def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed funnel variant: every later stage must land within
+    240 minutes of the user's first step-0 event (the deadline is fixed
+    from t_0, matching funnel_stages' within_minutes semantics)."""
+    from taxi_data_pipeline_pset2_spark.operators.funnel import (
+        funnel_stages,
+        funnel_summary,
+    )
+
+    stages = funnel_stages(
+        t(spark, sf_dir, "events"),
+        steps=("view", "click", "purchase"),
+        within_minutes=_FUNNEL_W,
+    )
+    return funnel_summary(stages, 3)
