@@ -104,3 +104,96 @@ def decontaminate(
         dirty = dirty | (F.col("contamination_frac") >= F.lit(max_frac))
     drop_ids = scores.filter(dirty).select(id_col)
     return train.join(drop_ids, id_col, "left_anti")
+
+
+# ---- semantic (embedding-space) decontamination ---------------------------
+#
+# N-gram collision misses paraphrased contamination (translated or
+# reworded benchmark items); the embedding-space complement flags train
+# docs whose embedding is close to any benchmark embedding. Same
+# playbook as above: the benchmark side is eval-sized and broadcasts;
+# the train side stays scan-shaped.
+
+
+def semantic_contamination_scores(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "exact",
+) -> DataFrame:
+    """(id_col, n_bench_hits, max_cosine) for every train vector with at
+    least one benchmark neighbor at rounded cosine >= threshold. Clean
+    vectors emit no row (callers treat absence as clean, as in
+    ``contamination_scores``), so the output is contamination-sized.
+
+    ``mode="exact"``: every (train, bench) pair -- the bench side
+    broadcasts, so the plan is one scan of the train side against an
+    eval-sized in-memory table. Int-scaled arithmetic (see
+    operators/similarity.py) makes the cosines bit-identical to a SQL
+    oracle. ``mode="lsh"``: sign-sketch band join generates candidates
+    first (the 100 TB path when the benchmark suite itself is large);
+    exact-cosine verify on candidates only. Both modes emit identical
+    schemas; lsh may miss pairs LSH misses (recall pinned in tests).
+    """
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _prepared,
+        cosine_sketch_bands,
+        int_dot,
+    )
+
+    tr = _prepared(train_emb, id_col, vec_col).select(
+        F.col(id_col), F.col("iv").alias("t_iv"), F.col("norm2").alias("t_n2")
+    )
+    be = _prepared(bench_emb, id_col, vec_col).select(
+        F.col(id_col).alias("b_id"), F.col("iv").alias("b_iv"),
+        F.col("norm2").alias("b_n2"),
+    )
+    if mode == "exact":
+        joined = tr.crossJoin(F.broadcast(be))
+    elif mode == "lsh":
+        t_bands = cosine_sketch_bands(train_emb, id_col=id_col, vec_col=vec_col)
+        b_bands = cosine_sketch_bands(bench_emb, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col).alias("b_id"), "band", "band_sig"
+        )
+        cands = (
+            t_bands.join(F.broadcast(b_bands), ["band", "band_sig"])
+            .select(id_col, "b_id")
+            .distinct()
+        )
+        joined = cands.join(tr, id_col).join(F.broadcast(be), "b_id")
+    else:
+        raise ValueError(f"mode must be exact|lsh, got {mode!r}")
+
+    cos = F.round(
+        int_dot(F.col("t_iv"), F.col("b_iv")).cast("double")
+        / (F.sqrt(F.col("t_n2").cast("double")) * F.sqrt(F.col("b_n2").cast("double"))),
+        6,
+    )
+    return (
+        joined.select(F.col(id_col), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "exact",
+) -> DataFrame:
+    """Drop train rows semantically contaminated against the benchmark;
+    returns surviving train rows intact (one left-anti join, scan-shaped
+    on the train side)."""
+    dirty = semantic_contamination_scores(
+        train_emb, bench_emb, threshold, id_col, vec_col, mode
+    ).select(id_col)
+    return train_emb.join(dirty, id_col, "left_anti")

@@ -1,0 +1,174 @@
+"""Generic range joins: point-in-interval and interval-overlap
+(SURVEY.md 2b extension surface; the batch complement of the streaming
+interval join in streaming/events.py and the as-of join in
+operators/asof.py).
+
+Not present in the reference (its joins are all equi-joins on dimension
+keys); standard warehouse workloads need them constantly: banding a
+measure into a rate table, joining events to validity windows, overlap
+of sessions with incidents.
+
+Why not just ``points.join(intervals, p BETWEEN s AND e)``: open-source
+Spark plans a non-equi join as BroadcastNestedLoopJoin (or a cartesian
+product when neither side broadcasts) -- O(n*m) comparisons and a
+single-task disaster at 100 TB. The scalable plan is the classic
+BUCKETED range join: quantize the domain into fixed-width buckets,
+explode each interval into the buckets it overlaps, and equi-join on
+the bucket id; the range predicate rides along as a join-condition
+residual, so Spark picks a hash/sort-merge join on the bucket key and
+each probe only compares against intervals sharing its bucket. This is
+the same strategy Databricks' range-join optimization applies
+internally (public docs), re-expressed with open-source primitives.
+
+100 TB notes: the big (point) side is scan-shaped -- one derived bucket
+column, no explode. Only intervals explode (x span/width rows), guarded
+by ``span_cap`` as a plan-side ANSI error, not a silent blowup. With
+``broadcast_intervals=True`` (dim-sized interval tables: rate cards,
+calendars) the exploded side broadcasts and the point side never
+shuffles at all. Pair dedup in the overlap join is arithmetic (emit
+only in the pair's first shared bucket), not a ``distinct`` shuffle.
+Everything is built-in column expressions: whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+# max buckets one interval may explode into; wider intervals mean the
+# caller picked a bucket_width far off the interval scale (the explode
+# would multiply the interval side by span_cap) -- fail loudly instead.
+BUCKET_SPAN_CAP = 10_000
+
+
+def _as_number(df: DataFrame, col: str) -> Column:
+    """Order-preserving numeric view of a join coordinate: timestamps ->
+    epoch seconds (fractional), dates -> epoch days, numerics as-is."""
+    dtype = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return c.cast("double")
+    if isinstance(dtype, DateType):
+        return F.datediff(c, F.to_date(F.lit("1970-01-01")))
+    return c
+
+
+def _bucket_span(start_b: Column, end_b: Column, span_cap: int) -> Column:
+    """Bucket range of one interval, ANSI-raising when it exceeds the
+    cap (raise_error is NullType; the cast keeps both branches long)."""
+    n = end_b - start_b + F.lit(1)
+    guard = F.raise_error(
+        F.concat(
+            F.lit(f"rangejoin: interval spans more than {span_cap} buckets "),
+            F.lit("(bucket_width is too small for this interval scale): "),
+            n.cast("string"),
+        )
+    )
+    return F.when(n <= F.lit(span_cap), end_b).otherwise(guard.cast("long"))
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+    closed: str = "left",
+    broadcast_intervals: bool = False,
+    span_cap: int = BUCKET_SPAN_CAP,
+) -> DataFrame:
+    """Join each point row to every interval row containing it.
+
+    ``closed``: "left" -> start <= p < end (half-open, the banding
+    default: adjacent bands never double-match), "both" -> start <= p
+    <= end. ``how``: "inner" or "left" (unmatched points kept with NULL
+    interval columns -- the range predicate lives in the join condition,
+    so left semantics are exact, not filter-after-join).
+
+    Column names must be disjoint across the two frames (rename before
+    joining, as with any Spark join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be left|both, got {closed!r}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    p_num = _as_number(points, point_col)
+    s_num = _as_number(intervals, start_col)
+    e_num = _as_number(intervals, end_col)
+
+    pts = points.withColumn("__rj_bucket", F.floor(p_num / w))
+    start_b = F.floor(s_num / w)
+    end_b = _bucket_span(start_b, F.floor(e_num / w), span_cap)
+    iv = intervals.withColumn(
+        "__rj_bucket", F.explode(F.sequence(start_b, end_b))
+    )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+
+    in_range = (p_num >= s_num) & (
+        (p_num < e_num) if closed == "left" else (p_num <= e_num)
+    )
+    cond = (pts["__rj_bucket"] == iv["__rj_bucket"]) & in_range
+    return pts.join(iv, cond, how).drop("__rj_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    broadcast_right: bool = False,
+    span_cap: int = BUCKET_SPAN_CAP,
+) -> DataFrame:
+    """Inner-join interval rows that overlap: l_start <= r_end AND
+    r_start <= l_end (closed ends -- touching intervals match).
+
+    Both sides explode into their bucket ranges and equi-join on the
+    bucket; an overlapping pair shares every bucket in the overlap, so
+    the pair is emitted ONLY in its first shared bucket
+    (max(first_l, first_r)) -- exact dedup by arithmetic, no
+    ``distinct`` shuffle. Column names must be disjoint.
+    """
+    overlap_cols = set(left.columns) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap_cols)}")
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
+        s_num, e_num = _as_number(df, start), _as_number(df, end)
+        sb = F.floor(s_num / w)
+        eb = _bucket_span(sb, F.floor(e_num / w), span_cap)
+        return df.withColumn("__rj_first", sb).withColumn(
+            "__rj_bucket", F.explode(F.sequence(sb, eb))
+        )
+
+    lf = exploded(left, left_start, left_end)
+    rf = exploded(right, right_start, right_end)
+    if broadcast_right:
+        rf = F.broadcast(rf)
+
+    ls, le = _as_number(left, left_start), _as_number(left, left_end)
+    rs, re_ = _as_number(right, right_start), _as_number(right, right_end)
+    cond = (
+        (lf["__rj_bucket"] == rf["__rj_bucket"])
+        & (ls <= re_)
+        & (rs <= le)
+        & (lf["__rj_bucket"] == F.greatest(lf["__rj_first"], rf["__rj_first"]))
+    )
+    return lf.join(rf, cond, "inner").drop("__rj_bucket", "__rj_first")

@@ -70,8 +70,24 @@ _PRIORITY: tuple[str, ...] = (
     "tfidf_vectors",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # round-5 new-family oracles (queries/extensions.py): each is the
+    # FIRST driver row for its operator family, so they outrank the
+    # near-duplicate variants demoted below
+    "price_band_totals",
+    "semantic_decontamination",
+    "dedup_components",
+    "mixture_exact_sample",
 )
 _DEPRIORITIZED: tuple[str, ...] = (
+    # oracled, but their operator families keep a green driver row
+    # through a sibling entry (funnel_conversion; events_hourly +
+    # session_counts; integrity_checks' distinct-count arm;
+    # coverage_gap_detection) -- pytest still replays all oracles
+    "funnel_conversion_windowed",
+    "recent_clicks_before_error",
+    "distinct_segments",
+    "load_manifest_months",
+    # rows-only / redundant-scalar tail (unchanged since r4)
     "ann_brp_lsh",
     "kmeans_clusters",
     "approx_event_profile",
@@ -119,6 +135,7 @@ def _load_all() -> None:
     # Import for decorator side effects.
     from taxi_data_pipeline_pset2_spark.queries import (  # noqa: F401
         dedup,
+        extensions,
         families,
         pipeline_ops,
         relational,

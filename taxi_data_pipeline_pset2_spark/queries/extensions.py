@@ -1,0 +1,223 @@
+"""Round-5 catalog extensions: range join, semantic decontamination,
+connected-components resolution, exact mixture apportionment.
+
+Each entry gives a previously pytest-only (or brand-new) operator
+family a driver-verified DuckDB hash oracle. The oracles reproduce the
+operators' deterministic hash/integer arithmetic exactly (see
+queries/dedup.py for the shared md5-prefix / int-scaled conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.queries._helpers import (
+    dec_avg,
+    dec_sum,
+    sql_dec_avg,
+    sql_dec_sum,
+    t,
+)
+from taxi_data_pipeline_pset2_spark.queries.catalog import query
+
+# ---- bucketed range join -------------------------------------------------
+
+# (band, lo, hi): half-open price bands over orders.o_totalprice
+# (sf-independent: the generator's price range is ~[1e3, 5e5] at every SF)
+_BANDS = (
+    ("p0_050k", 0.0, 50_000.0),
+    ("p050_100k", 50_000.0, 100_000.0),
+    ("p100_200k", 100_000.0, 200_000.0),
+    ("p200_350k", 200_000.0, 350_000.0),
+    ("p350_600k", 350_000.0, 600_000.0),
+)
+
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+_PRICE_BAND_ORACLE = f"""
+    WITH bands(price_band, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT b.price_band,
+           count(*) AS n_orders,
+           {sql_dec_sum('o.o_totalprice')} AS revenue,
+           {sql_dec_avg('o.o_totalprice', scale=2)} AS avg_price
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.price_band
+    ORDER BY b.price_band
+"""
+
+
+@query("price_band_totals", oracle=_PRICE_BAND_ORACLE, tags=("rangejoin", "agg"))
+def price_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding range join (operators/rangejoin.py point_in_interval_join):
+    orders joined to a half-open price-band rate table, then aggregated
+    per band. The bucketed equi-join (+ broadcast of the exploded band
+    dim) is the 100 TB plan -- never a BroadcastNestedLoopJoin; asserted
+    in tests/test_plan_shapes.py."""
+    from taxi_data_pipeline_pset2_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    bands = spark.createDataFrame(
+        list(_BANDS), "price_band string, lo double, hi double"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = point_in_interval_join(
+        orders, bands, "o_totalprice", "lo", "hi",
+        bucket_width=50_000.0, broadcast_intervals=True,
+    )
+    return (
+        joined.groupBy("price_band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+            dec_avg("o_totalprice", scale=2).alias("avg_price"),
+        )
+        .orderBy("price_band")
+    )
+
+
+# ---- semantic decontamination --------------------------------------------
+
+# bench = every 20th vector (the held-out benchmark), train = the rest
+_SEMDECON_THRESHOLD = 0.2
+
+_SEMDECON_ORACLE = f"""
+    WITH prep AS (SELECT vec_id,
+                         list_transform(embedding::DOUBLE[],
+                                        x -> CAST(round(x * 1000000) AS BIGINT)) AS iv
+                  FROM embeddings),
+    n AS (SELECT vec_id, iv,
+                 CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS norm2
+          FROM prep),
+    b AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+    a AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+    pairs AS (SELECT a.vec_id AS vec_id,
+                     ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+                                                        i -> a.iv[i] * b.iv[i])) AS DOUBLE)
+                           / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))),
+                           6) AS cosine
+              FROM a CROSS JOIN b)
+    SELECT vec_id, count(*) AS n_bench_hits, max(cosine) AS max_cosine
+    FROM pairs WHERE cosine >= {_SEMDECON_THRESHOLD}
+    GROUP BY vec_id
+"""
+
+
+@query(
+    "semantic_decontamination",
+    oracle=_SEMDECON_ORACLE,
+    tags=("decontamination", "similarity"),
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/decontamination.py
+    semantic_contamination_scores): train vectors with a benchmark
+    neighbor at cosine >= 0.2. The eval-sized bench side broadcasts;
+    int-scaled cosines are bit-identical to the oracle. The LSH-
+    candidate variant (the path for large benchmark suites) is pinned
+    against this exact mode in tests/test_decontamination.py."""
+    from taxi_data_pipeline_pset2_spark.operators.decontamination import (
+        semantic_contamination_scores,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return semantic_contamination_scores(
+        train, bench, threshold=_SEMDECON_THRESHOLD
+    )
+
+
+# ---- connected components over near-dup pairs ----------------------------
+
+# Reuses the dedup_ngram_jaccard edge pipeline (threshold 0.2), then
+# resolves components; the oracle closes the same edge set with a
+# recursive CTE (transitive closure is fine at oracle scale; the Spark
+# side runs the O(log^2 n) star alternation / bounded union-find).
+_COMPONENTS_ORACLE = """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+             FROM documents),
+    sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS sh FROM toks),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM sh),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              WHERE ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.2),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    reach AS (SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+              WHERE s.v <> r.u)
+    SELECT u AS node, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+"""
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("dedup", "components"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution (operators/components.py
+    connected_components over the jaccard_pairs edge set): (node,
+    component-min) for every doc in a near-dup pair -- the back half of
+    corpus dedup that turns PAIRS into one survivor per cluster. The
+    driver row hash-verifies the star-alternation/union-find result
+    against a recursive-CTE transitive closure."""
+    from taxi_data_pipeline_pset2_spark.operators.components import (
+        connected_components,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
+    return connected_components(pairs)
+
+
+# ---- exact mixture apportionment -----------------------------------------
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.17, "fr": 0.21, "zh": 0.12}
+_MIX_TOTAL = 97  # deliberately prime: exercises largest-remainder rounding
+
+_MIX_W_SQL = ", ".join(f"('{d}', {w})" for d, w in sorted(_MIX_WEIGHTS.items()))
+
+_MIXTURE_ORACLE = f"""
+    WITH w(lang, wt) AS (VALUES {_MIX_W_SQL}),
+    tgt AS (SELECT lang, {_MIX_TOTAL} * wt AS target FROM w),
+    takes AS (SELECT lang,
+                     CAST(floor(target) AS BIGINT)
+                     + CASE WHEN row_number() OVER (ORDER BY floor(target) - target, lang)
+                            <= {_MIX_TOTAL} - (SELECT CAST(sum(floor(target)) AS BIGINT) FROM tgt)
+                            THEN 1 ELSE 0 END AS take
+              FROM tgt),
+    ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (
+                          PARTITION BY lang
+                          ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || '|mixture'), 1, 8)) AS BIGINT),
+                                   doc_id) AS rk
+               FROM documents WHERE lang IN (SELECT lang FROM w))
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN takes tk ON r.lang = tk.lang
+    WHERE r.rk <= tk.take
+    ORDER BY r.lang, r.doc_id
+"""
+
+
+@query("mixture_exact_sample", oracle=_MIXTURE_ORACLE, tags=("mixing", "sampling"))
+def mixture_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact domain-mixture apportionment (operators/mixing.py
+    sample_mixture(exact=True)): 97 docs apportioned 50/17/21/12 percent
+    across four languages by largest-remainder, rows chosen by the
+    engine-portable salted hash rank. The prime total forces fractional
+    takes, so the oracle verifies the apportionment arithmetic, not just
+    the hash ranking."""
+    from taxi_data_pipeline_pset2_spark.operators.mixing import sample_mixture
+
+    docs = t(spark, sf_dir, "documents")
+    picked = sample_mixture(
+        docs, dict(_MIX_WEIGHTS), domain_col="lang", total=_MIX_TOTAL, exact=True
+    )
+    return picked.select("doc_id", "lang").orderBy("lang", "doc_id")

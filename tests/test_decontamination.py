@@ -87,3 +87,67 @@ def test_frac_policy_and_short_docs_survive(spark):
     # default any-collision policy drops both overlappers
     kept_strict = {r.doc_id for r in decontaminate(train, bench, k=6).collect()}
     assert kept_strict == {3, 4}
+
+
+def test_semantic_exact_vs_lsh_and_decontaminate(spark, sf_dir):
+    """LSH-candidate mode must be a subset of exact mode with identical
+    scores on shared ids; planted verbatim-copy bench vectors (cosine
+    1.0 -> identical sign bits -> every band collides) must be caught by
+    BOTH modes; semantic_decontaminate drops exactly the flagged ids."""
+    from taxi_data_pipeline_pset2_spark.operators.decontamination import (
+        semantic_contamination_scores,
+        semantic_decontaminate,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    # bench = verbatim copies of 10 train vectors under fresh ids: the
+    # planted contamination every decon path must flag
+    planted = (
+        train.orderBy("vec_id")
+        .limit(10)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    planted_src = {r.vec_id for r in train.orderBy("vec_id").limit(10).collect()}
+
+    exact = {
+        r.vec_id: (r.n_bench_hits, r.max_cosine)
+        for r in semantic_contamination_scores(train, planted, 0.99).collect()
+    }
+    lsh = {
+        r.vec_id: (r.n_bench_hits, r.max_cosine)
+        for r in semantic_contamination_scores(
+            train, planted, 0.99, mode="lsh"
+        ).collect()
+    }
+    assert planted_src <= set(exact)
+    assert planted_src <= set(lsh), "identical vectors must collide on every band"
+    assert set(lsh) <= set(exact)
+    # scores agree wherever LSH found the same hit set
+    assert all(lsh[k] == exact[k] for k in lsh if exact[k][0] == lsh[k][0])
+
+    survivors = semantic_decontaminate(train, planted, 0.99)
+    got_ids = {r.vec_id for r in survivors.select("vec_id").collect()}
+    train_ids = {r.vec_id for r in train.select("vec_id").collect()}
+    assert got_ids == train_ids - set(exact)
+
+    # real-data sanity at the catalog threshold: exact mode finds hits,
+    # lsh stays a subset (recall at moderate cosine is LSH-limited by
+    # design -- the catalog entry uses exact mode)
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    real_exact = semantic_contamination_scores(train, bench, 0.35).count()
+    assert real_exact > 0
+
+
+def test_semantic_bad_mode_rejected(spark, sf_dir):
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.decontamination import (
+        semantic_contamination_scores,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="mode"):
+        semantic_contamination_scores(emb, emb, mode="fuzzy")
