@@ -56,16 +56,21 @@ def contamination_scores(
         doc_shingles(bench, bench_text_col, id_col, k)
         .select(stable_hash64(F.col("shingle")).alias("h"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
-    hits = train_sh.join(bench_sh, "h").groupBy(id_col).agg(
-        F.count("*").alias("n_contaminated")
-    )
-    totals = train_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    # ONE pass over the train shingles: the bench set is distinct on h,
+    # so the left join marks without multiplying rows, and totals + hit
+    # counts come out of the same aggregate. (The previous two-aggregate
+    # formulation evaluated the shingle subtree twice and re-joined.)
     return (
-        totals.join(hits, id_col, "left")
-        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        train_sh.join(bench_sh, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
         .withColumn(
             "contamination_frac",
             F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),

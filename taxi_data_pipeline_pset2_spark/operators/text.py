@@ -345,3 +345,87 @@ def chunk_documents(
             F.array_join(piece, " ").alias("chunk_text"),
         )
     )
+
+
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", appendix A1.1 quality heuristics). The eight required
+# stop words are the paper's list verbatim.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-doc Gopher quality-rule flags (Rae et al. 2021 A1.1): one
+    boolean column per rule plus the composite ``keep``, so downstream
+    consumers can re-slice by individual rule without re-scanning.
+
+    Every rule is an INTEGER comparison (cross-multiplied ratios, no
+    float rounding), so the flags are bit-identical across engines and
+    partitionings -- same discipline as the int-scaled cosine kernels.
+    Pure column expressions over one scan: whole-stage codegen, no
+    shuffle, no UDF.
+
+    Rules (defaults are the paper's):
+    - word_count: min_words <= n_words <= max_words
+    - mean_word_len: mean word length in [min, max] characters
+    - symbol_ratio: (# of '#' or '...' occurrences) / n_words <= 0.1
+    - bullet_lines: <= 10% of lines start with a bullet (-, *, or the
+      unicode bullet)
+    - ellipsis_lines: <= 30% of lines end with '...' (or the unicode
+      ellipsis)
+    - alpha_words: >= 80% of words contain an alphabetic character
+    - stopwords: >= min_stopwords distinct required stop words appear
+    """
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        F.transform(words, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), 0))
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda t: t.rlike("[A-Za-z]"))
+    )
+    low_words = F.transform(words, lambda t: F.lower(t))
+    n_stop = F.size(
+        F.filter(
+            F.array([F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low_words, s),
+        )
+    )
+    flags = {
+        "flag_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_word_len": (sum_len >= min_mean_word_len * n_words)
+        & (sum_len <= max_mean_word_len * n_words),
+        "flag_symbol_ratio": (n_hash + n_ellipsis) * 10 <= n_words,
+        "flag_bullet_lines": n_bullet_lines * 10 <= n_lines,
+        "flag_ellipsis_lines": n_ellipsis_lines * 10 <= n_lines * 3,
+        "flag_alpha_words": n_alpha_words * 5 >= n_words * 4,
+        "flag_stopwords": n_stop >= min_stopwords,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -87,6 +87,10 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "recent_clicks_before_error",
     "distinct_segments",
     "load_manifest_months",
+    # window-frame family stays anchored by ranked_in_group (top-k per
+    # group) and date_dim (W1 row_number); the rolling-avg variant yields
+    # its slot to the round-5 gopher_quality_flags entry
+    "rolling_avg_value",
     # rows-only / redundant-scalar tail (unchanged since r4)
     "ann_brp_lsh",
     "kmeans_clusters",

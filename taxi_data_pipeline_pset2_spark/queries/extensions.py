@@ -221,3 +221,59 @@ def mixture_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, dict(_MIX_WEIGHTS), domain_col="lang", total=_MIX_TOTAL, exact=True
     )
     return picked.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+# ---- Gopher quality-rule flags -------------------------------------------
+
+_GOPHER_MIN_W, _GOPHER_MAX_W = 20, 80  # split the synthetic corpus
+
+_GOPHER_ORACLE = f"""
+    WITH w AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\\s+') AS words,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(words) AS INT) AS n_words,
+                 list_sum(list_transform(words, t -> len(t))) AS sum_len,
+                 len(text) - len(replace(text, '#', '')) AS n_hash,
+                 len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ellipsis,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines, ln -> regexp_matches(ln, '^\\s*[-*•]'))) AS n_bullet,
+                 len(list_filter(lines, ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\s*$'))) AS n_ell_lines,
+                 len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                 len(list_filter(['the','be','to','of','and','that','have','with'],
+                                 s -> list_contains(list_transform(words, t -> lower(t)), s))) AS n_stop
+          FROM w)
+    SELECT doc_id, n_words,
+           n_words >= {_GOPHER_MIN_W} AND n_words <= {_GOPHER_MAX_W} AS flag_word_count,
+           sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS flag_mean_word_len,
+           (n_hash + n_ellipsis) * 10 <= n_words AS flag_symbol_ratio,
+           n_bullet * 10 <= n_lines AS flag_bullet_lines,
+           n_ell_lines * 10 <= n_lines * 3 AS flag_ellipsis_lines,
+           n_alpha * 5 >= n_words * 4 AS flag_alpha_words,
+           n_stop >= 1 AS flag_stopwords,
+           (n_words >= {_GOPHER_MIN_W} AND n_words <= {_GOPHER_MAX_W})
+           AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+           AND ((n_hash + n_ellipsis) * 10 <= n_words)
+           AND (n_bullet * 10 <= n_lines)
+           AND (n_ell_lines * 10 <= n_lines * 3)
+           AND (n_alpha * 5 >= n_words * 4)
+           AND (n_stop >= 1) AS keep
+    FROM m
+"""
+
+
+@query("gopher_quality_flags", oracle=_GOPHER_ORACLE, tags=("text", "quality"))
+def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality heuristics (operators/text.py gopher_quality_flags;
+    Rae et al. 2021 A1.1) as per-rule boolean flags + composite keep.
+    Integer cross-multiplied ratio comparisons -> bit-identical flags in
+    both engines; one scan, no shuffle, whole-stage codegen."""
+    from taxi_data_pipeline_pset2_spark.operators.text import gopher_quality_flags
+
+    return gopher_quality_flags(
+        t(spark, sf_dir, "documents"),
+        min_words=_GOPHER_MIN_W,
+        max_words=_GOPHER_MAX_W,
+        min_stopwords=1,  # the synthetic corpus carries only 'the'
+    )

@@ -84,3 +84,41 @@ def test_chunk_documents_validates_params(spark, sf_dir):
         chunk_documents(docs, max_tokens=0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, max_tokens=10, overlap=10)
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule trips on its planted pathological doc and passes
+    on the clean one."""
+    from taxi_data_pipeline_pset2_spark.operators.text import gopher_quality_flags
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to find some more food for the long winter season ahead now"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "too short"),
+            (3, "the " + "#tag " * 30),  # symbol ratio >= 0.1
+            (4, "the intro line\n" + "\n".join("- bullet %d" % i for i in range(9))),
+            (5, "the one...\nanother line...\nthird goes on...\nplain\nplain2"),
+            (6, "the " + "12 34 56 78 90 " * 5),  # digits: alpha-word rule
+            (7, "没有 英文 停用 词 在 这里 只有 中文 词汇 " * 3),  # no stopwords
+            (8, "the " + "supercalifragilisticexpialidocious " * 25),  # long words
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in gopher_quality_flags(docs, min_words=15, max_words=200).collect()
+    }
+    assert got[1].keep
+    assert not got[2].flag_word_count and not got[2].keep
+    assert not got[3].flag_symbol_ratio
+    assert not got[4].flag_bullet_lines
+    assert not got[5].flag_ellipsis_lines
+    assert not got[6].flag_alpha_words
+    assert not got[7].flag_stopwords
+    assert not got[8].flag_mean_word_len
+    # per-rule flags are independent: doc 3 still passes word count
+    assert got[3].flag_word_count
