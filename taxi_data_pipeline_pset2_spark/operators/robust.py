@@ -1,0 +1,130 @@
+"""Robust-statistics operators: percentile winsorization / outlier
+clipping (SURVEY.md 2b extension surface). Not present in the reference
+(its ingest drops rows by fixed business bounds, ``stg_trips.sql``-style
+quality predicates); winsorizing is the standard complement when the
+signal should be KEPT but bounded -- feature columns, reward scores,
+per-doc quality metrics feeding a trainer that hates fat tails.
+
+Plan shape: one hash aggregate computes the per-group clip thresholds
+(exact ``percentile`` or ``percentile_approx``); the thresholds frame is
+group-cardinality-sized, so it broadcast-joins back onto the scan and
+the clip itself is a pure projection (least/greatest). Two scans of the
+input total, no corpus-sized shuffle anywhere.
+
+At 100 TB use ``exact=False``: ``percentile_approx`` is a mergeable
+one-pass sketch (Greenwald-Khanna), while exact percentile materializes
+each group's values. The exact mode exists for dim-sized groups and for
+the DuckDB-twin correctness gate (interpolation matches quantile_cont,
+cf. the price_percentiles catalog entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+APPROX_ACCURACY = 10_000  # percentile_approx relative-error knob
+
+
+def group_clip_bounds(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """(group_cols..., __lo, __hi): per-group winsorization thresholds.
+    With no ``group_cols`` the output is a single global row."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    if exact:
+        pcts = F.expr(
+            f"percentile(CAST({value_col} AS DOUBLE), array({lower}D, {upper}D))"
+        )
+    else:
+        pcts = F.percentile_approx(
+            v, F.array(F.lit(lower), F.lit(upper)), F.lit(APPROX_ACCURACY)
+        )
+    agg = (
+        df.groupBy(*group_cols) if group_cols else df.groupBy()
+    ).agg(pcts.alias("_p"))
+    return agg.select(
+        *group_cols,
+        F.col("_p")[0].alias("__lo"),
+        F.col("_p")[1].alias("__hi"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = True,
+    out_col: str | None = None,
+    flag: bool = False,
+) -> DataFrame:
+    """Clip ``value_col`` into its per-group [lower, upper] percentile
+    range. The clipped value lands in ``out_col`` (default: replaces the
+    column); ``flag=True`` adds ``__clip`` in {-1, 0, 1} for audit.
+
+    NULL values stay NULL (a missing measurement is not an outlier).
+    """
+    group_cols = group_cols or []
+    bounds = group_clip_bounds(df, value_col, group_cols, lower, upper, exact)
+    joined = (
+        df.join(F.broadcast(bounds), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col).cast("double")
+    # Spark's least/greatest SKIP nulls (unlike SQL comparison), so an
+    # unguarded clip would coerce NULL measurements to the lower bound.
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
+    out = joined
+    if flag:
+        # flag BEFORE the clip projection: when out_col is None the clip
+        # replaces value_col, and a flag computed afterwards would read
+        # the already-clipped value (always 0)
+        out = out.withColumn(
+            "__clip",
+            F.when(v < F.col("__lo"), F.lit(-1))
+            .when(v > F.col("__hi"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    out = out.withColumn(out_col or value_col, clipped)
+    return out.drop("__lo", "__hi")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group clip audit + robust mean: (group_cols..., n, n_clip_lo,
+    n_clip_hi, mean_winsorized). Deterministic: the winsorized mean is a
+    decimal-exact sum of 6-dp-rounded clipped values divided once, so
+    the result hash-matches a SQL twin under any partitioning."""
+    w = winsorize(df, value_col, group_cols, lower, upper, exact=True,
+                  out_col="__wv", flag=True)
+    wv6 = F.round(F.col("__wv"), 6)
+    return (
+        w.groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("__clip") == -1).cast("long")).alias("n_clip_lo"),
+            F.sum((F.col("__clip") == 1).cast("long")).alias("n_clip_hi"),
+            F.round(
+                F.sum(wv6.cast("decimal(28,6)")).cast("double") / F.count("__wv"), 6
+            ).alias("mean_winsorized"),
+        )
+        .orderBy(*group_cols)
+    )

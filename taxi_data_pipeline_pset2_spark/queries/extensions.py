@@ -277,3 +277,37 @@ def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_words=_GOPHER_MAX_W,
         min_stopwords=1,  # the synthetic corpus carries only 'the'
     )
+
+
+# ---- percentile winsorization --------------------------------------------
+
+_WINSOR_ORACLE = """
+    WITH b AS (SELECT o_orderpriority,
+                      quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS lo,
+                      quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS hi
+               FROM orders GROUP BY o_orderpriority),
+    w AS (SELECT o.o_orderpriority,
+                 CAST(o.o_totalprice AS DOUBLE) AS v, b.lo, b.hi,
+                 ROUND(least(greatest(CAST(o.o_totalprice AS DOUBLE), b.lo), b.hi), 6) AS wv
+          FROM orders o JOIN b USING (o_orderpriority))
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           ROUND(CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE) / COUNT(wv), 6) AS mean_winsorized
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("winsorized_price_stats", oracle=_WINSOR_ORACLE, tags=("robust", "agg"))
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (operators/robust.py): per-priority
+    [p05, p95] clip of order prices with clip-count audit and the robust
+    mean. Thresholds come from one group-sized aggregate and broadcast
+    back onto the scan; the clip is a projection. At 100 TB swap
+    exact=False for the mergeable percentile_approx sketch."""
+    from taxi_data_pipeline_pset2_spark.operators.robust import winsorized_stats
+
+    return winsorized_stats(
+        t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )

@@ -1,0 +1,66 @@
+"""Winsorization: known-percentile clipping, NULL passthrough, global
+mode, flag audit, approx-mode agreement, and parameter validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.robust import (
+    group_clip_bounds,
+    winsorize,
+    winsorized_stats,
+)
+
+
+def _df(spark):
+    # group a: 0..100 -> p05=5, p95=95 under linear interpolation
+    rows = [("a", float(v)) for v in range(101)] + [
+        ("b", 10.0),
+        ("b", 20.0),
+        ("b", None),
+    ]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_group_bounds_and_clip(spark):
+    df = _df(spark)
+    b = {r.g: (r["__lo"], r["__hi"]) for r in group_clip_bounds(df, "v", ["g"]).collect()}
+    assert b["a"] == (5.0, 95.0)
+    out = winsorize(df, "v", ["g"], flag=True)
+    a_rows = [r for r in out.collect() if r.g == "a"]
+    vals = sorted(r.v for r in a_rows)
+    assert vals[0] == 5.0 and vals[-1] == 95.0
+    assert sum(1 for r in a_rows if r["__clip"] == -1) == 5  # 0..4 clipped up
+    assert sum(1 for r in a_rows if r["__clip"] == 1) == 5  # 96..100 clipped down
+    # NULL measurement stays NULL, flagged 0
+    null_rows = [r for r in out.collect() if r.g == "b" and r.v is None]
+    assert len(null_rows) == 1 and null_rows[0]["__clip"] == 0
+
+
+def test_global_mode_and_out_col(spark):
+    df = _df(spark).filter(F.col("g") == "a")
+    out = winsorize(df, "v", lower=0.0, upper=0.5, out_col="v_w")
+    got = out.agg(F.max("v_w"), F.max("v")).collect()[0]
+    assert got[0] == 50.0 and got[1] == 100.0  # original column intact
+
+
+def test_exact_vs_approx_close(spark):
+    df = _df(spark)
+    exact = {r.g: (r["__lo"], r["__hi"]) for r in group_clip_bounds(df, "v", ["g"]).collect()}
+    approx = {
+        r.g: (r["__lo"], r["__hi"])
+        for r in group_clip_bounds(df, "v", ["g"], exact=False).collect()
+    }
+    for g in exact:
+        assert abs(exact[g][0] - approx[g][0]) <= 1.0
+        assert abs(exact[g][1] - approx[g][1]) <= 1.0
+
+
+def test_stats_shape_and_validation(spark):
+    df = _df(spark)
+    stats = {r.g: r for r in winsorized_stats(df, "v", ["g"]).collect()}
+    assert stats["a"].n == 101
+    assert stats["a"].n_clip_lo == 5 and stats["a"].n_clip_hi == 5
+    with pytest.raises(ValueError, match="lower"):
+        group_clip_bounds(df, "v", ["g"], lower=0.9, upper=0.1)
