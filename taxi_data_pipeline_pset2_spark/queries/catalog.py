@@ -91,6 +91,9 @@ _DEPRIORITIZED: tuple[str, ...] = (
     # group) and date_dim (W1 row_number); the rolling-avg variant yields
     # its slot to the round-5 gopher_quality_flags entry
     "rolling_avg_value",
+    # INTERSECT/EXCEPT are not a SURVEY 2 core row (U1/U2 are unions,
+    # both anchored elsewhere); yields its slot to winsorized_price_stats
+    "set_ops_customers",
     # rows-only / redundant-scalar tail (unchanged since r4)
     "ann_brp_lsh",
     "kmeans_clusters",
