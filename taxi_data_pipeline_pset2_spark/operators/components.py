@@ -175,16 +175,41 @@ def resolve_duplicate_clusters(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    keep_best_col: str | None = None,
 ) -> DataFrame:
-    """Keep exactly one doc (the min id) per near-dup cluster.
+    """Keep exactly one doc per near-dup cluster.
+
+    Default survivor is the MIN id (cheap: the component label itself).
+    With ``keep_best_col`` the survivor is the cluster member with the
+    HIGHEST value of that column (ties by min id) -- what a curation
+    pipeline wants when dups differ in quality score, resolution, or
+    recency: dedup should keep the best copy, not an arbitrary one.
 
     ``pairs`` is any candidate-pair frame (`jaccard_pairs`,
     `minhash_candidate_pairs`, embedding near-dup); docs in no pair
     survive untouched. One left-anti join against the non-survivor set:
     scan-shaped on the 100 TB side, the dropped-id side is dup-sized.
+    The best-member window runs over the dup-sized membership frame
+    (comp is broadcast onto the doc scan to fetch scores), never the
+    corpus.
     """
     comp = connected_components(pairs, src, dst)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    if keep_best_col is None:
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return docs.join(losers, id_col, "left_anti")
+    members = docs.select(
+        F.col(id_col), F.col(keep_best_col).alias("_score")
+    ).join(
+        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last("_score"), F.asc(id_col)
+    )
+    losers = (
+        members.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(id_col)
     )
     return docs.join(losers, id_col, "left_anti")

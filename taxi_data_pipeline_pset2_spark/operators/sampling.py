@@ -186,3 +186,36 @@ def epoch_shuffle(
         .sortWithinPartitions("_ekey", id_col)
         .drop("_ekey")
     )
+
+
+def per_group_sample(
+    df: DataFrame,
+    n: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "group-sample-v1",
+) -> DataFrame:
+    """Deterministic n-per-group sample (balanced eval sets, per-domain
+    spot checks): rank rows within each group by the salted hash (ties
+    by id) and keep rank <= n. Groups smaller than n pass through whole.
+
+    One shuffle on ``group_col`` (the row_number window); n is per-GROUP
+    sized, not driver-sized, so the output scales with cardinality x n
+    and never funnels through the driver. The hash ordering makes the
+    draw uniform-per-group, reshuffle-stable, and engine-portable (the
+    DuckDB twin reproduces it verbatim -- see the
+    ``per_group_sample_counts`` catalog oracle).
+
+    A skewed group key concentrates ONE task per giant group (window
+    sort); for pathological skew pre-aggregate with ``top_n_by_hash``
+    per partition or sample by threshold (`stratified_sample`) instead.
+    """
+    from pyspark.sql import Window
+
+    h = salted_hash(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -94,6 +94,10 @@ _DEPRIORITIZED: tuple[str, ...] = (
     # INTERSECT/EXCEPT are not a SURVEY 2 core row (U1/U2 are unions,
     # both anchored elsewhere); yields its slot to winsorized_price_stats
     "set_ops_customers",
+    # the sampling family holds three other window rows (hash_split,
+    # weighted topn, per-group rows); the fraction-threshold variant
+    # yields its slot to per_group_sample_rows
+    "stratified_sample_counts",
     # rows-only / redundant-scalar tail (unchanged since r4)
     "ann_brp_lsh",
     "kmeans_clusters",

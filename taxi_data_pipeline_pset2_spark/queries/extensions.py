@@ -48,7 +48,7 @@ _PRICE_BAND_ORACLE = f"""
 """
 
 
-@query("price_band_totals", oracle=_PRICE_BAND_ORACLE, tags=("rangejoin", "agg"))
+@query("price_band_totals", oracle=_PRICE_BAND_ORACLE, tags=("bench", "rangejoin", "agg"))
 def price_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding range join (operators/rangejoin.py point_in_interval_join):
     orders joined to a half-open price-band rate table, then aggregated
@@ -108,7 +108,7 @@ _SEMDECON_ORACLE = f"""
 @query(
     "semantic_decontamination",
     oracle=_SEMDECON_ORACLE,
-    tags=("decontamination", "similarity"),
+    tags=("bench", "decontamination", "similarity"),
 )
 def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (operators/decontamination.py
@@ -160,7 +160,7 @@ _COMPONENTS_ORACLE = """
 """
 
 
-@query("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("dedup", "components"))
+@query("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("bench", "dedup", "components"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution (operators/components.py
     connected_components over the jaccard_pairs edge set): (node,
@@ -263,7 +263,7 @@ _GOPHER_ORACLE = f"""
 """
 
 
-@query("gopher_quality_flags", oracle=_GOPHER_ORACLE, tags=("text", "quality"))
+@query("gopher_quality_flags", oracle=_GOPHER_ORACLE, tags=("bench", "text", "quality"))
 def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality heuristics (operators/text.py gopher_quality_flags;
     Rae et al. 2021 A1.1) as per-rule boolean flags + composite keep.
@@ -311,3 +311,34 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(
         t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
     )
+
+
+# ---- per-group deterministic sample --------------------------------------
+
+_PGS_N = 3
+
+_PGS_ORACLE = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || '|group-sample-v1'), 1, 8)) AS BIGINT),
+                            doc_id) AS rk
+        FROM documents)
+    SELECT doc_id, source FROM ranked WHERE rk <= {_PGS_N}
+    ORDER BY source, doc_id
+"""
+
+
+@query("per_group_sample_rows", oracle=_PGS_ORACLE, tags=("sampling",))
+def per_group_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-group sampling (operators/sampling.py
+    per_group_sample): 3 docs per source by salted-hash rank -- the
+    balanced-eval-set / per-domain-spot-check draw. One window shuffle
+    on the group key; the oracle reproduces the identical md5 ranking."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import per_group_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return per_group_sample(docs, _PGS_N, "source").select(
+        "doc_id", "source"
+    ).orderBy("source", "doc_id")

@@ -95,3 +95,30 @@ def test_resolve_keeps_one_doc_per_cluster(spark, sf_dir):
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert kept_ids == all_ids - losers
     assert survivors <= kept_ids
+
+
+def test_resolve_keep_best_member(spark):
+    """keep_best_col keeps the highest-scoring cluster member (ties by
+    min id); unpaired docs survive untouched."""
+    from taxi_data_pipeline_pset2_spark.operators.components import (
+        resolve_duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, 0.1)],
+        "doc_id long, quality double",
+    )
+    # cluster {1,2,3} chained, pair {4} none, 10 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    kept = {
+        r.doc_id
+        for r in resolve_duplicate_clusters(
+            docs, pairs, keep_best_col="quality"
+        ).collect()
+    }
+    # 2 and 3 tie at 0.9 -> min id 2 survives; min-id default would keep 1
+    assert kept == {2, 4, 10}
+    kept_min = {r.doc_id for r in resolve_duplicate_clusters(docs, pairs).collect()}
+    assert kept_min == {1, 4, 10}

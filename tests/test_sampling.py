@@ -204,3 +204,26 @@ def test_read_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     export_jsonl(good, out, compression=None)
     back = spark.read.schema(schema).json(out)
     assert {(r.doc_id, r.text) for r in back.collect()} == {(1, "alpha"), (3, "gamma")}
+
+
+def test_per_group_sample(spark, sf_dir):
+    """n per group, small groups whole, reshuffle-stable."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import per_group_sample
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = per_group_sample(docs, 3, "source")
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts and all(c == 3 for c in counts.values())
+    # tiny group passes through whole
+    tiny = docs.limit(2)
+    assert per_group_sample(tiny.withColumn("g", F.lit("x")), 5, "g").count() == 2
+    # layout-independent draw
+    a = {r.doc_id for r in out.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in per_group_sample(docs.repartition(7), 3, "source")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
