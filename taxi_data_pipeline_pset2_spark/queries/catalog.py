@@ -98,11 +98,14 @@ _DEPRIORITIZED: tuple[str, ...] = (
     # weighted topn, per-group rows); the fraction-threshold variant
     # yields its slot to per_group_sample_rows
     "stratified_sample_counts",
-    # rows-only / redundant-scalar tail (unchanged since r4)
+    # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",
     "approx_event_profile",
     "sketch_rollup_daily_users",
+    "mmr_rerank_topk",
+    "semdedup_survivors",
+    "packing_assignments",
     "hash_surrogate_ids",
     "datetime_functions",
     "string_functions",

@@ -342,3 +342,56 @@ def per_group_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_sample(docs, _PGS_N, "source").select(
         "doc_id", "source"
     ).orderBy("source", "doc_id")
+
+
+# ---- rows-only tail entries ----------------------------------------------
+# (registered past the driver's 50-entry window -- see catalog.py
+# _DEPRIORITIZED -- so the remaining pytest-only operator families still
+# surface through queries() and get the weaker rows-only driver check if
+# the driver honors >50 entries; their strong evidence is the pytest
+# suite cited in COVERAGE.md)
+
+
+@query("mmr_rerank_topk", oracle=None, tags=("similarity", "rerank"))
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/mmr.py): top-10 cosine neighbors
+    per query re-ranked to 5 diverse picks (lambda=0.7). Greedy
+    iterative kernel -> no SQL oracle; brute-force reference equality in
+    tests/test_mmr.py."""
+    from taxi_data_pipeline_pset2_spark.operators.mmr import mmr_rerank
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        knn_topk_vectorized,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    neighbors = knn_topk_vectorized(emb, F.col("vec_id") % 50 == 0, k=10)
+    return mmr_rerank(neighbors, emb, k=5)
+
+
+@query("semdedup_survivors", oracle=None, tags=("dedup", "similarity"))
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means clusters -> in-cluster
+    cosine pairs -> farthest-from-centroid survivor per component.
+    Iterative (Lloyd rounds) -> no SQL oracle; planted-dup collapse and
+    keep-policy pinned in tests/test_semdedup.py."""
+    from taxi_data_pipeline_pset2_spark.operators.semdedup import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, n_iter=4, threshold=0.95).select(
+        "vec_id", "label"
+    )
+
+
+@query("packing_assignments", oracle=None, tags=("packing",))
+def packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): hash-sharded best-fit-
+    decreasing assignment of docs into 2048-token training sequences.
+    Per-shard iterative bin packing -> no SQL oracle; budget/lossless/
+    determinism invariants in tests/test_packing.py + hypothesis sweep
+    in tests/test_properties.py."""
+    from taxi_data_pipeline_pset2_spark.operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    return pack_sequences(docs, token_budget=2048)
