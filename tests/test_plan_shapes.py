@@ -140,3 +140,38 @@ def test_chunking_rides_the_scan(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(chunk_documents(docs, max_tokens=32, overlap=8))
     assert "Exchange" not in plan, plan
+
+
+def test_gopher_flags_scan_only(spark, sf_dir):
+    """The Gopher rule table is a pure projection: no Exchange, no join,
+    no aggregate -- the flags must ride the scan at any corpus size."""
+    plan = _plan(registry()["gopher_quality_flags"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_winsorize_thresholds_broadcast_back(spark, sf_dir):
+    """Winsorization joins the group-sized threshold frame back onto the
+    scan: must be a broadcast join, never a corpus shuffle join."""
+    plan = _plan(registry()["winsorized_price_stats"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_per_group_sample_no_join(spark, sf_dir):
+    """n-per-group sampling is one window over the group key -- no join
+    anywhere (a join-based formulation would re-derive the corpus)."""
+    plan = _plan(registry()["per_group_sample_rows"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_semantic_decon_broadcasts_bench(spark, sf_dir):
+    """The eval-sized embedding side must broadcast: the train scan
+    streams once against an in-memory bench table (same contract as the
+    k-gram decontamination plan)."""
+    plan = _plan(registry()["semantic_decontamination"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
