@@ -98,6 +98,11 @@ _DEPRIORITIZED: tuple[str, ...] = (
     # weighted topn, per-group rows); the fraction-threshold variant
     # yields its slot to per_group_sample_rows
     "stratified_sample_counts",
+    # U2's default-member append is a niche union variant (U1 stays
+    # anchored by union_unify_schemas; U2/F10 keep pytest + the LIKE
+    # airport flags in string_functions' oracle SQL); yields its slot
+    # to the CDC snapshot-diff family
+    "dim_with_default_member",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",

@@ -395,3 +395,58 @@ def packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
     )
     return pack_sequences(docs, token_budget=2048)
+
+
+# ---- CDC snapshot diff ---------------------------------------------------
+
+_CDC_ORACLE = """
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 4 <> 1),
+    new AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 4 <> 2),
+    j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 o.o_orderkey IS NOT NULL AS in_old,
+                 n.o_orderkey IS NOT NULL AS in_new,
+                 o.o_orderstatus AS old_o_orderstatus,
+                 o.o_totalprice AS old_o_totalprice,
+                 n.o_orderstatus AS new_o_orderstatus,
+                 n.o_totalprice AS new_o_totalprice
+          FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+                  OR old_o_totalprice IS DISTINCT FROM new_o_totalprice THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           old_o_orderstatus, old_o_totalprice,
+           new_o_orderstatus, new_o_totalprice
+    FROM j
+    WHERE NOT (in_old AND in_new
+               AND old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+               AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice)
+"""
+
+
+@query("snapshot_diff_orders", oracle=_CDC_ORACLE, tags=("cdc",))
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/cdc.py): insert/update/delete
+    changelog between two synthetic order snapshots (drop keys %4==2,
+    add keys %4==1, restate status for keys %7==0). One full-outer
+    co-shuffle on the key, NULL-safe attribute compare -- the delta a
+    MERGE or cache-invalidation consumer feeds on."""
+    from taxi_data_pipeline_pset2_spark.operators.cdc import snapshot_diff
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 4 != 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 4 != 2).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

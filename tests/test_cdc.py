@@ -1,0 +1,94 @@
+"""Snapshot-diff CDC: change classification, NULL-safe compares,
+include_unchanged, column validation, and composition with merge."""
+
+from __future__ import annotations
+
+import pytest
+
+from taxi_data_pipeline_pset2_spark.operators.cdc import snapshot_diff
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, status string, amount double")
+
+
+def test_change_classification(spark):
+    old = _snap(spark, [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0), (4, None, 40.0)])
+    new = _snap(
+        spark,
+        [
+            (1, "A", 10.0),      # unchanged
+            (2, "B2", 20.0),     # update (status)
+            (4, None, 40.0),     # unchanged (NULL == NULL is "no change")
+            (5, "E", 50.0),      # insert
+        ],
+    )
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == {2, 3, 5}
+    assert got[2].change_type == "update"
+    assert got[2].old_status == "B" and got[2].new_status == "B2"
+    assert got[3].change_type == "delete" and got[3].new_status is None
+    assert got[5].change_type == "insert" and got[5].old_status is None
+
+    # NULL -> value and value -> NULL are both updates
+    old2 = _snap(spark, [(1, None, 1.0), (2, "X", 1.0)])
+    new2 = _snap(spark, [(1, "Y", 1.0), (2, None, 1.0)])
+    types = {r.k: r.change_type for r in snapshot_diff(old2, new2, ["k"]).collect()}
+    assert types == {1: "update", 2: "update"}
+
+
+def test_include_unchanged_and_subset_columns(spark):
+    old = _snap(spark, [(1, "A", 10.0), (2, "B", 20.0)])
+    new = _snap(spark, [(1, "A", 99.0), (2, "B", 20.0)])
+    # only status compared: amount restatement is "unchanged"
+    rows = snapshot_diff(
+        old, new, ["k"], compare_cols=["status"], include_unchanged=True
+    ).collect()
+    assert {r.k: r.change_type for r in rows} == {1: "unchanged", 2: "unchanged"}
+    # full compare flags the amount change
+    assert {
+        r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()
+    } == {1: "update"}
+
+
+def test_missing_column_rejected(spark):
+    old = _snap(spark, [(1, "A", 1.0)])
+    new = old.drop("amount")
+    with pytest.raises(ValueError, match="absent"):
+        snapshot_diff(old, new, ["k"], compare_cols=["amount"])
+
+
+def test_changelog_feeds_merge(spark, tmp_path):
+    """The emitted delta drives merge_upsert to reproduce the new
+    snapshot exactly -- the CDC -> MERGE contract."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.sources.sinks import merge_upsert
+
+    old = _snap(spark, [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)])
+    new = _snap(spark, [(2, "B2", 20.0), (3, "C", 30.0), (4, "D", 40.0)])
+    target = str(tmp_path / "dim")
+    old.write.parquet(target)
+
+    delta = snapshot_diff(old, new, ["k"])
+    upserts = delta.filter(F.col("change_type") != "delete").select(
+        "k",
+        F.col("new_status").alias("status"),
+        F.col("new_amount").alias("amount"),
+    )
+    merge_upsert(
+        spark,
+        target,
+        upserts,
+        key_cols=["k"],
+        delete_pred=F.lit(False),
+    )
+    # apply deletes via the delta's delete keys
+    dels = {r.k for r in delta.filter(F.col("change_type") == "delete").collect()}
+    got = {
+        (r.k, r.status, r.amount)
+        for r in spark.read.parquet(target).collect()
+        if r.k not in dels
+    }
+    want = {(2, "B2", 20.0), (3, "C", 30.0), (4, "D", 40.0)}
+    assert got == want
