@@ -128,3 +128,63 @@ def winsorized_stats(
         )
         .orderBy(*group_cols)
     )
+
+
+def zscore_flag(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.0,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score + outlier flag: adds ``out_col`` (rounded to
+    6 dp) and ``is_outlier`` (|z| > threshold, evaluated on the ROUNDED
+    score so engines agree at the boundary).
+
+    Determinism: group mean/variance come from EXACT decimal sums of x
+    and x^2 (order-independent under any partitioning), combined in one
+    fixed double expression -- the same discipline as dec_sum/dec_avg.
+    Variance is the textbook (sum_x2 - sum_x^2/n)/(n-1); with 2-dp
+    inputs the decimal sums are exact, so the subtraction cancellation
+    that makes this formula dangerous in floating point cannot occur
+    before the final double arithmetic.
+
+    Plan: one group-sized aggregate, broadcast back onto the scan, then
+    a projection -- identical shape to :func:`winsorize`. Groups with
+    n < 2 or zero variance get NULL z-scores (flag false), not a
+    divide-by-zero.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    sx = F.sum(v.cast("decimal(28,6)")).cast("double")
+    sx2 = F.sum((v * v).cast("decimal(38,10)")).cast("double")
+    n = F.count(v)
+    stats = (
+        (df.groupBy(*group_cols) if group_cols else df.groupBy())
+        .agg(sx.alias("_sx"), sx2.alias("_sx2"), n.alias("_n"))
+        .withColumn("__mean", F.col("_sx") / F.col("_n"))
+        .withColumn(
+            "__var",
+            F.when(
+                F.col("_n") >= 2,
+                (F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("_n"))
+                / (F.col("_n") - 1),
+            ),
+        )
+        .select(*group_cols, "__mean", "__var")
+    )
+    joined = (
+        df.join(F.broadcast(stats), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.round((v - F.col("__mean")) / F.sqrt(F.col("__var")), 6)
+    z = F.when(F.col("__var") > 0, z)  # zero-variance group -> NULL
+    return (
+        joined.withColumn(out_col, z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col(out_col)) > threshold, F.lit(False)),
+        )
+        .drop("__mean", "__var")
+    )

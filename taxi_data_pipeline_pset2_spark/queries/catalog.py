@@ -103,6 +103,12 @@ _DEPRIORITIZED: tuple[str, ...] = (
     # airport flags in string_functions' oracle SQL); yields its slot
     # to the CDC snapshot-diff family
     "dim_with_default_member",
+    # second rows for already-window-anchored families (robust stats via
+    # winsorized_price_stats; aggregation via pricing_summary et al.) --
+    # registered in the probe tail so the remaining SURVEY 2 core
+    # anchors (trip_duration_metrics, case_flags) keep their slots
+    "zscore_price_outliers",
+    "rollup_grouping_sets",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",

@@ -450,3 +450,93 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# ---- ROLLUP / grouping sets ----------------------------------------------
+
+_ROLLUP_SETS_ORACLE = f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           {sql_dec_sum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+"""
+
+
+@query("rollup_grouping_sets", oracle=_ROLLUP_SETS_ORACLE, tags=("agg", "rollup"))
+def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (status, priority) -> subtotals ->
+    grand total in ONE aggregate pass -- Spark's native ``rollup`` emits
+    all grouping sets from a single shuffle (each mapper produces one
+    partial per set), the warehouse idiom the reference's dashboards
+    would reach for next. ``grouping()`` bits disambiguate real NULLs
+    from subtotal rows."""
+    orders = t(spark, sf_dir, "orders")
+    g_status = F.grouping("o_orderstatus").cast("int")
+    g_prio = F.grouping("o_orderpriority").cast("int")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (g_status * 2 + g_prio).cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+# ---- z-score outlier audit -----------------------------------------------
+
+_ZSCORE_T = 1.5  # uniform-ish synthetic prices max out near |z| ~ 1.7
+
+_ZSCORE_ORACLE = f"""
+    WITH s AS (SELECT o_orderpriority,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS sx2,
+                      count(o_totalprice) AS n
+               FROM orders GROUP BY o_orderpriority),
+    st AS (SELECT o_orderpriority, sx / n AS mean,
+                  (sx2 - sx * sx / n) / (n - 1) AS var
+           FROM s),
+    z AS (SELECT o.o_orderpriority,
+                 ROUND((CAST(o.o_totalprice AS DOUBLE) - st.mean) / sqrt(st.var), 6) AS zs
+          FROM orders o JOIN st USING (o_orderpriority))
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CASE WHEN abs(zs) > {_ZSCORE_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           max(abs(zs)) AS max_abs_z
+    FROM z GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("zscore_price_outliers", oracle=_ZSCORE_ORACLE, tags=("robust", "agg"))
+def zscore_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier audit (operators/robust.py zscore_flag):
+    decimal-exact group moments broadcast back onto the scan, rounded
+    z-scores, |z| > 1.5 counts per priority. The metric-anomaly twin of
+    winsorized_price_stats."""
+    from taxi_data_pipeline_pset2_spark.operators.robust import zscore_flag
+
+    z = zscore_flag(
+        t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"],
+        threshold=_ZSCORE_T,
+    )
+    return (
+        z.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.max(F.abs("zscore")).alias("max_abs_z"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -64,3 +64,26 @@ def test_stats_shape_and_validation(spark):
     assert stats["a"].n_clip_lo == 5 and stats["a"].n_clip_hi == 5
     with pytest.raises(ValueError, match="lower"):
         group_clip_bounds(df, "v", ["g"], lower=0.9, upper=0.1)
+
+
+def test_zscore_known_values_and_edge_groups(spark):
+    from taxi_data_pipeline_pset2_spark.operators.robust import zscore_flag
+
+    rows = (
+        [("a", float(v)) for v in (0, 1, 2, 3, 4)]  # mean 2, var 2.5
+        + [("const", 7.0), ("const", 7.0)]          # zero variance
+        + [("single", 5.0)]                          # n < 2
+        + [("a", None)]                              # null measurement
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = zscore_flag(df, "v", ["g"], threshold=1.2)
+    a = {r.v: (r.zscore, r.is_outlier) for r in out.collect() if r.g == "a" and r.v is not None}
+    sd = 2.5 ** 0.5
+    assert a[2.0] == (0.0, False)
+    assert a[0.0][0] == round(-2 / sd, 6) and a[0.0][1]  # |z| ~ 1.265 > 1.2
+    assert a[4.0][1] and not a[1.0][1] and not a[3.0][1]
+    others = {r.g: (r.zscore, r.is_outlier) for r in out.collect() if r.g != "a"}
+    assert others["const"] == (None, False)
+    assert others["single"] == (None, False)
+    nulls = [r for r in out.collect() if r.g == "a" and r.v is None]
+    assert nulls and nulls[0].zscore is None and not nulls[0].is_outlier
