@@ -1,0 +1,110 @@
+"""Streaming incremental dedup: the foreachBatch composition of the
+document stream with the persisted LSH signature index
+(operators/incremental.py) -- the continuously-ingesting form of the
+reference's monthly load loop (``loader_yellow_green.py:38``), run as a
+Structured Streaming pipeline instead of a cron script.
+
+Per micro-batch:
+ 1. screen the batch against the CURRENT index (one broadcast of the
+    batch onto an index scan -- O(batch) + one scan, the incremental
+    contract);
+ 2. write the batch's survivors into a batch-id-keyed directory
+    (idempotent overwrite on replay, same discipline as
+    ``events.run_batchwise_to_parquet``);
+ 3. APPEND only the survivors' signature rows the index does not
+    already hold (batch-sized anti-join) -- the index grows by O(batch)
+    files per batch and is NEVER rewritten, unlike an
+    ``atomic_overwrite`` of the whole index, which would be O(corpus)
+    per batch at 100 TB.
+
+Replay idempotence (at-least-once foreachBatch delivery):
+ - survivors of a replayed batch re-resolve identically: a survivor's
+   own signatures are excluded by id inside ``match_against_index``,
+   and two same-batch survivors never share >= min_shared_bands bands
+   (they would have been one connected component);
+ - the index append anti-joins on doc_id, so re-appending an already-
+   indexed batch is a no-op;
+ - the survivors directory is overwritten per batch id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import (
+    minhash_band_signatures,
+)
+from taxi_data_pipeline_pset2_spark.operators.incremental import (
+    incremental_dedup,
+)
+
+_INDEX_SCHEMA = "doc_id long, band int, band_sig long"
+
+
+def read_docs_stream(
+    spark: SparkSession, docs_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-arrival document stream: each parquet file dropped into
+    ``docs_dir`` is one ingest unit; ``maxFilesPerTrigger`` bounds the
+    batch size (and in tests splits a backfill into micro-batches)."""
+    schema = spark.read.parquet(docs_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+
+def load_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The persisted signature index; empty-typed frame before the
+    first batch commits."""
+    try:
+        return spark.read.schema(_INDEX_SCHEMA).parquet(index_dir)
+    except Exception:  # noqa: BLE001 - path missing on first batch
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+
+
+def run_streaming_incremental_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Drain ``docs_stream`` (availableNow) through the incremental
+    dedup screen, growing the index as batches commit."""
+    spark = docs_stream.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        index = load_index(spark, index_dir)
+        res = incremental_dedup(
+            batch_df, index, text_col=text_col, id_col=id_col
+        )
+        survivors = res.survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(survivors_dir, f"batch_id={batch_id}")
+        )
+        new_rows = minhash_band_signatures(
+            survivors, text_col=text_col, id_col=id_col
+        ).join(
+            index.select(id_col).distinct(), id_col, "left_anti"
+        )
+        new_rows.write.mode("append").parquet(index_dir)
+
+    (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_streaming_survivors(spark: SparkSession, survivors_dir: str) -> DataFrame:
+    """All surviving docs across batches (batch_id exposed via partition
+    discovery)."""
+    return spark.read.option("basePath", survivors_dir).parquet(survivors_dir)
