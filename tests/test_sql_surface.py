@@ -41,6 +41,13 @@ ANSI_PARITY = [
     "events_hourly",
     "session_counts",
     "recent_clicks_before_error",
+    # round-5 additions (winsorized_price_stats is excluded: DuckDB's
+    # quantile_cont(x, p) has no Spark SQL spelling; mixture/gopher/
+    # sampling oracles need DuckDB hex-cast or list lambdas)
+    "price_band_totals",
+    "snapshot_diff_orders",
+    "rollup_grouping_sets",
+    "zscore_price_outliers",
 ]
 
 
