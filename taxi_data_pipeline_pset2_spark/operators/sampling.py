@@ -219,3 +219,49 @@ def per_group_sample(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def select_quality_mass(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    p: float,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the highest-``score_col`` rows (ties by id) until the kept
+    ``weight_col`` mass reaches fraction ``p`` of the group total -- the
+    "best X% of the token mass" curation primitive (quality-ranked
+    corpus truncation, data-constrained scaling recipes).
+
+    The boundary row that CROSSES the p threshold is included, so every
+    non-empty group keeps at least one row and the kept mass is the
+    smallest prefix >= p * total. Exact decimal accumulation keeps the
+    running and total sums order-independent, so the cut is
+    deterministic and engine-portable.
+
+    One shuffle (the per-group ordered window). A giant group serializes
+    into one task's sort -- for corpus-scale single groups, pre-bucket
+    by a hash prefix or use the threshold form (quantile of score via
+    operators/robust.group_clip_bounds) instead.
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"need 0 < p <= 1, got {p}")
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    wdec = F.col(weight_col).cast("decimal(28,6)")
+    part = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    order = part.orderBy(F.desc_nulls_last(score_col), F.asc(id_col))
+    running = F.sum(wdec).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(wdec).over(part)
+    # keep while the PREVIOUS prefix is still short of p * total --
+    # equivalently: running - w < p * total (boundary row included)
+    return (
+        df.withColumn("_run", running)
+        .withColumn("_tot", total)
+        .filter((F.col("_run") - wdec) < F.col("_tot") * F.lit(p))
+        .drop("_run", "_tot")
+    )

@@ -109,6 +109,7 @@ _DEPRIORITIZED: tuple[str, ...] = (
     # anchors (trip_duration_metrics, case_flags) keep their slots
     "zscore_price_outliers",
     "rollup_grouping_sets",
+    "quality_mass_selection",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",

@@ -540,3 +540,39 @@ def zscore_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---- quality-mass selection ----------------------------------------------
+
+_QMASS_P = 0.5
+
+_QMASS_ORACLE = f"""
+    WITH r AS (SELECT doc_id, lang, n_chars,
+                      SUM(CAST(n_chars AS DECIMAL(28,6))) OVER (
+                          PARTITION BY lang
+                          ORDER BY n_chars DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+                      SUM(CAST(n_chars AS DECIMAL(28,6))) OVER (PARTITION BY lang) AS tot
+               FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM r
+    WHERE run - CAST(n_chars AS DECIMAL(28,6)) < tot * {_QMASS_P}
+    ORDER BY lang, doc_id
+"""
+
+
+@query("quality_mass_selection", oracle=_QMASS_ORACLE, tags=("sampling", "curation"))
+def quality_mass_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-mass truncation (operators/sampling.py
+    select_quality_mass): per language, keep the largest docs until half
+    the character mass is covered (n_chars plays both score and weight
+    here; in a real pipeline score = quality model, weight = token
+    count). Decimal-exact running sums make the cut deterministic."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        select_quality_mass,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return select_quality_mass(
+        docs, "n_chars", "n_chars", _QMASS_P, ["lang"]
+    ).orderBy("lang", "doc_id")

@@ -227,3 +227,39 @@ def test_per_group_sample(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_select_quality_mass(spark):
+    """Boundary row included; >= 1 row per group; layout-independent."""
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        select_quality_mass,
+    )
+
+    rows = [
+        # group a: weights 50, 30, 20 (scores = weights) -> p=0.5 keeps
+        # the 50 only (prefix before it = 0 < 50; before 30 = 50 >= 50)
+        ("a", 1, 50.0), ("a", 2, 30.0), ("a", 3, 20.0),
+        # group b: equal weights -> p=0.5 keeps 2 of 4 (ids break ties)
+        ("b", 10, 10.0), ("b", 11, 10.0), ("b", 12, 10.0), ("b", 13, 10.0),
+        # group c: single row always kept even at tiny p
+        ("c", 20, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    got = {
+        (r.g, r.id)
+        for r in select_quality_mass(df, "w", "w", 0.5, ["g"], id_col="id").collect()
+    }
+    assert got == {("a", 1), ("b", 10), ("b", 11), ("c", 20)}
+    tiny = select_quality_mass(df, "w", "w", 0.01, ["g"], id_col="id")
+    assert {r.g for r in tiny.collect()} == {"a", "b", "c"}  # one each
+    shuffled = {
+        (r.g, r.id)
+        for r in select_quality_mass(
+            df.repartition(5), "w", "w", 0.5, ["g"], id_col="id"
+        ).collect()
+    }
+    assert shuffled == got
+    with pytest.raises(ValueError, match="p"):
+        select_quality_mass(df, "w", "w", 0.0, ["g"], id_col="id")
