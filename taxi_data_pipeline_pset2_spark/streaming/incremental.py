@@ -60,10 +60,17 @@ def read_docs_stream(
 
 def load_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The persisted signature index; empty-typed frame before the
-    first batch commits."""
+    first batch commits. Only AnalysisException (path not found / empty
+    dir) falls back -- a genuine read error (permissions, corrupt
+    footer) must propagate, not silently restart the index (cf. ADVICE
+    r4 on the stream-schema probe). A local os.path probe would be
+    wrong here: the index lives on whatever filesystem Spark sees
+    (HDFS/S3), not necessarily the driver's local disk."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(_INDEX_SCHEMA).parquet(index_dir)
-    except Exception:  # noqa: BLE001 - path missing on first batch
+    except AnalysisException:
         return spark.createDataFrame([], _INDEX_SCHEMA)
 
 
