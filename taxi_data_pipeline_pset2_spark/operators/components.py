@@ -88,12 +88,11 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return (row.n, int(row.h))
 
 
-def _driver_components(edges: DataFrame) -> DataFrame:
+def _driver_components(edges: DataFrame, rows: list) -> DataFrame:
     """Exact union-find over a collected (bounded, see caller) edge set;
     emits the same (node, component-min) rows as the distributed path."""
     from pyspark.sql.types import StructField, StructType
 
-    rows = edges.collect()  # bounded: caller checked <= DRIVER_CC_EDGE_CAP
     parent: dict = {}
 
     def find(x):
@@ -147,9 +146,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Fast-path probe in ONE bounded job: collect at most cap+1 edges.
+    # At or under the cap those rows ARE the whole edge set (union-find
+    # directly, no separate count or checksum aggregate); over it, only
+    # cap+1 rows ever reached the driver and the distributed alternation
+    # takes over.
+    if driver_cap > 0:
+        probe = edges.limit(driver_cap + 1).collect()
+        if len(probe) <= driver_cap:
+            return _driver_components(edges, probe)
     prev = _edge_checksum(edges)
-    if prev[0] <= driver_cap:
-        return _driver_components(edges)
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _edge_checksum(edges)

@@ -116,8 +116,8 @@ def decontaminate(
 # N-gram collision misses paraphrased contamination (translated or
 # reworded benchmark items); the embedding-space complement flags train
 # docs whose embedding is close to any benchmark embedding. Same
-# playbook as above: the benchmark side is eval-sized and broadcasts;
-# the train side stays scan-shaped.
+# playbook as above: the benchmark side is eval-sized (collected as a
+# guarded driver matrix); the train side stays scan-shaped.
 
 
 def semantic_contamination_scores(
@@ -133,17 +133,22 @@ def semantic_contamination_scores(
     vectors emit no row (callers treat absence as clean, as in
     ``contamination_scores``), so the output is contamination-sized.
 
-    ``mode="exact"``: every (train, bench) pair -- the bench side
-    broadcasts, so the plan is one scan of the train side against an
-    eval-sized in-memory table. Int-scaled arithmetic (see
-    operators/similarity.py) makes the cosines bit-identical to a SQL
-    oracle. ``mode="lsh"``: sign-sketch band join generates candidates
-    first (the 100 TB path when the benchmark suite itself is large);
-    exact-cosine verify on candidates only. Both modes emit identical
-    schemas; lsh may miss pairs LSH misses (recall pinned in tests).
+    ``mode="exact"``: every (train, bench) pair -- the eval-sized bench
+    matrix is collected to the driver (MAX_QUERY_ROWS-guarded, the same
+    contract as the vectorized kNN query set) and each Arrow batch of
+    the train scan computes ALL its bench dots as one exact int64
+    numpy matmul: no join, no shuffle, one pass over the train side.
+    Int-scaled arithmetic + the shared HALF_UP rounding kernel make the
+    cosines bit-identical to a SQL oracle. ``mode="lsh"``: sign-sketch
+    band join generates candidates first (the path when the benchmark
+    suite itself is too large to collect); exact-cosine verify on
+    candidates only. Both modes emit identical schemas; lsh may miss
+    pairs LSH misses (recall pinned in tests).
     """
     from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        MAX_QUERY_ROWS,
         _prepared,
+        _round_half_up_6,
         cosine_sketch_bands,
         int_dot,
     )
@@ -156,7 +161,45 @@ def semantic_contamination_scores(
         F.col("norm2").alias("b_n2"),
     )
     if mode == "exact":
-        joined = tr.crossJoin(F.broadcast(be))
+        import numpy as np
+        import pandas as pd
+
+        bench_rows = be.limit(MAX_QUERY_ROWS + 1).collect()
+        if len(bench_rows) > MAX_QUERY_ROWS:
+            raise ValueError(
+                f"benchmark side exceeds MAX_QUERY_ROWS={MAX_QUERY_ROWS}; "
+                "use mode='lsh' for benchmark suites this large"
+            )
+        out_schema = f"{id_col} long, n_bench_hits long, max_cosine double"
+        if not bench_rows:  # empty benchmark: nothing can be contaminated
+            return train_emb.sparkSession.createDataFrame([], out_schema)
+        B = np.array([r.b_iv for r in bench_rows], dtype=np.int64)  # (M, D)
+        b_norm = np.sqrt(np.array([r.b_n2 for r in bench_rows], dtype=np.float64))
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf["t_iv"]), dtype=np.int64)  # (N, D)
+                dots = X @ B.T  # exact int64
+                raw = dots / (
+                    np.sqrt(pdf["t_n2"].to_numpy(dtype=np.float64))[:, None]
+                    * b_norm[None, :]
+                )
+                cos = _round_half_up_6(raw.ravel()).reshape(raw.shape)
+                hit = cos >= threshold
+                n_hits = hit.sum(axis=1)
+                keep = n_hits > 0
+                masked = np.where(hit, cos, -np.inf)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[keep],
+                        "n_bench_hits": n_hits[keep].astype(np.int64),
+                        "max_cosine": masked.max(axis=1)[keep],
+                    }
+                )
+
+        return tr.mapInPandas(run, schema=out_schema)
     elif mode == "lsh":
         t_bands = cosine_sketch_bands(train_emb, id_col=id_col, vec_col=vec_col)
         b_bands = cosine_sketch_bands(bench_emb, id_col=id_col, vec_col=vec_col).select(

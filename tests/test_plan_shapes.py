@@ -168,10 +168,11 @@ def test_per_group_sample_no_join(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_semantic_decon_broadcasts_bench(spark, sf_dir):
-    """The eval-sized embedding side must broadcast: the train scan
-    streams once against an in-memory bench table (same contract as the
-    k-gram decontamination plan)."""
+def test_semantic_decon_scan_shaped_no_join(spark, sf_dir):
+    """Exact semantic decontamination is ONE pass over the train scan
+    against the driver-collected bench matrix (int64 matmul per Arrow
+    batch): no join, no Exchange anywhere in the plan."""
     plan = _plan(registry()["semantic_decontamination"].fn(spark, sf_dir))
-    assert "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
