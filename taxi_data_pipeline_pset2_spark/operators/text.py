@@ -429,3 +429,54 @@ def gopher_quality_flags(
         *[c.alias(n) for n, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+# Small built-in valence lexicon (AFINN-shaped: word -> integer score in
+# [-5, 5]; entries authored here, not copied from any published list).
+# The synthetic corpus exercises fast/slow/big/small; the rest make the
+# operator useful on real text.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2, "slow": -2, "big": 1, "small": -1,
+    "good": 2, "great": 3, "excellent": 4, "amazing": 4, "love": 3,
+    "happy": 3, "best": 3, "win": 2, "useful": 2, "clean": 1,
+    "bad": -2, "poor": -2, "terrible": -4, "awful": -4, "hate": -3,
+    "sad": -2, "worst": -3, "fail": -2, "broken": -2, "dirty": -1,
+}
+
+
+def sentiment_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lexicon-based valence scoring (the SURVEY 2b "sentiment-style
+    scoring" cell): per doc, counts of positive/negative lexicon tokens
+    and the mean valence over MATCHED tokens (NULL when nothing
+    matches -- absence of evidence is not neutrality).
+
+    Pure column expressions over one scan (map literal + higher-order
+    functions): no UDF, no shuffle, no join -- the lexicon rides into
+    every task as a literal. The same scan-shaped pattern extends to any
+    word-weight table small enough to inline; a corpus-sized lexicon
+    would switch to a broadcast join on the exploded tokens instead.
+    """
+    lex = F.create_map(
+        *[x for w, s in sorted(SENTIMENT_LEXICON.items()) for x in (F.lit(w), F.lit(s))]
+    )
+    toks = tokenize(F.col(text_col))
+    val = lambda t: F.element_at(lex, t)  # noqa: E731 - NULL for non-lexicon tokens
+    n_pos = F.size(F.filter(toks, lambda t: val(t) > 0))
+    n_neg = F.size(F.filter(toks, lambda t: val(t) < 0))
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.coalesce(val(t), F.lit(0))),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    n_matched = n_pos + n_neg
+    sentiment = F.when(
+        n_matched > 0, F.round(total.cast("double") / n_matched, 6)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        sentiment.alias("sentiment"),
+    )

@@ -110,6 +110,7 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "zscore_price_outliers",
     "rollup_grouping_sets",
     "quality_mass_selection",
+    "sentiment_scores",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",

@@ -576,3 +576,40 @@ def quality_mass_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_quality_mass(
         docs, "n_chars", "n_chars", _QMASS_P, ["lang"]
     ).orderBy("lang", "doc_id")
+
+
+# ---- lexicon sentiment scoring -------------------------------------------
+
+def _sentiment_oracle() -> str:
+    from taxi_data_pipeline_pset2_spark.operators.text import SENTIMENT_LEXICON
+
+    lex = ", ".join(
+        f"('{w}', {s})" for w, s in sorted(SENTIMENT_LEXICON.items())
+    )
+    return f"""
+        WITH lex(word, score) AS (VALUES {lex}),
+        toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                 FROM documents),
+        m AS (SELECT t.doc_id, l.score FROM toks t JOIN lex l ON t.tok = l.word),
+        agg AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                       CAST(SUM(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                       ROUND(SUM(score) * 1.0 / count(*), 6) AS sentiment
+                FROM m GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_pos, 0) AS n_pos,
+               coalesce(a.n_neg, 0) AS n_neg,
+               a.sentiment
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("sentiment_scores", oracle=_sentiment_oracle(), tags=("text",))
+def sentiment_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon valence scoring (operators/text.py sentiment_scores; the
+    SURVEY 2b sentiment-style cell): scan-shaped map-literal lookup, no
+    UDF/shuffle/join; mean valence over matched tokens, NULL when no
+    lexicon token appears."""
+    from taxi_data_pipeline_pset2_spark.operators.text import sentiment_scores
+
+    return sentiment_scores(t(spark, sf_dir, "documents"))

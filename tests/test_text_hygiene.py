@@ -122,3 +122,23 @@ def test_gopher_quality_flags_rules(spark):
     assert not got[8].flag_mean_word_len
     # per-rule flags are independent: doc 3 still passes word count
     assert got[3].flag_word_count
+
+
+def test_sentiment_scores(spark):
+    from taxi_data_pipeline_pset2_spark.operators.text import sentiment_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast fast slow"),       # +2 +2 -2 over 3 matched -> 0.666667
+            (2, "nothing lexical here"),  # no match -> NULL
+            (3, "terrible awful bad"),    # all negative
+            (4, "GOOD Fast"),             # case-folded
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in sentiment_scores(docs).collect()}
+    assert got[1].n_pos == 2 and got[1].n_neg == 1
+    assert got[1].sentiment == round(2 / 3, 6)
+    assert got[2].sentiment is None and got[2].n_pos == 0
+    assert got[3].n_neg == 3 and got[3].sentiment < -2
+    assert got[4].n_pos == 2 and got[4].sentiment == 2.0
