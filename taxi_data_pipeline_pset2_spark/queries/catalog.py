@@ -111,6 +111,7 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "rollup_grouping_sets",
     "quality_mass_selection",
     "sentiment_scores",
+    "supplier_balance_by_region",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",

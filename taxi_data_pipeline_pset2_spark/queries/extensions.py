@@ -613,3 +613,40 @@ def sentiment_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_pipeline_pset2_spark.operators.text import sentiment_scores
 
     return sentiment_scores(t(spark, sf_dir, "documents"))
+
+
+# ---- supplier balance by region (completes driver-table coverage) --------
+
+_SUPPLIER_REGION_ORACLE = f"""
+    SELECT r.r_name AS region,
+           count(*) AS n_suppliers,
+           {sql_dec_sum('s.s_acctbal')} AS total_acctbal,
+           {sql_dec_avg('s.s_acctbal', scale=2)} AS avg_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+"""
+
+
+@query("supplier_balance_by_region", oracle=_SUPPLIER_REGION_ORACLE, tags=("agg", "join"))
+def supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop dimension rollup supplier -> nation -> region (the last
+    two driver tables no other entry touched): both dims broadcast, one
+    aggregate, decimal-exact balances. Completes catalog coverage of
+    all ten driver tables."""
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = t(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dec_sum("s_acctbal").alias("total_acctbal"),
+            dec_avg("s_acctbal", scale=2).alias("avg_acctbal"),
+        )
+        .orderBy("region")
+    )
