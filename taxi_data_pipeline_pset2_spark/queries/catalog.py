@@ -62,9 +62,9 @@ def query(
 # stay driver-covered through other oracles (md5 hashing via dedup_exact
 # + hash_split_counts; EXTRACT/date arithmetic via demand_grid/date_dim/
 # monthly_trend; CASE/string work via case_flags/value_by_daypart;
-# VALUES via dim_with_default_member). Registering 58 total also probes
-# whether the driver still caps at 50 (VERDICT r4 item #2) -- if it
-# honors >50, nothing is lost at all.
+# VALUES via dim_with_default_member). Registering more than 50 total
+# (81 as of round 5) also probes whether the driver still caps at 50
+# (VERDICT r4 item #2) -- if it honors >50, nothing is lost at all.
 _PRIORITY: tuple[str, ...] = (
     "term_document_frequency",
     "tfidf_vectors",
