@@ -36,7 +36,7 @@ def _fadvise_dontneed(d: str) -> None:
                     os.close(fd)
 
 
-def clustering_demo(spark, sf_dir: str, scale: int = 768, n_flat_files: int = 64) -> dict:
+def clustering_demo(spark, sf_dir: str, scale: int = 1536, n_flat_files: int = 64) -> dict:
     """The reference's headline number (README.md:79-97 / BASELINE.md:
     826M-row aggregate 1,500 ms unclustered -> 92 ms clustered, 16.3x),
     reproduced as the same data in two layouts:
@@ -45,10 +45,11 @@ def clustering_demo(spark, sf_dir: str, scale: int = 768, n_flat_files: int = 64
       date range, so no file or row group can be skipped (Snowflake's
       "no clustering");
     - clustered (X1): partitioned by order year, sorted by o_orderdate
-      within partitions across ~128 files (micro-partition-sized, so the
-      pruned scan keeps full thread parallelism -- a handful of giant
-      sorted files would serialize it), so the year predicate prunes
-      whole directories.
+      within partitions across ~448 files (micro-partition-sized, ~11 MB
+      each, so a pruned quarter still spans ~16 files and keeps thread
+      parallelism -- a handful of giant sorted files would serialize
+      the very scan the clustering speeds up), so the year predicate
+      prunes whole directories.
 
     The identical demo aggregate (the reference's own query shape:
     GROUP BY month, COUNT + plain AVG -- README.md:90-96; NOT the
@@ -138,7 +139,7 @@ def clustering_demo(spark, sf_dir: str, scale: int = 768, n_flat_files: int = 64
             clus_path,
             partition_by=("o_year",),
             sort_by=("o_orderdate",),
-            n_files=128,
+            n_files=448,
         )
         write_sec = time.perf_counter() - t0
 
@@ -176,22 +177,38 @@ def clustering_demo(spark, sf_dir: str, scale: int = 768, n_flat_files: int = 64
             )
 
         def timed(path: str) -> float:
-            t0 = time.perf_counter()
-            flagship(path).write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
+            # 32 MB splits: the pruned clustered read matches only a
+            # handful of files; default 128 MB packing would hand it to
+            # 3-4 tasks while the flat scan enjoys 64-way parallelism --
+            # a task-count artifact, not a layout property. Applied
+            # symmetrically (flat files are splittable anyway).
+            old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+            try:
+                t0 = time.perf_counter()
+                flagship(path).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+            finally:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
-        # cold first reads: flush the just-written dirty pages first
-        # (fadvise cannot evict dirty pages, and a concurrent writeback
-        # would pollute the timing), then evict BOTH layouts before each
+        # cold reads: flush the just-written dirty pages first (fadvise
+        # cannot evict dirty pages, and a concurrent writeback would
+        # pollute the timing), then evict BOTH layouts before each
         # measurement so the flat scan can't warm the clustered files'
-        # pages or vice versa
+        # pages or vice versa. Interleaved best-of-3 (each repetition a
+        # fresh eviction): a single cold read per layout swung the
+        # reported speedup 1.4x-2.8x run-to-run on machine noise alone.
         os.sync()
-        _fadvise_dontneed(flat_path)
-        _fadvise_dontneed(clus_path)
-        cold_flat = timed(flat_path)
-        _fadvise_dontneed(flat_path)
-        _fadvise_dontneed(clus_path)
-        cold_clus = timed(clus_path)
+        cold_flat = cold_clus = float("inf")
+        for _ in range(3):
+            for is_flat, path in ((True, flat_path), (False, clus_path)):
+                _fadvise_dontneed(flat_path)
+                _fadvise_dontneed(clus_path)
+                took = timed(path)
+                if is_flat:
+                    cold_flat = min(cold_flat, took)
+                else:
+                    cold_clus = min(cold_clus, took)
 
         # interleaved warm best-of-3 so page-cache state and machine
         # noise hit both layouts symmetrically
@@ -271,9 +288,10 @@ def clustering_demo(spark, sf_dir: str, scale: int = 768, n_flat_files: int = 64
             "QUARTER; the clustered layout prunes the year directory AND "
             "date-sorted row groups inside it (the Spark analogue of "
             "Snowflake's date-granular micro-partition pruning). "
-            "flat_sec/clustered_sec/speedup are COLD first reads (page "
-            "cache synced+dropped via posix_fadvise) -- the scan-bound "
-            "regime a real cluster lives in; warm_* is interleaved "
+            "flat_sec/clustered_sec/speedup are COLD reads (page cache "
+            "synced+dropped via posix_fadvise before every repetition, "
+            "interleaved best-of-3) -- the scan-bound regime a real "
+            "cluster lives in; warm_* is interleaved "
             "best-of-3 on a page-cached disk, where fixed multi-stage "
             "overhead compresses the gap; bytes_pruned_ratio is the "
             "layout fact driving both"

@@ -384,30 +384,40 @@ def gopher_quality_flags(
     - alpha_words: >= 80% of words contain an alphabetic character
     - stopwords: >= min_stopwords distinct required stop words appear
     """
+    docs = spread_small_input(docs)
+    # Single-pass JVM regex counts instead of interpreted higher-order
+    # lambdas per word/line (transform/filter run outside codegen):
+    # - a "word" is a maximal \S+ run (what split-on-\s+ yields), so
+    #   words-with-a-letter == non-overlapping matches of \S*[A-Za-z]\S*
+    # - summed word length == chars left after deleting all whitespace
+    # - line rules count with (?m) anchors instead of a per-line filter
+    # Measured ~4x on the bench entry; the DuckDB oracle keeps the
+    # list-comprehension formulation, so the pytest oracle replay pins
+    # the equivalence on real data.
     text = F.col(text_col)
-    words = F.split(F.trim(text), r"\s+")
-    n_words = F.size(words)
-    sum_len = F.aggregate(
-        F.transform(words, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
+    n_words = F.size(F.split(F.trim(text), r"\s+"))
+    sum_len = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
     n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
     n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), 0))
-    lines = F.split(text, r"\n")
-    n_lines = F.size(lines)
+    n_lines = F.size(F.split(text, r"\n"))
     n_bullet_lines = F.size(
-        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+        F.regexp_extract_all(text, F.lit(r"(?m)^\s*[-*•]"), 0)
     )
     n_ellipsis_lines = F.size(
-        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+        F.regexp_extract_all(text, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"), 0)
     )
     n_alpha_words = F.size(
-        F.filter(words, lambda t: t.rlike("[A-Za-z]"))
+        F.regexp_extract_all(text, F.lit(r"\S*[A-Za-z]\S*"), 0)
     )
-    low_words = F.transform(words, lambda t: F.lower(t))
+    # one lookaround pass for all stopwords (8 separate rlikes cost ~3x
+    # the whole rest of the rule set); lookarounds keep separators
+    # unconsumed so adjacent stopwords ("the be") both match
+    stop_alt = "|".join(GOPHER_STOPWORDS)
     n_stop = F.size(
-        F.filter(
-            F.array([F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(low_words, s),
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(text), F.lit(rf"(?<=^|\s)({stop_alt})(?=\s|$)"), 1
+            )
         )
     )
     flags = {
@@ -458,6 +468,7 @@ def sentiment_scores(
     word-weight table small enough to inline; a corpus-sized lexicon
     would switch to a broadcast join on the exploded tokens instead.
     """
+    docs = spread_small_input(docs)
     lex = F.create_map(
         *[x for w, s in sorted(SENTIMENT_LEXICON.items()) for x in (F.lit(w), F.lit(s))]
     )

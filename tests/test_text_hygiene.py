@@ -142,3 +142,68 @@ def test_sentiment_scores(spark):
     assert got[2].sentiment is None and got[2].n_pos == 0
     assert got[3].n_neg == 3 and got[3].sentiment < -2
     assert got[4].n_pos == 2 and got[4].sentiment == 2.0
+
+
+def test_gopher_flags_match_python_reference(spark):
+    """The single-pass regex formulation must agree with a per-word /
+    per-line reference implementation on adversarial whitespace: blank
+    lines, leading/trailing runs, bullets after blanks, mixed dots."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from taxi_data_pipeline_pset2_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    alphabet = "ab the # … . - * • \n\t 12 x… "
+    docs_strategy = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+
+    def ref_flags(text, min_words, max_words):
+        # engine trim (Spark/DuckDB) strips SPACES only, unlike Python
+        # strip(); the split-of-"\n" -> ['',''] behavior is shared by
+        # re.split and both engines
+        words = _re.split(r"\s+", text.strip(" "))
+        lines = text.split("\n")
+        n_words = len(words)
+        sum_len = sum(len(w) for w in words)
+        n_sym = text.count("#") + len(_re.findall(r"\.\.\.|…", text))
+        n_bullet = sum(1 for ln in lines if _re.match(r"\s*[-*•]", ln))
+        n_ell = sum(1 for ln in lines if _re.search(r"(\.\.\.|…)\s*$", ln))
+        n_alpha = sum(1 for w in words if _re.search("[A-Za-z]", w))
+        low = [w.lower() for w in words]
+        n_stop = sum(1 for s in GOPHER_STOPWORDS if s in low)
+        return (
+            min_words <= n_words <= max_words,
+            3 * n_words <= sum_len <= 10 * n_words,
+            n_sym * 10 <= n_words,
+            n_bullet * 10 <= len(lines),
+            n_ell * 10 <= 3 * len(lines),
+            n_alpha * 5 >= n_words * 4,
+            n_stop >= 2,
+        )
+
+    @given(texts=docs_strategy)
+    @settings(max_examples=10, deadline=None)
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (
+                r.flag_word_count, r.flag_mean_word_len, r.flag_symbol_ratio,
+                r.flag_bullet_lines, r.flag_ellipsis_lines,
+                r.flag_alpha_words, r.flag_stopwords,
+            )
+            for r in gopher_quality_flags(df, min_words=2, max_words=30).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == ref_flags(t, 2, 30), (i, repr(t))
+
+    run()
