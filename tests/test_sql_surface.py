@@ -48,6 +48,8 @@ ANSI_PARITY = [
     "snapshot_diff_orders",
     "rollup_grouping_sets",
     "zscore_price_outliers",
+    "supplier_balance_by_region",
+    "quality_mass_selection",
 ]
 
 
