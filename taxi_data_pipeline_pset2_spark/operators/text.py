@@ -491,3 +491,39 @@ def sentiment_scores(
         n_neg.cast("bigint").alias("n_neg"),
         sentiment.alias("sentiment"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    max_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the ``max_size`` most frequent whitespace
+    tokens (ties by token, so the vocab is deterministic and
+    engine-portable), with total and document frequencies -- the
+    counting stage every tokenizer/embedding pipeline starts from.
+
+    One explode + hash aggregate (map-side combined) + TakeOrdered
+    top-k: the corpus shuffles only (token, partial-count) states, and
+    driver traffic is bounded by ``max_size`` -- the same contract as
+    ``top_n_by_hash``. Returns (token, n_occurrences, n_docs, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n_occurrences") >= min_count)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(max_size)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )

@@ -112,6 +112,7 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "quality_mass_selection",
     "sentiment_scores",
     "supplier_balance_by_region",
+    "vocab_top_tokens",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",

@@ -650,3 +650,32 @@ def supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---- vocabulary building -------------------------------------------------
+
+_VOCAB_K = 40
+
+_VOCAB_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                  FROM documents),
+    c AS (SELECT token, count(*) AS n_occurrences,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM toks GROUP BY token)
+    SELECT token, n_occurrences, n_docs,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank
+    FROM c
+    ORDER BY n_occurrences DESC, token
+    LIMIT {_VOCAB_K}
+"""
+
+
+@query("vocab_top_tokens", oracle=_VOCAB_ORACLE, tags=("text", "vocab"))
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (operators/text.py build_vocab): top-40
+    tokens by corpus frequency with document frequencies -- one combined
+    hash aggregate + TakeOrdered top-k, driver traffic bounded by the
+    vocab size."""
+    from taxi_data_pipeline_pset2_spark.operators.text import build_vocab
+
+    return build_vocab(t(spark, sf_dir, "documents"), max_size=_VOCAB_K)
