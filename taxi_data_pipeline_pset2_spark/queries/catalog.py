@@ -113,6 +113,7 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "sentiment_scores",
     "supplier_balance_by_region",
     "vocab_top_tokens",
+    "session_maintenance_overlap",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",

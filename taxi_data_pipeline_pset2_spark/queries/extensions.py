@@ -679,3 +679,77 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_pipeline_pset2_spark.operators.text import build_vocab
 
     return build_vocab(t(spark, sf_dir, "documents"), max_size=_VOCAB_K)
+
+
+# ---- interval-overlap range join -----------------------------------------
+
+# fixed maintenance windows inside the events table's January range
+_MAINT = (
+    ("m1", "2024-01-05 00:00:00", "2024-01-06 12:00:00"),
+    ("m2", "2024-01-14 06:00:00", "2024-01-15 00:00:00"),
+    ("m3", "2024-01-25 00:00:00", "2024-01-28 00:00:00"),
+)
+
+_MAINT_SQL = ", ".join(
+    f"('{w}', TIMESTAMP '{a}', TIMESTAMP '{b}')" for w, a, b in _MAINT
+)
+
+_SESS_OVERLAP_ORACLE = f"""
+    WITH d AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+        FROM d),
+    sess AS (SELECT user_id, session_num,
+                    min(ts) AS session_start, max(ts) AS session_end
+             FROM s GROUP BY user_id, session_num),
+    w(win_id, win_start, win_end) AS (VALUES {_MAINT_SQL})
+    SELECT sess.user_id, sess.session_num, w.win_id
+    FROM sess JOIN w
+      ON sess.session_start <= w.win_end AND w.win_start <= sess.session_end
+    ORDER BY sess.user_id, sess.session_num, w.win_id
+"""
+
+
+@query(
+    "session_maintenance_overlap",
+    oracle=_SESS_OVERLAP_ORACLE,
+    tags=("rangejoin", "session"),
+)
+def session_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join (operators/rangejoin.py
+    interval_overlap_join): user activity sessions (gap sessionization,
+    the session_counts pipeline) overlapped with fixed maintenance
+    windows -- which sessions were exposed to which incident. Day-wide
+    buckets, dim-sized window side broadcast, arithmetic pair dedup."""
+    from taxi_data_pipeline_pset2_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    from taxi_data_pipeline_pset2_spark.queries.pipeline_ops import session_counts
+
+    sessions = session_counts(spark, sf_dir).select(
+        "user_id", "session_num", "session_start", "session_end"
+    )
+    ts_type = dict(sessions.dtypes)["session_start"]
+    windows = spark.createDataFrame(
+        list(_MAINT), "win_id string, win_start string, win_end string"
+    ).select(
+        "win_id",
+        F.col("win_start").cast(ts_type).alias("win_start"),
+        F.col("win_end").cast(ts_type).alias("win_end"),
+    )
+    joined = interval_overlap_join(
+        sessions, windows,
+        "session_start", "session_end", "win_start", "win_end",
+        bucket_width=86_400.0, broadcast_right=True,
+    )
+    return joined.select("user_id", "session_num", "win_id").orderBy(
+        "user_id", "session_num", "win_id"
+    )
