@@ -92,3 +92,40 @@ def test_changelog_feeds_merge(spark, tmp_path):
     }
     want = {(2, "B2", 20.0), (3, "C", 30.0), (4, "D", 40.0)}
     assert got == want
+
+
+def test_snapshot_diff_matches_bruteforce(spark):
+    """Property: classification agrees with a dict-based reference on
+    random snapshot pairs (including NULLs and disjoint key sets)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    snap = st.dictionaries(st.integers(0, 12), vals, max_size=10)
+
+    @given(old=snap, new=snap)
+    @settings(max_examples=10, deadline=None)
+    def run(old, new):
+        odf = spark.createDataFrame(
+            [(k, v) for k, v in old.items()], "k long, v string"
+        ) if old else spark.createDataFrame([], "k long, v string")
+        ndf = spark.createDataFrame(
+            [(k, v) for k, v in new.items()], "k long, v string"
+        ) if new else spark.createDataFrame([], "k long, v string")
+        got = {
+            r.k: r.change_type
+            for r in snapshot_diff(odf, ndf, ["k"], include_unchanged=True).collect()
+        }
+        want = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                want[k] = "insert"
+            elif k not in new:
+                want[k] = "delete"
+            elif old[k] != new[k]:
+                want[k] = "update"
+            else:
+                want[k] = "unchanged"
+        assert got == want
+
+    run()

@@ -87,3 +87,46 @@ def test_zscore_known_values_and_edge_groups(spark):
     assert others["single"] == (None, False)
     nulls = [r for r in out.collect() if r.g == "a" and r.v is None]
     assert nulls and nulls[0].zscore is None and not nulls[0].is_outlier
+
+
+def test_winsorize_invariants_property(spark):
+    """Property: output values lie within the group's [lo, hi]; row
+    count and NULL positions preserved; clip flags consistent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from taxi_data_pipeline_pset2_spark.operators.robust import winsorize
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.one_of(st.none(), st.integers(-100, 100).map(float)),
+        ),
+        min_size=2,
+        max_size=20,
+    ).filter(lambda rs: all(
+        sum(1 for g2, v in rs if g2 == g and v is not None) >= 1
+        for g in {g for g, _ in rs}
+    ))
+
+    @given(rows=rows_strategy)
+    @settings(max_examples=10, deadline=None)
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = winsorize(df, "v", ["g"], lower=0.1, upper=0.9, flag=True).collect()
+        assert len(out) == len(rows)
+        by_g = {}
+        for g, v in rows:
+            if v is not None:
+                by_g.setdefault(g, []).append(v)
+        for r in out:
+            if r.v is None:
+                assert r["__clip"] == 0
+                continue
+            vs = sorted(by_g[r.g])
+            assert vs[0] <= r.v <= vs[-1]  # clip stays inside data range
+            if r["__clip"] == 0:
+                # unclipped rows keep their value (it was inside bounds)
+                assert any(abs(r.v - x) < 1e-9 for x in vs)
+
+    run()
