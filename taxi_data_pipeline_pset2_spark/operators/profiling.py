@@ -130,21 +130,36 @@ def column_histogram(df, col: str, bins: int = 10):
     )
 
 
-def quantile_bin(df, col: str, bins: int = 10, out_col: str | None = None):
+def quantile_bin(
+    df, col: str, bins: int = 10, out_col: str | None = None, exact: bool = False
+):
     """Equal-frequency discretization: adds ``out_col`` (default
     ``{col}_bin``) in [0, bins) with ~equal row counts per bin -- the
     feature-engineering twin of ``column_histogram`` (equi-width) and
     the same quantile-cell machinery the Z-order layout uses.
 
-    One approxQuantile sketch pass for the boundaries (driver gets
-    bins-1 literals); the assignment is a codegen comparison chain, no
-    shuffle. Duplicate boundaries (heavy ties) are collapsed, so bins on
-    a low-cardinality column may be fewer but never empty-by-split."""
+    One boundary pass (driver gets bins-1 literals); the assignment is
+    a codegen comparison chain, no shuffle. Duplicate boundaries (heavy
+    ties) are collapsed, so bins on a low-cardinality column may be
+    fewer but never empty-by-split.
+
+    ``exact=False`` (default, the 100 TB path): approxQuantile's
+    mergeable Greenwald-Khanna sketch. ``exact=True``: PERCENTILE_CONT
+    interpolation, rounded to 6 dp so the boundary set is bit-portable
+    across engines (the same convention as price_percentiles /
+    winsorize) -- what the DuckDB-twin catalog entry uses."""
     from pyspark.sql import functions as F
 
     out_col = out_col or f"{col}_bin"
     probs = [i / bins for i in range(1, bins)]
-    bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
+    if exact:
+        arr = ", ".join(f"{p}D" for p in probs)
+        row = df.agg(
+            F.expr(f"percentile(CAST({col} AS DOUBLE), array({arr}))")
+        ).collect()[0][0]
+        bounds = sorted({round(b, 6) for b in row})
+    else:
+        bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
     cell = F.lit(0).cast("int")
     for b in bounds:
         cell = cell + (F.col(col).cast("double") > F.lit(float(b))).cast("int")

@@ -114,6 +114,7 @@ _DEPRIORITIZED: tuple[str, ...] = (
     "supplier_balance_by_region",
     "vocab_top_tokens",
     "session_maintenance_overlap",
+    "quantile_binned_prices",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",

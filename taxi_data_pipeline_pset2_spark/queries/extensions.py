@@ -753,3 +753,46 @@ def session_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("user_id", "session_num", "win_id").orderBy(
         "user_id", "session_num", "win_id"
     )
+
+
+# ---- equal-frequency discretization --------------------------------------
+
+_QBIN_N = 8
+_QBIN_PROBS = ", ".join(str(i / _QBIN_N) for i in range(1, _QBIN_N))
+
+_QBIN_ORACLE = f"""
+    WITH q AS (SELECT list_distinct(list_transform(
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), [{_QBIN_PROBS}]),
+                   x -> ROUND(x, 6))) AS qs
+               FROM orders),
+    b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                 CAST(len(list_filter((SELECT qs FROM q),
+                                      x -> CAST(o_totalprice AS DOUBLE) > x)) AS INT) AS bin
+          FROM orders)
+    SELECT bin, count(*) AS n_orders,
+           min(v) AS min_price, max(v) AS max_price
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@query("quantile_binned_prices", oracle=_QBIN_ORACLE, tags=("profiling", "agg"))
+def quantile_binned_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (operators/profiling.py
+    quantile_bin, exact mode): order prices into 8 quantile bins, per-bin
+    count and value range. Boundaries are 6-dp-rounded PERCENTILE_CONT
+    values, so the bin edges -- and therefore every assignment -- are
+    bit-identical across engines."""
+    from taxi_data_pipeline_pset2_spark.operators.profiling import quantile_bin
+
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    binned = quantile_bin(orders, "o_totalprice", bins=_QBIN_N, exact=True)
+    v = F.col("o_totalprice").cast("double")
+    return (
+        binned.groupBy(F.col("o_totalprice_bin").alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(v).alias("min_price"),
+            F.max(v).alias("max_price"),
+        )
+        .orderBy("bin")
+    )
