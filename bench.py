@@ -36,7 +36,7 @@ def _fadvise_dontneed(d: str) -> None:
                     os.close(fd)
 
 
-def clustering_demo(spark, sf_dir: str, scale: int = 1536, n_flat_files: int = 64) -> dict:
+def clustering_demo(spark, sf_dir: str, scale: int = 1792, n_flat_files: int = 64) -> dict:
     """The reference's headline number (README.md:79-97 / BASELINE.md:
     826M-row aggregate 1,500 ms unclustered -> 92 ms clustered, 16.3x),
     reproduced as the same data in two layouts:
@@ -200,7 +200,7 @@ def clustering_demo(spark, sf_dir: str, scale: int = 1536, n_flat_files: int = 6
         # reported speedup 1.4x-2.8x run-to-run on machine noise alone.
         os.sync()
         cold_flat = cold_clus = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             for is_flat, path in ((True, flat_path), (False, clus_path)):
                 _fadvise_dontneed(flat_path)
                 _fadvise_dontneed(clus_path)
