@@ -157,7 +157,17 @@ def quantile_bin(
         row = df.agg(
             F.expr(f"percentile(CAST({col} AS DOUBLE), array({arr}))")
         ).collect()[0][0]
-        bounds = sorted({round(b, 6) for b in row})
+        if row is None:  # empty/all-NULL input: percentile yields NULL
+            bounds = []
+        else:
+            # HALF_UP at 6dp (the engine-portable convention) -- builtin
+            # round() is banker's and can diverge from the DuckDB twin on
+            # boundary ties (ADVICE r5)
+            from taxi_data_pipeline_pset2_spark.operators.similarity import (
+                _round_half_up_6,
+            )
+
+            bounds = sorted({float(b) for b in _round_half_up_6(list(row))})
     else:
         bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
     cell = F.lit(0).cast("int")

@@ -26,6 +26,32 @@ from pyspark.sql import functions as F
 APPROX_ACCURACY = 10_000  # percentile_approx relative-error knob
 
 
+def _nullsafe_broadcast_join(
+    df: DataFrame, small: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join ``small`` (one row per group) back onto ``df`` with
+    NULL-safe key equality, preserving every input row.
+
+    groupBy treats NULL keys as one ordinary cohort, but a plain equi-join
+    back (``join(..., on=group_cols)``) silently drops those rows because
+    NULL != NULL -- breaking the operators' row-preserving contract
+    (ADVICE r5, medium). ``eqNullSafe`` keeps the NULL cohort matched, the
+    same discipline as sampling.salted_hash's ``<null-id>`` sentinel."""
+    if not group_cols:
+        return df.crossJoin(F.broadcast(small))
+    renamed = small.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        *[F.col(c) for c in small.columns if c not in group_cols],
+    )
+    cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(renamed), cond, "left").drop(
+        *[f"__g_{c}" for c in group_cols]
+    )
+
+
 def group_clip_bounds(
     df: DataFrame,
     value_col: str,
@@ -76,11 +102,7 @@ def winsorize(
     """
     group_cols = group_cols or []
     bounds = group_clip_bounds(df, value_col, group_cols, lower, upper, exact)
-    joined = (
-        df.join(F.broadcast(bounds), group_cols)
-        if group_cols
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    joined = _nullsafe_broadcast_join(df, bounds, group_cols)
     v = F.col(value_col).cast("double")
     # Spark's least/greatest SKIP nulls (unlike SQL comparison), so an
     # unguarded clip would coerce NULL measurements to the lower bound.
@@ -173,11 +195,7 @@ def zscore_flag(
         )
         .select(*group_cols, "__mean", "__var")
     )
-    joined = (
-        df.join(F.broadcast(stats), group_cols)
-        if group_cols
-        else df.crossJoin(F.broadcast(stats))
-    )
+    joined = _nullsafe_broadcast_join(df, stats, group_cols)
     z = F.round((v - F.col("__mean")) / F.sqrt(F.col("__var")), 6)
     z = F.when(F.col("__var") > 0, z)  # zero-variance group -> NULL
     return (

@@ -250,7 +250,10 @@ def select_quality_mass(
     from pyspark.sql import Window
 
     group_cols = group_cols or []
-    wdec = F.col(weight_col).cast("decimal(28,6)")
+    # a NULL weight costs no mass (coalesce to 0): without it the filter
+    # predicate goes NULL and the row silently vanishes regardless of
+    # score, breaking the at-least-one-row contract (ADVICE r5)
+    wdec = F.coalesce(F.col(weight_col).cast("decimal(28,6)"), F.lit(0).cast("decimal(28,6)"))
     part = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
     order = part.orderBy(F.desc_nulls_last(score_col), F.asc(id_col))
     running = F.sum(wdec).over(

@@ -162,9 +162,8 @@ def knn_topk_vectorized(
             c_norm = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
             dots = c_mat @ mat_b.T  # (C, Q) int64 exact
             raw = dots / (c_norm[:, None] * norm_b[None, :])
-            # round-half-away-from-zero to match Spark/DuckDB ROUND
-            # (np.round is half-even)
-            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            # boundary-safe HALF_UP at 6dp, same kernel as the verify path
+            cos = _round_half_up_6(raw.ravel()).reshape(raw.shape)
             C, Q = cos.shape
             yield pd.DataFrame(
                 {

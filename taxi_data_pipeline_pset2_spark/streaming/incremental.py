@@ -41,7 +41,12 @@ from taxi_data_pipeline_pset2_spark.operators.incremental import (
     incremental_dedup,
 )
 
-_INDEX_SCHEMA = "doc_id long, band int, band_sig long"
+def _index_schema(id_col: str = "doc_id") -> str:
+    """MinHash band-signature index layout, keyed by the caller's id
+    column (ADVICE r5: a hardcoded doc_id made id_col a trap -- a
+    non-default id read the index as all-NULL and broke the
+    anti-join)."""
+    return f"{id_col} long, band int, band_sig long"
 
 
 def read_docs_stream(
@@ -58,7 +63,9 @@ def read_docs_stream(
     )
 
 
-def load_index(spark: SparkSession, index_dir: str) -> DataFrame:
+def load_index(
+    spark: SparkSession, index_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
     """The persisted signature index; empty-typed frame before the
     first batch commits. Only AnalysisException (path not found / empty
     dir) falls back -- a genuine read error (permissions, corrupt
@@ -69,9 +76,9 @@ def load_index(spark: SparkSession, index_dir: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.schema(_INDEX_SCHEMA).parquet(index_dir)
+        return spark.read.schema(_index_schema(id_col)).parquet(index_dir)
     except AnalysisException:
-        return spark.createDataFrame([], _INDEX_SCHEMA)
+        return spark.createDataFrame([], _index_schema(id_col))
 
 
 def run_streaming_incremental_dedup(
@@ -87,7 +94,7 @@ def run_streaming_incremental_dedup(
     spark = docs_stream.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        index = load_index(spark, index_dir)
+        index = load_index(spark, index_dir, id_col=id_col)
         res = incremental_dedup(
             batch_df, index, text_col=text_col, id_col=id_col
         )

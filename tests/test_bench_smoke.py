@@ -41,3 +41,47 @@ def test_bench_entry_list_is_runnable(spark):
         assert df.columns, e.name
     for name, fn in _pipeline_extras().items():
         assert fn(spark, SF_SMOKE_DIR).columns, name
+
+
+def test_merge_demo_rewrites_only_touched_partitions(spark):
+    from bench import merge_demo
+
+    out = merge_demo(spark, SF_SMOKE_DIR)
+    assert out["partitions_total"] > 1
+    assert out["partitions_rewritten"] == out["partitions_touched"] == 1
+    assert out["sec"] > 0
+
+
+def test_compact_summary_fits_driver_tail():
+    """r5's bench record outgrew the driver's ~2 KB stdout tail and
+    parsed as null; the compact line is hard-capped at 1 KB and must
+    stay valid JSON with the headline fields."""
+    import json
+
+    from bench import compact_summary
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": 20.5,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_with_a_long_name_{i:02d}": i / 7.0 for i in range(60)},
+        "first_run_sec": {},
+        "clustering": {"speedup": 9.77, "warm_speedup": 4.69,
+                       "bytes_pruned_ratio": 31.6, "note": "x" * 600},
+        "merge": {"sec": 1.2, "partitions_rewritten": 1, "partitions_touched": 1},
+        "errors": {"broken_query": "Boom"},
+    }
+    line = compact_summary(result)
+    assert len(line.encode()) <= 1024
+    parsed = json.loads(line)
+    assert parsed["value"] == 20.5
+    assert parsed["n_queries"] == 60 and parsed["n_errors"] == 1
+    assert parsed["clustering"]["speedup"] == 9.77
+    assert parsed["merge"]["partitions_rewritten"] == 1
+    assert parsed["slowest"]  # some per-query figures still fit
+    # clustering-demo failure path still summarizes
+    result["clustering"] = {"error": "E" * 300}
+    line2 = compact_summary(result)
+    assert len(line2.encode()) <= 1024
+    assert json.loads(line2)["clustering"]["error"].startswith("E")

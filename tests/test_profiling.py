@@ -162,3 +162,16 @@ def test_quantile_bin_equal_frequency(spark, sf_dir):
     )
     nb = quantile_bin(with_null, "o_totalprice", bins=5)
     assert nb.filter(F.col("o_totalprice").isNull() & F.col("o_totalprice_bin").isNotNull()).count() == 0
+
+
+def test_quantile_bin_exact_empty_input(spark):
+    """ADVICE r5: exact-mode percentile over an empty frame returns NULL;
+    the boundary set must degrade to [] (single bin 0), not TypeError."""
+    from taxi_data_pipeline_pset2_spark.operators.profiling import quantile_bin
+
+    empty = spark.createDataFrame([], "v double")
+    out = quantile_bin(empty, "v", bins=4, exact=True)
+    assert out.count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    got = quantile_bin(nulls, "v", bins=4, exact=True).collect()
+    assert [r["v_bin"] for r in got] == [None, None]

@@ -130,3 +130,27 @@ def test_winsorize_invariants_property(spark):
                 assert any(abs(r.v - x) < 1e-9 for x in vs)
 
     run()
+
+
+def test_null_group_key_rows_are_preserved(spark):
+    """ADVICE r5 (medium): a NULL group key is a legitimate cohort --
+    groupBy treats it as one, so the broadcast-back join must too. Both
+    winsorize and zscore_flag are row-preserving projections."""
+    from taxi_data_pipeline_pset2_spark.operators.robust import zscore_flag
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0),
+        (None, 10.0), (None, 20.0), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    w = winsorize(df, "v", ["g"], lower=0.0, upper=1.0, flag=True)
+    assert w.count() == 6
+    null_grp = {r["v"] for r in w.filter(F.col("g").isNull()).collect()}
+    assert null_grp == {10.0, 20.0, None}  # NULL value stays NULL too
+
+    z = zscore_flag(df, "v", ["g"])
+    assert z.count() == 6
+    zn = {r["zscore"] for r in z.filter(F.col("g").isNull()).collect()}
+    # NULL cohort: mean 15, sd sqrt(50) -> z = +-0.707107; NULL v -> NULL z
+    assert zn == {-0.707107, 0.707107, None}

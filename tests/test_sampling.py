@@ -263,3 +263,22 @@ def test_select_quality_mass(spark):
     assert shuffled == got
     with pytest.raises(ValueError, match="p"):
         select_quality_mass(df, "w", "w", 0.0, ["g"], id_col="id")
+
+
+def test_select_quality_mass_null_weight_kept(spark):
+    """ADVICE r5: a NULL-weight row costs no mass but must not vanish --
+    the top-scored row is kept even when its weight is NULL."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        select_quality_mass,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 9.0, None), ("g", 2, 5.0, 10.0), ("g", 3, 1.0, 10.0)],
+        "g string, id int, score double, w double",
+    )
+    kept = {
+        r["id"]
+        for r in select_quality_mass(df, "score", "w", 0.5, ["g"], id_col="id").collect()
+    }
+    # NULL-weight best row is free; id=2 crosses the 50% boundary
+    assert kept == {1, 2}

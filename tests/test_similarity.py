@@ -144,3 +144,32 @@ def test_knn_ivf_kmeans_recall_and_cell_restriction(spark, sf_dir):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_round_half_up_6_pins_tie_boundaries():
+    """VERDICT r5 item 3: the vectorized kNN cosine must round through the
+    boundary-safe HALF_UP kernel. 0.1234565 in float64 is actually
+    0.12345649999999999599... whose exact decimal expansion rounds DOWN
+    under BigDecimal HALF_UP, while the fast floor(|x|*1e6+0.5) form sees
+    the scaled value land above .5 and rounds UP -- the one-ULP mismatch
+    the kernel exists to kill."""
+    import decimal
+
+    import numpy as np
+
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _round_half_up_6,
+    )
+
+    ties = np.array(
+        [0.1234565, -0.1234565, 0.9999995, 0.0000005, -0.0000005, 0.5, 1.0]
+    )
+    got = _round_half_up_6(ties)
+    q = decimal.Decimal("0.000001")
+    want = np.array(
+        [
+            float(decimal.Decimal(float(x)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+            for x in ties
+        ]
+    )
+    assert np.array_equal(got, want)

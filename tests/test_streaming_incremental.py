@@ -107,3 +107,26 @@ def test_index_append_is_replay_idempotent(spark, tmp_path):
     )
     again.write.mode("append").parquet(index_dir)
     assert load_index(spark, index_dir).count() == before
+
+
+def test_non_default_id_col_round_trips(spark, tmp_path):
+    """ADVICE r5: the index schema must follow id_col -- with a
+    hardcoded doc_id schema a 'uid' corpus read back as all-NULL and the
+    anti-join guard broke."""
+    docs = str(tmp_path / "docs")
+    rows = [(10, _BASE), (11, "some entirely different short text about "
+                              "benchmark decontamination and token packing "
+                              "for large corpus curation pipelines")]
+    spark.createDataFrame(rows, "uid long, text string").coalesce(1).write.parquet(docs)
+
+    index_dir = str(tmp_path / "index")
+    surv_dir = str(tmp_path / "survivors")
+    stream = read_docs_stream(spark, docs, max_files_per_trigger=1)
+    run_streaming_incremental_dedup(
+        stream, index_dir, surv_dir, str(tmp_path / "ckpt"), id_col="uid"
+    )
+    surv = {r.uid for r in read_streaming_survivors(spark, surv_dir).collect()}
+    assert surv == {10, 11}
+    idx = load_index(spark, index_dir, id_col="uid")
+    assert idx.columns[0] == "uid"
+    assert {r.uid for r in idx.select("uid").distinct().collect()} == {10, 11}
