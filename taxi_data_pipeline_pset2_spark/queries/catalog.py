@@ -53,68 +53,62 @@ def query(
 
 
 # Entries the external driver's correctness sweep must reach first. The
-# driver checks at most 50 queries in registry order (rounds 1-2 recorded
-# exactly the first 50 keys while 53 were registered), so the first 50
-# registry slots carry the highest-value oracle entries and
-# _DEPRIORITIZED pushes the weakest-signal entries to positions 51+:
-# the rows-only entries (their driver row adds little over the local
-# pytest replay) and near-duplicate scalar projections whose operators
-# stay driver-covered through other oracles (md5 hashing via dedup_exact
-# + hash_split_counts; EXTRACT/date arithmetic via demand_grid/date_dim/
-# monthly_trend; CASE/string work via case_flags/value_by_daypart;
-# VALUES via dim_with_default_member). Registering more than 50 total
-# (81 as of round 5) also probes whether the driver still caps at 50
-# (VERDICT r4 item #2) -- if it honors >50, nothing is lost at all.
+# driver provably checks at most 50 queries in registry order (84
+# registered -> 50 recorded in r5), so the first 50 registry slots are a
+# ROTATING window: entries already hash-proven by a driver round yield
+# their slots in later rounds to oracles that have never had a driver
+# row, so that across rounds every oracle accumulates external evidence
+# (VERDICT r5 item #2). Rotated-out entries stay fully oracled and are
+# hash-replayed every pytest run by tests/test_catalog_oracle.py; their
+# prior-round CORRECTNESS rows stand as driver evidence.
 _PRIORITY: tuple[str, ...] = (
+    # stable multi-round anchors for their families (text stats, Arrow
+    # UDF plumbing, embedding-family siblings)
     "term_document_frequency",
     "tfidf_vectors",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # round-5 new-family oracles (queries/extensions.py): each is the
-    # FIRST driver row for its operator family, so they outrank the
-    # near-duplicate variants demoted below
-    "price_band_totals",
     "semantic_decontamination",
     "dedup_components",
-    "mixture_exact_sample",
+    # round-6 rotation: first-ever driver rows for these oracles. Slots
+    # come from ten r5-proven entries demoted below (case_flags,
+    # trip_duration_metrics, dedup_simhash, gopher_quality_flags,
+    # price_band_totals, mixture_exact_sample, winsorized_price_stats,
+    # per_group_sample_rows, unpivot_wide_metrics, hash_split_counts).
+    "session_maintenance_overlap",  # bucketed range join: biggest family with no row yet
+    "zscore_price_outliers",  # robust-stats sibling (winsorize rotates out)
+    "sentiment_scores",
+    "vocab_top_tokens",
+    "quantile_binned_prices",
+    "rollup_grouping_sets",
+    "set_ops_customers",
+    "supplier_balance_by_region",
+    "knn_bruteforce_vectorized",
+    "funnel_conversion_windowed",
 )
 _DEPRIORITIZED: tuple[str, ...] = (
-    # oracled, but their operator families keep a green driver row
-    # through a sibling entry (funnel_conversion; events_hourly +
-    # session_counts; integrity_checks' distinct-count arm;
-    # coverage_gap_detection) -- pytest still replays all oracles
-    "funnel_conversion_windowed",
+    # --- r6 rotation: driver-proven green in r5 (rows+schema+hash);
+    # each family keeps an in-window sibling or prior-round rows ---
+    "case_flags",  # CASE/COALESCE stay anchored by value_by_daypart
+    "trip_duration_metrics",  # datetime diff/guarded arith: r2-r5 rows
+    "dedup_simhash",  # dedup keeps exact/ngram/minhash/embedding rows
+    "gopher_quality_flags",  # text family keeps sentiment + tfidf rows
+    "price_band_totals",
+    "mixture_exact_sample",
+    "winsorized_price_stats",  # robust family: zscore sibling promoted
+    "per_group_sample_rows",  # sampling keeps weighted_sample_topn
+    "unpivot_wide_metrics",  # reshape keeps pivot_category_totals
+    "hash_split_counts",  # md5/hash path stays via dedup_exact
+    # --- older rotations: oracled, families anchored by siblings
+    # (events_hourly + session_counts; integrity_checks' distinct arm;
+    # coverage_gap_detection; ranked_in_group; union_unify_schemas) ---
     "recent_clicks_before_error",
     "distinct_segments",
     "load_manifest_months",
-    # window-frame family stays anchored by ranked_in_group (top-k per
-    # group) and date_dim (W1 row_number); the rolling-avg variant yields
-    # its slot to the round-5 gopher_quality_flags entry
     "rolling_avg_value",
-    # INTERSECT/EXCEPT are not a SURVEY 2 core row (U1/U2 are unions,
-    # both anchored elsewhere); yields its slot to winsorized_price_stats
-    "set_ops_customers",
-    # the sampling family holds three other window rows (hash_split,
-    # weighted topn, per-group rows); the fraction-threshold variant
-    # yields its slot to per_group_sample_rows
     "stratified_sample_counts",
-    # U2's default-member append is a niche union variant (U1 stays
-    # anchored by union_unify_schemas; U2/F10 keep pytest + the LIKE
-    # airport flags in string_functions' oracle SQL); yields its slot
-    # to the CDC snapshot-diff family
     "dim_with_default_member",
-    # second rows for already-window-anchored families (robust stats via
-    # winsorized_price_stats; aggregation via pricing_summary et al.) --
-    # registered in the probe tail so the remaining SURVEY 2 core
-    # anchors (trip_duration_metrics, case_flags) keep their slots
-    "zscore_price_outliers",
-    "rollup_grouping_sets",
     "quality_mass_selection",
-    "sentiment_scores",
-    "supplier_balance_by_region",
-    "vocab_top_tokens",
-    "session_maintenance_overlap",
-    "quantile_binned_prices",
     # rows-only / redundant-scalar tail
     "ann_brp_lsh",
     "kmeans_clusters",
