@@ -166,3 +166,26 @@ def test_no_nested_loop_in_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+@given(lo=st.integers(-30, 30), n_buckets=st.integers(1, 6))
+@_settings
+def test_span_cap_boundary_exact(spark, lo, n_buckets):
+    """Cap-adjacent spans (VERDICT r5 item 8): an interval spanning
+    EXACTLY span_cap buckets must pass and join correctly; one more
+    bucket must raise. width=1 and integer endpoints make the bucket
+    count exact: [lo, lo + n - 1] spans n unit buckets."""
+    hi = lo + n_buckets - 1
+    pts = _pts(spark, [lo, hi])
+    ivs = _ivs(spark, [(lo, hi)])
+    ok = point_in_interval_join(
+        pts, ivs, "x", "lo", "hi", bucket_width=1.0, closed="both",
+        span_cap=n_buckets,
+    )
+    assert {(r.pid, r.iid) for r in ok.collect()} == {(0, 0), (1, 0)}
+    if n_buckets > 1:
+        with pytest.raises(Exception, match="spans more than"):
+            point_in_interval_join(
+                pts, ivs, "x", "lo", "hi", bucket_width=1.0,
+                span_cap=n_buckets - 1,
+            ).count()
