@@ -298,6 +298,18 @@ def clustering_demo(
             if out["clustered_bytes_read"]
             else None
         )
+        # effective cold scan throughput: makes round-over-round speedup
+        # swings diagnosable. When the device (or a VM host's cache)
+        # delivers multiple GB/s, the flat scan collapses toward fixed
+        # per-query overhead and the WALL-CLOCK ratio compresses even
+        # though the LAYOUT still prunes the same bytes -- exactly what
+        # happened between rounds 5 and 6 (0.57 -> ~3 GB/s host storage,
+        # 9.8x -> ~2x cold wall-clock at an unchanged ~31x bytes ratio).
+        # bytes_pruned_ratio is the scale-invariant number: a 100 TB
+        # cluster's working set is never host-cached.
+        out["flat_read_gbps"] = round(
+            out["flat_bytes_read"] / cold_flat / 1e9, 2
+        )
         out["note"] = (
             "demo query: the reference's aggregate shape filtered to one "
             "QUARTER; the clustered layout prunes the year directory AND "

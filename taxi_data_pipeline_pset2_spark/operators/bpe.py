@@ -1,0 +1,236 @@
+"""Byte-pair-encoding tokenizer training + encoding at corpus scale.
+
+Classic BPE (Sennrich et al. 2016, the public algorithm every GPT-style
+tokenizer descends from): start from characters (with an end-of-word
+marker), repeatedly merge the most frequent adjacent symbol pair. The
+engine splits the work the way real trainers do:
+
+- **corpus-sized work happens exactly once**: one scan + one shuffle
+  builds the word-frequency table (vocab-sized -- Heaps' law puts a web
+  corpus's distinct-word count around 10^7, a rounding error next to
+  the corpus itself).
+- **the merge loop is vocab-sized**: each iteration aggregates adjacent
+  pairs over the word table (weighted by word frequency), takes the top
+  pair (one driver row), and rewrites the symbol arrays. No iteration
+  ever touches the corpus again.
+- lineage is truncated with ``localCheckpoint`` every few merges --
+  an iterative-plan necessity (cf. operators/clustering.py,
+  operators/components.py), not an optimization.
+
+Pair counting is pure column expressions (the zip_with shifted-slice
+pattern shared with dedup.positioned_shingles). The per-word merge
+rewrite is a Pandas-UDF ``mapInPandas`` kernel: a left-to-right greedy
+array rewrite is inherently sequential per word, exactly the "built-in
+operators genuinely can't express it" case -- the kernel is O(len)
+per word on a vocab-sized frame.
+
+Encoding applies the learned merge ranks greedily (lowest rank first),
+the standard BPE encode; merges broadcast as a plain dict.
+
+Determinism: ties on pair count break by lexicographic pair -- the
+result is a pure function of the corpus, independent of partitioning.
+Iterative + driver-coordinated means no single SQL oracle; correctness
+is pinned against a from-scratch python reference in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
+
+EOW = "</w>"  # end-of-word marker, standard BPE
+CHECKPOINT_EVERY = 8  # merge iterations between lineage truncations
+
+
+def word_symbol_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq, symbols): the vocab-sized BPE work table. Symbols
+    start as the word's characters plus the end-of-word marker."""
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    # split(word, '') yields one element per character (no empty tail in
+    # Spark 4); append the marker
+    return words.withColumn(
+        "symbols",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))),
+    )
+
+
+def _pair_counts(table: DataFrame) -> DataFrame:
+    """(a, b, n): adjacent symbol pairs weighted by word frequency."""
+    syms = F.col("symbols")
+    n_pairs = F.greatest(F.size(syms) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(syms, 1, n_pairs),
+        F.slice(syms, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        table.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _merge_kernel(a: str, b: str):
+    merged = a + b
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def merge_one(syms):
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["symbols"] = pdf["symbols"].map(merge_one)
+            yield pdf
+
+    return run
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merge rules. Stops early when no
+    pair reaches ``min_count`` weighted occurrences. Returns the merges
+    in rank order."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    table = word_symbol_table(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(table)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        table = table.mapInPandas(_merge_kernel(a, b), schema=table.schema)
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            table = table.localCheckpoint(eager=True)
+        else:
+            table = table.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_vocab(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(symbol, n): the symbol inventory after applying ``merges`` to
+    the corpus -- base characters + merged units, frequency-weighted."""
+    enc = bpe_encode(
+        word_symbol_table(docs, text_col), merges, symbols_col="symbols"
+    )
+    return (
+        enc.select(F.col("freq"), F.explode("symbols").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    symbols_col: str = "symbols",
+) -> DataFrame:
+    """Apply learned merges to a symbol-array column: standard greedy
+    encode, repeatedly merging the present pair with the LOWEST merge
+    rank. The rank dict broadcasts; the kernel is O(len * applied
+    merges) per row."""
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    sc = df.sparkSession.sparkContext
+    b_ranks = sc.broadcast(ranks)
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = b_ranks.value
+
+        def encode_one(syms):
+            syms = list(syms)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, i)
+                if best is None:
+                    break
+                a, b = merges_local[best[0]]
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        merges_local = merges
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[symbols_col] = pdf[symbols_col].map(encode_one)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def tokenize_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Document-level BPE tokenization: (id, bpe_tokens, n_tokens).
+    Word-split first (the same whitespace tokenization the rest of the
+    engine uses), then per-word greedy encode."""
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("_wpos", "word"),
+    ).filter(F.col("word") != "")
+    with_syms = exploded.withColumn(
+        "symbols", F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+    )
+    enc = bpe_encode(with_syms, merges)
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_wpos", "symbols"))
+                    ),
+                    lambda s: s["symbols"],
+                )
+            ).alias(out_col)
+        )
+        .withColumn("n_tokens", F.size(F.col(out_col)).cast("bigint"))
+    )

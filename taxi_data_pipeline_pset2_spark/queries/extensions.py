@@ -796,3 +796,79 @@ def quantile_binned_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---- DSIR importance resampling ------------------------------------------
+
+_DSIR_B = 512  # hashed-feature buckets
+_DSIR_K = 60
+
+
+def _dsir_grams_sql(src: str) -> str:
+    """Unigram+bigram stream (doc_id, g) of a documents subquery --
+    the SQL twin of operators/dsir._grams."""
+    return f"""
+        SELECT doc_id, unnest(ts) AS g FROM {src}
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS g
+        FROM {src}
+    """
+
+
+_DSIR_ORACLE = f"""
+    WITH cand AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+                  FROM documents WHERE doc_id % 7 <> 0),
+    tgt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+            FROM documents WHERE doc_id % 7 = 0),
+    cg AS ({_dsir_grams_sql('cand')}),
+    tg AS ({_dsir_grams_sql('tgt')}),
+    cbuck AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS BIGINT) AS bucket
+              FROM cg),
+    tbuck AS (SELECT CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS BIGINT) AS bucket
+              FROM tg),
+    scnt AS (SELECT bucket, count(*) AS n FROM cbuck GROUP BY bucket),
+    tcnt AS (SELECT bucket, count(*) AS n FROM tbuck GROUP BY bucket),
+    stot AS (SELECT sum(n) + {_DSIR_B} AS d FROM scnt),
+    ttot AS (SELECT sum(n) + {_DSIR_B} AS d FROM tcnt),
+    smodel AS (SELECT bucket, CAST(round(ln((n + 1) / (SELECT d FROM stot)) * 1000000) AS BIGINT) AS logp_s
+               FROM scnt),
+    tmodel AS (SELECT bucket, CAST(round(ln((n + 1) / (SELECT d FROM ttot)) * 1000000) AS BIGINT) AS logp_t
+               FROM tcnt),
+    feats AS (SELECT doc_id, bucket, count(*) AS cnt FROM cbuck GROUP BY doc_id, bucket),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+               CAST(sum(f.cnt * (coalesce(t.logp_t, CAST(round(ln(1.0 / (SELECT d FROM ttot)) * 1000000) AS BIGINT))
+                               - coalesce(s.logp_s, CAST(round(ln(1.0 / (SELECT d FROM stot)) * 1000000) AS BIGINT)))) AS BIGINT) AS ratio_m
+        FROM feats f
+        LEFT JOIN tmodel t USING (bucket)
+        LEFT JOIN smodel s USING (bucket)
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_grams, round(ratio_m / 1000000.0, 6) AS log_ratio
+    FROM scored
+    ORDER BY log_ratio DESC, doc_id
+    LIMIT {_DSIR_K}
+"""
+
+
+@query("dsir_topk_selection", oracle=_DSIR_ORACLE, tags=("bench", "text", "dsir"))
+def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): the 60 candidate
+    documents most like the target slice (doc_id % 7 == 0) by hashed
+    unigram+bigram log-likelihood ratio. Two model fits (bucket-space
+    aggregates, <= 512 rows each, broadcast back), one candidate
+    feature aggregate, TakeOrdered top-k -- integer-millionths log
+    arithmetic end to end, so the ranking hash-matches DuckDB."""
+    from taxi_data_pipeline_pset2_spark.operators.dsir import dsir_select_topk
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_select_topk(
+        candidates=docs.filter(F.col("doc_id") % 7 != 0),
+        target=docs.filter(F.col("doc_id") % 7 == 0),
+        k=_DSIR_K,
+        n_buckets=_DSIR_B,
+    ).orderBy(F.desc("log_ratio"), F.asc("doc_id"))

@@ -333,3 +333,71 @@ def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "term", "tf", "tf_idf", "rnk")
     )
+
+
+# ---- inverted-index search -----------------------------------------------
+
+_PHRASE = ("fast", "scan")
+_AND_TERMS = ("spark", "join", "window")
+_AND_K = 30
+
+_PHRASE_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(ts)),
+                i -> ts[i] = '{_PHRASE[0]}' AND ts[i + 1] = '{_PHRASE[1]}')) AS BIGINT)
+               AS n_occurrences
+    FROM tk
+    WHERE len(list_filter(range(1, len(ts)),
+              i -> ts[i] = '{_PHRASE[0]}' AND ts[i + 1] = '{_PHRASE[1]}')) > 0
+    ORDER BY doc_id
+"""
+
+
+@query("phrase_search_hits", oracle=_PHRASE_ORACLE, tags=("text", "search"))
+def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (operators/search.py): documents
+    containing the exact token sequence, with occurrence counts from
+    the positional inverted index -- term-filtered posting frames
+    joined per doc, adjacency checked by a higher-order array filter
+    (no UDF, no position explode)."""
+    from taxi_data_pipeline_pset2_spark.operators.search import (
+        inverted_index,
+        search_phrase,
+    )
+
+    idx = inverted_index(t(spark, sf_dir, "documents"))
+    return search_phrase(idx, list(_PHRASE))
+
+
+_AND_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents),
+    hits AS (
+        SELECT doc_id,
+               CAST(len(list_filter(ts, x -> x IN {tuple(_AND_TERMS)})) AS BIGINT)
+                   AS total_tf
+        FROM tk
+        WHERE {' AND '.join(f"list_contains(ts, '{w}')" for w in _AND_TERMS)}
+    )
+    SELECT doc_id, total_tf FROM hits
+    ORDER BY total_tf DESC, doc_id
+    LIMIT {_AND_K}
+"""
+
+
+@query("boolean_and_search", oracle=_AND_ORACLE, tags=("text", "search"))
+def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search (operators/search.py): top-30 documents
+    containing ALL query terms, ranked by summed term frequency. The
+    index filter is a pushed-down IN predicate on the term column
+    (partition-pruned on a term-bucketed index at scale); one
+    postings-sized aggregate, TakeOrdered top-k."""
+    from taxi_data_pipeline_pset2_spark.operators.search import (
+        inverted_index,
+        search_and,
+    )
+
+    idx = inverted_index(t(spark, sf_dir, "documents"))
+    return search_and(idx, list(_AND_TERMS), top_k=_AND_K)
