@@ -401,3 +401,64 @@ def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = inverted_index(t(spark, sf_dir, "documents"))
     return search_and(idx, list(_AND_TERMS), top_k=_AND_K)
+
+
+# ---- percentile-rank quality blending ------------------------------------
+
+_BLEND_K = 80
+
+_BLEND_ORACLE = f"""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars_d,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tokens_d,
+               CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS DOUBLE)
+                 / len(string_split_regex(trim(lower(text)), '\\s+')) AS distinct_ratio
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id,
+               percent_rank() OVER (ORDER BY n_chars_d) AS pr_chars,
+               percent_rank() OVER (ORDER BY n_tokens_d) AS pr_tokens,
+               percent_rank() OVER (ORDER BY distinct_ratio) AS pr_distinct
+        FROM sig
+    )
+    SELECT doc_id,
+           round((pr_chars * 0.3 + pr_tokens * 0.3 + pr_distinct * 0.4) / 1.0, 6)
+               AS quality_blend
+    FROM ranked
+    ORDER BY quality_blend DESC, doc_id
+    LIMIT {_BLEND_K}
+"""
+
+
+@query("quality_rank_blend", oracle=_BLEND_ORACLE, tags=("text", "robust"))
+def quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality ensemble (operators/robust.py
+    percentile_rank_blend): three incommensurable signals (chars,
+    tokens, distinct-token ratio) percent-ranked and weight-blended,
+    top-80 documents. Exact window mode here (result-sized corpus);
+    the sketch mode is the corpus-scale path."""
+    from taxi_data_pipeline_pset2_spark.operators.robust import (
+        percentile_rank_blend,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    sig = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars_d"),
+        F.size(toks).cast("double").alias("n_tokens_d"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_ratio"),
+    )
+    blended = percentile_rank_blend(
+        sig,
+        [("n_chars_d", 0.3, True), ("n_tokens_d", 0.3, True), ("distinct_ratio", 0.4, True)],
+    )
+    return (
+        blended.select("doc_id", "quality_blend")
+        .orderBy(F.desc("quality_blend"), F.asc("doc_id"))
+        .limit(_BLEND_K)
+    )

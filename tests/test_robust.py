@@ -154,3 +154,54 @@ def test_null_group_key_rows_are_preserved(spark):
     zn = {r["zscore"] for r in z.filter(F.col("g").isNull()).collect()}
     # NULL cohort: mean 15, sd sqrt(50) -> z = +-0.707107; NULL v -> NULL z
     assert zn == {-0.707107, 0.707107, None}
+
+
+def test_percentile_rank_blend_exact_and_sketch_agree(spark):
+    """Exact window ranks vs the GK-sketch rank path: same ordering,
+    ranks within sketch tolerance; weights and direction flags respected."""
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.robust import (
+        percentile_rank_blend,
+    )
+
+    rows = [(i, float(i), float(100 - i)) for i in range(101)]
+    df = spark.createDataFrame(rows, "id int, up double, down double")
+    sig = [("up", 0.5, True), ("down", 0.5, False)]
+    exact = {
+        r.id: r.quality_blend
+        for r in percentile_rank_blend(df, sig, exact=True).collect()
+    }
+    # up and down are perfectly anti-correlated with matched direction
+    # flags -> both ranks equal -> blend == percent rank of id
+    assert exact[0] == 0.0 and exact[100] == 1.0
+    assert exact[50] == 0.5
+    approx = {
+        r.id: r.quality_blend
+        for r in percentile_rank_blend(
+            df, sig, exact=False, approx_bins=101
+        ).collect()
+    }
+    for i in range(0, 101, 10):
+        assert abs(approx[i] - exact[i]) <= 0.02, (i, approx[i], exact[i])
+
+    with pytest.raises(ValueError):
+        percentile_rank_blend(df, [])
+    with pytest.raises(ValueError):
+        percentile_rank_blend(df, [("up", 0.0, True)])
+
+
+def test_percentile_rank_blend_grouped(spark):
+    from taxi_data_pipeline_pset2_spark.operators.robust import (
+        percentile_rank_blend,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.v): r.quality_blend
+        for r in percentile_rank_blend(df, [("v", 1.0, True)], ["g"]).collect()
+    }
+    assert got[("a", 1.0)] == 0.0 and got[("a", 3.0)] == 1.0
+    assert got[("a", 2.0)] == 0.5
+    assert got[("b", 10.0)] == 0.0 and got[("b", 30.0)] == 1.0
