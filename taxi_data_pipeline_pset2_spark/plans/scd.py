@@ -67,3 +67,21 @@ def scd2_from_snapshots(
             *key_cols, *attr_cols, "effective_from", "effective_to", "is_current"
         )
     )
+
+
+def scd2_as_of(
+    history: DataFrame, as_of, ts_from: str = "effective_from",
+    ts_to: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time dimension reconstruction: the version of each key
+    effective at ``as_of`` (half-open: from <= t < to, open current row
+    qualifies via NULL ``ts_to``). One partition-prunable filter -- with
+    history stored partitioned/sorted by ``effective_from``, the scan
+    skips every version that started after ``as_of``. Inverse of
+    :func:`scd2_from_snapshots`: reconstructing at a snapshot's
+    timestamp returns exactly that snapshot's rows for tracked keys."""
+    t_ = F.lit(as_of).cast("timestamp")
+    return history.filter(
+        (F.col(ts_from) <= t_)
+        & (F.col(ts_to).isNull() | (t_ < F.col(ts_to)))
+    )

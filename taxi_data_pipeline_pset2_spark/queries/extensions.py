@@ -872,3 +872,114 @@ def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_DSIR_K,
         n_buckets=_DSIR_B,
     ).orderBy(F.desc("log_ratio"), F.asc("doc_id"))
+
+
+# ---- changelog-maintained rollup -----------------------------------------
+
+_MAINT_ROLLUP_ORACLE = """
+    WITH newsnap AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM newsnap
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("rollup_changelog_maintenance", oracle=_MAINT_ROLLUP_ORACLE, tags=("cdc", "rollup"))
+def rollup_changelog_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained aggregate (operators/rollup.py
+    apply_changelog_to_rollup): the rollup is built on the OLD orders
+    snapshot, a CDC changelog (deletes: key % 13 == 0; updates:
+    key % 7 == 0 price bump) is derived via snapshot_diff, and the
+    maintenance path applies signed per-group deltas -- the oracle
+    recomputes the NEW snapshot from scratch, so a hash match proves
+    maintenance == recompute without the fact rescan. Integer-cents sums
+    keep the delta algebra exact."""
+    from taxi_data_pipeline_pset2_spark.operators.cdc import snapshot_diff
+    from taxi_data_pipeline_pset2_spark.operators.rollup import (
+        apply_changelog_to_rollup,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("cents") + F.lit(10000)
+        ).otherwise(F.col("cents")),
+    )
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    log = snapshot_diff(
+        orders, new, ["o_orderkey"], compare_cols=["o_orderpriority", "cents"]
+    )
+    maintained = apply_changelog_to_rollup(
+        base, log, ["o_orderpriority"], ["cents"], count_col="n"
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    ).orderBy("o_orderpriority")
+
+
+# ---- SCD2 point-in-time reconstruction -----------------------------------
+
+_ASOF_SNAP_TS = "2024-02-01"  # the middle snapshot of the SCD2 fixture
+
+_SCD2_ASOF_ORACLE = f"""
+    SELECT c_mktsegment AS segment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY segment, bal_bucket
+    ORDER BY segment, bal_bucket
+"""
+
+
+@query("scd2_as_of_snapshot", oracle=_SCD2_ASOF_ORACLE, tags=("scd",))
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction round trip (plans/scd.py scd2_as_of):
+    the same three-snapshot customer history as scd2_history, collapsed
+    to SCD2 and reconstructed AS OF the middle snapshot's timestamp,
+    then aggregated. The oracle recomputes the middle snapshot directly
+    from the dimension -- a hash match proves snapshots -> SCD2 ->
+    as-of is the identity for tracked attributes."""
+    from taxi_data_pipeline_pset2_spark.plans.scd import (
+        scd2_as_of,
+        scd2_from_snapshots,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    snaps = None
+    for ts, div in (("2024-01-01", 1000), ("2024-02-01", 1000), ("2024-03-01", 500)):
+        s = cust.select(
+            "c_custkey",
+            F.lit(ts).cast("timestamp").alias("snapshot_ts"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / div).cast("bigint").alias("bal_bucket"),
+        )
+        snaps = s if snaps is None else snaps.unionByName(s)
+    hist = scd2_from_snapshots(
+        snaps, ["c_custkey"], ["segment", "bal_bucket"], "snapshot_ts"
+    )
+    return (
+        scd2_as_of(hist, _ASOF_SNAP_TS)
+        .groupBy("segment", "bal_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("segment", "bal_bucket")
+    )

@@ -88,3 +88,62 @@ def test_refresh_requires_partition_column(spark, tmp_path):
             spark, fact, str(tmp_path / "r2"),
             lambda f: f.groupBy("kind").count(), ["2024-01"],
         )
+
+
+def _agg_basis(df):
+    return df.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_v"),
+    )
+
+
+def test_changelog_maintenance_equals_recompute(spark):
+    """apply_changelog_to_rollup: maintained rollup == full recompute on
+    the new snapshot, covering inserts, in-place updates, group moves,
+    deletes, a group emptied to zero, and a NULL group key."""
+    from taxi_data_pipeline_pset2_spark.operators.cdc import snapshot_diff
+    from taxi_data_pipeline_pset2_spark.operators.rollup import (
+        apply_changelog_to_rollup,
+    )
+
+    old_rows = [
+        (1, "a", 10), (2, "a", 20), (3, "b", 5),
+        (4, "c", 7),               # group c will empty
+        (5, None, 100), (6, None, 50),  # NULL cohort
+    ]
+    new_rows = [
+        (1, "a", 10),              # unchanged
+        (2, "b", 20),              # moved a -> b
+        (3, "b", 9),               # value update
+        (5, None, 120),            # NULL-group update
+        (6, None, 50),
+        (7, "a", 33), (8, "d", 1), # inserts (one into a new group)
+    ]
+    old = spark.createDataFrame(old_rows, "id int, g string, v int")
+    new = spark.createDataFrame(new_rows, "id int, g string, v int")
+
+    base = _agg_basis(old)
+    log = snapshot_diff(old, new, ["id"], compare_cols=["g", "v"])
+    maintained = apply_changelog_to_rollup(base, log, ["g"], ["v"])
+    want = {
+        (r.g, r.n, r.sum_v) for r in _agg_basis(new).collect()
+    }
+    got = {(r.g, r.n, r.sum_v) for r in maintained.collect()}
+    assert got == want
+    assert ("c", 1, 7) not in got  # emptied group dropped
+
+
+def test_changelog_maintenance_noop_changelog(spark):
+    from taxi_data_pipeline_pset2_spark.operators.cdc import snapshot_diff
+    from taxi_data_pipeline_pset2_spark.operators.rollup import (
+        apply_changelog_to_rollup,
+    )
+
+    rows = [(1, "a", 10), (2, "b", 20)]
+    df = spark.createDataFrame(rows, "id int, g string, v int")
+    base = _agg_basis(df)
+    log = snapshot_diff(df, df, ["id"], compare_cols=["g", "v"])
+    out = apply_changelog_to_rollup(base, log, ["g"], ["v"])
+    assert {(r.g, r.n, r.sum_v) for r in out.collect()} == {
+        (r.g, r.n, r.sum_v) for r in base.collect()
+    }

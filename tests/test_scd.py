@@ -84,3 +84,34 @@ def test_scd2_supports_asof_fact_join(spark):
     )
     got = {r.event_id: r.segment_asof for r in joined.collect()}
     assert got == {100: "silver", 101: "gold"}
+
+
+def test_as_of_reconstruction_is_identity_at_snapshot_times(spark):
+    """scd2_as_of at each snapshot timestamp reproduces that snapshot's
+    tracked attributes exactly; between snapshots it returns the prior
+    version; before the first snapshot it returns nothing."""
+    from taxi_data_pipeline_pset2_spark.plans.scd import (
+        scd2_as_of,
+        scd2_from_snapshots,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01", "x"), (1, "2024-02-01", "y"), (1, "2024-03-01", "y"),
+        (2, "2024-01-01", "p"), (2, "2024-02-01", "p"), (2, "2024-03-01", "q"),
+        (3, "2024-02-01", "m"),  # late-arriving key
+    ]
+    snaps = spark.createDataFrame(rows, "k int, ts string, attr string").select(
+        "k", F.col("ts").cast("timestamp").alias("snapshot_ts"), "attr"
+    )
+    hist = scd2_from_snapshots(snaps, ["k"], ["attr"])
+
+    def at(ts):
+        return {(r.k, r.attr) for r in scd2_as_of(hist, ts).collect()}
+
+    assert at("2024-01-01") == {(1, "x"), (2, "p")}
+    assert at("2024-01-15") == {(1, "x"), (2, "p")}
+    assert at("2024-02-01") == {(1, "y"), (2, "p"), (3, "m")}
+    assert at("2024-03-01") == {(1, "y"), (2, "q"), (3, "m")}
+    assert at("2030-01-01") == {(1, "y"), (2, "q"), (3, "m")}  # current
+    assert at("2023-12-31") == set()
