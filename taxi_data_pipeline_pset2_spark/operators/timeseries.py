@@ -1,0 +1,131 @@
+"""Time-series regularization: per-key time spine + last-observation-
+carried-forward (LOCF) gap filling, and event-transition counting.
+
+The reference's only spine is dim_date's recursive day sequence
+(dim_date.sql:6-12, rebuilt as sequence+explode per SURVEY.md 7);
+these operators generalize it to per-entity regular grids -- the shape
+sensor/market/telemetry pipelines need before windowed features, and
+the batch complement of streaming watermark alignment.
+
+Plan shapes at 100 TB:
+- spine: the per-key (min, max) aggregate is key-cardinality-sized;
+  the grid explodes from it (rows = sum of per-key spans / step, the
+  OUTPUT size -- nothing corpus-shaped is shuffled twice).
+- LOCF: one left join of grid onto observations (co-partitioned by
+  key+bucket) plus one window last_value(ignorenulls) per key ordered
+  by time. A single sort-shuffle on (key, time), the minimum any
+  order-dependent fill needs.
+- transitions: lead() over (key, time) then a pair hash-aggregate --
+  one window shuffle, one vocab-sized aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def time_spine(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """(key_cols..., ts): a regular grid from each key's first to last
+    observation (inclusive), step-aligned to the key's first bucket
+    start."""
+    trunc_unit = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}.get(step)
+    if trunc_unit is None:
+        raise ValueError(f"unsupported step {step!r}")
+    bounds = df.groupBy(*key_cols).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("_lo"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("_hi"),
+    )
+    return bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+        ).alias("ts"),
+    )
+
+
+def resample_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    step: str = "1 hour",
+    agg: str = "last",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Regularize to a ``step`` grid with LOCF fill: one row per
+    (key, bucket) from the key's first to last observation; buckets
+    with observations take the bucket's ``agg`` ('last' by arrival
+    order within the bucket, or 'avg'/'sum'/'min'/'max'); empty buckets
+    carry the previous bucket's filled value forward. Adds
+    ``is_filled`` marking carried rows."""
+    if agg not in ("last", "avg", "sum", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    trunc_unit = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}[step]
+    bucketed = df.withColumn("_bucket", F.date_trunc(trunc_unit, F.col(ts_col)))
+    if agg == "last":
+        order = [F.col(ts_col).desc()] + [
+            F.col(c).desc() for c in (tie_cols or [])
+        ]
+        w = Window.partitionBy(*key_cols, "_bucket").orderBy(*order)
+        per_bucket = (
+            bucketed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*key_cols, "_bucket", *value_cols)
+        )
+    else:
+        fn = getattr(F, agg)
+        per_bucket = bucketed.groupBy(*key_cols, "_bucket").agg(
+            *[fn(c).alias(c) for c in value_cols]
+        )
+    spine = time_spine(df, key_cols, ts_col, step).withColumnRenamed("ts", "_bucket")
+    joined = spine.join(per_bucket, [*key_cols, "_bucket"], "left")
+    wfill = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined.withColumn(
+        "is_filled", F.col(value_cols[0]).isNull()
+    )
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(wfill))
+    return out.withColumnRenamed("_bucket", ts_col).select(
+        *key_cols, ts_col, *value_cols, "is_filled"
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    state_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences:
+    (from_state, to_state, n, p) where p is the row-normalized
+    probability rounded to 6dp. ``tie_cols`` break timestamp ties
+    deterministically (default: the state itself)."""
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tie_cols or [state_col])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    pairs = (
+        df.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("_next").alias("to_state"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wrow = Window.partitionBy("from_state")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wrow), 6)
+    )

@@ -983,3 +983,81 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("segment", "bal_bucket")
     )
+
+
+# ---- time-series regularization ------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_state
+        FROM events
+    )
+    SELECT from_state, to_state,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_state), 6) AS p
+    FROM seq WHERE to_state IS NOT NULL
+    GROUP BY from_state, to_state
+    ORDER BY from_state, to_state
+"""
+
+
+@query("event_transitions", oracle=_TRANSITIONS_ORACLE, tags=("events", "window"))
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix (operators/timeseries.py
+    transition_counts): per-user lead() pairs, one window shuffle, one
+    state-vocabulary-sized aggregate, row-normalized probabilities."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        transition_counts,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_counts(
+        ev, ["user_id"], "ts", "event_type", tie_cols=["event_id"]
+    ).orderBy("from_state", "to_state")
+
+
+_LOCF_ORACLE = """
+    WITH ev AS (SELECT user_id, event_id, ts, value FROM events WHERE user_id < 30),
+    b AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value FROM ev),
+    lastv AS (
+        SELECT user_id, bucket, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM b) WHERE rn = 1
+    ),
+    bounds AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi
+               FROM ev GROUP BY user_id),
+    spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds),
+    j AS (SELECT s.user_id, s.bucket, l.value, l.value IS NULL AS is_filled
+          FROM spine s LEFT JOIN lastv l USING (user_id, bucket))
+    SELECT user_id, bucket AS ts,
+           last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+                                                ROWS UNBOUNDED PRECEDING) AS value,
+           is_filled
+    FROM j
+    ORDER BY user_id, ts
+"""
+
+
+@query("hourly_value_locf", oracle=_LOCF_ORACLE, tags=("events", "timeseries"))
+def hourly_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly regularization with LOCF gap fill
+    (operators/timeseries.py resample_locf): spine from each user's
+    first to last hour, bucket value = last observation (ties by
+    event_id), empty buckets carry forward with is_filled marked. One
+    sort-shuffle on (user, hour) -- the minimum an order-dependent fill
+    needs."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        resample_locf,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return resample_locf(
+        ev, ["user_id"], "ts", ["value"], step="1 hour", tie_cols=["event_id"]
+    ).orderBy("user_id", "ts")
