@@ -178,3 +178,43 @@ def test_semantic_decon_scan_shaped_no_join(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_dsir_models_broadcast_and_no_python(spark, sf_dir):
+    """DSIR scoring: both bucket models must broadcast-join back onto
+    the candidate features (a shuffle join on a <=512-row side at 100 TB
+    is a planning failure) and the whole path stays JVM-side."""
+    plan = _plan(registry()["dsir_topk_selection"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_locf_single_sort_shuffle_per_side(spark, sf_dir):
+    """The LOCF fill needs exactly one (key, time)-ordered window; the
+    plan must not degenerate into a nested-loop or cartesian join
+    between spine and observations."""
+    plan = _plan(registry()["hourly_value_locf"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_phrase_search_no_explode_of_positions(spark, sf_dir):
+    """Phrase adjacency is higher-order array arithmetic: the plan may
+    explode TOKENS (index build) but never positions, and the per-term
+    posting joins must be hash joins."""
+    plan = _plan(registry()["phrase_search_hits"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_changelog_maintenance_never_rescans_like_join_shapes(spark, sf_dir):
+    """Rollup maintenance: the rollup-side/delta-side combine must be a
+    hash or sort-merge equi-join (NULL-safe keys still plan as equi);
+    nested-loop means the NULL-safe condition fell off the join keys."""
+    plan = _plan(registry()["rollup_changelog_maintenance"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
