@@ -129,3 +129,72 @@ def transition_counts(
     return pairs.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(wrow), 6)
     )
+
+
+def _arr_median(arr):
+    """Exact median of an array expression (interpolated for even n),
+    shared by the Hampel filter's two medians. Pure expressions: the
+    per-row cost is one sort of the WINDOW (O(w log w)), never anything
+    row-count-shaped."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    mid = (n / 2).cast("int")
+    odd = F.element_at(s, mid + 1)
+    even = (F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2.0
+    return F.when(n % 2 == 1, odd).otherwise(even)
+
+
+def hampel_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    half_window: int = 3,
+    k: float = 3.0,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hampel filter: per-key rolling-median/MAD outlier detection, the
+    robust alternative to rolling z-scores (one wild point drags a mean
+    and its stddev; it barely moves a median and its MAD).
+
+    For each row, over the centered window of ``2*half_window + 1``
+    rows: m = median(window), MAD = median(|x - m|), score =
+    0.6745 * |v - m| / MAD (the Gaussian consistency constant), outlier
+    when score > ``k``. Adds ``rolling_median``, ``hampel_score``
+    (6 dp; NULL when MAD = 0 -- a flat window has no scale) and
+    ``is_outlier``.
+
+    One (key, time) window sort -- the same single shuffle any ordered
+    rolling statistic needs; medians are array expressions over the
+    collected window, O(w log w) per row with w a small constant.
+    ``value_col`` must be non-NULL (collect_list drops NULLs, which
+    would silently shrink windows; filter or impute first)."""
+    if half_window < 1:
+        raise ValueError("half_window must be >= 1")
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tie_cols or [])
+    ]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(-half_window, half_window)
+    )
+    v = F.col(value_col).cast("double")
+    arr = F.collect_list(v).over(w)
+    out = df.withColumn("_win", arr)
+    m = _arr_median(F.col("_win"))
+    out = out.withColumn("rolling_median", m)
+    mad = _arr_median(
+        F.transform(F.col("_win"), lambda x: F.abs(x - F.col("rolling_median")))
+    )
+    score = F.round(
+        F.lit(0.6745) * F.abs(v - F.col("rolling_median")) / mad, 6
+    )
+    return (
+        out.withColumn("hampel_score", F.when(mad > 0, score))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.col("hampel_score") > F.lit(k), F.lit(False)),
+        )
+        .drop("_win")
+    )

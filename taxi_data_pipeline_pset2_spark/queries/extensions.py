@@ -1061,3 +1061,64 @@ def hourly_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_locf(
         ev, ["user_id"], "ts", ["value"], step="1 hour", tie_cols=["event_id"]
     ).orderBy("user_id", "ts")
+
+
+# ---- Hampel rolling-median outliers --------------------------------------
+
+_HAMPEL_ORACLE = """
+    WITH ev AS (SELECT user_id, event_id, ts, value FROM events WHERE user_id < 40),
+    win AS (
+        SELECT user_id, event_id, value,
+               list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS w
+        FROM ev
+    ),
+    med AS (
+        SELECT user_id, event_id, value, w,
+               CASE WHEN len(w) % 2 = 1 THEN w[len(w) // 2 + 1]
+                    ELSE (w[len(w) // 2] + w[len(w) // 2 + 1]) / 2.0 END AS m
+        FROM win
+    ),
+    mad AS (
+        SELECT user_id, event_id, value, m,
+               (SELECT CASE WHEN len(d) % 2 = 1 THEN d[len(d) // 2 + 1]
+                            ELSE (d[len(d) // 2] + d[len(d) // 2 + 1]) / 2.0 END
+                FROM (SELECT list_sort(list_transform(w, x -> abs(x - m))) AS d)) AS s
+        FROM med
+    )
+    SELECT user_id, event_id,
+           round(m, 6) AS rolling_median,
+           CASE WHEN s > 0 THEN round(0.6745 * abs(value - m) / s, 6) END AS hampel_score,
+           coalesce(CASE WHEN s > 0 THEN round(0.6745 * abs(value - m) / s, 6) END > 3.0,
+                    false) AS is_outlier
+    FROM mad
+    ORDER BY user_id, event_id
+"""
+
+
+@query("hampel_value_outliers", oracle=_HAMPEL_ORACLE, tags=("events", "timeseries", "robust"))
+def hampel_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter (operators/timeseries.py hampel_outliers): per-user
+    rolling-median/MAD outlier scores over the event value series,
+    centered 7-row windows, ties by event_id. One (user, ts) window
+    sort; both medians are array expressions over the collected window."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        hampel_outliers,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return (
+        hampel_outliers(
+            ev, ["user_id"], "ts", "value", half_window=3, k=3.0,
+            tie_cols=["event_id"],
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("rolling_median", 6).alias("rolling_median"),
+            "hampel_score",
+            "is_outlier",
+        )
+        .orderBy("user_id", "event_id")
+    )

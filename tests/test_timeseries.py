@@ -91,3 +91,45 @@ def test_transition_counts_and_probabilities(spark):
         ("a", "a"): (1, 0.5),
         ("b", "a"): (1, 1.0),
     }
+
+
+def test_hampel_flags_spike_not_level_shift_window(spark):
+    """A lone spike is flagged; normal jitter is not; a flat window
+    (MAD 0) yields NULL score and no flag; validation rejects bad
+    windows."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        hampel_outliers,
+    )
+
+    rows = [(1, i, 10.0 + (100.0 if i == 5 else 0.0) + (i % 3) * 0.5) for i in range(12)]
+    rows += [(2, i, 7.0) for i in range(6)]  # flat series
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    out = {
+        (r.k, r.t): (r.hampel_score, r.is_outlier)
+        for r in hampel_outliers(df, ["k"], "t", "v").collect()
+    }
+    assert out[(1, 5)][1] is True
+    assert all(not f for (k, t), (_s, f) in out.items() if not (k == 1 and t == 5))
+    assert out[(2, 3)] == (None, False)  # flat window: no scale, no flag
+
+    with pytest.raises(ValueError):
+        hampel_outliers(df, ["k"], "t", "v", half_window=0)
+
+
+def test_hampel_median_interpolation_even_windows(spark):
+    """Edge rows see even-sized windows: the median must interpolate
+    (avg of middle two), matching PERCENTILE_CONT semantics."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        hampel_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0), (1, 3, 4.0)],
+        "k int, t int, v double",
+    )
+    got = {
+        r.t: r.rolling_median
+        for r in hampel_outliers(df, ["k"], "t", "v", half_window=1).collect()
+    }
+    # t=0 window [1,2] -> 1.5; t=1 window [1,2,3] -> 2; t=3 window [3,4] -> 3.5
+    assert got == {0: 1.5, 1: 2.0, 2: 3.0, 3: 3.5}
