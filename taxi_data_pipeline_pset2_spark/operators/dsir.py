@@ -115,14 +115,32 @@ def dsir_logratio(
     models. ``source`` defaults to the candidate pool itself (the DSIR
     raw-distribution estimate). Positive = more target-like."""
     p_t, floor_t = bucket_model(target, text_col, n_buckets)
-    p_s, floor_s = bucket_model(
-        source if source is not None else candidates, text_col, n_buckets
-    )
     feats = (
         hashed_gram_buckets(candidates, text_col, id_col, n_buckets)
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+    if source is None:
+        # the DSIR default (source = the candidate pool) needs the same
+        # bucket counts the feature frame already holds: checkpoint the
+        # features once and derive the source model from them instead of
+        # re-scanning + re-hashing the corpus (one full scan saved; at
+        # bench scale this was the single most expensive catalog entry)
+        feats = feats.localCheckpoint(eager=False)
+        counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("n"))
+        total = counts.agg(F.sum("n")).first()[0] or 0
+        denom = float(total + n_buckets)
+        p_s = counts.select(
+            "bucket",
+            F.round(
+                F.log((F.col("n") + 1).cast("double") / F.lit(denom)) * LOGP_SCALE
+            )
+            .cast("bigint")
+            .alias("logp_m"),
+        )
+        floor_s = round(math.log(1.0 / denom) * LOGP_SCALE)
+    else:
+        p_s, floor_s = bucket_model(source, text_col, n_buckets)
     joined = feats.join(
         F.broadcast(p_t.withColumnRenamed("logp_m", "logp_t")), "bucket", "left"
     ).join(
