@@ -87,6 +87,16 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_conversion_windowed",
 )
 _DEPRIORITIZED: tuple[str, ...] = (
+    # --- r6 window balance: the round's new oracles would displace core
+    # SURVEY 2 anchors (date_dim, integrity_checks, quality_filter,
+    # ranked_in_group, union_unify_schemas) from the 50-slot window, so
+    # two new entries wait for the r7 rotation and three r5-proven
+    # entries with in-window siblings yield their slots ---
+    "hourly_value_locf",  # new; sibling event_transitions anchors timeseries
+    "hampel_value_outliers",  # new; robust family anchored by zscore entry
+    "scd2_history",  # r5-proven; sibling scd2_as_of_snapshot in-window
+    "funnel_conversion",  # r5-proven; funnel_conversion_windowed promoted
+    "session_counts",  # r5-proven; events_hourly anchors streaming
     # --- r6 rotation: driver-proven green in r5 (rows+schema+hash);
     # each family keeps an in-window sibling or prior-round rows ---
     "case_flags",  # CASE/COALESCE stay anchored by value_by_daypart
