@@ -115,3 +115,34 @@ def test_plan_has_no_udf_and_broadcasts_models(spark):
     plan = dsir_logratio(cand_df, tgt_df, n_buckets=B)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["red", "blue", "spark", "join", "cat", "dog"]
+
+
+@given(
+    cands=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    tgts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_logratio_property_matches_reference(spark, cands, tgts):
+    cand_rows = [(i, " ".join(ts)) for i, ts in enumerate(cands)]
+    tgt_texts = [" ".join(ts) for ts in tgts]
+    cand_df = spark.createDataFrame(cand_rows, "doc_id long, text string")
+    tgt_df = spark.createDataFrame([(t_,) for t_ in tgt_texts], "text string")
+    got = {
+        r.doc_id: (r.n_grams, r.log_ratio)
+        for r in dsir_logratio(cand_df, tgt_df, n_buckets=B).collect()
+    }
+    assert got == _reference(cand_rows, tgt_texts)

@@ -70,3 +70,57 @@ def test_search_plans_are_udf_free(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["a", "b", "c", "dd"]
+_hsettings = settings(max_examples=10, deadline=None)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    phrase=st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3),
+)
+@_hsettings
+def test_phrase_search_matches_bruteforce(spark, docs, phrase):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    idx = inverted_index(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = {r.doc_id: r.n_occurrences for r in search_phrase(idx, phrase).collect()}
+    want = {}
+    for i, toks in enumerate(docs):
+        toks = toks or [""]  # empty doc tokenizes to one empty token
+        n = sum(
+            1
+            for p in range(len(toks) - len(phrase) + 1)
+            if toks[p : p + len(phrase)] == phrase
+        )
+        if n:
+            want[i] = n
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    terms=st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3, unique=True),
+)
+@_hsettings
+def test_and_search_matches_bruteforce(spark, docs, terms):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    idx = inverted_index(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = {r.doc_id: r.total_tf for r in search_and(idx, terms).collect()}
+    want = {}
+    for i, toks in enumerate(docs):
+        toks = toks or [""]
+        if all(t in toks for t in terms):
+            want[i] = sum(toks.count(t) for t in set(terms))
+    assert got == want

@@ -133,3 +133,65 @@ def test_hampel_median_interpolation_even_windows(spark):
     }
     # t=0 window [1,2] -> 1.5; t=1 window [1,2,3] -> 2; t=3 window [3,4] -> 3.5
     assert got == {0: 1.5, 1: 2.0, 2: 3.0, 3: 3.5}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_hsettings = settings(max_examples=10, deadline=None)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key
+            st.integers(0, 72),     # hour offset
+            st.integers(0, 59),     # minute
+            st.integers(-50, 50),   # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_hsettings
+def test_locf_matches_python_reference(spark, obs):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, k, base + dt.timedelta(hours=h, minutes=m), float(v))
+        for i, (k, h, m, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, k int, ts timestamp, v double"
+    )
+    got = {
+        (r.k, str(r.ts)): (r.v, r.is_filled)
+        for r in resample_locf(
+            df, ["k"], "ts", ["v"], tie_cols=["event_id"]
+        ).collect()
+    }
+    # python reference
+    want = {}
+    by_key: dict[int, list] = {}
+    for i, k, ts, v in rows:
+        by_key.setdefault(k, []).append((ts, i, v))
+    for k, items in by_key.items():
+        buckets: dict[dt.datetime, tuple] = {}
+        for ts, i, v in items:
+            b = ts.replace(minute=0, second=0, microsecond=0)
+            cur = buckets.get(b)
+            if cur is None or (ts, i) > (cur[0], cur[1]):
+                buckets[b] = (ts, i, v)
+        lo = min(b for b in buckets)
+        hi = max(b for b in buckets)
+        t = lo
+        last = None
+        while t <= hi:
+            if t in buckets:
+                last = buckets[t][2]
+                want[(k, str(t))] = (last, False)
+            else:
+                want[(k, str(t))] = (last, True)
+            t += dt.timedelta(hours=1)
+    assert got == want
