@@ -108,13 +108,25 @@ def bpe_learn(
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
+    driver_cap: int = 200_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merge rules. Stops early when no
     pair reaches ``min_count`` weighted occurrences. Returns the merges
-    in rank order."""
+    in rank order.
+
+    Vocabularies up to ``driver_cap`` distinct words run the merge loop
+    driver-side over the collected word table (the same bounded fast
+    path as operators/components.py: the table is vocab-sized by
+    construction, and n_merges cluster round-trips on a 30-row table
+    are pure job overhead -- 10 merges dropped ~10 s -> ~1 s at bench
+    scale). The loop stays distributed above the cap; both paths are
+    the identical greedy algorithm and tests pin their equality."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
     table = word_symbol_table(docs, text_col).localCheckpoint(eager=True)
+    probe = table.limit(driver_cap + 1).collect()
+    if len(probe) <= driver_cap:
+        return _bpe_learn_driver(probe, n_merges, min_count)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         top = (
@@ -132,6 +144,38 @@ def bpe_learn(
             table = table.localCheckpoint(eager=True)
         else:
             table = table.localCheckpoint(eager=False)
+    return merges
+
+
+def _bpe_learn_driver(
+    rows, n_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop over the collected (word, freq, symbols)
+    table; greedy tie-break (count desc, lexicographic pair) identical
+    to the distributed path's orderBy."""
+    from collections import Counter
+
+    table = [(r["freq"], list(r["symbols"])) for r in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for freq, syms in table:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((a, b))
+        for idx, (freq, syms) in enumerate(table):
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            table[idx] = (freq, out)
     return merges
 
 

@@ -100,3 +100,11 @@ def test_early_stop_and_validation(spark):
     assert bpe_learn(docs, n_merges=5) == []
     with pytest.raises(ValueError):
         bpe_learn(docs, n_merges=-1)
+
+
+def test_distributed_path_matches_driver_fast_path(spark):
+    """driver_cap=0 forces the distributed merge loop; both paths are
+    the same greedy algorithm and must emit identical merges."""
+    fast = bpe_learn(_docs(spark), n_merges=6)
+    dist = bpe_learn(_docs(spark), n_merges=6, driver_cap=0)
+    assert fast == dist == _ref_learn(TEXTS, 6)[0]
