@@ -1,0 +1,132 @@
+"""Versioned parquet tables: manifest-committed snapshots with time
+travel and vacuum -- the transaction-log pattern (Delta/Iceberg's core
+idea, re-expressed minimally over plain parquet + a JSON manifest per
+version) for engines that need reproducible reads without a table
+format dependency.
+
+Layout::
+
+    <path>/data/<uuid>/part-*.parquet   immutable data segments
+    <path>/_manifests/v00000042.json    {"version", "files", "mode"}
+
+Commit protocol: data files are fully written first, then the manifest
+appears via an atomic ``os.rename`` -- a reader either sees a complete
+version or doesn't see it at all; a writer crash leaves only an
+unreferenced data directory (cleaned by vacuum), never a torn table.
+Overwrite commits a manifest listing ONLY the new segment; append lists
+the previous manifest's files plus the new segment (data files are
+never rewritten or moved -- append is a metadata operation plus the new
+segment, exactly why the pattern scales: a 100 TB table's append costs
+the batch, and time travel costs nothing until vacuum).
+
+Reproducibility: training-data pipelines pin ``read_version(path, v)``
+in the run manifest, so a corpus rebuild reads byte-identical inputs
+even while the table keeps ingesting.
+
+Concurrency contract: single writer (the reference's Mage scheduler
+semantics -- one pipeline owns a table); readers are lock-free at any
+version. Multi-writer coordination needs a real table format's
+conditional commit and is out of scope by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR)
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed versions, ascending; [] for a fresh/missing table."""
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version:08d}.json")) as f:
+        return json.load(f)
+
+
+def versioned_write(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> int:
+    """Commit ``df`` as a new version; returns the version number.
+    ``mode='overwrite'`` starts a fresh logical table; ``'append'``
+    extends the latest version's file set."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    versions = list_versions(path)
+    next_v = (versions[-1] + 1) if versions else 0
+
+    seg = os.path.join(path, _DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("error").parquet(seg)
+    seg_files = sorted(
+        os.path.join(seg, f) for f in os.listdir(seg) if f.endswith(".parquet")
+    )
+    files = list(seg_files)
+    if mode == "append" and versions:
+        files = _read_manifest(path, versions[-1])["files"] + seg_files
+
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": next_v, "mode": mode, "files": files}, f)
+    os.rename(tmp, os.path.join(_manifest_dir(path), f"v{next_v:08d}.json"))
+    return next_v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest). Empty-file-set
+    versions raise (a committed version always lists >= 1 file)."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    files = _read_manifest(path, v)["files"]
+    return spark.read.parquet(*files)
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` and delete data
+    segments no kept manifest references. Returns removed segment dirs.
+    Also sweeps orphan segments from crashed writers (data dirs no
+    manifest ever referenced)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(path)
+    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in keep:
+        for f in _read_manifest(path, v)["files"]:
+            referenced.add(os.path.dirname(f))
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
+    removed = []
+    data_root = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for seg in sorted(os.listdir(data_root)):
+            seg_path = os.path.join(data_root, seg)
+            if seg_path not in referenced:
+                shutil.rmtree(seg_path, ignore_errors=True)
+                removed.append(seg_path)
+    return removed

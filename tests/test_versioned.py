@@ -1,0 +1,99 @@
+"""Versioned parquet tables: commit protocol, time travel, append as
+metadata, vacuum retention, crash-orphan sweep."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from taxi_data_pipeline_pset2_spark.sources.versioned import (
+    list_versions,
+    read_version,
+    vacuum,
+    versioned_write,
+)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x int")
+
+
+def test_versions_and_time_travel(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    assert list_versions(p) == []
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, p)
+
+    v0 = versioned_write(_df(spark, [1, 2]), p)
+    v1 = versioned_write(_df(spark, [3]), p, mode="append")
+    v2 = versioned_write(_df(spark, [9]), p)  # overwrite: fresh table
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert list_versions(p) == [0, 1, 2]
+
+    def vals(v=None):
+        return sorted(r.x for r in read_version(spark, p, v).collect())
+
+    assert vals(0) == [1, 2]
+    assert vals(1) == [1, 2, 3]  # append extended v0's file set
+    assert vals(2) == [9]
+    assert vals() == [9]  # latest
+    with pytest.raises(ValueError):
+        read_version(spark, p, 7)
+
+
+def test_append_is_metadata_only(spark, tmp_path):
+    """Append must not rewrite existing segments: v0's files stay
+    byte-identical (same set, sizes, mtimes) after the append commit."""
+    p = str(tmp_path / "tbl")
+    versioned_write(_df(spark, list(range(50))), p)
+    data = os.path.join(p, "data")
+
+    def snap():
+        out = {}
+        for seg in os.listdir(data):
+            for f in os.listdir(os.path.join(data, seg)):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(data, seg, f)
+                    out[fp] = (os.path.getsize(fp), os.stat(fp).st_mtime_ns)
+        return out
+
+    before = snap()
+    versioned_write(_df(spark, [99]), p, mode="append")
+    after = snap()
+    for fp, sig in before.items():
+        assert after[fp] == sig
+
+
+def test_vacuum_retention_and_orphan_sweep(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    versioned_write(_df(spark, [1]), p)
+    versioned_write(_df(spark, [2]), p)
+    versioned_write(_df(spark, [3]), p, mode="append")
+    # orphan segment from a "crashed writer": data dir, no manifest
+    orphan = os.path.join(p, "data", "deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-x.parquet"), "w") as f:
+        f.write("junk")
+
+    removed = vacuum(p, keep_last=2)
+    assert list_versions(p) == [1, 2]
+    assert any("deadbeef" in r for r in removed)
+    # kept versions still readable (v2 references v1's segment too)
+    assert sorted(r.x for r in read_version(spark, p, 2).collect()) == [2, 3]
+    assert sorted(r.x for r in read_version(spark, p, 1).collect()) == [2]
+    with pytest.raises(ValueError):
+        vacuum(p, keep_last=0)
+
+
+def test_torn_manifest_never_visible(spark, tmp_path):
+    """A .tmp manifest (crash before rename) must be invisible to
+    readers and version listing."""
+    p = str(tmp_path / "tbl")
+    versioned_write(_df(spark, [1]), p)
+    tmp = os.path.join(p, "_manifests", ".tmp-crashed.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": 99, "files": ["/nope"]}, f)
+    assert list_versions(p) == [0]
+    assert sorted(r.x for r in read_version(spark, p).collect()) == [1]
