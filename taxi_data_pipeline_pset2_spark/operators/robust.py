@@ -294,3 +294,52 @@ def percentile_rank_blend(
         F.col(rc) * F.lit(float(w)) for rc, (_c, w, _h) in zip(rank_cols, signals)
     ) / F.lit(total_w)
     return out.withColumn(out_col, F.round(blend, 6)).drop(*rank_cols)
+
+
+def weighted_percentile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    p: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group lower weighted percentile: the smallest value whose
+    running weight mass reaches ``p`` of the group total (the inventory/
+    token-mass quantile -- "the doc-length below which p of the TOKENS
+    sit", not p of the documents). Exact decimal mass accumulation, so
+    the cut is order-independent and engine-portable (same discipline
+    as sampling.select_quality_mass). One per-group ordered window.
+
+    NULL weights count as zero mass; NULL values sort last and can only
+    be selected when p=1 lands on them with zero-mass tails -- pass
+    clean values for meaningful results."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"need 0 < p <= 1, got {p}")
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    wdec = F.coalesce(
+        F.col(weight_col).cast("decimal(28,6)"), F.lit(0).cast("decimal(28,6)")
+    )
+    part = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    order = part.orderBy(F.asc_nulls_last(value_col))
+    running = F.sum(wdec).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(wdec).over(part)
+    hit = (
+        df.withColumn("_run", running)
+        .withColumn("_tot", total)
+        .filter(F.col("_run") >= F.col("_tot") * F.lit(p))
+    )
+    w_first = Window.partitionBy(*group_cols).orderBy(
+        F.asc_nulls_last(value_col)
+    ) if group_cols else Window.partitionBy().orderBy(F.asc_nulls_last(value_col))
+    return (
+        hit.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).cast("double").alias(f"wp_{value_col}"),
+        )
+    )

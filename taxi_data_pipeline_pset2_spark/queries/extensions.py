@@ -1122,3 +1122,97 @@ def hampel_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---- weighted percentile + grouped regression ----------------------------
+
+_WMEDIAN_ORACLE = """
+    WITH d AS (
+        SELECT lang,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT lang, n_tokens,
+               sum(CAST(n_tokens AS DECIMAL(28,6))) OVER (PARTITION BY lang ORDER BY n_tokens
+                   ROWS UNBOUNDED PRECEDING) AS run,
+               sum(CAST(n_tokens AS DECIMAL(28,6))) OVER (PARTITION BY lang) AS tot
+        FROM d
+    ),
+    hit AS (
+        SELECT lang, n_tokens,
+               row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn
+        FROM r WHERE run >= tot * 0.5
+    )
+    SELECT lang, n_tokens AS wp_n_tokens FROM hit WHERE rn = 1
+    ORDER BY lang
+"""
+
+
+@query("weighted_median_tokens", oracle=_WMEDIAN_ORACLE, tags=("text", "robust"))
+def weighted_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted median document length per language
+    (operators/robust.py weighted_percentile): the doc length below
+    which half the TOKENS sit -- the curation quantile that documents
+    contribute to by mass, not by count. One per-group ordered window
+    with exact decimal mass accumulation."""
+    from taxi_data_pipeline_pset2_spark.operators.robust import (
+        weighted_percentile,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("double")
+        .alias("n_tokens"),
+    )
+    return weighted_percentile(
+        docs, "n_tokens", "n_tokens", 0.5, ["lang"]
+    ).orderBy("lang")
+
+
+_LINREG_ORACLE = """
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS x,
+               o_totalprice AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        FROM d GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                      THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6) AS intercept,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+    FROM s
+    ORDER BY o_orderpriority
+"""
+
+
+@query("price_trend_by_priority", oracle=_LINREG_ORACLE, tags=("agg", "stats"))
+def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment trend line (operators/stats.py grouped_linreg):
+    least-squares slope/intercept/r2 of order price over time (epoch
+    days) per priority, from one partial+final hash aggregate of exact
+    decimal sufficient statistics."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import grouped_linreg
+
+    orders = t(spark, sf_dir, "orders")
+    return grouped_linreg(
+        orders,
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))),
+        "o_totalprice",
+        ["o_orderpriority"],
+    ).orderBy("o_orderpriority")

@@ -1,0 +1,59 @@
+"""Grouped linear regression and weighted percentile semantics vs
+numpy / hand-computed references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.robust import weighted_percentile
+from taxi_data_pipeline_pset2_spark.operators.stats import grouped_linreg
+
+
+def test_linreg_matches_numpy_polyfit(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for g, (a, b) in {"g1": (2.5, -3.0), "g2": (-0.75, 10.0)}.items():
+        xs = rng.uniform(0, 100, 40).round(2)
+        ys = (a * xs + b + rng.normal(0, 1, 40)).round(2)
+        rows += [(g, float(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: (r.slope, r.intercept, r.r2) for r in grouped_linreg(df, "x", "y", ["g"]).collect()}
+    for g in ("g1", "g2"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert got[g][0] == pytest.approx(slope, abs=1e-5)
+        assert got[g][1] == pytest.approx(intercept, abs=1e-4)
+        assert got[g][2] == pytest.approx(r * r, abs=1e-5)
+
+
+def test_linreg_degenerate_groups(spark):
+    rows = [("one", 1.0, 5.0),               # n=1
+            ("flat", 2.0, 1.0), ("flat", 2.0, 9.0),  # zero x-variance
+            ("ok", 0.0, 0.0), ("ok", 1.0, 2.0),
+            ("nulls", None, 1.0), ("nulls", 1.0, None),
+            ("nulls", 0.0, 0.0), ("nulls", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_linreg(df, "x", "y", ["g"]).collect()}
+    assert got["one"].slope is None and got["flat"].slope is None
+    assert got["ok"].slope == 2.0 and got["ok"].intercept == 0.0
+    # NULL x or y rows excluded from the fit (n counts complete pairs)
+    assert got["nulls"].n == 2 and got["nulls"].slope == 2.0
+
+
+def test_weighted_percentile_by_mass(spark):
+    # values 1..4 with weights 1,1,1,7: half the mass sits on value 4
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = weighted_percentile(df, "v", "w", 0.5, ["g"]).collect()
+    assert got[0]["wp_v"] == 4.0
+    # unweighted (all-equal weights) p=0.5 -> classic lower median
+    eq = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in (10, 20, 30, 40)], "g string, v double, w double"
+    )
+    assert weighted_percentile(eq, "v", "w", 0.5, ["g"]).collect()[0]["wp_v"] == 20.0
+    with pytest.raises(ValueError):
+        weighted_percentile(df, "v", "w", 0.0, ["g"])
