@@ -117,3 +117,72 @@ def taxi_test_suite(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     cases["accepted_values__stg__service_type"] = accepted_values(stg, "service_type", ["yellow", "green"])
     cases["accepted_values__fct__service_type"] = accepted_values(fct, "service_type", ["yellow", "green"])
     return cases
+
+
+# --- dbt-utils-style expectations beyond the reference's four ops ---------
+
+
+def accepted_range(
+    df: DataFrame,
+    col: str,
+    min_value=None,
+    max_value=None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Violating rows outside [min_value, max_value] (dbt-utils
+    accepted_range). NULLs pass (compose with not_null when both are
+    required -- matching dbt's semantics where each test is one
+    concern)."""
+    if min_value is None and max_value is None:
+        raise ValueError("need min_value and/or max_value")
+    c = F.col(col)
+    bad = F.lit(False)
+    if min_value is not None:
+        bad = bad | ((c < F.lit(min_value)) if inclusive else (c <= F.lit(min_value)))
+    if max_value is not None:
+        bad = bad | ((c > F.lit(max_value)) if inclusive else (c >= F.lit(max_value)))
+    return df.filter(bad).select(F.col(col).cast("string").alias("out_of_range_value"))
+
+
+def freshness(
+    df: DataFrame, ts_col: str, max_age, now=None
+) -> DataFrame:
+    """dbt source-freshness: violating = the whole table when the newest
+    ``ts_col`` is older than ``max_age`` (an INTERVAL string, e.g.
+    '2 days') relative to ``now`` (default current_timestamp; pass a
+    literal for deterministic tests). Returns one row with the observed
+    lag when stale, empty when fresh -- one aggregate, no table scan
+    beyond the max."""
+    ref = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    agg = df.agg(F.max(F.col(ts_col)).alias("_newest")).select(
+        "_newest",
+        ref.alias("_ref"),
+        (F.col("_newest") >= ref - F.expr(f"INTERVAL {max_age}")).alias("_fresh"),
+    )
+    return agg.filter(~F.coalesce(F.col("_fresh"), F.lit(False))).select(
+        F.col("_newest").cast("string").alias("newest_record"),
+        F.col("_ref").cast("string").alias("checked_at"),
+    )
+
+
+def monotonic_by(
+    df: DataFrame, order_col: str, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Violating rows where ``value_col`` DECREASES along ``order_col``
+    within each group -- the audit for cumulative counters, watermark
+    columns, version numbers. One (group, order) window."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).asc())
+    prev = F.lag(value_col).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNotNull() & (F.col(value_col) < F.col("_prev")))
+        .select(
+            *group_cols,
+            F.col(order_col).cast("string").alias("at"),
+            F.col(value_col).cast("string").alias("value"),
+            F.col("_prev").cast("string").alias("previous"),
+        )
+    )

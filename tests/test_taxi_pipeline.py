@@ -250,3 +250,42 @@ def test_threaded_dag_matches_sequential_and_overlaps(spark, tmp_path, medallion
         for b in names[i + 1:]
     )
     assert overlap, f"no dim builds overlapped: {spans}"
+
+
+def test_extended_expectations(spark):
+    """dbt-utils-style expectations beyond the reference's four ops:
+    accepted_range, freshness (deterministic via a pinned now),
+    monotonic_by."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.quality import (
+        accepted_range,
+        freshness,
+        monotonic_by,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.5, "2024-01-01 00:00:00"), (2, 1.5, "2024-01-03 00:00:00"),
+         (3, None, "2024-01-04 00:00:00")],
+        "id int, v double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    assert accepted_range(df, "v", 0.0, 1.0).count() == 1  # 1.5; NULL passes
+    assert accepted_range(df, "v", 0.5, inclusive=False).count() == 1  # 0.5 excluded
+    with pytest.raises(ValueError):
+        accepted_range(df, "v")
+
+    assert freshness(df, "ts", "2 days", now="2024-01-05 00:00:00").count() == 0
+    stale = freshness(df, "ts", "2 days", now="2024-01-09 00:00:00").collect()
+    assert len(stale) == 1 and stale[0]["newest_record"].startswith("2024-01-04")
+    # empty table is stale by definition (no newest record)
+    empty = spark.createDataFrame([], "ts timestamp")
+    assert freshness(empty, "ts", "1 days", now="2024-01-01 00:00:00").count() == 1
+
+    mono = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 12), ("a", 3, 11), ("b", 1, 5), ("b", 2, 5)],
+        "g string, t int, v int",
+    )
+    bad = monotonic_by(mono, "t", "v", ["g"]).collect()
+    assert len(bad) == 1 and bad[0]["g"] == "a" and bad[0]["at"] == "3"
