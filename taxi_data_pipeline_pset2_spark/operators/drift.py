@@ -1,0 +1,154 @@
+"""Distribution-drift and association audits: PSI between two
+snapshots of a categorical column, and chi-square / Cramer's V between
+two categorical columns.
+
+The monitoring layer a production pipeline runs next to the dbt-style
+row tests (quality.py): row tests catch broken VALUES, these catch
+broken DISTRIBUTIONS -- an upstream feed silently shifting its
+category mix passes every not_null/accepted_values test and still
+wrecks a model trained on last month's mix. PSI is the standard drift
+gate (banking/model-monitoring folklore thresholds: <0.1 stable,
+0.1-0.25 drifting, >0.25 shifted); Cramer's V is the scale-free
+association strength used for feature redundancy screens.
+
+Determinism: counts are exact integers; each cell/category contribution
+is rounded once to integer millionths and summed as integers (the
+lm_score discipline), so totals hash-match a DuckDB twin under any
+partitioning.
+
+Plan shapes: one hash aggregate per side (category-cardinality-sized
+results), a category-keyed full outer join (broadcast-sized), fixed
+projections. Nothing corpus-shaped is shuffled twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def psi_categorical(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-category PSI breakdown: (category, n_expected, n_actual,
+    psi_contrib) with psi_contrib = (pa - pe) * ln(pa / pe) in 6-dp;
+    proportions use add-``smoothing`` so a category present on only one
+    side contributes a finite, large term instead of infinity. Total
+    PSI = sum(psi_contrib) (driver-side or one more aggregate).
+
+    NULL category is a legitimate cohort (NULL-safe join key)."""
+    e = expected.groupBy(F.col(col).alias("category")).agg(
+        F.count("*").cast("bigint").alias("n_expected")
+    )
+    a = actual.groupBy(F.col(col).alias("category")).agg(
+        F.count("*").cast("bigint").alias("n_actual")
+    )
+    joined = e.withColumnRenamed("category", "_ce").join(
+        a.withColumnRenamed("category", "_ca"),
+        F.col("_ce").eqNullSafe(F.col("_ca")),
+        "full_outer",
+    )
+    ne = F.coalesce(F.col("n_expected"), F.lit(0))
+    na = F.coalesce(F.col("n_actual"), F.lit(0))
+    cats = joined.select(
+        F.coalesce(F.col("_ce"), F.col("_ca")).alias("category"),
+        ne.alias("n_expected"),
+        na.alias("n_actual"),
+    )
+    # totals via window-free broadcast: the category frame is tiny, one
+    # grouped aggregate + crossJoin keeps the plan join-shaped
+    totals = cats.agg(
+        F.sum("n_expected").alias("_te"),
+        F.sum("n_actual").alias("_ta"),
+        F.count("*").alias("_k"),
+    )
+    j = cats.crossJoin(F.broadcast(totals))
+    pe = (F.col("n_expected") + F.lit(smoothing)) / (
+        F.col("_te") + F.lit(smoothing) * F.col("_k")
+    )
+    pa = (F.col("n_actual") + F.lit(smoothing)) / (
+        F.col("_ta") + F.lit(smoothing) * F.col("_k")
+    )
+    contrib = (pa - pe) * F.log(pa / pe)
+    return j.select(
+        "category",
+        "n_expected",
+        "n_actual",
+        (
+            F.round(contrib * SCALE).cast("bigint").cast("double") / SCALE
+        ).alias("psi_contrib"),
+    )
+
+
+def psi_total(
+    expected: DataFrame, actual: DataFrame, col: str, smoothing: float = 0.5
+) -> float:
+    """Scalar PSI (sum of 6-dp contributions -- an exact integer sum in
+    millionths, so the total is partitioning-independent)."""
+    rows = (
+        psi_categorical(expected, actual, col, smoothing)
+        .agg(
+            F.sum(F.round(F.col("psi_contrib") * SCALE).cast("bigint")).alias("s")
+        )
+        .first()
+    )
+    return (rows["s"] or 0) / SCALE
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """One-row association audit: (n, df_a, df_b, chi2, cramers_v) for
+    two categorical columns. chi2 = sum (o - e)^2 / e over the
+    contingency table with e = row_total * col_total / n; V =
+    sqrt(chi2 / (n * (min(k_a, k_b) - 1))), both 6-dp. One contingency
+    aggregate + two marginal aggregates (all category-sized), broadcast
+    joins, integer-millionths cell sums."""
+    cells = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    # distinct renames break cells/ra/cb lineage ambiguity (all three
+    # derive from the same aggregate)
+    ra = cells.groupBy(F.col("_a").alias("_ga")).agg(F.sum("o").alias("row_n"))
+    cb = cells.groupBy(F.col("_b").alias("_gb")).agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("_a").alias("ka"),
+        F.countDistinct("_b").alias("kb"),
+    )
+    # the FULL ka x kb grid: zero cells contribute (0 - e)^2 / e = e to
+    # chi2 and must not vanish just because no row hit them (a perfect
+    # 2x2 association would otherwise score V = 0.707, not 1)
+    grid = ra.crossJoin(F.broadcast(cb))
+    j = (
+        grid.join(
+            cells,
+            F.col("_ga").eqNullSafe(F.col("_a"))
+            & F.col("_gb").eqNullSafe(F.col("_b")),
+            "left",
+        )
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("row_n") * F.col("col_n") / F.col("n")
+    cell_m = F.round((F.col("o") - e) * (F.col("o") - e) / e * SCALE).cast("bigint")
+    agg = j.agg(
+        F.first("n").alias("n"),
+        F.first("ka").alias("ka"),
+        F.first("kb").alias("kb"),
+        F.sum(cell_m).alias("_chi2_m"),
+    )
+    chi2 = F.col("_chi2_m").cast("double") / SCALE
+    denom = F.col("n") * (F.least("ka", "kb") - F.lit(1))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("ka") - 1).cast("bigint").alias("df_a"),
+        (F.col("kb") - 1).cast("bigint").alias("df_b"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.when(denom > 0, F.sqrt(chi2 / denom)), 6
+        ).alias("cramers_v"),
+    )

@@ -1216,3 +1216,85 @@ def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         ["o_orderpriority"],
     ).orderBy("o_orderpriority")
+
+
+# ---- distribution drift + association ------------------------------------
+
+_PSI_ORACLE = """
+    WITH e AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_expected
+               FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+    a AS (SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_actual
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+    cats AS (
+        SELECT coalesce(e.category, a.category) AS category,
+               coalesce(n_expected, 0) AS n_expected,
+               coalesce(n_actual, 0) AS n_actual
+        FROM e FULL OUTER JOIN a ON e.category IS NOT DISTINCT FROM a.category
+    ),
+    tot AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta, count(*) AS k FROM cats)
+    SELECT category, n_expected, n_actual,
+           CAST(round((( (n_actual + 0.5) / (ta + 0.5 * k)
+                       - (n_expected + 0.5) / (te + 0.5 * k))
+                      * ln(((n_actual + 0.5) / (ta + 0.5 * k))
+                           / ((n_expected + 0.5) / (te + 0.5 * k)))) * 1000000)
+                AS BIGINT) / 1000000.0 AS psi_contrib
+    FROM cats, tot
+    ORDER BY category
+"""
+
+
+@query("lang_distribution_psi", oracle=_PSI_ORACLE, tags=("drift", "quality"))
+def lang_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per language between two corpus halves
+    (operators/drift.py psi_categorical): the distribution-drift gate a
+    pipeline runs next to its row tests. Category-sized aggregates +
+    one NULL-safe full outer join, integer-millionths contributions."""
+    from taxi_data_pipeline_pset2_spark.operators.drift import psi_categorical
+
+    docs = t(spark, sf_dir, "documents")
+    return psi_categorical(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    ).orderBy("category")
+
+
+_CRAMERS_ORACLE = """
+    WITH cells AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b, CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY a, b
+    ),
+    ra AS (SELECT a, sum(o) AS row_n FROM cells GROUP BY a),
+    cb AS (SELECT b, sum(o) AS col_n FROM cells GROUP BY b),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM cells),
+    grid AS (SELECT ra.a, ra.row_n, cb.b, cb.col_n FROM ra CROSS JOIN cb),
+    full_cells AS (
+        SELECT g.a, g.b, g.row_n, g.col_n, coalesce(c.o, 0) AS o
+        FROM grid g LEFT JOIN cells c
+          ON g.a IS NOT DISTINCT FROM c.a AND g.b IS NOT DISTINCT FROM c.b
+    ),
+    contrib AS (
+        SELECT CAST(round((f.o - f.row_n * f.col_n / tot.n)
+                          * (f.o - f.row_n * f.col_n / tot.n)
+                          / (f.row_n * f.col_n / tot.n) * 1000000) AS BIGINT) AS m
+        FROM full_cells f, tot
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(tot.ka - 1 AS BIGINT) AS df_a,
+           CAST(tot.kb - 1 AS BIGINT) AS df_b,
+           round((SELECT sum(m) FROM contrib) / 1000000.0, 6) AS chi2,
+           round(sqrt(((SELECT sum(m) FROM contrib) / 1000000.0)
+                      / (tot.n * (least(tot.ka, tot.kb) - 1))), 6) AS cramers_v
+    FROM tot
+"""
+
+
+@query("status_priority_association", oracle=_CRAMERS_ORACLE, tags=("drift", "stats"))
+def status_priority_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square / Cramer's V between order status and priority
+    (operators/drift.py cramers_v): the scale-free association screen.
+    One contingency aggregate + marginals, broadcast joins,
+    integer-millionths cell sums."""
+    from taxi_data_pipeline_pset2_spark.operators.drift import cramers_v
+
+    return cramers_v(t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")

@@ -1,0 +1,69 @@
+"""PSI and Cramer's V semantics vs scipy-free hand references."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from taxi_data_pipeline_pset2_spark.operators.drift import (
+    cramers_v,
+    psi_categorical,
+    psi_total,
+)
+
+
+def _cat_df(spark, pairs):
+    return spark.createDataFrame([(c,) for c in pairs], "lang string")
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    d = _cat_df(spark, ["a"] * 10 + ["b"] * 30)
+    assert psi_total(d, d, "lang") == 0.0
+
+
+def test_psi_matches_hand_reference_and_handles_one_sided(spark):
+    exp = _cat_df(spark, ["a"] * 8 + ["b"] * 2)
+    act = _cat_df(spark, ["a"] * 2 + ["b"] * 6 + ["c"] * 2)
+    rows = {r.category: r for r in psi_categorical(exp, act, "lang").collect()}
+    # hand reference with add-0.5 smoothing over k=3 categories
+    te, ta, k = 10, 10, 3
+    for cat, ne, na in (("a", 8, 2), ("b", 2, 6), ("c", 0, 2)):
+        pe = (ne + 0.5) / (te + 0.5 * k)
+        pa = (na + 0.5) / (ta + 0.5 * k)
+        want = round((pa - pe) * math.log(pa / pe), 6)
+        assert rows[cat].psi_contrib == pytest.approx(want, abs=1e-6)
+        assert (rows[cat].n_expected, rows[cat].n_actual) == (ne, na)
+    assert psi_total(exp, act, "lang") == pytest.approx(
+        sum(r.psi_contrib for r in rows.values()), abs=1e-6
+    )
+    # shifted mix crosses the 0.25 "major shift" folklore threshold
+    assert psi_total(exp, act, "lang") > 0.25
+
+
+def test_psi_null_category_is_a_cohort(spark):
+    exp = _cat_df(spark, ["a", None, None])
+    act = _cat_df(spark, ["a", "a", None])
+    rows = {r.category: r for r in psi_categorical(exp, act, "lang").collect()}
+    assert rows[None].n_expected == 2 and rows[None].n_actual == 1
+    assert len(rows) == 2
+
+
+def test_cramers_v_extremes(spark):
+    # perfect association: b == a
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string"
+    )
+    r = cramers_v(perfect, "a", "b").collect()[0]
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-6)
+    assert r.chi2 == pytest.approx(10.0, abs=1e-6)  # chi2 = n for 2x2 perfect
+    # independence: uniform product table
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "a string, b string",
+    )
+    r2 = cramers_v(indep, "a", "b").collect()[0]
+    assert r2.chi2 == 0.0 and r2.cramers_v == 0.0
+    # degenerate: single category on one side -> NULL V
+    degen = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    assert cramers_v(degen, "a", "b").collect()[0].cramers_v is None
