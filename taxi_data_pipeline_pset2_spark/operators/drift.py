@@ -152,3 +152,29 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.when(denom > 0, F.sqrt(chi2 / denom)), 6
         ).alias("cramers_v"),
     )
+
+
+def psi_numeric(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI for a numeric column: bin BOTH frames by the EXPECTED side's
+    quantile boundaries (the reference distribution defines the bins --
+    binning each side by its own quantiles would define drift away),
+    then run the categorical PSI over bin ids. Boundaries come from the
+    mergeable approxQuantile sketch; NULL values form their own bin."""
+    probs = [i / bins for i in range(1, bins)]
+    bounds = sorted(set(expected.stat.approxQuantile(col, probs, 0.001)))
+
+    def assign(df: DataFrame) -> DataFrame:
+        cell = F.lit(0).cast("int")
+        for b in bounds:
+            cell = cell + (F.col(col).cast("double") > F.lit(float(b))).cast("int")
+        return df.select(
+            F.when(F.col(col).isNotNull(), cell).alias("_bin")
+        )
+
+    return psi_categorical(assign(expected), assign(actual), "_bin", smoothing)

@@ -67,3 +67,21 @@ def test_cramers_v_extremes(spark):
     # degenerate: single category on one side -> NULL V
     degen = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
     assert cramers_v(degen, "a", "b").collect()[0].cramers_v is None
+
+
+def test_psi_numeric_detects_shift_and_not_identity(spark):
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.drift import psi_numeric
+
+    base = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = psi_numeric(base, base, "v", bins=5)
+    total_same = sum(r.psi_contrib for r in same.collect())
+    assert abs(total_same) < 1e-9
+    shifted = base.select((F.col("v") + 60.0).alias("v"))
+    total_shift = sum(r.psi_contrib for r in psi_numeric(base, shifted, "v", bins=5).collect())
+    assert total_shift > 0.25
+    # NULLs form their own bin on both sides
+    with_null = base.union(spark.createDataFrame([(None,)], "v double"))
+    rows = {r.category for r in psi_numeric(with_null, with_null, "v", bins=5).collect()}
+    assert None in rows
