@@ -82,21 +82,38 @@ def clustering_demo(
     the scan-bound regime a real cluster lives in) and warm best-of-3
     are reported; the headline ``speedup`` is the cold one, with the
     warm pair alongside, and the BYTES each layout must read."""
+    import json as _json
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from taxi_data_pipeline_pset2_spark.sources.readers import load_table
     from taxi_data_pipeline_pset2_spark.sources.sinks import clustered_write
 
-    tmp = tempfile.mkdtemp(prefix="bench_clustered_")
+    # The two written layouts are a pure function of (sf_dir, scale,
+    # n_flat_files, n_clustered_files): cache them across bench runs
+    # (VERDICT r5 item #6 -- the one-off writes were the dominant bench
+    # wall-clock). A _complete.json marker written AFTER both layouts
+    # makes a torn cache impossible; a parameter change keys a new dir.
+    # The READ measurements below are unaffected: they always run fresh
+    # against whichever files exist, with the page cache dropped.
+    cache_key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_s{scale}_f{n_flat_files}_c{n_clustered_files}"
+    )
+    tmp = os.path.join("/tmp/spark_graft_bench_cache", cache_key)
+    os.makedirs(tmp, exist_ok=True)
     flat_path = os.path.join(tmp, "orders_unclustered")
     clus_path = os.path.join(tmp, "orders_clustered")
+    marker = os.path.join(tmp, "_complete.json")
     try:
         orders = load_table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate")
         )
+        cached = os.path.exists(marker)
+        if not cached:
+            shutil.rmtree(flat_path, ignore_errors=True)
+            shutil.rmtree(clus_path, ignore_errors=True)
         # Repartition the SMALL base before the explode: the flat layout
         # needs every file to span the full date range, which a random
         # shuffle of the 150k-row base already guarantees -- shuffling
@@ -145,18 +162,29 @@ def clustering_demo(
             .withColumn("o_orderkey", _h(F.col("o_orderkey")))
             .drop("_rep")
         )
-        t0 = time.perf_counter()
-        scaled.write.mode("overwrite").parquet(flat_path)
-        flat_write_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        clustered_write(
-            spark.read.parquet(flat_path),
-            clus_path,
-            partition_by=("o_year",),
-            sort_by=("o_orderdate",),
-            n_files=n_clustered_files,
-        )
-        write_sec = time.perf_counter() - t0
+        if cached:
+            with open(marker) as f:
+                m_ = _json.load(f)
+            flat_write_sec, write_sec = m_["flat_write_sec"], m_["clustered_write_sec"]
+        else:
+            t0 = time.perf_counter()
+            scaled.write.mode("overwrite").parquet(flat_path)
+            flat_write_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            clustered_write(
+                spark.read.parquet(flat_path),
+                clus_path,
+                partition_by=("o_year",),
+                sort_by=("o_orderdate",),
+                n_files=n_clustered_files,
+            )
+            write_sec = time.perf_counter() - t0
+            with open(marker + ".tmp", "w") as f:
+                _json.dump(
+                    {"flat_write_sec": round(flat_write_sec, 4),
+                     "clustered_write_sec": round(write_sec, 4)}, f,
+                )
+            os.rename(marker + ".tmp", marker)
 
         # The reference's timed query targets a CONSTANT date range
         # (``WHERE pickup_date IN 2020`` against date-granular
@@ -247,6 +275,7 @@ def clustering_demo(
         )
         out["flat_write_sec"] = round(flat_write_sec, 4)
         out["clustered_write_sec"] = round(write_sec, 4)
+        out["writes_cached"] = cached
         out["scale"] = scale
 
         def _dir_bytes(d: str) -> int:
@@ -325,7 +354,11 @@ def clustering_demo(
         )
         return out
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        # keep the cache for the next run; only a half-built (unmarked)
+        # cache is removed so a crashed write can never be mistaken for
+        # a complete layout
+        if not os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def merge_demo(spark, sf_dir: str) -> dict:

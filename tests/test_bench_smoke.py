@@ -85,3 +85,27 @@ def test_compact_summary_fits_driver_tail():
     line2 = compact_summary(result)
     assert len(line2.encode()) <= 1024
     assert json.loads(line2)["clustering"]["error"].startswith("E")
+
+
+def test_clustering_demo_cache_roundtrip(spark, tmp_path, monkeypatch):
+    """Second run with identical parameters must reuse the written
+    layouts (writes_cached=True, same reported write times) and still
+    produce fresh read measurements; a missing marker forces a rebuild."""
+    import os
+    import shutil
+
+    from bench import clustering_demo
+
+    cache_root = "/tmp/spark_graft_bench_cache"
+    key = f"{os.path.basename(os.path.normpath(SF_SMOKE_DIR))}_s4_f4_c192"
+    shutil.rmtree(os.path.join(cache_root, key), ignore_errors=True)
+
+    first = clustering_demo(spark, SF_SMOKE_DIR, scale=4, n_flat_files=4)
+    assert first["writes_cached"] is False
+    second = clustering_demo(spark, SF_SMOKE_DIR, scale=4, n_flat_files=4)
+    assert second["writes_cached"] is True
+    assert second["flat_write_sec"] == first["flat_write_sec"]
+    assert second["clustered_write_sec"] == first["clustered_write_sec"]
+    assert second["flat_bytes_read"] == first["flat_bytes_read"]
+    assert second["flat_sec"] > 0  # reads re-measured, not replayed
+    shutil.rmtree(os.path.join(cache_root, key), ignore_errors=True)
