@@ -85,3 +85,86 @@ def scd2_as_of(
         (F.col(ts_from) <= t_)
         & (F.col(ts_to).isNull() | (t_ < F.col(ts_to)))
     )
+
+
+def scd2_apply_snapshot(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    as_of,
+) -> DataFrame:
+    """Incrementally apply one new full snapshot (taken at ``as_of``,
+    strictly after every existing version start) to SCD2 history --
+    without rescanning prior snapshots. The maintenance twin of
+    :func:`scd2_from_snapshots`: applying snapshots one at a time yields
+    exactly the frame a full rebuild over all snapshots yields (the
+    catalog oracle pins this equality).
+
+    Semantics per key (matching the rebuild):
+    - present in both, attributes NULL-safe equal: current row unchanged;
+    - present in both, any attribute differs: current row closes at
+      ``as_of`` and a new open version starts there;
+    - new key: one open version from ``as_of``;
+    - key absent from the snapshot: its open row stays open (a full
+      snapshot that drops a key simply contributes no observation --
+      same as the rebuild, where the key's series just ends).
+
+    One join of the CURRENT rows against the snapshot (both sides
+    key-partitioned; closed history is untouched, appended back as-is)
+    -- at 100 TB the nightly cost is the current-rows join, never the
+    history rescan."""
+    t_ = F.lit(as_of).cast("timestamp")
+    cur = history.filter(F.col("is_current"))
+    closed = history.filter(~F.col("is_current"))
+
+    # NULL keys are a legitimate cohort: presence on each side rides as
+    # a literal marker (key nullness can't distinguish "absent" from
+    # "NULL-keyed"), and the join condition is NULL-safe
+    snap = snapshot.select(
+        F.lit(True).alias("_in_snap"),
+        *[F.col(k).alias(f"_sk_{k}") for k in key_cols],
+        *[F.col(a).alias(f"_sa_{a}") for a in attr_cols],
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(k).eqNullSafe(F.col(f"_sk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = cur.withColumn("_in_hist", F.lit(True)).join(snap, cond, "full_outer")
+    in_hist = F.coalesce(F.col("_in_hist"), F.lit(False))
+    in_snap = F.coalesce(F.col("_in_snap"), F.lit(False))
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.col(f"_sa_{a}"))
+
+    keys_out = [
+        F.coalesce(F.col(k), F.col(f"_sk_{k}")).alias(k) for k in key_cols
+    ]
+    # unchanged current rows + keys absent from the snapshot: pass through
+    keep = j.filter(in_hist & (~in_snap | ~changed)).select(
+        *keys_out, *attr_cols, "effective_from", "effective_to", "is_current"
+    )
+    # changed keys: close the old version at as_of
+    close = j.filter(in_hist & in_snap & changed).select(
+        *keys_out,
+        *attr_cols,
+        "effective_from",
+        t_.alias("effective_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # changed + brand-new keys: open a version at as_of
+    opened = j.filter(in_snap & (~in_hist | changed)).select(
+        *keys_out,
+        *[F.col(f"_sa_{a}").alias(a) for a in attr_cols],
+        t_.alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cols = [*key_cols, *attr_cols, "effective_from", "effective_to", "is_current"]
+    return (
+        closed.select(*cols)
+        .unionByName(keep.select(*cols))
+        .unionByName(close.select(*cols))
+        .unionByName(opened.select(*cols))
+    )

@@ -1298,3 +1298,45 @@ def status_priority_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_pipeline_pset2_spark.operators.drift import cramers_v
 
     return cramers_v(t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+# ---- incremental SCD2 maintenance -----------------------------------------
+
+
+from taxi_data_pipeline_pset2_spark.queries import families as _families  # noqa: E402
+
+
+@query("scd2_incremental_apply", oracle=_families._SCD_ORACLE, tags=("scd", "cdc"))
+def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained SCD2 (plans/scd.py scd2_apply_snapshot):
+    history built from the first two customer snapshots, the third
+    applied as a delta -- by construction it must equal the scd2_history
+    full rebuild, and the shared oracle pins exactly that."""
+    from taxi_data_pipeline_pset2_spark.plans.scd import (
+        scd2_apply_snapshot,
+        scd2_from_snapshots,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+
+    def snap(ts: str, div: int):
+        return cust.select(
+            "c_custkey",
+            F.lit(ts).cast("timestamp").alias("snapshot_ts"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / div).cast("bigint").alias("bal_bucket"),
+        )
+
+    base = scd2_from_snapshots(
+        snap("2024-01-01", 1000).unionByName(snap("2024-02-01", 1000)),
+        ["c_custkey"],
+        ["segment", "bal_bucket"],
+        "snapshot_ts",
+    )
+    return scd2_apply_snapshot(
+        base,
+        snap("2024-03-01", 500).drop("snapshot_ts"),
+        ["c_custkey"],
+        ["segment", "bal_bucket"],
+        "2024-03-01",
+    )

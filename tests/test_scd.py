@@ -115,3 +115,52 @@ def test_as_of_reconstruction_is_identity_at_snapshot_times(spark):
     assert at("2024-03-01") == {(1, "y"), (2, "q"), (3, "m")}
     assert at("2030-01-01") == {(1, "y"), (2, "q"), (3, "m")}  # current
     assert at("2023-12-31") == set()
+
+
+def test_apply_snapshot_chain_equals_rebuild(spark):
+    """Applying snapshots one at a time == rebuilding from all of them,
+    incl. new keys, attribute changes, NULL attrs/keys, and a key that
+    disappears then returns unchanged."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.plans.scd import (
+        scd2_apply_snapshot,
+        scd2_from_snapshots,
+    )
+
+    snaps = {
+        "2024-01-01": [(1, "x"), (2, "p"), (None, "n1")],
+        "2024-02-01": [(1, "y"), (2, "p"), (3, "m"), (None, "n2")],
+        "2024-03-01": [(1, "y"), (2, None), (3, "m"), (None, "n2")],
+    }
+
+    def snap_df(ts):
+        return spark.createDataFrame(
+            [(k, ts, a) for k, a in snaps[ts]], "k int, ts string, attr string"
+        ).select("k", F.col("ts").cast("timestamp").alias("snapshot_ts"), "attr")
+
+    all_snaps = None
+    for ts in snaps:
+        all_snaps = snap_df(ts) if all_snaps is None else all_snaps.unionByName(snap_df(ts))
+    rebuilt = scd2_from_snapshots(all_snaps, ["k"], ["attr"])
+
+    ts_list = list(snaps)
+    hist = scd2_from_snapshots(snap_df(ts_list[0]), ["k"], ["attr"])
+    for ts in ts_list[1:]:
+        hist = scd2_apply_snapshot(
+            hist, snap_df(ts).drop("snapshot_ts"), ["k"], ["attr"], ts
+        )
+
+    def canon(df):
+        return {
+            (r.k, r.attr, str(r.effective_from), str(r.effective_to), r.is_current)
+            for r in df.collect()
+        }
+
+    assert canon(hist) == canon(rebuilt)
+    # the disappearing-key scenario: drop key 2 in an extra snapshot;
+    # its open row must survive untouched
+    extra = spark.createDataFrame([(1, "y"), (3, "m")], "k int, attr string")
+    hist2 = scd2_apply_snapshot(hist, extra, ["k"], ["attr"], "2024-04-01")
+    k2 = [r for r in hist2.collect() if r.k == 2 and r.is_current]
+    assert len(k2) == 1 and k2[0].attr is None
