@@ -1,0 +1,71 @@
+"""PCA vs numpy on the collected vectors, projection geometry,
+normalization expression semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.operators.pca import (
+    fit_pca,
+    l2_normalize,
+    project_pca,
+)
+from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+
+def test_fit_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=4)
+    X = np.array([r["embedding"] for r in emb.select("embedding").collect()])
+    mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    assert np.allclose(model.mean, mean, atol=1e-9)
+    for i, j in enumerate(order):
+        v = evecs[:, j]
+        jj = int(np.argmax(np.abs(v)))
+        if v[jj] < 0:
+            v = -v
+        assert np.allclose(model.components[i], v, atol=1e-7), i
+    assert model.explained_variance_ratio == sorted(
+        model.explained_variance_ratio, reverse=True
+    )
+    assert 0 < sum(model.explained_variance_ratio) <= 1 + 1e-9
+    assert model.n == len(X)
+
+
+def test_projection_geometry(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    model = fit_pca(emb, k=3)
+    proj = {r.vec_id: np.array(r.pca) for r in project_pca(emb, model).collect()}
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    comps = np.array(model.components)
+    mean = np.array(model.mean)
+    for vid in list(proj)[:20]:
+        assert np.allclose(proj[vid], (X[vid] - mean) @ comps.T, atol=1e-9)
+    # components are orthonormal
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+
+
+def test_fit_validation(spark):
+    one = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least 2"):
+        fit_pca(one, k=1)
+    with pytest.raises(ValueError, match="exceeds"):
+        fit_pca(one.union(one), k=5)
+    with pytest.raises(ValueError, match="k must"):
+        fit_pca(one, k=0)
+
+
+def test_l2_normalize_expression(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],
+        "id int, embedding array<double>",
+    )
+    out = {r.id: r.nrm for r in df.select("id", l2_normalize().alias("nrm")).collect()}
+    assert out[1] == [0.6, 0.8]
+    assert out[2] == [0.0, 0.0]  # zero vector untouched, no div-by-zero
+    assert out[3] is None
