@@ -69,3 +69,29 @@ def test_l2_normalize_expression(spark):
     assert out[1] == [0.6, 0.8]
     assert out[2] == [0.0, 0.0]  # zero vector untouched, no div-by-zero
     assert out[3] is None
+
+
+def test_pca_feeds_semdedup_pipeline(spark, sf_dir):
+    """Composition: PCA-reduce 64-dim embeddings to 8 dims and run
+    SemDeDup on the projections -- the standard cost reduction (cosine
+    kernels on 8 floats instead of 64). Planted near-duplicates must
+    still collapse in the reduced space."""
+    from taxi_data_pipeline_pset2_spark.operators.semdedup import semantic_dedup
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(150)
+    # plant exact duplicates with shifted ids
+    dup = base.limit(10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(dup)
+    model = fit_pca(emb, k=8)
+    reduced = project_pca(emb, model).withColumnRenamed("pca", "embedding")
+    survivors = semantic_dedup(reduced, k=4, threshold=0.999)
+    ids = {r.vec_id for r in survivors.select("vec_id").collect()}
+    # each planted pair collapsed to one survivor
+    base_ids = {r.vec_id for r in base.limit(10).select("vec_id").collect()}
+    for b in base_ids:
+        assert (b in ids) != (b + 1_000_000 in ids), b
+    assert len(ids) <= 150
