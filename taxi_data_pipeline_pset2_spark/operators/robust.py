@@ -343,3 +343,37 @@ def weighted_percentile(
             F.col(value_col).cast("double").alias(f"wp_{value_col}"),
         )
     )
+
+
+def impute_group_median(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+    exact: bool = True,
+    flag: bool = False,
+) -> DataFrame:
+    """Fill NULL ``value_col`` with the group's median (exact
+    PERCENTILE_CONT or the GK sketch) -- the repair twin of
+    :func:`winsorize`: same broadcast-back plan (one group-sized
+    aggregate, NULL-safe join, projection). A group whose values are ALL
+    NULL has no median and its rows stay NULL. ``flag=True`` adds
+    ``__imputed``."""
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    if exact:
+        med = F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5D)")
+    else:
+        med = F.percentile_approx(v, F.lit(0.5), F.lit(APPROX_ACCURACY))
+    stats = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(
+        med.alias("__med")
+    )
+    joined = _nullsafe_broadcast_join(df, stats, group_cols)
+    out = joined
+    if flag:
+        out = out.withColumn(
+            "__imputed", v.isNull() & F.col("__med").isNotNull()
+        )
+    return out.withColumn(
+        out_col or value_col, F.coalesce(v, F.col("__med"))
+    ).drop("__med")

@@ -205,3 +205,24 @@ def test_percentile_rank_blend_grouped(spark):
     assert got[("a", 1.0)] == 0.0 and got[("a", 3.0)] == 1.0
     assert got[("a", 2.0)] == 0.5
     assert got[("b", 10.0)] == 0.0 and got[("b", 30.0)] == 1.0
+
+
+def test_impute_group_median(spark):
+    from taxi_data_pipeline_pset2_spark.operators.robust import (
+        impute_group_median,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", None),
+        ("b", 10.0), ("b", None),
+        (None, 7.0), (None, None),   # NULL group key is a cohort
+        ("empty", None),             # all-NULL group: stays NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = impute_group_median(df, "v", ["g"], flag=True)
+    got = {(r["g"], r["v"], r["__imputed"]) for r in out.collect()}
+    assert ("a", 2.0, True) in got      # median of {1,3}
+    assert ("b", 10.0, True) in got
+    assert (None, 7.0, True) in got
+    assert ("empty", None, False) in got
+    assert out.count() == 8
