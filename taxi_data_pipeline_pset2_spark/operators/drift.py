@@ -114,10 +114,18 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     # derive from the same aggregate)
     ra = cells.groupBy(F.col("_a").alias("_ga")).agg(F.sum("o").alias("row_n"))
     cb = cells.groupBy(F.col("_b").alias("_gb")).agg(F.sum("o").alias("col_n"))
+    # ka/kb must count NULL as a category: the grid and chi2 include
+    # NULL-keyed cells (eqNullSafe joins), so countDistinct alone (which
+    # drops NULL) would undercount the table dimensions -- V could
+    # exceed 1, or go NULL for a {NULL, x} two-category column.
     tot = cells.agg(
         F.sum("o").alias("n"),
-        F.countDistinct("_a").alias("ka"),
-        F.countDistinct("_b").alias("kb"),
+        (
+            F.countDistinct("_a") + F.max(F.col("_a").isNull().cast("int"))
+        ).alias("ka"),
+        (
+            F.countDistinct("_b") + F.max(F.col("_b").isNull().cast("int"))
+        ).alias("kb"),
     )
     # the FULL ka x kb grid: zero cells contribute (0 - e)^2 / e = e to
     # chi2 and must not vanish just because no row hit them (a perfect

@@ -39,20 +39,40 @@ class PCAModel:
     n: int
 
 
-def fit_pca(
-    emb: DataFrame, k: int, vec_col: str = "embedding"
-) -> PCAModel:
-    """Fit top-``k`` principal components. One corpus scan; the reduce
-    payload is one (1 + D + D*D)-float row per partition."""
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("empty input")
-    d = first["d"]
-    if k > d:
-        raise ValueError(f"k={k} exceeds dimension {d}")
+# second level of the moment reduce: partials re-sum Arrow-side down to
+# this many partitions before collect, so driver traffic is O(D^2), not
+# O(corpus_partitions x D^2) -- at D=1024 on 10^5 partitions the naive
+# collect would ship hundreds of GB to the driver.
+_COMBINE_PARTITIONS = 32
 
+
+def _validated_dim(emb: DataFrame, vec_col: str) -> int:
+    """One aggregate validating the embedding column before any kernel
+    runs: no NULL vectors, uniform dimension. A NULL or ragged column
+    would otherwise surface as an opaque numpy shape/object-dtype error
+    inside mapInPandas."""
+    row = emb.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("nulls"),
+        F.min(F.size(vec_col)).alias("dmin"),
+        F.max(F.size(vec_col)).alias("dmax"),
+    ).first()
+    if row["n"] == 0:
+        raise ValueError("empty input")
+    if row["nulls"]:
+        raise ValueError(
+            f"{vec_col} has {row['nulls']} NULL vectors; filter or impute first"
+        )
+    if row["dmin"] != row["dmax"]:
+        raise ValueError(
+            f"{vec_col} dimensions vary: min {row['dmin']}, max {row['dmax']}"
+        )
+    return int(row["dmax"])
+
+
+def _moments(emb: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """(n, sum x, sum x x^T) partials: one row per input partition,
+    tree-combined down to <= _COMBINE_PARTITIONS rows before collect."""
     schema = "n long, s array<double>, ss array<double>"
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -70,7 +90,37 @@ def fit_pca(
                 {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
             )
 
-    rows = emb.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(d)
+        ss = np.zeros(d * d)
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                n += int(r["n"])
+                s += np.asarray(r["s"], dtype=np.float64)
+                ss += np.asarray(r["ss"], dtype=np.float64)
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]}
+            )
+
+    part = emb.select(vec_col).mapInPandas(partials, schema=schema)
+    return part.coalesce(_COMBINE_PARTITIONS).mapInPandas(combine, schema=schema)
+
+
+def fit_pca(
+    emb: DataFrame, k: int, vec_col: str = "embedding"
+) -> PCAModel:
+    """Fit top-``k`` principal components. One corpus scan; the reduce
+    payload is one (1 + D + D*D)-float row per partition, tree-combined
+    to <= _COMBINE_PARTITIONS rows before the driver collect."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    d = _validated_dim(emb, vec_col)
+    if k > d:
+        raise ValueError(f"k={k} exceeds dimension {d}")
+
+    rows = _moments(emb, vec_col, d).collect()
     if not rows:
         raise ValueError("empty input")
     # combine in a fixed (sorted) order so the driver-side sum is

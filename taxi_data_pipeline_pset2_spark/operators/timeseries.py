@@ -85,17 +85,35 @@ def resample_locf(
             *[fn(c).alias(c) for c in value_cols]
         )
     spine = time_spine(df, key_cols, ts_col, step).withColumnRenamed("ts", "_bucket")
-    joined = spine.join(per_bucket, [*key_cols, "_bucket"], "left")
+    # join-presence marker, NOT value-nullness: a bucket whose observed
+    # value is NULL is an observation (is_filled must stay False and the
+    # NULL must survive -- see the no-overwrite guard below), and with
+    # several value_cols the first column's nullness says nothing about
+    # the others.
+    joined = spine.join(
+        per_bucket.withColumn("_present", F.lit(True)),
+        [*key_cols, "_bucket"],
+        "left",
+    )
     wfill = (
         Window.partitionBy(*key_cols)
         .orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = joined.withColumn(
-        "is_filled", F.col(value_cols[0]).isNull()
+        "is_filled", ~F.coalesce(F.col("_present"), F.lit(False))
     )
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(wfill))
+        # struct-pack so last(ignorenulls) skips EMPTY buckets but still
+        # carries an observed NULL forward (the observation is the fact;
+        # its value may legitimately be NULL)
+        carried = F.last(
+            F.when(F.col("_present"), F.struct(F.col(c).alias("v"))),
+            ignorenulls=True,
+        ).over(wfill)
+        out = out.withColumn(
+            c, F.when(F.col("is_filled"), carried.getField("v")).otherwise(F.col(c))
+        )
     return out.withColumnRenamed("_bucket", ts_col).select(
         *key_cols, ts_col, *value_cols, "is_filled"
     )

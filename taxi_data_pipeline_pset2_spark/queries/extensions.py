@@ -1023,7 +1023,7 @@ _LOCF_ORACLE = """
     WITH ev AS (SELECT user_id, event_id, ts, value FROM events WHERE user_id < 30),
     b AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value FROM ev),
     lastv AS (
-        SELECT user_id, bucket, value FROM (
+        SELECT user_id, bucket, value, TRUE AS present FROM (
             SELECT *, row_number() OVER (PARTITION BY user_id, bucket
                                          ORDER BY ts DESC, event_id DESC) AS rn
             FROM b) WHERE rn = 1
@@ -1033,11 +1033,16 @@ _LOCF_ORACLE = """
                FROM ev GROUP BY user_id),
     spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
               FROM bounds),
-    j AS (SELECT s.user_id, s.bucket, l.value, l.value IS NULL AS is_filled
+    j AS (SELECT s.user_id, s.bucket, l.value,
+                 NOT coalesce(l.present, FALSE) AS is_filled
           FROM spine s LEFT JOIN lastv l USING (user_id, bucket))
     SELECT user_id, bucket AS ts,
-           last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
-                                                ROWS UNBOUNDED PRECEDING) AS value,
+           CASE WHEN is_filled
+                THEN (last_value(CASE WHEN NOT is_filled THEN {'v': value} END
+                                 IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING)).v
+                ELSE value END AS value,
            is_filled
     FROM j
     ORDER BY user_id, ts
@@ -1266,7 +1271,10 @@ _CRAMERS_ORACLE = """
     ),
     ra AS (SELECT a, sum(o) AS row_n FROM cells GROUP BY a),
     cb AS (SELECT b, sum(o) AS col_n FROM cells GROUP BY b),
-    tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM cells),
+    tot AS (SELECT sum(o) AS n,
+                   count(DISTINCT a) + max(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS ka,
+                   count(DISTINCT b) + max(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS kb
+            FROM cells),
     grid AS (SELECT ra.a, ra.row_n, cb.b, cb.col_n FROM ra CROSS JOIN cb),
     full_cells AS (
         SELECT g.a, g.b, g.row_n, g.col_n, coalesce(c.o, 0) AS o

@@ -106,13 +106,24 @@ def read_version(
     return spark.read.parquet(*files)
 
 
-def vacuum(path: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    path: str, keep_last: int = 2, grace_seconds: float = 3600.0
+) -> list[str]:
     """Drop manifests older than the last ``keep_last`` and delete data
     segments no kept manifest references. Returns removed segment dirs.
     Also sweeps orphan segments from crashed writers (data dirs no
-    manifest ever referenced)."""
+    manifest ever referenced) -- but an orphan younger than
+    ``grace_seconds`` is SPARED: a segment fully written whose manifest
+    rename hasn't landed yet is indistinguishable from a crash orphan,
+    so an age grace window (Delta vacuum's retention idea) keeps a
+    vacuum racing a slow in-flight commit from destroying it. Segments
+    referenced by a kept manifest are never age-checked."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if grace_seconds < 0:
+        raise ValueError("grace_seconds must be >= 0")
+    import time
+
     versions = list_versions(path)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     referenced: set[str] = set()
@@ -122,11 +133,19 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
     for v in drop:
         os.remove(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
     removed = []
+    now = time.time()
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):
         for seg in sorted(os.listdir(data_root)):
             seg_path = os.path.join(data_root, seg)
-            if seg_path not in referenced:
-                shutil.rmtree(seg_path, ignore_errors=True)
-                removed.append(seg_path)
+            if seg_path in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(seg_path)
+            except OSError:
+                continue  # concurrently removed
+            if age < grace_seconds:
+                continue  # possibly an in-flight commit
+            shutil.rmtree(seg_path, ignore_errors=True)
+            removed.append(seg_path)
     return removed

@@ -69,6 +69,28 @@ def test_cramers_v_extremes(spark):
     assert cramers_v(degen, "a", "b").collect()[0].cramers_v is None
 
 
+def test_cramers_v_counts_null_as_category(spark):
+    # {NULL, x} vs {p, q} perfect association: before the fix ka came
+    # from countDistinct (1, excluding NULL) so the denominator
+    # n*(min-1) was 0 and V went NULL; with NULL counted it is an exact
+    # 2x2 perfect table -> V = 1, chi2 = n.
+    d = spark.createDataFrame(
+        [("x", "p")] * 4 + [(None, "q")] * 4, "a string, b string"
+    )
+    r = cramers_v(d, "a", "b").collect()[0]
+    assert (r.df_a, r.df_b) == (1, 1)
+    assert r.chi2 == pytest.approx(8.0, abs=1e-6)
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-6)
+    # and V stays bounded <= 1 on a NULL-heavy non-square table
+    d2 = spark.createDataFrame(
+        [("x", "p"), (None, "p"), (None, "q"), ("y", "q"), (None, "r")],
+        "a string, b string",
+    )
+    r2 = cramers_v(d2, "a", "b").collect()[0]
+    assert (r2.df_a, r2.df_b) == (2, 2)
+    assert r2.cramers_v is not None and 0.0 <= r2.cramers_v <= 1.0
+
+
 def test_psi_numeric_detects_shift_and_not_identity(spark):
     from pyspark.sql import functions as F
 

@@ -60,6 +60,41 @@ def test_fit_validation(spark):
         fit_pca(one, k=0)
 
 
+def test_fit_rejects_null_and_ragged_vectors(spark):
+    nulls = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL vectors"):
+        fit_pca(nulls, k=1)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimensions vary"):
+        fit_pca(ragged, k=1)
+
+
+def test_moment_reduce_is_tree_combined(spark, sf_dir):
+    """Driver collect sees <= _COMBINE_PARTITIONS rows even when the
+    corpus has far more partitions (VERDICT r6 #3: O(D^2) driver
+    traffic, not O(partitions x D^2)) -- and the combined fit still
+    matches numpy."""
+    from taxi_data_pipeline_pset2_spark.operators.pca import (
+        _COMBINE_PARTITIONS,
+        _moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(64)
+    mom = _moments(emb, "embedding", 64)
+    assert mom.rdd.getNumPartitions() <= _COMBINE_PARTITIONS
+    assert mom.count() <= _COMBINE_PARTITIONS
+    model = fit_pca(emb, k=2)
+    X = np.array([r["embedding"] for r in emb.select("embedding").collect()])
+    assert np.allclose(model.mean, X.mean(axis=0), atol=1e-9)
+    assert model.n == len(X)
+
+
 def test_l2_normalize_expression(spark):
     df = spark.createDataFrame(
         [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],

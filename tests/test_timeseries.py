@@ -58,6 +58,51 @@ def test_locf_fills_gaps_and_marks_them(spark):
         resample_locf(_ev(spark), ["user_id"], "ts", ["value"], agg="median")
 
 
+def test_locf_observed_null_is_not_filled_and_carries(spark):
+    # hour 0: value 10; hour 1: observed NULL; hour 2: empty.
+    # The NULL observation must keep is_filled=False and keep its NULL
+    # (not be overwritten by hour 0's value), and the empty hour 2 must
+    # carry the LAST OBSERVATION -- the NULL -- forward, not resurrect 10.
+    rows = [
+        (1, 1, "2024-01-01 00:30:00", 10.0),
+        (2, 1, "2024-01-01 01:30:00", None),
+        (3, 1, "2024-01-01 03:30:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        str(r.ts): (r.value, r.is_filled)
+        for r in resample_locf(
+            df, ["user_id"], "ts", ["value"], tie_cols=["event_id"]
+        ).collect()
+    }
+    assert out["2024-01-01 00:00:00"] == (10.0, False)
+    assert out["2024-01-01 01:00:00"] == (None, False)
+    assert out["2024-01-01 02:00:00"] == (None, True)
+    assert out["2024-01-01 03:00:00"] == (7.0, False)
+
+
+def test_locf_multi_value_cols_fill_independently(spark):
+    # is_filled comes from bucket presence, and each value column fills
+    # from its own last observation
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 1.0, 100.0),
+        (2, 1, "2024-01-01 02:00:00", 2.0, 200.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts string, a double, b double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        str(r.ts): (r.a, r.b, r.is_filled)
+        for r in resample_locf(
+            df, ["user_id"], "ts", ["a", "b"], tie_cols=["event_id"]
+        ).collect()
+    }
+    assert out["2024-01-01 01:00:00"] == (1.0, 100.0, True)
+    assert out["2024-01-01 02:00:00"] == (2.0, 200.0, False)
+
+
 def test_locf_agg_modes(spark):
     got = {
         (r.user_id, str(r.ts)): r.value

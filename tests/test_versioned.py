@@ -77,7 +77,7 @@ def test_vacuum_retention_and_orphan_sweep(spark, tmp_path):
     with open(os.path.join(orphan, "part-x.parquet"), "w") as f:
         f.write("junk")
 
-    removed = vacuum(p, keep_last=2)
+    removed = vacuum(p, keep_last=2, grace_seconds=0)
     assert list_versions(p) == [1, 2]
     assert any("deadbeef" in r for r in removed)
     # kept versions still readable (v2 references v1's segment too)
@@ -85,6 +85,32 @@ def test_vacuum_retention_and_orphan_sweep(spark, tmp_path):
     assert sorted(r.x for r in read_version(spark, p, 1).collect()) == [2]
     with pytest.raises(ValueError):
         vacuum(p, keep_last=0)
+    with pytest.raises(ValueError):
+        vacuum(p, grace_seconds=-1)
+
+
+def test_vacuum_grace_spares_in_flight_segment(spark, tmp_path):
+    """A segment written but not yet manifest-committed (an in-flight
+    versioned_write, indistinguishable from a crash orphan) survives a
+    vacuum inside the grace window; once past it, it is swept."""
+    p = str(tmp_path / "tbl")
+    versioned_write(_df(spark, [1]), p)
+    inflight = os.path.join(p, "data", "inflight0")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("pending")
+
+    removed = vacuum(p, keep_last=1)  # default 1h grace
+    assert not any("inflight0" in r for r in removed)
+    assert os.path.isdir(inflight)
+    # the "commit" lands after the racing vacuum -- data intact
+    assert os.path.exists(os.path.join(inflight, "part-0.parquet"))
+    # age it past the grace window: now it really is a crash orphan
+    old = os.path.getmtime(inflight) - 7200
+    os.utime(inflight, (old, old))
+    removed = vacuum(p, keep_last=1)
+    assert any("inflight0" in r for r in removed)
+    assert not os.path.isdir(inflight)
 
 
 def test_torn_manifest_never_visible(spark, tmp_path):
