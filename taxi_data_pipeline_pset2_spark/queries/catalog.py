@@ -75,37 +75,52 @@ def query(
 # price_band_totals, mixture_exact_sample, winsorized_price_stats,
 # per_group_sample_rows, unpivot_wide_metrics, hash_split_counts,
 # scd2_history, funnel_conversion, session_counts, rollup_revenue).
+#
+# r7 rotation: the 13 never-recorded oracles (VERDICT r6 item 2:
+# search x2, LOCF, Hampel, PSI, chi-square, linreg, weighted median,
+# SCD2-incremental, rank blend, quality-mass, IVF kNN, docs profile)
+# replace r6-proven entries whose families keep in-window siblings:
+# tfidf_vectors (-> term_document_frequency), multimodal_frame_sample
+# (-> multimodal_resize), semantic_decontamination
+# (-> decontamination_scores), dedup_exact / dedup_ngram_jaccard /
+# dedup_embedding_cosine (-> dedup_minhash_lsh, dedup_embedding_lsh),
+# knn_bruteforce_vectorized (-> knn_ivf_label), zscore_price_outliers
+# (-> weighted_median_tokens, quality_rank_blend), event_transitions
+# (-> hourly_value_locf, hampel_value_outliers), scd2_as_of_snapshot
+# (-> scd2_incremental_apply), quantile_binned_prices (-> docs_profile),
+# sentiment_scores (-> vocab_top_tokens et al.), weighted_sample_topn
+# (-> quality_mass_selection).
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
-    "tfidf_vectors",
+    "boolean_and_search",
     "multimodal_resize",
-    "multimodal_frame_sample",
-    "semantic_decontamination",
+    "phrase_search_hits",
+    "hourly_value_locf",
     "dedup_components",
     "session_maintenance_overlap",
-    "zscore_price_outliers",
-    "sentiment_scores",
+    "hampel_value_outliers",
+    "lang_distribution_psi",
     "vocab_top_tokens",
-    "quantile_binned_prices",
+    "docs_profile",
     "rollup_grouping_sets",
     "set_ops_customers",
     "supplier_balance_by_region",
-    "knn_bruteforce_vectorized",
+    "knn_ivf_label",
     "funnel_conversion_windowed",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    "status_priority_association",
+    "price_trend_by_priority",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    "weighted_median_tokens",
     "dedup_embedding_lsh",
     "snapshot_diff_orders",
     "dsir_topk_selection",
     "rollup_changelog_maintenance",
-    "scd2_as_of_snapshot",
-    "event_transitions",
+    "scd2_incremental_apply",
+    "quality_rank_blend",
     "decontamination_scores",
     "pivot_category_totals",
     "heavy_hitters_brand",
-    "weighted_sample_topn",
+    "quality_mass_selection",
     "fuzzy_blocked_matches",
     "unigram_doc_logprob",
     "duplicated_spans_docs",
