@@ -16,15 +16,19 @@ def test_clustering_demo_machinery(spark):
 
     out = clustering_demo(spark, SF_SMOKE_DIR, scale=4, n_flat_files=4)
     for k in (
-        "flat_sec", "clustered_sec", "speedup", "warm_flat_sec",
+        "flat_sec", "clustered_sec", "speedup", "speedup_is",
+        "cold_wall_speedup", "cold_wall_is_io_bound", "warm_flat_sec",
         "warm_clustered_sec", "warm_speedup", "flat_write_sec",
         "clustered_write_sec", "flat_bytes_read", "clustered_bytes_read",
-        "bytes_pruned_ratio", "scale", "note",
+        "bytes_pruned_ratio", "flat_read_gbps", "scale", "note",
     ):
         assert k in out, k
     assert out["flat_sec"] > 0 and out["clustered_sec"] > 0
     assert out["flat_bytes_read"] > out["clustered_bytes_read"] > 0
     assert out["bytes_pruned_ratio"] > 1
+    # the HEADLINE speedup is the cache-invariant layout claim
+    assert out["speedup"] == out["bytes_pruned_ratio"]
+    assert out["speedup_is"] == "bytes_pruned_ratio"
 
 
 def test_bench_entry_list_is_runnable(spark):
@@ -94,11 +98,10 @@ def test_clustering_demo_cache_roundtrip(spark, tmp_path, monkeypatch):
     import os
     import shutil
 
-    from bench import clustering_demo
+    from bench import _cluster_cache_dir, clustering_demo
 
-    cache_root = "/tmp/spark_graft_bench_cache"
-    key = f"{os.path.basename(os.path.normpath(SF_SMOKE_DIR))}_s4_f4_c192"
-    shutil.rmtree(os.path.join(cache_root, key), ignore_errors=True)
+    cache_dir = _cluster_cache_dir(SF_SMOKE_DIR, 4, 4, 192)
+    shutil.rmtree(cache_dir, ignore_errors=True)
 
     first = clustering_demo(spark, SF_SMOKE_DIR, scale=4, n_flat_files=4)
     assert first["writes_cached"] is False
@@ -108,4 +111,11 @@ def test_clustering_demo_cache_roundtrip(spark, tmp_path, monkeypatch):
     assert second["clustered_write_sec"] == first["clustered_write_sec"]
     assert second["flat_bytes_read"] == first["flat_bytes_read"]
     assert second["flat_sec"] > 0  # reads re-measured, not replayed
-    shutil.rmtree(os.path.join(cache_root, key), ignore_errors=True)
+    # the source fingerprint is part of the key: a different dataset at
+    # the same basename must map to a different cache dir
+    assert os.stat(
+        os.path.join(SF_SMOKE_DIR, "orders.parquet")
+    ).st_size != 0 and str(
+        os.stat(os.path.join(SF_SMOKE_DIR, "orders.parquet")).st_size
+    ) in os.path.basename(cache_dir)
+    shutil.rmtree(cache_dir, ignore_errors=True)
