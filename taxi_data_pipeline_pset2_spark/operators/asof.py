@@ -62,3 +62,83 @@ def asof_join(
         .filter(F.col("_is_left") == 1)
         .drop("_is_left")
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of join: the EARLIEST right row with right_ts >= left
+    ts -- the mirror of ``asof_join`` (next-scheduled-event lookups:
+    "which maintenance window does this reading fall before?"). Same
+    single key shuffle; ties (right_ts == left ts) are inclusive."""
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+    tagged_left = left.withColumn("_is_left", F.lit(1))
+    tagged_right = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn("_is_left", F.lit(0))
+    u = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
+    # left rows sort BEFORE right rows at equal ts, so the
+    # currentRow->following frame still sees an equal-ts right row
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).asc(), F.col("_is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = [
+        F.first(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    return (
+        u.select(*left.columns, "_is_left", *carried)
+        .filter(F.col("_is_left") == 1)
+        .drop("_is_left")
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest-in-time join: for each left row, the right row minimizing
+    |right_ts - left_ts| (sensor alignment, closest-quote matching).
+    Ties break BACKWARD (the at-or-before row wins, matching pandas
+    merge_asof(direction='nearest')). One-sided misses fall back to the
+    side that exists; NULL columns when the key has no right rows.
+
+    Plan: the backward and forward passes share one hash shuffle on the
+    key (two in-partition sorts -- the orderings differ in tag
+    direction); the final pick is a pure projection. Adds
+    ``ts{suffix}`` (the matched right timestamp) alongside the value
+    columns."""
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+    # carry the right timestamp as an extra value column: the pick
+    # needs both candidates' distances
+    r = right.withColumn("_rts", F.col(right_ts))
+    carry = [*value_cols, "_rts"]
+    back = asof_join(left, r, on, left_ts, right_ts, carry, suffix="_b")
+    both = asof_join_forward(back, r, on, left_ts, right_ts, carry, suffix="_f")
+    bts, fts = F.col("_rts_b"), F.col("_rts_f")
+    lts = F.col(left_ts)
+    use_back = F.when(bts.isNull(), F.lit(False)).otherwise(
+        fts.isNull()
+        | (lts.cast("double") - bts.cast("double") <= fts.cast("double") - lts.cast("double"))
+    )
+    picked = [
+        F.when(use_back, F.col(f"{c}_b")).otherwise(F.col(f"{c}_f")).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    matched_ts = F.when(use_back, bts).otherwise(fts).alias(f"{left_ts}{suffix}")
+    return both.select(*left.columns, *picked, matched_ts)

@@ -81,6 +81,46 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Group-aware train/val/test split: hash-split by near-duplicate
+    GROUP, not by document, so every member of a duplicate cluster lands
+    in the same split. Plain per-id hash splitting quietly leaks -- a
+    test document's near-copy trains the model and the eval score is
+    fiction; this is the standard fix (split on the dedup-component
+    key).
+
+    ``pairs`` is any near-dup edge set (jaccard_pairs, minhash LSH
+    verified pairs, semantic_pairs...). Documents in no pair form their
+    own singleton group. Adds ``group_id`` (the component minimum, or
+    the doc's own id) and ``split``.
+
+    Plan: connected components over the PAIR set (dup-sized, not
+    corpus-sized), one left join back to the corpus, then the same
+    portable salted-hash interval assignment as ``hash_split`` -- so a
+    given corpus + edge set + salt yields identical splits on any
+    engine, and append-only corpora keep historical assignments stable."""
+    from taxi_data_pipeline_pset2_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    grouped = df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn(
+        "group_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    out = hash_split(grouped, id_col="group_id", weights=weights, salt=salt)
+    return out
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float,

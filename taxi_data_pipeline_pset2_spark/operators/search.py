@@ -75,6 +75,83 @@ def search_and(
     return hits.limit(top_k) if top_k is not None else hits
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    min_df: int = 2,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine >= ``threshold`` -- the
+    sparse-vector complement of the embedding near-dup path (classic
+    bag-of-words similarity: same wording, not just same meaning).
+
+    Algorithm: tf per (doc, term) -> document frequency -> terms pruned
+    to ``min_df <= df <= max_df`` -> per-doc L2 normalization -> one
+    self-join ON THE TERM (the inverted-index trick: only docs sharing
+    a surviving term ever pair) -> pair aggregate summing products.
+
+    The df ceiling is what makes the join scale-safe: a term in d docs
+    contributes d^2 pair rows, so stop-words would be quadratic in the
+    corpus -- pruning df > max_df bounds every term's fan-out at
+    max_df^2 while dropping only near-zero-IDF dimensions (cosine is
+    computed in the pruned space, the standard stop-filtered TF-IDF).
+
+    Determinism (oracle-hash discipline): weights are scaled to exact
+    integers (round(tf * idf6 * 1e6)), the L2 norm comes from an exact
+    DECIMAL sum of squares, normalized weights are re-scaled to 1e6
+    ints, and the pair dot is an exact DECIMAL sum of int products --
+    every corpus-sized sum is order-independent; the only float ops
+    (ln, sqrt, the final divides) are scalar and identically ordered in
+    the DuckDB twin."""
+    if min_df < 1 or max_df < min_df:
+        raise ValueError("need 1 <= min_df <= max_df")
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    w6 = F.round(
+        F.col("tf")
+        * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        * F.lit(1e6)
+    ).cast("bigint")
+    weighted = tf.join(dfreq, "term").select(id_col, "term", w6.alias("w6"))
+    # cast BEFORE multiplying: a bigint product would overflow (ANSI
+    # throw) once tf * idf crosses ~3e9, i.e. exactly at corpus scale
+    norms = weighted.groupBy(id_col).agg(
+        F.sum(F.col("w6").cast("decimal(19,0)") * F.col("w6")).alias("ss")
+    )
+    n6 = F.round(
+        F.col("w6").cast("double") * F.lit(1e6) / F.sqrt(F.col("ss").cast("double"))
+    ).cast("bigint")
+    normed = weighted.join(norms, id_col).select(id_col, "term", n6.alias("n6"))
+    a = normed.select(
+        F.col(id_col).alias("id_a"), "term", F.col("n6").alias("na")
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("term"), F.col("n6").alias("nb")
+    )
+    pairs = (
+        a.join(b, ["term"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("na").cast("decimal(19,0)") * F.col("nb")).alias("dot"))
+    )
+    cosine = F.round(F.col("dot").cast("double") / F.lit(1e12), 6)
+    return (
+        pairs.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def search_phrase(
     index: DataFrame, phrase: list[str], id_col: str = "doc_id"
 ) -> DataFrame:

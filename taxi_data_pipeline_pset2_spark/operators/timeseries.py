@@ -21,6 +21,8 @@ Plan shapes at 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -147,6 +149,61 @@ def transition_counts(
     return pairs.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(wrow), 6)
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tie_cols: list[str] | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (adjust=False,
+    pandas semantics): ewma_0 = x_0; ewma_t = alpha*x_t +
+    (1-alpha)*ewma_{t-1}. The smoothing every monitoring/feature
+    pipeline reaches for before a rolling mean's window size is even
+    discussed.
+
+    The recursion is inherently sequential per key -- the "built-in
+    operators genuinely can't express it" case (a window-expression
+    formulation needs (1-alpha)^(-i) weights that overflow past ~1e3
+    rows) -- so the kernel is one ``applyInPandas`` per key: ONE hash
+    shuffle on the key, a linear in-group scan with O(1) state. Memory
+    bound: one key's rows per task (the same contract as every grouped
+    kernel here; salt the key upstream if a single series exceeds
+    executor memory).
+
+    Determinism: the recursion fixes the float evaluation order given
+    the (ts, tie_cols) sort, so results are partitioning-independent
+    and bit-reproducible -- a DuckDB recursive CTE replaying the same
+    ops hash-matches exactly. ``value_col`` must be non-NULL (filter or
+    impute first; a NULL would poison every later step of its series).
+    Output adds ``out_col`` rounded to 6 dp."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order_cols = [ts_col, *(tie_cols or [])]
+    # a fresh StructType: .add() would mutate the DataFrame's cached
+    # schema object and desync it from the JVM plan
+    schema_out = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        out = np.empty(len(vals))
+        prev = np.nan
+        for i, x in enumerate(vals):
+            prev = x if i == 0 else alpha * x + (1.0 - alpha) * prev
+            out[i] = prev
+        pdf[out_col] = np.round(out, 6)
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(run, schema=schema_out)
 
 
 def _arr_median(arr):

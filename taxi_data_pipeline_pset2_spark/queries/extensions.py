@@ -1348,3 +1348,255 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["segment", "bal_bucket"],
         "2024-03-01",
     )
+
+
+# ---- as-of join variants: forward + nearest -------------------------------
+
+_ASOF_FWD_ORACLE = """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts, value AS purchase_value
+                  FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts, p.purchase_value AS next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+"""
+
+
+@query("asof_next_purchase", oracle=_ASOF_FWD_ORACLE, tags=("join", "asof"))
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py asof_join_forward): each
+    click annotated with the user's NEXT purchase value -- the mirror of
+    asof_last_purchase, hash-verified against DuckDB's native forward
+    ASOF (ON c.ts <= p.ts). Same one-shuffle union+window shape."""
+    from taxi_data_pipeline_pset2_spark.operators.asof import asof_join_forward
+
+    events = t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return (
+        asof_join_forward(clicks, purchases, on="user_id")
+        .withColumnRenamed("purchase_value_asof", "next_purchase_value")
+        .orderBy("event_id")
+    )
+
+
+_ASOF_NEAR_ORACLE = """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts, value AS purchase_value
+                  FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.purchase_value AS bv
+          FROM clicks c ASOF LEFT JOIN purchases p
+            ON c.user_id = p.user_id AND c.ts >= p.ts),
+    f AS (SELECT c.event_id, p.ts AS fts, p.purchase_value AS fv
+          FROM clicks c ASOF LEFT JOIN purchases p
+            ON c.user_id = p.user_id AND c.ts <= p.ts),
+    j AS (SELECT b.*, f.fts, f.fv,
+                 CASE WHEN bts IS NULL THEN FALSE
+                      WHEN fts IS NULL THEN TRUE
+                      WHEN epoch(b.ts) - epoch(bts) <= epoch(fts) - epoch(b.ts)
+                           THEN TRUE ELSE FALSE END AS use_back
+          FROM b JOIN f USING (event_id))
+    SELECT event_id, user_id, ts,
+           CASE WHEN use_back THEN bv ELSE fv END AS nearest_purchase_value,
+           CASE WHEN use_back THEN bts ELSE fts END AS ts_asof
+    FROM j
+    ORDER BY event_id
+"""
+
+
+@query("asof_nearest_purchase", oracle=_ASOF_NEAR_ORACLE, tags=("join", "asof"))
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join (operators/asof.py asof_join_nearest,
+    pandas merge_asof(direction='nearest') semantics, ties backward):
+    each click annotated with the temporally CLOSEST purchase and its
+    timestamp. The backward and forward passes share one key shuffle;
+    the oracle composes DuckDB's two native ASOF directions with the
+    identical pick rule."""
+    from taxi_data_pipeline_pset2_spark.operators.asof import asof_join_nearest
+
+    events = t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return (
+        asof_join_nearest(clicks, purchases, on="user_id")
+        .withColumnRenamed("purchase_value_asof", "nearest_purchase_value")
+        .orderBy("event_id")
+    )
+
+
+# ---- per-key EWMA ---------------------------------------------------------
+
+_EWMA_ORACLE = """
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE value IS NOT NULL AND user_id < 40
+    ),
+    r AS (
+        SELECT user_id, event_id, ts, value, rn, value AS e
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
+               0.3 * b.value + 0.7 * r.e
+        FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, round(e, 6) AS ewma
+    FROM r
+    ORDER BY user_id, event_id
+"""
+
+
+@query("ewma_user_value", oracle=_EWMA_ORACLE, tags=("timeseries", "window"))
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/timeseries.py ewma,
+    alpha=0.3, adjust=False): the smoothing recursion no window
+    expression can write. One key shuffle + a linear Arrow kernel per
+    key; the oracle is a DuckDB recursive CTE replaying the identical
+    IEEE multiply-add order, so the hashes match bit-exactly."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import ewma
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("user_id") < 40))
+        .select("user_id", "event_id", "ts", "value")
+    )
+    return ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.3, tie_cols=["event_id"]
+    ).orderBy("user_id", "event_id")
+
+
+# ---- TF-IDF cosine document similarity ------------------------------------
+
+_TFIDF_COS_THRESHOLD = 0.25
+_TFIDF_COS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+              HAVING count(*) BETWEEN 2 AND 100),
+    w AS (SELECT tf.doc_id, tf.term,
+                 CAST(round(tf.tf
+                            * round(ln((SELECT count(*) FROM documents) * 1.0
+                                       / dfreq.df), 6)
+                            * 1000000) AS BIGINT) AS w6
+          FROM tf JOIN dfreq USING (term)),
+    norms AS (SELECT doc_id, sum(CAST(w6 AS HUGEINT) * w6) AS ss
+              FROM w GROUP BY doc_id),
+    n AS (SELECT w.doc_id, w.term,
+                 CAST(round(CAST(w6 AS DOUBLE) * 1000000
+                            / sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS n6
+          FROM w JOIN norms USING (doc_id)),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 sum(CAST(a.n6 AS HUGEINT) * b.n6) AS dot
+          FROM n a JOIN n b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY id_a, id_b)
+    SELECT id_a, id_b,
+           round(CAST(dot AS DOUBLE) / 1000000000000.0, 6) AS cosine
+    FROM p
+    WHERE round(CAST(dot AS DOUBLE) / 1000000000000.0, 6) >= {_TFIDF_COS_THRESHOLD}
+    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "tfidf_cosine_docs",
+    oracle=_TFIDF_COS_ORACLE,
+    tags=("text", "search", "similarity"),
+)
+def tfidf_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs (operators/search.py
+    tfidf_cosine_pairs): inverted-index self-join over df-pruned terms
+    (2 <= df <= 100 -- the ceiling bounds every term's pair fan-out at
+    df^2, the scale guarantee), exact-int normalized weights, DECIMAL
+    dot sums. The bag-of-words complement of the embedding cosine
+    path."""
+    from taxi_data_pipeline_pset2_spark.operators.search import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, threshold=_TFIDF_COS_THRESHOLD, min_df=2, max_df=100
+    ).orderBy("id_a", "id_b")
+
+
+# ---- leakage-safe split ---------------------------------------------------
+
+_LEAKAGE_SPLIT_ORACLE = """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+             FROM documents),
+    sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS sh FROM toks),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM sh),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              WHERE ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.2),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    reach AS (SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+              WHERE s.v <> r.u),
+    comp AS (SELECT u AS node, least(u, min(v)) AS component
+             FROM reach GROUP BY u),
+    g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    h AS (SELECT doc_id, group_id,
+                 CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR) || '|split-v1'),
+                                      1, 8)) AS BIGINT) AS hv
+          FROM g)
+    SELECT doc_id, group_id,
+           CASE WHEN hv < 3865470566 THEN 'train'
+                ELSE 'test' END AS split
+    FROM h
+    ORDER BY doc_id
+"""
+# 3865470566 = int(0.9 * 2^32), the exact truncated bound hash_split uses
+
+
+@query(
+    "leakage_safe_split_docs",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    tags=("sampling", "dedup", "components"),
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test split (operators/sampling.py
+    leakage_safe_split): near-dup components from the jaccard edge set
+    (the dedup_components pipeline) define the split unit, so a test
+    document's near-copy can never train the model. The oracle closes
+    the same edge set with a recursive CTE and replays the identical
+    portable salted-hash interval assignment."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import jaccard_pairs
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    return (
+        leakage_safe_split(
+            docs.select("doc_id"),
+            pairs,
+            weights={"train": 0.9, "test": 0.1},
+            salt="split-v1",
+        )
+        .select("doc_id", "group_id", "split")
+        .orderBy("doc_id")
+    )

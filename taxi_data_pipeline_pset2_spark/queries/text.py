@@ -387,7 +387,7 @@ _AND_ORACLE = f"""
 """
 
 
-@query("boolean_and_search", oracle=_AND_ORACLE, tags=("text", "search"))
+@query("boolean_and_search", oracle=_AND_ORACLE, tags=("text", "search", "bench"))
 def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive term search (operators/search.py): top-30 documents
     containing ALL query terms, ranked by summed term frequency. The

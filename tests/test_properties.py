@@ -53,6 +53,45 @@ def test_asof_join_matches_bruteforce(left, right):
         assert got[rid] == want, (rid, k, t, got[rid], want)
 
 
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=8),
+    right=st.lists(
+        st.tuples(_key, _ts, st.integers(min_value=-5, max_value=5)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_forward_and_nearest_match_bruteforce(left, right):
+    from taxi_data_pipeline_pset2_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    spark = _spark()
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts timestamp, rid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, ts timestamp, v long")
+    fwd = {r.rid: r.v_asof for r in asof_join_forward(ldf, rdf, on="k").collect()}
+    near = {
+        r.rid: (r.v_asof, r.ts_asof)
+        for r in asof_join_nearest(ldf, rdf, on="k").collect()
+    }
+    for rid, (k, t) in enumerate(left):
+        after = [(rt, v) for (rk, rt, v) in right if rk == k and rt >= t]
+        want_f = min(after)[1] if after else None
+        assert fwd[rid] == want_f, ("fwd", rid, k, t)
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k]
+        if not cands:
+            assert near[rid] == (None, None)
+        else:
+            # min |dt|, ties -> backward (the earlier timestamp)
+            best = min(cands, key=lambda rv: (abs(rv[0] - t), rv[0] > t))
+            assert near[rid] == (best[1], best[0]), ("near", rid, k, t)
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(

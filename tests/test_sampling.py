@@ -16,6 +16,47 @@ from taxi_data_pipeline_pset2_spark.operators.sampling import (
 from taxi_data_pipeline_pset2_spark.sources.readers import load_table
 
 
+def test_leakage_safe_split_groups_near_dups_together(spark, sf_dir):
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted near-dup edge set: chain {1,2,3} plus pair {10, 11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, weights={"train": 0.5, "test": 0.5}
+    )
+    rows = {r.doc_id: (r.group_id, r.split) for r in out.collect()}
+    assert len(rows) == docs.count()  # no row lost or duplicated
+    # every member of a component shares group AND split
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[1][0] == 1  # component min
+    assert rows[10] == rows[11] and rows[10][0] == 10
+    # singletons group as themselves
+    assert rows[5][0] == 5
+    # a plain per-id split would separate some planted pair across
+    # enough salts; the group split never does, under ANY salt
+    for salt in ("a", "b", "c"):
+        o = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(
+                docs, pairs, weights={"train": 0.5, "test": 0.5}, salt=salt
+            ).collect()
+        }
+        assert o[1] == o[2] == o[3] and o[10] == o[11]
+    # deterministic under physical reshuffles
+    again = {
+        r.doc_id: (r.group_id, r.split)
+        for r in leakage_safe_split(
+            docs.repartition(13), pairs, weights={"train": 0.5, "test": 0.5}
+        ).collect()
+    }
+    assert rows == again
+
+
 def test_hash_split_exhaustive_disjoint_and_stable(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     w = {"train": 0.8, "val": 0.1, "test": 0.1}

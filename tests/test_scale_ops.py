@@ -120,6 +120,48 @@ def test_asof_join_semantics_and_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_asof_forward_and_nearest_semantics(spark):
+    import datetime as dt
+
+    from taxi_data_pipeline_pset2_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    ts = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(20)), (2, ts(5)), (3, ts(9))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(15), 150.0), (2, ts(6), 60.0)],
+        "k long, ts timestamp, v double",
+    )
+    fwd = {
+        (r.k, r.ts.second): r.v_asof
+        for r in asof_join_forward(left, right, on="k").collect()
+    }
+    assert fwd[(1, 10)] == 100.0  # equal ts inclusive
+    assert fwd[(1, 20)] is None   # nothing after
+    assert fwd[(2, 5)] == 60.0    # next right row
+    assert fwd[(3, 9)] is None
+
+    near = {
+        (r.k, r.ts.second): (r.v_asof, r.ts_asof and r.ts_asof.second)
+        for r in asof_join_nearest(left, right, on="k").collect()
+    }
+    assert near[(1, 10)] == (100.0, 10)   # exact hit
+    assert near[(1, 20)] == (150.0, 15)   # only backward exists
+    assert near[(2, 5)] == (60.0, 6)      # only forward exists
+    assert near[(3, 9)] == (None, None)   # no right rows for key
+    # tie |back| == |fwd| breaks backward
+    left2 = spark.createDataFrame([(1, ts(12))], "k long, ts timestamp")
+    right2 = spark.createDataFrame(
+        [(1, ts(10), 1.0), (1, ts(14), 2.0)], "k long, ts timestamp, v double"
+    )
+    r2 = asof_join_nearest(left2, right2, on="k").collect()[0]
+    assert (r2.v_asof, r2.ts_asof.second) == (1.0, 10)
+
+
 def test_salted_shuffle_join_rejects_outer(spark):
     import pytest
 

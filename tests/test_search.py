@@ -54,6 +54,84 @@ def test_phrase_counts_overlaps_and_repeats(spark):
     assert search_phrase(idx, ["fox", "quick"]).count() == 0
 
 
+def test_tfidf_cosine_pairs_geometry(spark):
+    import math
+
+    from taxi_data_pipeline_pset2_spark.operators.search import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),      # identical -> cosine 1
+            (3, "alpha beta delta"),      # partial overlap with 1/2
+            (4, "epsilon zeta eta"),      # no shared term -> no pair
+            (5, "epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, threshold=0.0, max_df=10).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(1.0, abs=1e-5)
+    assert out[(4, 5)] == pytest.approx(1.0, abs=1e-5)
+    assert (1, 4) not in out and (2, 5) not in out  # inverted index: no shared term
+    assert 0 < out[(1, 3)] < 1  # partial overlap strictly between
+    # python brute-force over the same weighting
+    n = 5
+    toks = {d: t.split() for d, t in [(r[0], r[1]) for r in docs.collect()]}
+    tf: dict = {}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfreq: dict = {}
+    for (d, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    kept = {t for t, c in dfreq.items() if 2 <= c <= 10}
+    vecs: dict = {}
+    for (d, t), c in tf.items():
+        if t in kept:
+            w = round(c * round(math.log(n / dfreq[t]), 6) * 1e6)
+            vecs.setdefault(d, {})[t] = w
+    exp_pairs = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and set(vecs[a]) & set(vecs[b])
+    }
+    assert set(out) == exp_pairs  # nothing missing, nothing spurious
+    for (a, b), got in out.items():
+        va, vb = vecs.get(a, {}), vecs.get(b, {})
+        na = math.sqrt(sum(w * w for w in va.values()))
+        nb = math.sqrt(sum(w * w for w in vb.values()))
+        dot = sum(
+            round(1e6 * va[t] / na) * round(1e6 * vb[t] / nb)
+            for t in set(va) & set(vb)
+        )
+        assert got == pytest.approx(dot / 1e12, abs=2e-6), (a, b)
+
+
+def test_tfidf_cosine_max_df_prunes_stopwords(spark):
+    from taxi_data_pipeline_pset2_spark.operators.search import tfidf_cosine_pairs
+
+    # "the" appears in all docs; with max_df=2 it is pruned, so the only
+    # similarity left comes from the rare shared terms
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the cat")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, threshold=0.0, max_df=2).collect()
+    }
+    assert set(out) == {(1, 3)}  # only the "cat" pair survives pruning
+    assert out[(1, 3)] == pytest.approx(1.0, abs=1e-5)
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(docs, min_df=0)
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(docs, min_df=5, max_df=2)
+
+
 def test_validation(spark):
     idx = _idx(spark)
     with pytest.raises(ValueError):

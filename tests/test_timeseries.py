@@ -113,6 +113,51 @@ def test_locf_agg_modes(spark):
     assert got[(1, "2024-01-01 00:00:00")] == 15.0  # avg of 10 and 20
 
 
+def test_ewma_matches_pandas_and_is_partition_independent(spark):
+    import numpy as np
+    import pandas as pd
+
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import ewma
+
+    rows = [
+        (i, k, f"2024-01-01 00:{i % 60:02d}:00", float(v))
+        for i, (k, v) in enumerate(
+            [(1, 10), (1, 12), (1, 9), (1, 30), (2, 5), (2, 5), (2, 8)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.event_id: r.ewma
+        for r in ewma(
+            df, ["user_id"], "ts", "value", alpha=0.3, tie_cols=["event_id"]
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    for _, g in pdf.groupby("user_id"):
+        ref = g.sort_values(["ts", "event_id"])["value"].ewm(
+            alpha=0.3, adjust=False
+        ).mean()
+        for eid, want in zip(g.sort_values(["ts", "event_id"])["event_id"], ref):
+            assert got[eid] == np.round(want, 6), eid
+    # bit-identical under any input partitioning
+    got2 = {
+        r.event_id: r.ewma
+        for r in ewma(
+            df.repartition(7), ["user_id"], "ts", "value", alpha=0.3,
+            tie_cols=["event_id"],
+        ).collect()
+    }
+    assert got == got2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ewma(df, ["user_id"], "ts", "value", alpha=0.0)
+    with _pytest.raises(ValueError):
+        ewma(df, ["user_id"], "ts", "value", alpha=1.5)
+
+
 def test_transition_counts_and_probabilities(spark):
     rows = [
         (1, 1, "2024-01-01 00:00:00", "a"),
