@@ -218,3 +218,37 @@ def test_changelog_maintenance_never_rescans_like_join_shapes(spark, sf_dir):
     plan = _plan(registry()["rollup_changelog_maintenance"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_variants_single_key_shuffle(spark, sf_dir):
+    """Forward as-of: exactly one Exchange on the join key (the
+    union+window composition's whole point). Nearest: the two
+    directional passes must still plan equi-shaped -- no nested-loop,
+    no cartesian -- and at most the key exchanges (backward pass +
+    forward pass windows share partitioning)."""
+    plan = _plan(registry()["asof_next_purchase"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    near = _plan(registry()["asof_nearest_purchase"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in near
+    assert "BroadcastNestedLoopJoin" not in near
+    assert near.count("Exchange hashpartitioning") <= 2, near
+
+
+def test_tfidf_cosine_joins_stay_hash_shaped(spark, sf_dir):
+    """The inverted-index self-join must be an equi-join on the term
+    (hash/sort-merge), never nested-loop; the whole pipeline is
+    expression-only (no Python eval in the plan)."""
+    plan = _plan(registry()["tfidf_cosine_docs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ewma_single_shuffle_arrow_kernel(spark, sf_dir):
+    """EWMA is one hash exchange on the key feeding one Arrow grouped
+    kernel (FlatMapGroupsInPandas) -- no window, no join, no second
+    shuffle of the series."""
+    plan = _plan(registry()["ewma_user_value"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan
