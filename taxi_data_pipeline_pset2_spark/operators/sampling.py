@@ -121,6 +121,68 @@ def leakage_safe_split(
     return out
 
 
+def group_kfold(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "fold-v1",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Group-aware k-fold assignment: ``fold`` in [0, k) keyed on the
+    near-dup component, so cross-validation folds never see a held-out
+    example's near-copy (the CV form of ``leakage_safe_split``; sklearn
+    GroupKFold's purpose, hash-deterministic instead of size-balanced).
+    Adds ``group_id`` and ``fold``."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from taxi_data_pipeline_pset2_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    grouped = df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn(
+        "group_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    return grouped.withColumn(
+        "fold",
+        F.pmod(salted_hash(F.col("group_id"), salt), F.lit(k)).cast("int"),
+    )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_end: str,
+    embargo: str = "0 seconds",
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-based train/test split with an embargo gap: rows at or
+    before ``train_end`` are 'train'; rows inside (train_end,
+    train_end + embargo] are DROPPED (the leakage buffer -- with
+    autocorrelated series, the first post-cutoff rows are near-copies
+    of the last training rows, and windowed features computed near the
+    boundary straddle it); later rows are 'test'. The standard temporal
+    CV hygiene (de Prado's purged/embargoed split, simplified to one
+    boundary).
+
+    Pure projection + filter -- scan-shaped, and the timestamp
+    predicate pushes down to pruned partitions on a time-partitioned
+    table."""
+    end = F.lit(train_end).cast("timestamp")
+    cutoff = F.expr(f"TIMESTAMP '{train_end}' + INTERVAL {embargo}")
+    out = df.withColumn(
+        split_col,
+        F.when(F.col(ts_col) <= end, F.lit("train")).when(
+            F.col(ts_col) > cutoff, F.lit("test")
+        ),
+    )
+    return out.filter(F.col(split_col).isNotNull())
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float,

@@ -151,6 +151,46 @@ def transition_counts(
     )
 
 
+def rolling_features(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1,),
+    windows: tuple[int, ...] = (3,),
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key lag/rolling feature block in ONE window pass: for each
+    ``n`` in ``lags`` a ``lag_{n}`` column, and for each ``w`` in
+    ``windows`` trailing-``w``-row (current inclusive) ``roll_mean_{w}``
+    / ``roll_min_{w}`` / ``roll_max_{w}`` columns -- the standard
+    autoregressive feature prep before any forecasting model.
+
+    All expressions share a single (key, ts, tie) sort window, so the
+    plan is one shuffle + one in-partition sort no matter how many
+    features are requested -- N features must never mean N shuffles.
+    Rolling means are rounded to 6 dp; short leading windows aggregate
+    over the rows that exist (pandas min_periods=1 semantics)."""
+    if not lags and not windows:
+        raise ValueError("request at least one lag or window")
+    if any(n < 1 for n in lags) or any(w < 1 for w in windows):
+        raise ValueError("lags and windows must be >= 1")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tie_cols or [])]
+    base = Window.partitionBy(*key_cols).orderBy(*order)
+    v = F.col(value_col)
+    out = df
+    for n in lags:
+        out = out.withColumn(f"lag_{n}", F.lag(v, n).over(base))
+    for w in windows:
+        frame = base.rowsBetween(-(w - 1), Window.currentRow)
+        out = (
+            out.withColumn(f"roll_mean_{w}", F.round(F.avg(v).over(frame), 6))
+            .withColumn(f"roll_min_{w}", F.min(v).over(frame))
+            .withColumn(f"roll_max_{w}", F.max(v).over(frame))
+        )
+    return out
+
+
 def ewma(
     df: DataFrame,
     key_cols: list[str],

@@ -1600,3 +1600,122 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "group_id", "split")
         .orderBy("doc_id")
     )
+
+
+# ---- group-aware k-fold ---------------------------------------------------
+
+_KFOLD_ORACLE = """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+             FROM documents),
+    sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS sh FROM toks),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM sh),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+              WHERE ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.2),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    reach AS (SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+              WHERE s.v <> r.u),
+    comp AS (SELECT u AS node, least(u, min(v)) AS component
+             FROM reach GROUP BY u),
+    g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, group_id,
+           CAST(CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR) || '|fold-v1'),
+                                     1, 8)) AS BIGINT) % 5 AS INT) AS fold
+    FROM g
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "group_kfold_docs",
+    oracle=_KFOLD_ORACLE,
+    tags=("sampling", "components"),
+)
+def group_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold CV assignment (operators/sampling.py
+    group_kfold): the cross-validation form of the leakage-safe split --
+    a held-out fold never sees another fold's near-copy. Same component
+    closure + portable hash, fold = hash % k."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import jaccard_pairs
+    from taxi_data_pipeline_pset2_spark.operators.sampling import group_kfold
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    return (
+        group_kfold(docs.select("doc_id"), pairs, k=5, salt="fold-v1")
+        .select("doc_id", "group_id", "fold")
+        .orderBy("doc_id")
+    )
+
+
+# ---- temporal split with embargo ------------------------------------------
+
+_TEMPORAL_SPLIT_ORACLE = """
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                ELSE 'test' END AS split
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+       OR ts > TIMESTAMP '2024-01-22 00:00:00'
+    ORDER BY event_id
+"""
+
+
+@query("temporal_split_events", oracle=_TEMPORAL_SPLIT_ORACLE, tags=("sampling", "timeseries"))
+def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with a 2-day embargo
+    (operators/sampling.py temporal_split): boundary-adjacent rows are
+    dropped so autocorrelated test rows can't echo the training tail.
+    Scan-shaped; the time predicate partition-prunes on a
+    time-partitioned table."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import temporal_split
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return temporal_split(
+        ev, "ts", "2024-01-20 00:00:00", "2 days"
+    ).orderBy("event_id")
+
+
+# ---- rolling feature block ------------------------------------------------
+
+_ROLLING_ORACLE = """
+    SELECT user_id, event_id, ts, value,
+           lag(value, 1) OVER w AS lag_1,
+           round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS roll_mean_3,
+           min(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_min_3,
+           max(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max_3
+    FROM (SELECT user_id, event_id, ts, value FROM events WHERE value IS NOT NULL)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+"""
+
+
+@query("rolling_features_user_value", oracle=_ROLLING_ORACLE, tags=("timeseries", "window"))
+def rolling_features_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag + trailing-3 rolling mean/min/max in one window pass
+    (operators/timeseries.py rolling_features): the autoregressive
+    feature block, one sort-shuffle for the whole feature set."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        rolling_features,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    return rolling_features(
+        ev, ["user_id"], "ts", "value", lags=(1,), windows=(3,),
+        tie_cols=["event_id"],
+    ).orderBy("user_id", "event_id")

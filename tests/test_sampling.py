@@ -323,3 +323,49 @@ def test_select_quality_mass_null_weight_kept(spark):
     }
     # NULL-weight best row is free; id=2 crosses the 50% boundary
     assert kept == {1, 2}
+
+
+def test_group_kfold_cohesion_and_range(spark, sf_dir):
+    from taxi_data_pipeline_pset2_spark.operators.sampling import group_kfold
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.group_id, r.fold) for r in group_kfold(docs, pairs, k=5).collect()}
+    assert len(out) == docs.count()
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11]
+    assert all(0 <= f < 5 for _, f in out.values())
+    # all folds populated at corpus size
+    assert len({f for _, f in out.values()}) == 5
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        group_kfold(docs, pairs, k=1)
+
+
+def test_temporal_split_embargo_semantics(spark):
+    from taxi_data_pipeline_pset2_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (2, "2024-01-10 00:00:00"),  # == train_end -> train
+            (3, "2024-01-10 00:30:00"),  # inside embargo -> dropped
+            (4, "2024-01-11 00:00:00"),  # == cutoff -> dropped (gap is (end, end+embargo])
+            (5, "2024-01-11 00:00:01"),  # past cutoff -> test
+        ],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.id: r.split
+        for r in temporal_split(df, "ts", "2024-01-10 00:00:00", "1 day").collect()
+    }
+    assert out == {1: "train", 2: "train", 5: "test"}
+    # zero embargo: plain boundary split, nothing dropped
+    out0 = {
+        r.id: r.split
+        for r in temporal_split(df, "ts", "2024-01-10 00:00:00").collect()
+    }
+    assert out0 == {1: "train", 2: "train", 3: "test", 4: "test", 5: "test"}

@@ -285,3 +285,53 @@ def test_locf_matches_python_reference(spark, obs):
                 want[(k, str(t))] = (last, True)
             t += dt.timedelta(hours=1)
     assert got == want
+
+
+def test_rolling_features_match_pandas_one_shuffle(spark):
+    import pandas as pd
+
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        rolling_features,
+    )
+
+    rows = [
+        (i, k, f"2024-01-01 00:{i:02d}:00", float(v))
+        for i, (k, v) in enumerate(
+            [(1, 5), (1, 3), (1, 8), (1, 1), (2, 10), (2, 20)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rolling_features(
+        df, ["user_id"], "ts", "value", lags=(1, 2), windows=(3,),
+        tie_cols=["event_id"],
+    )
+    got = {
+        r.event_id: (r.lag_1, r.lag_2, r.roll_mean_3, r.roll_min_3, r.roll_max_3)
+        for r in out.collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        l1 = g["value"].shift(1)
+        l2 = g["value"].shift(2)
+        rm = g["value"].rolling(3, min_periods=1).mean().round(6)
+        rmin = g["value"].rolling(3, min_periods=1).min()
+        rmax = g["value"].rolling(3, min_periods=1).max()
+        for eid, a, b, c, d, e in zip(g["event_id"], l1, l2, rm, rmin, rmax):
+            want = tuple(None if pd.isna(x) else x for x in (a, b, c, d, e))
+            assert got[eid] == want, eid
+    # one window pass (hence one sort-shuffle) regardless of feature
+    # count -- AQE renders the exchange as a ShuffleQueryStage, so count
+    # Window nodes rather than Exchange spellings
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    assert final.count("Window [") == 1, final
+    assert "Join" not in final
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rolling_features(df, ["user_id"], "ts", "value", lags=(), windows=())
+    with _p.raises(ValueError):
+        rolling_features(df, ["user_id"], "ts", "value", lags=(0,))
