@@ -539,3 +539,49 @@ def knn_ivf_kmeans(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def mine_hard_negatives(
+    emb: DataFrame,
+    dup_pairs: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (rows matching ``query_pred``), the top-``k`` most-similar corpus
+    rows that are NOT known duplicates of it -- the highest-value
+    negatives are precisely the near-misses, and the known-dup exclusion
+    keeps false negatives (actual positives) out of the training pairs.
+
+    ``dup_pairs`` is any verified near-dup edge set (cosine_pairs_exact,
+    LSH-verified pairs, semantic_pairs...); both orientations are
+    excluded, as is self.
+
+    Plan: the same broadcast-anchors-scan-corpus shape as ``knn_topk``,
+    plus one left-anti join against the (dup-sized) exclusion set before
+    the per-anchor top-k window. Exclusion BEFORE ranking matters: a
+    post-rank filter would silently return fewer than k negatives for
+    anchors with many near-dups."""
+    scored = knn_topk(
+        emb, query_pred, k=2_147_483_647, id_col=id_col, vec_col=vec_col
+    ).drop("rank")
+    sym = dup_pairs.select(
+        F.col(src).alias("query_id"), F.col(dst).alias("neighbor_id")
+    ).unionByName(
+        dup_pairs.select(
+            F.col(dst).alias("query_id"), F.col(src).alias("neighbor_id")
+        )
+    )
+    kept = scored.join(sym, ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

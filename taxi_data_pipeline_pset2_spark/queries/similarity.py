@@ -116,3 +116,57 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans_fit_assign(emb, k=8, n_iter=5)
+
+
+_PAIR_COS = (
+    "ROUND(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),"
+    " i -> a.iv[i] * b.iv[i])) AS DOUBLE)"
+    " / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6)"
+)
+
+_HARDNEG_ORACLE = f"""
+    WITH {_SQL_PREP},
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    dup AS (SELECT a.vec_id AS da, b.vec_id AS db
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE {_PAIR_COS} >= 0.4),
+    sym AS (SELECT da AS query_id, db AS neighbor_id FROM dup
+            UNION ALL SELECT db, da FROM dup),
+    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                                                  i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+                     q.norm2 AS qn, c.norm2 AS cn
+              FROM q JOIN n c ON c.vec_id <> q.vec_id),
+    kept AS (SELECT p.* FROM pairs p
+             ANTI JOIN sym s
+               ON p.query_id = s.query_id AND p.neighbor_id = s.neighbor_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           {_SQL_COS} AS cosine
+    FROM kept
+    WINDOW w AS (PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id)
+    QUALIFY row_number() OVER w <= 5
+    ORDER BY query_id, rank
+"""
+
+
+@query(
+    "hard_negatives_topk",
+    oracle=_HARDNEG_ORACLE,
+    tags=("similarity", "sampling"),
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py
+    mine_hard_negatives): per anchor, the top-5 most-similar corpus rows
+    EXCLUDING known near-dups (cosine >= 0.4 pairs) -- the contrastive-
+    training data prep where near-misses are the valuable negatives and
+    known positives must not leak in. Exclusion runs before ranking so
+    dup-heavy anchors still yield k negatives."""
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        cosine_pairs_exact,
+        mine_hard_negatives,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    dups = cosine_pairs_exact(emb, threshold=0.4).select("id_a", "id_b")
+    return mine_hard_negatives(emb, dups, F.col("vec_id") % 50 == 0, k=5)

@@ -173,3 +173,31 @@ def test_round_half_up_6_pins_tie_boundaries():
         ]
     )
     assert np.array_equal(got, want)
+
+
+def test_mine_hard_negatives_excludes_dups_before_ranking(spark):
+    import numpy as np
+
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    # anchor 0; ids 1,2 are near-copies of it (known dups); 3..6 progressively
+    # farther. With k=2 the negatives must be 3 and 4 -- the near-misses --
+    # never the excluded dups, and never fewer than k because of them.
+    base = np.eye(8)[0]
+    rows = [(0, base.tolist())]
+    for i, eps in [(1, 0.01), (2, 0.02), (3, 0.3), (4, 0.5), (5, 0.9), (6, 1.5)]:
+        v = base + eps * np.eye(8)[1]
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dups = spark.createDataFrame([(0, 1), (2, 0)], "id_a long, id_b long")
+
+    from pyspark.sql import functions as F
+
+    out = mine_hard_negatives(emb, dups, F.col("vec_id") == 0, k=2).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(3, 1), (4, 2)]
+    assert all(r.query_id == 0 for r in out)
+    # both orientations of the dup set were excluded
+    assert {r.neighbor_id for r in out}.isdisjoint({0, 1, 2})
