@@ -29,6 +29,16 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000
 
 
+def category_counts(df: DataFrame, col: str, out: str = "n") -> DataFrame:
+    """(category, ``out``): the category-cardinality-sized count frame
+    PSI runs on. Exposed so a monitor can aggregate a reference corpus
+    ONCE and reuse the counts across every micro-batch
+    (streaming/drift.py) instead of re-scanning it per batch."""
+    return df.groupBy(F.col(col).alias("category")).agg(
+        F.count("*").cast("bigint").alias(out)
+    )
+
+
 def psi_categorical(
     expected: DataFrame,
     actual: DataFrame,
@@ -42,12 +52,18 @@ def psi_categorical(
     PSI = sum(psi_contrib) (driver-side or one more aggregate).
 
     NULL category is a legitimate cohort (NULL-safe join key)."""
-    e = expected.groupBy(F.col(col).alias("category")).agg(
-        F.count("*").cast("bigint").alias("n_expected")
+    return psi_from_counts(
+        category_counts(expected, col, "n_expected"),
+        category_counts(actual, col, "n_actual"),
+        smoothing,
     )
-    a = actual.groupBy(F.col(col).alias("category")).agg(
-        F.count("*").cast("bigint").alias("n_actual")
-    )
+
+
+def psi_from_counts(
+    e: DataFrame, a: DataFrame, smoothing: float = 0.5
+) -> DataFrame:
+    """PSI from pre-aggregated (category, n_expected) / (category,
+    n_actual) count frames -- the reusable half of ``psi_categorical``."""
     joined = e.withColumnRenamed("category", "_ce").join(
         a.withColumnRenamed("category", "_ca"),
         F.col("_ce").eqNullSafe(F.col("_ca")),
