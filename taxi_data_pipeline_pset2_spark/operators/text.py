@@ -527,3 +527,93 @@ def build_vocab(
         .limit(max_size)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a fixed vocabulary
+    frame (e.g. ``build_vocab``'s output): (id, n_tokens, n_oov,
+    oov_rate 6-dp) -- the standard tokenizer-coverage eval run before
+    committing a vocab, and the per-doc filter for "this document is
+    not in the tokenizer's language".
+
+    Plan: explode -> LEFT ANTI-shaped membership via a left join on the
+    token (the vocab is vocab-sized: broadcast) -> one per-doc hash
+    aggregate. Empty docs report 0 tokens and NULL rate (0/0 is not
+    "perfect coverage")."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_tok")
+    )
+    marked = toks.join(
+        F.broadcast(vocab.select(F.col(token_col).alias("_tok")).distinct()
+                    .withColumn("_in", F.lit(True))),
+        "_tok",
+        "left",
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum((~F.coalesce(F.col("_in"), F.lit(False))).cast("bigint"))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    # left join back so token-less docs keep a row
+    base = docs.select(id_col).join(per_doc, id_col, "left")
+    return base.select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+        ).alias("oov_rate"),
+    )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio: (id, n_bytes,
+    n_compressed, ratio = n_bytes / n_compressed, 6-dp) -- the
+    classic low-cost repetition/boilerplate signal (highly repetitive
+    machine-generated text compresses far better than natural prose;
+    filters often drop ratio outliers on BOTH tails).
+
+    zlib has no Catalyst expression, so this is an Arrow-batched
+    ``mapInPandas`` kernel -- scan-shaped, no shuffle, and
+    deterministic: zlib output length at a fixed level is a pure
+    function of the bytes (pinned against the python reference in
+    tests). NULL text yields NULL metrics. No SQL twin (DuckDB has no
+    zlib) -> rows-only catalog entry."""
+    import zlib
+    from typing import Iterator as _Iter
+
+    import pandas as _pd
+
+    out_schema = f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+
+    def run(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                ids.append(i)
+                if txt is None:
+                    nb.append(None); nc.append(None); ratio.append(None)
+                    continue
+                raw = txt.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(round(len(raw) / len(comp), 6) if comp else None)
+            yield _pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "n_compressed": nc, "ratio": ratio}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)

@@ -145,6 +145,7 @@ _WINDOW: tuple[str, ...] = (
 # Rows-only entries kept at the very end of the registry (their driver
 # row would add nothing over the local pytest replay).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
+    "compression_ratio_docs",
     "ann_brp_lsh",
     "kmeans_clusters",
     "approx_event_profile",

@@ -1719,3 +1719,50 @@ def rolling_features_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], "ts", "value", lags=(1,), windows=(3,),
         tie_cols=["event_id"],
     ).orderBy("user_id", "event_id")
+
+
+# ---- tokenizer coverage (OOV rate) ---------------------------------------
+
+_OOV_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                  FROM documents),
+    c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    vocab AS (SELECT token FROM c ORDER BY n DESC, token LIMIT {_VOCAB_K}),
+    marked AS (SELECT t.doc_id, t.token, v.token IS NOT NULL AS in_vocab
+               FROM toks t LEFT JOIN vocab v USING (token)),
+    per_doc AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+                FROM marked GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_oov, 0) AS n_oov,
+           CASE WHEN coalesce(p.n_tokens, 0) > 0
+                THEN round(p.n_oov * 1.0 / p.n_tokens, 6) END AS oov_rate
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@query("oov_rate_docs", oracle=_OOV_ORACLE, tags=("text", "vocab"))
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage eval (operators/text.py oov_rate): per-doc
+    out-of-vocabulary rate against the top-40 corpus vocabulary -- the
+    check a tokenizer/vocab ships with. Vocab-sized broadcast join +
+    one per-doc aggregate."""
+    from taxi_data_pipeline_pset2_spark.operators.text import build_vocab, oov_rate
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, max_size=_VOCAB_K)
+    return oov_rate(docs, vocab).orderBy("doc_id")
+
+
+@query("compression_ratio_docs", oracle=None, tags=("text", "quality"))
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (operators/text.py
+    compression_ratio): the low-cost repetition/boilerplate signal.
+    zlib has no SQL twin -> rows-only driver check; byte-exactness vs
+    the python reference pinned in tests/test_text_hygiene.py."""
+    from taxi_data_pipeline_pset2_spark.operators.text import compression_ratio
+
+    return compression_ratio(t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -207,3 +207,54 @@ def test_gopher_flags_match_python_reference(spark):
             assert got[i] == ref_flags(t, 2, 30), (i, repr(t))
 
     run()
+
+
+def test_oov_rate_semantics(spark):
+    from taxi_data_pipeline_pset2_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),        # all in vocab
+            (2, "a b z"),        # one OOV
+            (3, "x y z"),        # all OOV
+            (4, None),           # NULL text -> 0 tokens, NULL rate
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",), ("c",)], "token string")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_rate(docs, vocab).collect()
+    }
+    assert out[1] == (3, 0, 0.0)
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (3, 3, 1.0)
+    assert out[4][0] == 0 and out[4][2] is None
+
+
+def test_compression_ratio_matches_python_zlib(spark):
+    import zlib
+
+    from taxi_data_pipeline_pset2_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "abc " * 200),          # highly repetitive -> high ratio
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_bytes, r.n_compressed, r.ratio)
+        for r in compression_ratio(docs).collect()
+    }
+    for did, txt in rows:
+        if txt is None:
+            assert out[did] == (None, None, None)
+        else:
+            raw = txt.encode()
+            comp = zlib.compress(raw, 6)
+            assert out[did] == (
+                len(raw), len(comp), round(len(raw) / len(comp), 6)
+            ), did
+    # the repetitive doc compresses far better than natural prose
+    assert out[1][2] > 3 * out[2][2]
