@@ -50,6 +50,14 @@ ANSI_PARITY = [
     "zscore_price_outliers",
     "supplier_balance_by_region",
     "quality_mass_selection",
+    # round-7 additions (asof_* excluded: ASOF JOIN is DuckDB syntax;
+    # oov/rolling/weighted-median need string_split_regex or named-
+    # window frame refinements Spark SQL lacks)
+    "temporal_split_events",
+    "status_priority_association",
+    # Spark 4 runs the recursive CTE bit-identically -- the EWMA
+    # recursion is portable ANSI now
+    "ewma_user_value",
 ]
 
 
