@@ -90,6 +90,12 @@ def query(
 # (-> scd2_incremental_apply), quantile_binned_prices (-> docs_profile),
 # sentiment_scores (-> vocab_top_tokens et al.), weighted_sample_topn
 # (-> quality_mass_selection).
+#
+# r8 rotation candidates (registered r7, oracled, no driver row yet):
+# asof_next_purchase, asof_nearest_purchase, ewma_user_value,
+# tfidf_cosine_docs, leakage_safe_split_docs, group_kfold_docs,
+# temporal_split_events, rolling_features_user_value,
+# hard_negatives_topk, oov_rate_docs.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",

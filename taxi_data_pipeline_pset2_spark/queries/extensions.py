@@ -1456,7 +1456,7 @@ _EWMA_ORACLE = """
 """
 
 
-@query("ewma_user_value", oracle=_EWMA_ORACLE, tags=("timeseries", "window"))
+@query("ewma_user_value", oracle=_EWMA_ORACLE, tags=("timeseries", "window", "bench"))
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (operators/timeseries.py ewma,
     alpha=0.3, adjust=False): the smoothing recursion no window
@@ -1513,7 +1513,7 @@ _TFIDF_COS_ORACLE = f"""
 @query(
     "tfidf_cosine_docs",
     oracle=_TFIDF_COS_ORACLE,
-    tags=("text", "search", "similarity"),
+    tags=("text", "search", "similarity", "bench"),
 )
 def tfidf_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine near-dup pairs (operators/search.py
