@@ -92,10 +92,17 @@ def versioned_write(
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Empty-file-set
-    versions raise (a committed version always lists >= 1 file)."""
+    versions raise (a committed version always lists >= 1 file).
+
+    ``merge_schema=True`` unions the schemas of a version whose
+    appended segments added columns (additive evolution: old segments
+    read the new columns as NULL). Off by default -- plain reads take
+    one segment's schema, and a WIDER read should be an explicit
+    choice, the same as parquet's own mergeSchema option."""
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {path}")
@@ -103,7 +110,34 @@ def read_version(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     files = _read_manifest(path, v)["files"]
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
+
+
+def versioned_diff(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changelog between two committed versions of a versioned table:
+    the time-travel reads composed with the CDC snapshot diff
+    (operators/cdc.py), so "what changed between Monday's corpus and
+    today's" is one call -- the audit every reproducible-training-data
+    story needs next to the pinned version ids. One full-outer
+    co-shuffle of the two versions, exactly snapshot_diff's cost."""
+    from taxi_data_pipeline_pset2_spark.operators.cdc import snapshot_diff
+
+    return snapshot_diff(
+        read_version(spark, path, v_old),
+        read_version(spark, path, v_new),
+        key_cols,
+        compare_cols,
+    )
 
 
 def vacuum(

@@ -123,3 +123,38 @@ def test_torn_manifest_never_visible(spark, tmp_path):
         json.dump({"version": 99, "files": ["/nope"]}, f)
     assert list_versions(p) == [0]
     assert sorted(r.x for r in read_version(spark, p).collect()) == [1]
+
+
+def test_versioned_diff_between_versions(spark, tmp_path):
+    from taxi_data_pipeline_pset2_spark.sources.versioned import versioned_diff
+
+    p = str(tmp_path / "tbl")
+    df0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    versioned_write(df0, p)
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    versioned_write(df1, p)  # overwrite: a new logical snapshot
+    out = {
+        r.k: r.change_type
+        for r in versioned_diff(spark, p, 0, 1, ["k"]).collect()
+    }
+    assert out == {2: "update", 3: "delete", 4: "insert"}
+
+
+def test_read_version_merge_schema_additive_evolution(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), p
+    )
+    versioned_write(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"),
+        p,
+        mode="append",
+    )
+    wide = read_version(spark, p, merge_schema=True)
+    assert set(wide.columns) == {"k", "v", "score"}
+    rows = {r.k: r.score for r in wide.collect()}
+    assert rows[1] is None and rows[2] == 9.5  # old segment reads NULL
