@@ -540,6 +540,10 @@ def _pipeline_extras() -> dict:
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
+        # NOT checkpointed: at bench scale re-running the lazy 8-dim
+        # projection per consumer is cheaper than materializing it
+        # (measured 3.1 s lazy vs 4.1 s checkpointed); at corpus scale
+        # a localCheckpoint after project_pca is the right trade
         reduced = project_pca(emb, fit_pca(emb, k=8)).withColumnRenamed(
             "pca", "embedding"
         )

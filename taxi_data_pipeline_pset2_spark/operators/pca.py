@@ -105,6 +105,8 @@ def _moments(emb: DataFrame, vec_col: str, d: int) -> DataFrame:
             )
 
     part = emb.select(vec_col).mapInPandas(partials, schema=schema)
+    if part.rdd.getNumPartitions() <= _COMBINE_PARTITIONS:
+        return part  # already driver-sized: skip the second Arrow stage
     return part.coalesce(_COMBINE_PARTITIONS).mapInPandas(combine, schema=schema)
 
 
