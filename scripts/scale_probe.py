@@ -1,0 +1,101 @@
+"""Scale sweep: run the bucketed dedup/similarity pipelines on 1x/4x/16x
+replications of the documents table and report wall-clock scaling
+ratios. Run: python scripts/scale_probe.py  [env: SPARK_GRAFT_SF_DIR]
+
+The claim the engine designs for -- bounded LSH buckets, df-ceilinged
+inverted-index joins, no all-pairs stages -- predicts near-linear time
+in corpus size. This probe MEASURES it: time(16x)/time(1x) should sit
+near 16 (modulo fixed overhead, which deflates the ratio at these
+sizes), and a superlinear blowup flags a quadratic stage.
+
+Replicas get a per-replica suffix token so they are NOT near-dups of
+each other (this probes throughput scaling, not duplicate-cluster
+blowup -- the capped-bucket behavior under massive duplication has its
+own tests in tests/test_dedup.py). Output: one JSON line per op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACTORS = (1, 4, 16)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.session import get_spark
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def scaled(factor: int):
+        if factor == 1:
+            return base
+        return (
+            base.withColumn(
+                "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .select(
+                (F.col("doc_id") * factor + F.col("_rep")).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" repx"), F.col("_rep").cast("string")
+                ).alias("text"),
+            )
+            .repartition(32)
+        )
+
+    def minhash(df):
+        from taxi_data_pipeline_pset2_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+
+        return minhash_candidate_pairs(df)
+
+    def tfidf_cos(df):
+        from taxi_data_pipeline_pset2_spark.operators.search import (
+            tfidf_cosine_pairs,
+        )
+
+        return tfidf_cosine_pairs(df, threshold=0.5, max_df=100)
+
+    def exact(df):
+        from taxi_data_pipeline_pset2_spark.operators.dedup import (
+            exact_dedup_groups,
+        )
+
+        return exact_dedup_groups(df)
+
+    ops = {"minhash_lsh_pairs": minhash, "tfidf_cosine_pairs": tfidf_cos,
+           "exact_dedup": exact}
+
+    for name, fn in ops.items():
+        times: dict[int, float] = {}
+        for factor in FACTORS:
+            df = scaled(factor).localCheckpoint(eager=True)  # exclude gen cost
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(df).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[factor] = round(best, 3)
+            df.unpersist()
+        r4 = round(times[4] / times[1], 2)
+        r16 = round(times[16] / times[1], 2)
+        print(json.dumps({
+            "op": name, "sec": {str(k): v for k, v in times.items()},
+            "ratio_4x": r4, "ratio_16x": r16,
+            "verdict": "near-linear" if r16 <= 24 else "SUPERLINEAR",
+        }))
+
+
+if __name__ == "__main__":
+    main()
