@@ -563,3 +563,36 @@ def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_minutes=_FUNNEL_W,
     )
     return funnel_summary(stages, 3)
+
+
+_JW_ORACLE = """
+    WITH n AS (
+        SELECT p_partkey AS id,
+               regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g') AS s
+        FROM part WHERE p_partkey % 4 = 0),
+    p AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+        FROM n a JOIN n b
+          ON substr(a.s, 1, 2) = substr(b.s, 1, 2) AND a.id < b.id)
+    SELECT id_a, id_b, jw FROM p WHERE jw >= 0.93
+    ORDER BY id_a, id_b
+"""
+
+
+@query("jaro_winkler_matches", oracle=_JW_ORACLE, tags=("fuzzy", "dedup"))
+def jaro_winkler_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler name matching (operators/fuzzy.py
+    jaro_winkler_pairs): the record-linkage scorer where unit edit
+    costs are too blunt -- prefix-blocked pairs scored by an
+    Arrow-batched JW kernel whose flag algorithm (floor-halved
+    transpositions, 0.7 boost threshold) was fuzzed bit-exact against
+    DuckDB's jaro_winkler_similarity over 11k random pairs."""
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import (
+        jaro_winkler_pairs,
+    )
+
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    return jaro_winkler_pairs(
+        part, "p_name", "p_partkey", threshold=0.93, block_len=2
+    ).orderBy("id_a", "id_b")

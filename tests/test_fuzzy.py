@@ -83,3 +83,46 @@ def test_length_prune_is_safe(spark):
     pairs = fuzzy_pairs(df, "name", "id", max_distance=1, block_len=8)
     rows = pairs.collect()
     assert len(rows) == 1 and rows[0].dist == 1
+
+
+def test_jaro_winkler_reference_vectors_and_duckdb_agreement(spark):
+    import duckdb
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import (
+        _jaro_winkler_py,
+        jaro_winkler_pairs,
+    )
+
+    # textbook vectors
+    assert _jaro_winkler_py("martha", "marhta") == pytest.approx(0.9611111111, abs=1e-9)
+    assert _jaro_winkler_py("dixon", "dicksonx") == pytest.approx(0.8133333333, abs=1e-9)
+    assert _jaro_winkler_py("abc", "abc") == 1.0
+    assert _jaro_winkler_py("", "abc") == 0.0
+    # sub-threshold jaro gets NO winkler boost (0.7 cutoff)
+    assert _jaro_winkler_py("aa", "aeb") == pytest.approx(0.6111111111, abs=1e-9)
+    # DuckDB bit-agreement on a deterministic sweep (the oracle contract)
+    import random
+    import string
+
+    rng = random.Random(3)
+    for _ in range(300):
+        a = "".join(rng.choices(string.ascii_lowercase[:5], k=rng.randint(0, 9)))
+        b = "".join(rng.choices(string.ascii_lowercase[:5], k=rng.randint(0, 9)))
+        want = duckdb.sql(
+            f"select jaro_winkler_similarity('{a}','{b}')"
+        ).fetchone()[0]
+        assert _jaro_winkler_py(a, b) == pytest.approx(want, abs=1e-12), (a, b)
+
+    # operator wiring: blocked pairs over a toy frame
+    df = spark.createDataFrame(
+        [(1, "martha"), (2, "marhta"), (3, "marcus"), (4, "zeta")],
+        "id long, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.jw
+        for r in jaro_winkler_pairs(df, "name", "id", threshold=0.9, block_len=2).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(0.961111, abs=1e-6)
+    assert (1, 4) not in out  # different block never compared
+    assert all(v >= 0.9 for v in out.values())
