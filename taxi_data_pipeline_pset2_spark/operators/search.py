@@ -122,7 +122,14 @@ def tfidf_cosine_pairs(
         * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
         * F.lit(1e6)
     ).cast("bigint")
-    weighted = tf.join(dfreq, "term").select(id_col, "term", w6.alias("w6"))
+    # a term with df == n_docs has idf 0 -> weight 0: it contributes
+    # nothing to any dot product but would zero a doc's norm when it is
+    # the doc's ONLY kept term (divide-by-zero) -- drop zero weights
+    weighted = (
+        tf.join(dfreq, "term")
+        .select(id_col, "term", w6.alias("w6"))
+        .filter(F.col("w6") != 0)
+    )
     # cast BEFORE multiplying: a bigint product would overflow (ANSI
     # throw) once tf * idf crosses ~3e9, i.e. exactly at corpus scale
     norms = weighted.groupBy(id_col).agg(

@@ -617,3 +617,47 @@ def compression_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def blocklist_flags(
+    docs: DataFrame,
+    blocklist: dict[str, str],
+    max_hit_ratio: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word-list safety gate (the C4/Gopher "bad words" filter shape):
+    per doc, total blocklist hits, distinct categories hit, the hit
+    ratio over all tokens, and ``blocked`` when the ratio exceeds
+    ``max_hit_ratio`` (a single incidental term shouldn't nuke a long
+    document; density should). ``blocklist`` maps term -> category.
+
+    Same scan-shaped plan as sentiment_scores: the list rides into
+    every task as a map literal, pure higher-order expressions, no
+    UDF/join/shuffle. A corpus-sized list would switch to a broadcast
+    join on exploded tokens. Returns (id, n_tokens, n_hits,
+    n_categories, hit_ratio 6-dp, blocked); empty docs report 0 tokens,
+    NULL ratio, not blocked."""
+    if not blocklist:
+        raise ValueError("empty blocklist")
+    cat = F.create_map(
+        *[x for w, c in sorted(blocklist.items()) for x in (F.lit(w), F.lit(c))]
+    )
+    toks = tokenize(F.col(text_col))
+    hit_cats = F.filter(
+        F.transform(toks, lambda t: F.element_at(cat, t)),
+        lambda c: c.isNotNull(),
+    )
+    n_tokens = F.size(toks).cast("bigint")
+    n_hits = F.size(hit_cats).cast("bigint")
+    ratio = F.when(
+        n_tokens > 0, F.round(n_hits.cast("double") / n_tokens, 6)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_hits.alias("n_hits"),
+        F.size(F.array_distinct(hit_cats)).cast("bigint").alias("n_categories"),
+        ratio.alias("hit_ratio"),
+        F.coalesce(ratio > F.lit(max_hit_ratio), F.lit(False)).alias("blocked"),
+    )

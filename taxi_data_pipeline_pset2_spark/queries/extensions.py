@@ -1486,12 +1486,13 @@ _TFIDF_COS_ORACLE = f"""
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
               HAVING count(*) BETWEEN 2 AND 100),
-    w AS (SELECT tf.doc_id, tf.term,
-                 CAST(round(tf.tf
-                            * round(ln((SELECT count(*) FROM documents) * 1.0
-                                       / dfreq.df), 6)
-                            * 1000000) AS BIGINT) AS w6
-          FROM tf JOIN dfreq USING (term)),
+    w0 AS (SELECT tf.doc_id, tf.term,
+                  CAST(round(tf.tf
+                             * round(ln((SELECT count(*) FROM documents) * 1.0
+                                        / dfreq.df), 6)
+                             * 1000000) AS BIGINT) AS w6
+           FROM tf JOIN dfreq USING (term)),
+    w AS (SELECT * FROM w0 WHERE w6 <> 0),
     norms AS (SELECT doc_id, sum(CAST(w6 AS HUGEINT) * w6) AS ss
               FROM w GROUP BY doc_id),
     n AS (SELECT w.doc_id, w.term,
@@ -1766,3 +1767,53 @@ def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_pipeline_pset2_spark.operators.text import compression_ratio
 
     return compression_ratio(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---- blocklist safety gate ------------------------------------------------
+
+_BLOCKLIST = {
+    "slow": "performance",
+    "skew": "performance",
+    "error": "reliability",
+    "null": "quality",
+}
+_BLOCK_RATIO = 0.05
+
+_BLOCK_CASE = " ".join(
+    f"WHEN '{w}' THEN '{c}'" for w, c in sorted(_BLOCKLIST.items())
+)
+_BLOCK_IN = ", ".join(f"'{w}'" for w in sorted(_BLOCKLIST))
+
+_BLOCKLIST_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(len(ts) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(ts, t -> t IN ({_BLOCK_IN}))) AS BIGINT) AS n_hits,
+                 list_distinct(list_filter(
+                     list_transform(ts, t -> CASE t {_BLOCK_CASE} END),
+                     c -> c IS NOT NULL)) AS cats
+          FROM tk)
+    SELECT doc_id, n_tokens, n_hits,
+           CAST(len(cats) AS BIGINT) AS n_categories,
+           CASE WHEN n_tokens > 0 THEN round(n_hits * 1.0 / n_tokens, 6) END
+               AS hit_ratio,
+           coalesce(CASE WHEN n_tokens > 0
+                         THEN round(n_hits * 1.0 / n_tokens, 6) END
+                    > {_BLOCK_RATIO}, FALSE) AS blocked
+    FROM h
+    ORDER BY doc_id
+"""
+
+
+@query("blocklist_safety_flags", oracle=_BLOCKLIST_ORACLE, tags=("text", "quality"))
+def blocklist_safety_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-list safety gate (operators/text.py blocklist_flags): hit
+    counts, categories, density ratio and the density-thresholded
+    blocked flag -- the C4-style bad-words filter as one scan of map
+    literals and higher-order expressions, no UDF, no shuffle."""
+    from taxi_data_pipeline_pset2_spark.operators.text import blocklist_flags
+
+    return blocklist_flags(
+        t(spark, sf_dir, "documents"), _BLOCKLIST, max_hit_ratio=_BLOCK_RATIO
+    ).orderBy("doc_id")

@@ -202,3 +202,58 @@ def test_and_search_matches_bruteforce(spark, docs, terms):
         if all(t in toks for t in terms):
             want[i] = sum(toks.count(t) for t in set(terms))
     assert got == want
+
+
+def test_tfidf_cosine_matches_bruteforce_random(spark):
+    """Hypothesis sweep: random tiny corpora vs the python reference
+    (same int-scaling discipline), pair-set and value equality."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from taxi_data_pipeline_pset2_spark.operators.search import tfidf_cosine_pairs
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(words, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(doc, min_size=2, max_size=6))
+    def run(texts):
+        rows = list(enumerate(texts))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.id_a, r.id_b): r.cosine
+            for r in tfidf_cosine_pairs(docs, threshold=0.0, max_df=10).collect()
+        }
+        n = len(rows)
+        tf: dict = {}
+        for d, t in rows:
+            for w in t.split():
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+        dfreq: dict = {}
+        for (_, w) in tf:
+            dfreq[w] = dfreq.get(w, 0) + 1
+        kept = {w for w, c in dfreq.items() if 2 <= c <= 10}
+        vecs: dict = {}
+        for (d, w), c in tf.items():
+            if w in kept:
+                w6 = round(c * round(math.log(n / dfreq[w]), 6) * 1e6)
+                if w6 != 0:  # df == n_docs -> idf 0 -> dropped
+                    vecs.setdefault(d, {})[w] = w6
+        want = {}
+        for a in vecs:
+            for b in vecs:
+                if a < b and set(vecs[a]) & set(vecs[b]):
+                    na = math.sqrt(sum(x * x for x in vecs[a].values()))
+                    nb = math.sqrt(sum(x * x for x in vecs[b].values()))
+                    dot = sum(
+                        round(1e6 * vecs[a][w] / na) * round(1e6 * vecs[b][w] / nb)
+                        for w in set(vecs[a]) & set(vecs[b])
+                    )
+                    want[(a, b)] = round(dot / 1e12, 6)
+        assert set(out) == set(want)
+        for k in want:
+            assert abs(out[k] - want[k]) <= 2e-6, (k, out[k], want[k])
+
+    run()

@@ -258,3 +258,30 @@ def test_compression_ratio_matches_python_zlib(spark):
             ), did
     # the repetitive doc compresses far better than natural prose
     assert out[1][2] > 3 * out[2][2]
+
+
+def test_blocklist_flags_density_semantics(spark):
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.text import blocklist_flags
+
+    bl = {"bad": "cat1", "worse": "cat2", "ugly": "cat1"}
+    docs = spark.createDataFrame(
+        [
+            (1, "bad " + "ok " * 99),            # 1/100 hits -> under 5%
+            (2, "bad worse ugly ok"),            # 3/4 -> blocked, 2 categories
+            (3, "clean text only here"),
+            (4, None),                           # NULL text -> NULL ratio, not blocked
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.n_categories, r.hit_ratio, r.blocked)
+        for r in blocklist_flags(docs, bl, max_hit_ratio=0.05).collect()
+    }
+    assert out[1] == (1, 1, 0.01, False)  # density, not presence, blocks
+    assert out[2] == (3, 2, 0.75, True)
+    assert out[3][0] == 0 and out[3][3] is False
+    assert out[4][2] is None and out[4][3] is False
+    with pytest.raises(ValueError):
+        blocklist_flags(docs, {})
