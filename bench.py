@@ -95,10 +95,10 @@ def clustering_demo(
     AND second-level date offsets so neither layout can RLE-collapse
     replicas into artificially small or fast files.
 
-    Both a COLD first read (page cache dropped via posix_fadvise --
-    the scan-bound regime a real cluster lives in) and warm best-of-3
-    are reported; the headline ``speedup`` is the cold one, with the
-    warm pair alongside, and the BYTES each layout must read."""
+    The HEADLINE ``speedup`` is ``bytes_pruned_ratio`` -- the
+    cache-invariant layout fact (see the output-note rationale).
+    Guest-cold (fadvise-dropped, hypervisor-cache-compressed) and warm
+    wall-clock pairs are reported alongside as labeled lower bounds."""
     import json as _json
     import shutil
 

@@ -40,16 +40,17 @@ def _block_key(norm: Column, block_len: int, from_end: bool = False) -> Column:
     return F.substring(norm, 1, block_len)
 
 
-def fuzzy_pairs(
+def _blocked_candidate_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    max_distance: int = 1,
-    block_len: int = 4,
+    block_len: int,
     from_end: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b, dist) for same-block pairs with Levenshtein distance
-    <= ``max_distance`` over the normalized text. id_a < id_b."""
+    """(id_a, id_b, _sa, _sb): the shared blocking stage -- normalize,
+    block-key, bounded bucket expansion via bucket_pairs. Every verify
+    kernel (Levenshtein, Jaro-Winkler, ...) runs on this one candidate
+    plan, so blocking fixes apply to all of them at once."""
     norm = normalize_text(F.col(text_col))
     keyed = df.select(
         F.col(id_col),
@@ -71,6 +72,20 @@ def fuzzy_pairs(
         F.col("p.a.s").alias("_sa"),
         F.col("p.b.s").alias("_sb"),
     )
+    return pairs
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 1,
+    block_len: int = 4,
+    from_end: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, dist) for same-block pairs with Levenshtein distance
+    <= ``max_distance`` over the normalized text. id_a < id_b."""
+    pairs = _blocked_candidate_pairs(df, text_col, id_col, block_len, from_end)
     # length prune before the O(len^2) edit-distance kernel
     pruned = pairs.filter(
         F.abs(F.length("_sa") - F.length("_sb")) <= max_distance
@@ -118,11 +133,12 @@ def fuzzy_dedup(
 
 
 def _jaro_winkler_py(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
-    """Reference Jaro-Winkler (textbook definition: match window
-    max(|a|,|b|)//2 - 1, transpositions = half the out-of-order
-    matches, Winkler prefix boost capped at ``max_prefix``). Matches
-    DuckDB's jaro_winkler_similarity on the textbook vectors, which is
-    what keeps the operator oracle-expressible."""
+    """Reference Jaro-Winkler (flag algorithm: match window
+    max(|a|,|b|)//2 - 1, transpositions = FLOOR-halved mismatches of
+    the matched character sequences, boost only above jaro 0.7, prefix
+    capped at ``max_prefix``). Fuzzed bit-exact against DuckDB's
+    jaro_winkler_similarity, which is what keeps the operator
+    oracle-expressible."""
     if not a or not b:
         return 0.0
     if a == b:
@@ -177,27 +193,7 @@ def jaro_winkler_pairs(
     Same bounded block plan as ``fuzzy_pairs``; the verify kernel is an
     Arrow-batched pandas UDF (no Catalyst JW), 6-dp rounded so the
     DuckDB ``jaro_winkler_similarity`` twin hash-matches."""
-    norm = normalize_text(F.col(text_col))
-    keyed = df.select(
-        F.col(id_col),
-        norm.alias("_s"),
-        _block_key(norm, block_len).alias("_blk"),
-    )
-    buckets = (
-        keyed.groupBy("_blk")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_s").alias("s")))
-            ).alias("xs")
-        )
-        .filter(F.size("xs") >= 2)
-    )
-    pairs = bucket_pairs(buckets, "xs").select(
-        F.col("p.a.i").alias("id_a"),
-        F.col("p.b.i").alias("id_b"),
-        F.col("p.a.s").alias("_sa"),
-        F.col("p.b.s").alias("_sb"),
-    )
+    pairs = _blocked_candidate_pairs(df, text_col, id_col, block_len)
 
     @F.pandas_udf("double")
     def jw(sa: pd.Series, sb: pd.Series) -> pd.Series:

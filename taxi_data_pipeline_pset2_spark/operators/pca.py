@@ -46,45 +46,43 @@ class PCAModel:
 _COMBINE_PARTITIONS = 32
 
 
-def _validated_dim(emb: DataFrame, vec_col: str) -> int:
-    """One aggregate validating the embedding column before any kernel
-    runs: no NULL vectors, uniform dimension. A NULL or ragged column
-    would otherwise surface as an opaque numpy shape/object-dtype error
-    inside mapInPandas."""
-    row = emb.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col(vec_col).isNull().cast("long")).alias("nulls"),
-        F.min(F.size(vec_col)).alias("dmin"),
-        F.max(F.size(vec_col)).alias("dmax"),
-    ).first()
-    if row["n"] == 0:
-        raise ValueError("empty input")
-    if row["nulls"]:
-        raise ValueError(
-            f"{vec_col} has {row['nulls']} NULL vectors; filter or impute first"
-        )
-    if row["dmin"] != row["dmax"]:
-        raise ValueError(
-            f"{vec_col} dimensions vary: min {row['dmin']}, max {row['dmax']}"
-        )
-    return int(row["dmax"])
-
-
-def _moments(emb: DataFrame, vec_col: str, d: int) -> DataFrame:
+def _moments(emb: DataFrame, vec_col: str) -> DataFrame:
     """(n, sum x, sum x x^T) partials: one row per input partition,
-    tree-combined down to <= _COMBINE_PARTITIONS rows before collect."""
+    tree-combined down to <= _COMBINE_PARTITIONS rows before collect.
+
+    Validation (no NULL vectors, uniform dimension) happens INSIDE the
+    partials kernel, so the fit stays a single corpus scan -- a NULL or
+    ragged column raises a clear ValueError from the task instead of an
+    opaque numpy shape/object-dtype error (fit_pca re-surfaces it
+    driver-side). Dimension agreement ACROSS partitions is checked on
+    the collected partials."""
     schema = "n long, s array<double>, ss array<double>"
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
-        s = np.zeros(d)
-        ss = np.zeros((d, d))
+        d = None
+        s = ss = None
         for pdf in batches:
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if len(X):
-                n += len(X)
-                s += X.sum(axis=0)
-                ss += X.T @ X
+            col = pdf[vec_col]
+            if col.isna().any():
+                raise ValueError(
+                    f"{vec_col} has NULL vectors; filter or impute first"
+                )
+            if not len(col):
+                continue
+            lens = col.map(len)
+            if d is None:
+                d = int(lens.iloc[0])
+                s = np.zeros(d)
+                ss = np.zeros((d, d))
+            if (lens != d).any():
+                raise ValueError(
+                    f"{vec_col} dimensions vary within a partition"
+                )
+            X = np.array(list(col), dtype=np.float64)
+            n += len(X)
+            s += X.sum(axis=0)
+            ss += X.T @ X
         if n:
             yield pd.DataFrame(
                 {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
@@ -92,13 +90,18 @@ def _moments(emb: DataFrame, vec_col: str, d: int) -> DataFrame:
 
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
-        s = np.zeros(d)
-        ss = np.zeros(d * d)
+        s = ss = None
         for pdf in batches:
             for _, r in pdf.iterrows():
+                rs = np.asarray(r["s"], dtype=np.float64)
+                rss = np.asarray(r["ss"], dtype=np.float64)
+                if s is None:
+                    s, ss = np.zeros(len(rs)), np.zeros(len(rss))
+                if len(rs) != len(s):
+                    raise ValueError("dimensions vary across partitions")
                 n += int(r["n"])
-                s += np.asarray(r["s"], dtype=np.float64)
-                ss += np.asarray(r["ss"], dtype=np.float64)
+                s += rs
+                ss += rss
         if n:
             yield pd.DataFrame(
                 {"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]}
@@ -107,24 +110,44 @@ def _moments(emb: DataFrame, vec_col: str, d: int) -> DataFrame:
     part = emb.select(vec_col).mapInPandas(partials, schema=schema)
     if part.rdd.getNumPartitions() <= _COMBINE_PARTITIONS:
         return part  # already driver-sized: skip the second Arrow stage
-    return part.coalesce(_COMBINE_PARTITIONS).mapInPandas(combine, schema=schema)
+    # repartition, NOT coalesce: coalesce is a narrow dependency that
+    # would collapse the scan+partials pipeline itself into
+    # _COMBINE_PARTITIONS tasks, serializing the O(N*D^2) accumulation
+    # onto 32 cores of a 1000-executor cluster. The shuffle moves one
+    # (1 + D + D^2)-double row per original partition -- cheap.
+    return part.repartition(_COMBINE_PARTITIONS).mapInPandas(
+        combine, schema=schema
+    )
 
 
 def fit_pca(
     emb: DataFrame, k: int, vec_col: str = "embedding"
 ) -> PCAModel:
-    """Fit top-``k`` principal components. One corpus scan; the reduce
-    payload is one (1 + D + D*D)-float row per partition, tree-combined
-    to <= _COMBINE_PARTITIONS rows before the driver collect."""
+    """Fit top-``k`` principal components. ONE corpus scan (validation
+    rides the partials kernel); the reduce payload is one
+    (1 + D + D*D)-float row per partition, tree-combined to
+    <= _COMBINE_PARTITIONS rows before the driver collect."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    d = _validated_dim(emb, vec_col)
-    if k > d:
-        raise ValueError(f"k={k} exceeds dimension {d}")
-
-    rows = _moments(emb, vec_col, d).collect()
+    try:
+        rows = _moments(emb, vec_col).collect()
+    except Exception as exc:  # re-surface kernel validation as ValueError
+        msg = str(exc)
+        for marker in ("NULL vectors", "dimensions vary"):
+            if marker in msg:
+                raise ValueError(
+                    f"{vec_col} validation failed: {marker} "
+                    "(filter or impute first)"
+                ) from None
+        raise
     if not rows:
         raise ValueError("empty input")
+    dims = {len(r["s"]) for r in rows}
+    if len(dims) > 1:
+        raise ValueError(f"{vec_col} dimensions vary across partitions: {sorted(dims)}")
+    d = dims.pop()
+    if k > d:
+        raise ValueError(f"k={k} exceeds dimension {d}")
     # combine in a fixed (sorted) order so the driver-side sum is
     # deterministic given the same partial set
     rows = sorted(rows, key=lambda r: (r["n"], r["s"]))

@@ -81,6 +81,29 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def _with_group_id(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """``df`` plus ``group_id``: the near-dup component minimum for
+    rows in a pair, the row's own id otherwise. The single grouping
+    rule leakage_safe_split and group_kfold share -- splits and CV
+    folds must agree on group boundaries by construction."""
+    from taxi_data_pipeline_pset2_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    return df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn(
+        "group_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,
@@ -107,18 +130,8 @@ def leakage_safe_split(
     portable salted-hash interval assignment as ``hash_split`` -- so a
     given corpus + edge set + salt yields identical splits on any
     engine, and append-only corpora keep historical assignments stable."""
-    from taxi_data_pipeline_pset2_spark.operators.components import (
-        connected_components,
-    )
-
-    comp = connected_components(pairs, src=src, dst=dst)
-    grouped = df.join(
-        comp.withColumnRenamed("node", id_col), id_col, "left"
-    ).withColumn(
-        "group_id", F.coalesce(F.col("component"), F.col(id_col))
-    ).drop("component")
-    out = hash_split(grouped, id_col="group_id", weights=weights, salt=salt)
-    return out
+    grouped = _with_group_id(df, pairs, id_col, src, dst)
+    return hash_split(grouped, id_col="group_id", weights=weights, salt=salt)
 
 
 def group_kfold(
@@ -137,16 +150,7 @@ def group_kfold(
     Adds ``group_id`` and ``fold``."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    from taxi_data_pipeline_pset2_spark.operators.components import (
-        connected_components,
-    )
-
-    comp = connected_components(pairs, src=src, dst=dst)
-    grouped = df.join(
-        comp.withColumnRenamed("node", id_col), id_col, "left"
-    ).withColumn(
-        "group_id", F.coalesce(F.col("component"), F.col(id_col))
-    ).drop("component")
+    grouped = _with_group_id(df, pairs, id_col, src, dst)
     return grouped.withColumn(
         "fold",
         F.pmod(salted_hash(F.col("group_id"), salt), F.lit(k)).cast("int"),

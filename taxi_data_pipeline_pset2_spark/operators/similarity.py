@@ -85,6 +85,26 @@ def knn_topk(
     construction), candidates stream through one scan; the per-query
     top-k is a partitioned window -> shuffle on query_id only.
     """
+    scored = _scored_query_pairs(emb, query_pred, id_col, vec_col, bucket_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _scored_query_pairs(
+    emb: DataFrame,
+    query_pred: Column,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) for every (query, candidate)
+    pair: the broadcast-queries-scan-candidates stage knn_topk and
+    mine_hard_negatives share, BEFORE any ranking -- so a consumer that
+    must filter pairs (dup exclusion) does it once, then ranks once."""
     prep = _prepared(emb, id_col, vec_col)
     q_cols = [F.col(id_col).alias("query_id"), F.col("iv").alias("q_iv"),
               F.col("norm2").alias("q_norm2")]
@@ -107,13 +127,7 @@ def knn_topk(
         / (F.sqrt(F.col("q_norm2").cast("double")) * F.sqrt(F.col("c_norm2").cast("double"))),
         6,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return joined.select("query_id", "neighbor_id", cos.alias("cosine"))
 
 
 def knn_topk_vectorized(
@@ -561,14 +575,14 @@ def mine_hard_negatives(
     LSH-verified pairs, semantic_pairs...); both orientations are
     excluded, as is self.
 
-    Plan: the same broadcast-anchors-scan-corpus shape as ``knn_topk``,
-    plus one left-anti join against the (dup-sized) exclusion set before
-    the per-anchor top-k window. Exclusion BEFORE ranking matters: a
+    Plan: the same broadcast-anchors-scan-corpus shape as ``knn_topk``
+    (the shared pre-rank stage ``_scored_query_pairs``), plus one
+    left-anti join against the (dup-sized) exclusion set, then ONE
+    per-anchor top-k window. Exclusion BEFORE ranking matters twice: a
     post-rank filter would silently return fewer than k negatives for
-    anchors with many near-dups."""
-    scored = knn_topk(
-        emb, query_pred, k=2_147_483_647, id_col=id_col, vec_col=vec_col
-    ).drop("rank")
+    dup-heavy anchors, and ranking first would sort the full pair set
+    only to re-rank it after the anti-join."""
+    scored = _scored_query_pairs(emb, query_pred, id_col, vec_col)
     sym = dup_pairs.select(
         F.col(src).alias("query_id"), F.col(dst).alias("neighbor_id")
     ).unionByName(

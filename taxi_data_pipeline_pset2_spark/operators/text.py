@@ -636,8 +636,10 @@ def blocklist_flags(
     every task as a map literal, pure higher-order expressions, no
     UDF/join/shuffle. A corpus-sized list would switch to a broadcast
     join on exploded tokens. Returns (id, n_tokens, n_hits,
-    n_categories, hit_ratio 6-dp, blocked); empty docs report 0 tokens,
-    NULL ratio, not blocked."""
+    n_categories, hit_ratio 6-dp, blocked). Edge rows: NULL text yields
+    NULL counts/ratio and blocked=False; empty/whitespace text counts
+    ONE empty token (the engine-wide tokenize('') -> [''] convention
+    the DuckDB twins share), ratio 0.0, not blocked."""
     if not blocklist:
         raise ValueError("empty blocklist")
     cat = F.create_map(

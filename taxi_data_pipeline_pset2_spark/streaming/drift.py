@@ -50,13 +50,18 @@ def batch_psi_row(
     """One audit row for one batch. Exposed for the stream ≡ batch
     equality test: the monitor's output for a batch must equal this
     function applied to the same rows."""
-    n_rows = batch_df.count()
+    # ONE batch scan: the category counts serve both n_rows (their sum)
+    # and the PSI join -- pinned with localCheckpoint so the PSI pass
+    # reads the tiny count frame, not the batch files again
+    counts = category_counts(batch_df, col, "n_actual").localCheckpoint(
+        eager=True
+    )
+    n_row = counts.agg(F.sum("n_actual").alias("n")).first()
+    n_rows = int(n_row["n"] or 0)
     if n_rows == 0:
         psi = 0.0  # an empty batch has nothing to drift
     else:
-        contribs = psi_from_counts(
-            ref_counts, category_counts(batch_df, col, "n_actual"), smoothing
-        )
+        contribs = psi_from_counts(ref_counts, counts, smoothing)
         m = contribs.agg(
             F.sum(F.round(F.col("psi_contrib") * SCALE).cast("bigint")).alias("s")
         ).first()

@@ -86,7 +86,7 @@ def test_moment_reduce_is_tree_combined(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings").repartition(64)
-    mom = _moments(emb, "embedding", 64)
+    mom = _moments(emb, "embedding")
     assert mom.rdd.getNumPartitions() <= _COMBINE_PARTITIONS
     assert mom.count() <= _COMBINE_PARTITIONS
     model = fit_pca(emb, k=2)
