@@ -121,3 +121,80 @@ def curate_corpus(
 
     # 5. stable split assignment rides along as the final column
     return hash_split(out, id_col=id_col, weights=split_weights)
+
+
+def curation_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    max_dup_line_ratio: float = 0.5,
+    allowed_langs: tuple[str, ...] | None = None,
+    near_dup_pairs: DataFrame | None = None,
+    benchmarks: DataFrame | None = None,
+    decontam_k: int = 13,
+) -> DataFrame:
+    """Drop-reason audit: one row PER INPUT DOC with ``drop_stage`` --
+    the FIRST gate (in curate_corpus's stage order) that removed it, or
+    NULL for survivors. The observability layer every curation pipeline
+    needs: "how much did each gate cost me, and why is doc X gone?"
+    answered without re-running the pipeline by hand.
+
+    Stage labels: exact_dup, near_dup, decontaminated, low_quality,
+    repetitive, language. Stage id-sets are derived with the SAME
+    operators curate_corpus composes, so audit and pipeline can't
+    disagree; each set is survivor-ids-sized, and the flags chain as
+    left-join markers plus row-local signal columns (no extra corpus
+    shuffles beyond the stages themselves)."""
+    s1 = (
+        exact_dedup_groups(docs, text_col, id_col)
+        .select(F.col("keep_id").alias(id_col))
+        .withColumn("_a1", F.lit(True))
+        .persist()
+    )
+    kept = docs.join(s1.drop("_a1"), id_col)
+
+    s2 = None
+    if near_dup_pairs is not None:
+        s2 = (
+            resolve_duplicate_clusters(kept, near_dup_pairs, id_col)
+            .select(id_col)
+            .withColumn("_a2", F.lit(True))
+        )
+        kept = docs.join(s2.drop("_a2"), id_col)
+
+    s3 = None
+    if benchmarks is not None:
+        s3 = (
+            decontaminate(
+                kept, benchmarks, k=decontam_k, text_col=text_col, id_col=id_col
+            )
+            .select(id_col)
+            .withColumn("_a3", F.lit(True))
+        )
+
+    sig = with_pred_lang(
+        with_dup_line_ratio(with_quality_score(docs, text_col), text_col),
+        text_col,
+    ).select(id_col, "quality_score", "dup_line_ratio", "pred_lang")
+
+    out = docs.select(id_col).join(s1, id_col, "left")
+    if s2 is not None:
+        out = out.join(s2, id_col, "left")
+    if s3 is not None:
+        out = out.join(s3, id_col, "left")
+    out = out.join(sig, id_col, "left")
+
+    stage = F.when(F.col("_a1").isNull(), F.lit("exact_dup"))
+    if s2 is not None:
+        stage = stage.when(F.col("_a2").isNull(), F.lit("near_dup"))
+    if s3 is not None:
+        stage = stage.when(F.col("_a3").isNull(), F.lit("decontaminated"))
+    stage = stage.when(
+        F.col("quality_score") < min_quality, F.lit("low_quality")
+    ).when(F.col("dup_line_ratio") > max_dup_line_ratio, F.lit("repetitive"))
+    if allowed_langs:
+        stage = stage.when(
+            ~F.col("pred_lang").isin(list(allowed_langs)), F.lit("language")
+        )
+    return out.select(id_col, stage.alias("drop_stage"))

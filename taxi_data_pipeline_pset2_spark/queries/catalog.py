@@ -152,6 +152,7 @@ _WINDOW: tuple[str, ...] = (
 # row would add nothing over the local pytest replay).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
+    "curation_drop_audit",
     "ann_brp_lsh",
     "kmeans_clusters",
     "approx_event_profile",

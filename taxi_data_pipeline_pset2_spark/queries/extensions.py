@@ -1817,3 +1817,20 @@ def blocklist_safety_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_flags(
         t(spark, sf_dir, "documents"), _BLOCKLIST, max_hit_ratio=_BLOCK_RATIO
     ).orderBy("doc_id")
+
+
+@query("curation_drop_audit", oracle=None, tags=("curation", "quality"))
+def curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason audit for the curation pipeline
+    (operators/curation.py curation_audit): one row per input doc with
+    the first gate that removed it (NULL = survivor). Deterministic but
+    its SQL twin would re-state four whole pipelines -> rows-only;
+    audit == pipeline agreement is pinned in tests/test_curation.py."""
+    from taxi_data_pipeline_pset2_spark.operators.curation import curation_audit
+
+    docs = t(spark, sf_dir, "documents")
+    return curation_audit(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        benchmarks=docs.filter(F.col("doc_id") % 20 == 0),
+        decontam_k=8,
+    ).orderBy("doc_id")

@@ -152,3 +152,70 @@ def test_curation_full_stack_composition(spark, sf_dir):
     # span pair: exactly one of the two sharers survives
     assert len(ids & {4_000_002, 4_000_003}) == 1
     assert base[0].doc_id in ids and base[1].doc_id in ids
+
+
+def test_curation_audit_first_failing_stage(spark):
+    from taxi_data_pipeline_pset2_spark.operators.curation import (
+        curate_corpus,
+        curation_audit,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and the rain keeps "
+        "falling on the quiet town where trains run slowly past the old "
+        "station while people wait patiently for the morning light"
+    )
+    rows = [
+        (1, good),
+        (2, good),                      # exact dup of 1 -> exact_dup
+        (3, "spam spam spam\n" * 20),   # repetitive lines
+        (4, "999 111 222 333"),         # low quality (no alpha, no stopwords)
+        (5, good + " unique tail of words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    audit = {
+        r.doc_id: r.drop_stage for r in curation_audit(docs).collect()
+    }
+    assert len(audit) == len(rows)  # one row per input doc
+    assert audit[1] is None and audit[5] is None
+    assert audit[2] == "exact_dup"
+    assert audit[3] in ("repetitive", "low_quality")
+    assert audit[4] == "low_quality"
+    # audit agrees with the pipeline: NULL drop_stage == survivor set
+    survivors = {
+        r.doc_id for r in curate_corpus(docs).select("doc_id").collect()
+    }
+    assert {i for i, s in audit.items() if s is None} == survivors
+
+
+def test_curation_audit_near_dup_and_decontamination_stages(spark):
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.curation import curation_audit
+
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen "
+        "twenty twentyone twentytwo twentythree twentyfour twentyfive"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " near copy marker"),
+            (10, "completely different words about spark catalyst plans "
+                 "broadcast joins shuffle partitions adaptive execution "
+                 "whole stage codegen vectorized parquet readers"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    bench = docs.filter(F.col("doc_id") == 10)
+    audit = {
+        r.doc_id: r.drop_stage
+        for r in curation_audit(
+            docs, near_dup_pairs=pairs, benchmarks=bench, decontam_k=5
+        ).collect()
+    }
+    assert audit[1] is None
+    assert audit[2] == "near_dup"       # component loser, min-id survives
+    assert audit[10] == "decontaminated"
