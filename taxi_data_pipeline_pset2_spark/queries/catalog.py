@@ -153,6 +153,7 @@ _WINDOW: tuple[str, ...] = (
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
     "curation_drop_audit",
+    "phonetic_matches",
     "ann_brp_lsh",
     "kmeans_clusters",
     "approx_event_profile",

@@ -596,3 +596,19 @@ def jaro_winkler_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaro_winkler_pairs(
         part, "p_name", "p_partkey", threshold=0.93, block_len=2
     ).orderBy("id_a", "id_b")
+
+
+@query("phonetic_matches", oracle=None, tags=("fuzzy", "dedup"))
+def phonetic_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex-blocked fuzzy matching (operators/fuzzy.py
+    phonetic_pairs): the phonetic pass record linkage runs next to
+    prefix blocking -- Spark's built-in soundex is the block key
+    (codegen, no UDF). DuckDB ships no soundex -> rows-only; Spark's
+    encoding is pinned against a python reference in
+    tests/test_fuzzy.py."""
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import phonetic_pairs
+
+    cust = t(spark, sf_dir, "customer")
+    return phonetic_pairs(cust, "c_name", "c_custkey", max_distance=2).orderBy(
+        "id_a", "id_b"
+    )

@@ -126,3 +126,47 @@ def test_jaro_winkler_reference_vectors_and_duckdb_agreement(spark):
     assert out[(1, 2)] == pytest.approx(0.961111, abs=1e-6)
     assert (1, 4) not in out  # different block never compared
     assert all(v >= 0.9 for v in out.values())
+
+
+def test_phonetic_pairs_blocks_by_soundex(spark):
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import phonetic_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith"),
+            (2, "smyth"),     # S530 == S530, lev 1
+            (3, "schmidt"),   # S530 too, lev(smith, schmidt)=3 > 2
+            (4, "jones"),     # different block
+            (5, "jonas"),     # J520 == J520? jones=J520 jonas=J520, lev 1
+        ],
+        "id long, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in phonetic_pairs(df, "name", "id", max_distance=2).collect()
+    }
+    assert out[(1, 2)] == 1   # smith/smyth pair despite no shared prefix-4
+    assert out[(4, 5)] == 1
+    assert (1, 3) not in out  # same block but over the distance cap
+    assert (1, 4) not in out and (2, 5) not in out  # cross-block never pairs
+    # python soundex reference agrees with Spark's block keys
+    def soundex(w):
+        codes = {**{c: "1" for c in "bfpv"}, **{c: "2" for c in "cgjkqsxz"},
+                 **{c: "3" for c in "dt"}, "l": "4", **{c: "5" for c in "mn"},
+                 "r": "6"}
+        w = w.lower()
+        out_ = w[0].upper()
+        prev = codes.get(w[0], "")
+        for ch in w[1:]:
+            c = codes.get(ch, "")
+            if c and c != prev:
+                out_ += c
+            if ch not in "hw":  # h/w do not reset the previous code
+                prev = c if c else ("" if ch in "aeiouy" else prev)
+        return (out_ + "000")[:4]
+
+    from pyspark.sql import functions as F
+
+    got = {r.name: r.sdx for r in df.select("name", F.soundex("name").alias("sdx")).collect()}
+    for name, sdx in got.items():
+        assert sdx == soundex(name), name
