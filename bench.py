@@ -48,12 +48,24 @@ def _cluster_cache_dir(
     (/a/sf0.1 vs /b/sf0.1), or one regenerated in place, must not
     silently reuse stale written layouts (ADVICE r6)."""
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    cache_key = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{st.st_size}_{st.st_mtime_ns}"
-        f"_s{scale}_f{n_flat_files}_c{n_clustered_files}"
-    )
-    return os.path.join("/tmp/spark_graft_bench_cache", cache_key)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    suffix = f"_s{scale}_f{n_flat_files}_c{n_clustered_files}"
+    cache_key = f"{base}_{st.st_size}_{st.st_mtime_ns}{suffix}"
+    root = "/tmp/spark_graft_bench_cache"
+    # prune SUPERSEDED layouts: same dataset basename + params but a
+    # different source fingerprint (the dataset was regenerated), and
+    # pre-fingerprint legacy keys -- each holds ~2x the scaled table,
+    # and only the current fingerprint's layouts are ever read again
+    if os.path.isdir(root):
+        import shutil as _sh
+
+        for d in os.listdir(root):
+            if d == cache_key or not (
+                d.startswith(base + "_") and d.endswith(suffix)
+            ):
+                continue
+            _sh.rmtree(os.path.join(root, d), ignore_errors=True)
+    return os.path.join(root, cache_key)
 
 
 def clustering_demo(

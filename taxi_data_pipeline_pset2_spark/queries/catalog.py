@@ -95,7 +95,8 @@ def query(
 # asof_next_purchase, asof_nearest_purchase, ewma_user_value,
 # tfidf_cosine_docs, leakage_safe_split_docs, group_kfold_docs,
 # temporal_split_events, rolling_features_user_value,
-# hard_negatives_topk, oov_rate_docs.
+# hard_negatives_topk, oov_rate_docs, jaro_winkler_matches,
+# blocklist_safety_flags.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",
