@@ -174,3 +174,65 @@ def quantile_bin(
     for b in bounds:
         cell = cell + (F.col(col).cast("double") > F.lit(float(b))).cast("int")
     return df.withColumn(out_col, F.when(F.col(col).isNotNull(), cell))
+
+
+def source_profile(
+    docs,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-source dataset-card sheet: (source, n_docs, avg_quality,
+    n_unique, dup_rate, lang_entropy) -- the per-domain statistics a
+    curator reads before setting mixture weights (is this source
+    boilerplate-heavy? monolingual? low quality?).
+
+    - avg_quality: mean composite quality score, decimal-exact sum then
+      one rounded division;
+    - dup_rate: 1 - distinct content fingerprints / docs (exact dup
+      mass inside the source);
+    - lang_entropy: Shannon entropy of the source's language mix in
+      nats, per-language contributions rounded to integer millionths
+      and summed (the PSI discipline -> partitioning-independent).
+
+    Two hash aggregates (per-source, per-source-language) + one
+    source-cardinality join; nothing corpus-shaped shuffles twice."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import normalize_text
+    from taxi_data_pipeline_pset2_spark.operators.text import with_quality_score
+
+    scored = with_quality_score(docs, text_col)
+    base = scored.select(
+        source_col,
+        lang_col,
+        "quality_score",
+        F.md5(normalize_text(F.col(text_col))).alias("_fp"),
+    )
+    per_src = (
+        base.groupBy(source_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+            F.countDistinct("_fp").cast("bigint").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1 - F.col("n_unique") / F.col("n_docs"), 6),
+        )
+    )
+    sl = base.groupBy(source_col, lang_col).agg(F.count("*").alias("_n"))
+    tot = sl.groupBy(source_col).agg(F.sum("_n").alias("_t"))
+    p = F.col("_n") / F.col("_t")
+    ent = (
+        sl.join(tot, source_col)
+        .select(
+            source_col,
+            F.round(-p * F.log(p) * 1_000_000).cast("bigint").alias("_em"),
+        )
+        .groupBy(source_col)
+        .agg((F.sum("_em").cast("double") / 1_000_000).alias("lang_entropy"))
+    )
+    return per_src.join(ent, source_col)

@@ -462,3 +462,49 @@ def quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("quality_blend"), F.asc("doc_id"))
         .limit(_BLEND_K)
     )
+
+
+_SOURCE_PROFILE_ORACLE = f"""
+    WITH tk AS (SELECT source, lang, text,
+                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents),
+    m AS (SELECT source, lang,
+                 CAST(4 * CAST(round(CAST(len(list_filter(toks,
+                          x -> list_contains({_sql_list(LANG_MARKERS['en'])}, x))) AS DOUBLE)
+                          * 1000000 / len(toks)) AS BIGINT)
+                      + 3 * least(CAST(1000000 AS BIGINT), CAST(len(toks) * 10000 AS BIGINT))
+                      + 3 * CAST(round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                          * 1000000 / length(text)) AS BIGINT) AS DOUBLE) / 10000000
+                     AS quality_score,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM tk),
+    per AS (SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS avg_quality,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+            FROM m GROUP BY source),
+    sl AS (SELECT source, lang, count(*) AS n FROM m GROUP BY source, lang),
+    tt AS (SELECT source, sum(n) AS t FROM sl GROUP BY source),
+    e AS (SELECT sl.source,
+                 CAST(round(-(n * 1.0 / t) * ln(n * 1.0 / t) * 1000000) AS BIGINT) AS em
+          FROM sl JOIN tt USING (source)),
+    ent AS (SELECT source, CAST(sum(em) AS DOUBLE) / 1000000 AS lang_entropy
+            FROM e GROUP BY source)
+    SELECT p.source, n_docs, avg_quality, n_unique,
+           round(1 - n_unique * 1.0 / n_docs, 6) AS dup_rate,
+           lang_entropy
+    FROM per p JOIN ent USING (source)
+    ORDER BY source
+"""
+
+
+@query("source_quality_profile", oracle=_SOURCE_PROFILE_ORACLE, tags=("text", "agg", "quality"))
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card sheet (operators/profiling.py
+    source_profile): doc counts, decimal-exact mean quality, exact-dup
+    rate, language-mix entropy -- the per-domain statistics that set
+    mixture weights. Two hash aggregates + one source-sized join."""
+    from taxi_data_pipeline_pset2_spark.operators.profiling import source_profile
+
+    return source_profile(t(spark, sf_dir, "documents")).orderBy("source")

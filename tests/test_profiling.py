@@ -175,3 +175,34 @@ def test_quantile_bin_exact_empty_input(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "v double")
     got = quantile_bin(nulls, "v", bins=4, exact=True).collect()
     assert [r["v_bin"] for r in got] == [None, None]
+
+
+def test_source_profile_semantics(spark):
+    import math
+
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.profiling import source_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "en", "the quick brown fox jumps over the lazy dog"),
+            (2, "s1", "en", "the quick brown fox jumps over the lazy dog"),  # dup
+            (3, "s1", "de", "der schnelle braune fuchs springt hier"),
+            (4, "s2", "en", "a completely different single document"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = {r.source: r for r in source_profile(docs).collect()}
+    s1 = out["s1"]
+    assert s1.n_docs == 3 and s1.n_unique == 2
+    assert s1.dup_rate == pytest.approx(round(1 - 2 / 3, 6), abs=1e-9)
+    # entropy of {en: 2/3, de: 1/3} with 6-dp per-term rounding
+    want = round(-(2 / 3) * math.log(2 / 3) * 1e6) + round(
+        -(1 / 3) * math.log(1 / 3) * 1e6
+    )
+    assert s1.lang_entropy == pytest.approx(want / 1e6, abs=1e-9)
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.n_unique, s2.dup_rate) == (1, 1, 0.0)
+    assert s2.lang_entropy == 0.0  # monolingual source
+    assert 0.0 <= s2.avg_quality <= 1.0
