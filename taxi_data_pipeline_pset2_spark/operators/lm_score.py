@@ -197,3 +197,101 @@ def doc_bigram_logprob(
         F.round(mean, 6).alias("mean_logprob"),
         F.round(F.exp(-F.round(mean, 6)), 4).alias("ppl_proxy"),
     )
+
+
+def _token_pairs(col):
+    """(w1, w2) adjacent-token structs from a text column -- the
+    shifted-slice zip, pure expressions (no UDF, no posexplode join)."""
+    t = tokenize(col)
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+
+
+def bigram_doc_logprob(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    lam: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean log-probability under an INTERPOLATED bigram
+    model (Jelinek-Mercer): p(w2|w1) = lam * c(w1 w2)/c(w1) +
+    (1-lam) * p_uni(w2), with the add-one unigram as the backoff -- one
+    rung up the n-gram ladder from ``doc_logprob`` toward the KenLM
+    5-gram CCNet actually uses, still fully SQL-expressible. The first
+    token scores under the unigram alone.
+
+    Returns (id, n_tokens, mean_logprob, ppl_proxy). Same determinism
+    device as the unigram path: each position's log term is rounded
+    once to integer millionths, so per-doc sums are associative integer
+    sums. ``lam`` should be a dyadic rational (default 0.75) so the
+    literals are exact in both engines.
+
+    Plan: bigram extraction is the shifted-slice zip (scan-shaped);
+    model counts are two vocabulary-sized hash aggregates; scoring
+    joins the pair frame to the bigram and unigram tables (AQE picks
+    broadcast vs shuffle by their runtime size) and ends in one per-doc
+    aggregate."""
+    import math
+
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    ref = model_docs if model_docs is not None else docs
+    uni, total, vocab = unigram_model(ref, text_col)
+    denom = float(total + vocab)
+    floor_m = round(math.log(1.0 / denom) * LOGP_SCALE)
+
+    big = (
+        ref.select(F.explode(_token_pairs(F.col(text_col))).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("bigint").alias("nb"))
+    )
+    cu = uni.select(F.col("term").alias("w1"), F.col("n").alias("cu"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n").alias("n2"))
+
+    pairs = docs.select(
+        F.col(id_col), F.explode(_token_pairs(F.col(text_col))).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .join(u2, "w2", "left")
+    )
+    cond = F.when(
+        F.col("cu").isNotNull() & F.col("nb").isNotNull(),
+        F.lit(lam) * F.col("nb") / F.col("cu"),
+    ).otherwise(F.lit(0.0))
+    backoff = (
+        F.lit(1.0 - lam)
+        * (F.coalesce(F.col("n2"), F.lit(0)) + 1).cast("double")
+        / F.lit(denom)
+    )
+    lp_m = F.round(F.log(cond + backoff) * LOGP_SCALE).cast("bigint")
+    pair_sums = scored.groupBy(id_col).agg(
+        F.sum(lp_m).alias("_pair_m"), F.count("*").alias("_n_pairs")
+    )
+
+    first = docs.select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        F.element_at(tokenize(F.col(text_col)), 1).alias("term"),
+    ).join(uni.select("term", "logp_m"), "term", "left")
+    per_doc = first.join(pair_sums, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (
+            F.coalesce(F.col("logp_m"), F.lit(floor_m))
+            + F.coalesce(F.col("_pair_m"), F.lit(0))
+        ).alias("_sum_m"),
+    )
+    mean = F.col("_sum_m").cast("double") / LOGP_SCALE / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(mean, 6).alias("mean_logprob"),
+        F.round(F.exp(-mean), 6).alias("ppl_proxy"),
+    )

@@ -1834,3 +1834,58 @@ def curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         benchmarks=docs.filter(F.col("doc_id") % 20 == 0),
         decontam_k=8,
     ).orderBy("doc_id")
+
+
+# ---- interpolated bigram LM scoring ---------------------------------------
+
+_BIGRAM_ORACLE = """
+    WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents),
+    uni AS (SELECT term, count(*) AS n
+            FROM (SELECT unnest(ts) AS term FROM tk) GROUP BY term),
+    tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM uni),
+    pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+              FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(2, len(ts)),
+                                  i -> {'w1': ts[i-1], 'w2': ts[i]})) AS p
+                    FROM tk)),
+    big AS (SELECT w1, w2, count(*) AS nb FROM pairs GROUP BY w1, w2),
+    sc AS (SELECT pr.doc_id,
+                  CAST(round(ln(
+                      CASE WHEN b.nb IS NOT NULL AND u1.n IS NOT NULL
+                           THEN 0.75 * b.nb / u1.n ELSE 0 END
+                      + 0.25 * (coalesce(u2.n, 0) + 1) / (tot.total + tot.vocab)
+                  ) * 1000000) AS BIGINT) AS m
+           FROM pairs pr
+           LEFT JOIN big b ON pr.w1 = b.w1 AND pr.w2 = b.w2
+           LEFT JOIN uni u1 ON pr.w1 = u1.term
+           LEFT JOIN uni u2 ON pr.w2 = u2.term, tot),
+    psum AS (SELECT doc_id, sum(m) AS pm FROM sc GROUP BY doc_id),
+    f AS (SELECT tk.doc_id, len(ts) AS n_tokens,
+                 coalesce(CAST(round(ln((u.n + 1) * 1.0 / (tot.total + tot.vocab))
+                                     * 1000000) AS BIGINT),
+                          CAST(round(ln(1.0 / (tot.total + tot.vocab))
+                                     * 1000000) AS BIGINT)) AS w0m
+          FROM tk LEFT JOIN uni u ON ts[1] = u.term, tot)
+    SELECT f.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round((w0m + coalesce(pm, 0)) * 1.0 / 1000000 / n_tokens, 6)
+               AS mean_logprob,
+           round(exp(-((w0m + coalesce(pm, 0)) * 1.0 / 1000000 / n_tokens)), 6)
+               AS ppl_proxy
+    FROM f LEFT JOIN psum ON f.doc_id = psum.doc_id
+    ORDER BY f.doc_id
+"""
+
+
+@query("bigram_doc_logprob", oracle=_BIGRAM_ORACLE, tags=("text", "lm"))
+def bigram_doc_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (operators/lm_score.py
+    bigram_doc_logprob, Jelinek-Mercer lam=0.75 over the add-one
+    unigram): one rung up the n-gram ladder from the unigram CCNet
+    proxy, still integer-millionths deterministic and fully
+    SQL-expressible."""
+    from taxi_data_pipeline_pset2_spark.operators.lm_score import (
+        bigram_doc_logprob,
+    )
+
+    return bigram_doc_logprob(t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -164,3 +164,57 @@ def test_bigram_scores_order_sensitivity(spark, sf_dir):
         for r in doc_logprob(probe, model_docs=docs).collect()
     }
     assert unig[9_100_000] == unig[9_100_001]  # unigram is order-blind
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.lm_score import (
+        LOGP_SCALE,
+        bigram_doc_logprob,
+    )
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b"),
+        (3, "z"),          # single OOV-ish token: unigram only
+        (4, "c c c c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_logprob, r.ppl_proxy)
+        for r in bigram_doc_logprob(docs, lam=0.75).collect()
+    }
+    # python reference with identical integer-millionths rounding
+    toks = {d: t.split() for d, t in rows}
+    uni: dict = {}
+    big: dict = {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    total, vocab = sum(uni.values()), len(uni)
+    denom = total + vocab
+    floor_m = round(math.log(1.0 / denom) * LOGP_SCALE)
+    for d, ts in toks.items():
+        w0 = ts[0]
+        s = (
+            round(math.log((uni[w0] + 1) / denom) * LOGP_SCALE)
+            if w0 in uni
+            else floor_m
+        )
+        for a, b in zip(ts, ts[1:]):
+            cond = 0.75 * big.get((a, b), 0) / uni[a] if (a, b) in big and a in uni else 0.0
+            back = 0.25 * (uni.get(b, 0) + 1) / denom
+            s += round(math.log(cond + back) * LOGP_SCALE)
+        mean = s / LOGP_SCALE / len(ts)
+        assert got[d][0] == len(ts)
+        assert got[d][1] == pytest.approx(round(mean, 6), abs=1e-9), d
+        assert got[d][2] == pytest.approx(round(math.exp(-mean), 6), abs=1e-6), d
+    # repetitive doc 4 has the most predictable bigrams -> best mean
+    assert got[4][1] == max(v[1] for v in got.values())
+    with pytest.raises(ValueError):
+        bigram_doc_logprob(docs, lam=1.0)
