@@ -63,15 +63,35 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def committed_tags(path: str) -> set[str]:
+    """Tags of all committed versions (empty for untagged commits)."""
+    out: set[str] = set()
+    for v in list_versions(path):
+        tag = _read_manifest(path, v).get("tag")
+        if tag is not None:
+            out.add(tag)
+    return out
+
+
 def versioned_write(
-    df: DataFrame, path: str, mode: str = "overwrite"
+    df: DataFrame, path: str, mode: str = "overwrite", tag: str | None = None
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
     ``mode='overwrite'`` starts a fresh logical table; ``'append'``
-    extends the latest version's file set."""
+    extends the latest version's file set.
+
+    ``tag`` makes the commit IDEMPOTENT per tag (Delta's transactional
+    appId/version idea): if some committed version already carries this
+    tag, the write is skipped and that version is returned -- the
+    exactly-once guard an at-least-once streaming sink needs so a
+    replayed micro-batch cannot double-append."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     versions = list_versions(path)
+    if tag is not None:
+        for v in versions:
+            if _read_manifest(path, v).get("tag") == tag:
+                return v
     next_v = (versions[-1] + 1) if versions else 0
 
     seg = os.path.join(path, _DATA_DIR, uuid.uuid4().hex)
@@ -84,9 +104,12 @@ def versioned_write(
         files = _read_manifest(path, versions[-1])["files"] + seg_files
 
     os.makedirs(_manifest_dir(path), exist_ok=True)
+    manifest = {"version": next_v, "mode": mode, "files": files}
+    if tag is not None:
+        manifest["tag"] = tag
     tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
-        json.dump({"version": next_v, "mode": mode, "files": files}, f)
+        json.dump(manifest, f)
     os.rename(tmp, os.path.join(_manifest_dir(path), f"v{next_v:08d}.json"))
     return next_v
 
