@@ -1889,3 +1889,59 @@ def bigram_doc_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bigram_doc_logprob(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---- class weights + rolling-origin backtest -------------------------------
+
+_CLASS_WEIGHTS_ORACLE = """
+    WITH c AS (SELECT event_type AS lbl, count(*) AS n FROM events GROUP BY lbl),
+    t AS (SELECT sum(n) AS nt, count(*) AS k FROM c),
+    w AS (SELECT lbl, round(nt * 1.0 / (k * n), 6) AS sample_weight FROM c, t)
+    SELECT e.event_id, e.event_type, w.sample_weight
+    FROM events e LEFT JOIN w ON e.event_type IS NOT DISTINCT FROM w.lbl
+    ORDER BY e.event_id
+"""
+
+
+@query("class_weights_events", oracle=_CLASS_WEIGHTS_ORACLE, tags=("sampling", "agg"))
+def class_weights_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency sample weights (operators/sampling.py
+    inverse_frequency_weights, sklearn's 'balanced'): every event type
+    contributes equal total training mass. One class-sized aggregate
+    broadcast back onto the scan."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        inverse_frequency_weights,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    return inverse_frequency_weights(ev, "event_type").orderBy("event_id")
+
+
+_ROLLING_ORIGIN_ORACLE = """
+    WITH f(fold, bend) AS (VALUES
+        (0, TIMESTAMP '2024-01-10 00:00:00'),
+        (1, TIMESTAMP '2024-01-20 00:00:00')),
+    j AS (SELECT e.event_id, e.user_id, e.ts, f.fold,
+                 CASE WHEN e.ts <= f.bend THEN 'train'
+                      WHEN e.ts > f.bend + INTERVAL 1 DAY THEN 'test' END AS role
+          FROM events e CROSS JOIN f)
+    SELECT event_id, user_id, ts, fold, role
+    FROM j WHERE role IS NOT NULL
+    ORDER BY fold, event_id
+"""
+
+
+@query("rolling_origin_backtest", oracle=_ROLLING_ORIGIN_ORACLE, tags=("sampling", "timeseries"))
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window backtest folds (operators/sampling.py
+    rolling_origin_folds): two boundaries, one-day embargo -- fold i
+    trains strictly on the past and never sees embargo-adjacent rows.
+    A k-row broadcast fold table crossed onto the scan."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        rolling_origin_folds,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return rolling_origin_folds(
+        ev, "ts", ["2024-01-10 00:00:00", "2024-01-20 00:00:00"], "1 day"
+    ).orderBy("fold", "event_id")

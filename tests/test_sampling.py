@@ -369,3 +369,60 @@ def test_temporal_split_embargo_semantics(spark):
         for r in temporal_split(df, "ts", "2024-01-10 00:00:00").collect()
     }
     assert out0 == {1: "train", 2: "train", 3: "test", 4: "test", 5: "test"}
+
+
+def test_inverse_frequency_weights_balance_classes(spark):
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        inverse_frequency_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(8)] + [(100, "b"), (101, "b")] + [(200, None)],
+        "id long, lbl string",
+    )
+    out = inverse_frequency_weights(df, "lbl")
+    rows = {r.id: r.sample_weight for r in out.collect()}
+    assert len(rows) == 11  # every row kept, incl. the NULL-label one
+    # N=11, k=3: w(a)=11/24, w(b)=11/6, w(NULL)=11/3
+    assert rows[0] == round(11 / 24, 6)
+    assert rows[100] == round(11 / 6, 6)
+    assert rows[200] == round(11 / 3, 6)
+    # balanced: each class's total mass is ~N/k
+    import collections
+
+    mass = collections.defaultdict(float)
+    for r in out.collect():
+        mass[r.lbl] += r.sample_weight
+    for m in mass.values():
+        assert abs(m - 11 / 3) < 1e-4
+
+
+def test_rolling_origin_folds_never_train_on_future(spark):
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        rolling_origin_folds,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{i + 1:02d} 00:00:00") for i in range(10)],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rolling_origin_folds(
+        df, "ts", ["2024-01-03 00:00:00", "2024-01-06 00:00:00"], "1 day"
+    )
+    rows = {(r.fold, r.id): r.role for r in out.collect()}
+    # fold 0: train days 1-3, embargo day 4 (absent), test days 5+
+    assert rows[(0, 0)] == rows[(0, 2)] == "train"
+    assert (0, 3) not in rows  # embargoed
+    assert rows[(0, 4)] == rows[(0, 9)] == "test"
+    # fold 1: train days 1-6, embargo day 7, test days 8+
+    assert rows[(1, 5)] == "train"
+    assert (1, 6) not in rows
+    assert rows[(1, 7)] == "test"
+    # invariant: no fold ever trains on a row later than its boundary
+    for (fold, rid), role in rows.items():
+        if role == "train":
+            assert rid <= (2 if fold == 0 else 5)
+    with pytest.raises(ValueError):
+        rolling_origin_folds(df, "ts", [])
