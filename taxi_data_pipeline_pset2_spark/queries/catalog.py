@@ -96,7 +96,8 @@ def query(
 # tfidf_cosine_docs, leakage_safe_split_docs, group_kfold_docs,
 # temporal_split_events, rolling_features_user_value,
 # hard_negatives_topk, oov_rate_docs, jaro_winkler_matches,
-# blocklist_safety_flags.
+# blocklist_safety_flags, source_quality_profile, bigram_doc_logprob,
+# class_weights_events, rolling_origin_backtest.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",
