@@ -58,3 +58,115 @@ def grouped_linreg(
         F.round(F.when(ok, intercept), 6).alias("intercept"),
         F.round(F.when(ok, r2), 6).alias("r2"),
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE pass:
+    (col_a, col_b, n, corr) for every a < b pair -- the numeric
+    feature-redundancy screen next to cramers_v (categorical). Rows
+    with a NULL in either column of a pair are excluded from that
+    pair's statistics (pairwise deletion).
+
+    One hash aggregate computes all sufficient statistics (the
+    dec_sum discipline: exact decimal sums, order-independent); the
+    pair table is assembled from the single aggregate row -- k columns
+    cost one scan, never k^2 scans. corr is NULL when either variance
+    is zero."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            x = F.col(a).cast("double")
+            y = F.col(b).cast("double")
+            both = x.isNotNull() & y.isNotNull()
+            tag = f"{i}_{cols.index(b)}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).cast("bigint").alias(f"n_{tag}"),
+                F.sum(F.when(both, x).cast("decimal(28,6)")).cast("double").alias(f"sx_{tag}"),
+                F.sum(F.when(both, y).cast("decimal(28,6)")).cast("double").alias(f"sy_{tag}"),
+                F.sum(F.when(both, x * y).cast("decimal(38,10)")).cast("double").alias(f"sxy_{tag}"),
+                F.sum(F.when(both, x * x).cast("decimal(38,10)")).cast("double").alias(f"sxx_{tag}"),
+                F.sum(F.when(both, y * y).cast("decimal(38,10)")).cast("double").alias(f"syy_{tag}"),
+            ]
+    row = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            tag = f"{i}_{cols.index(b)}"
+            n = F.col(f"n_{tag}")
+            num = n * F.col(f"sxy_{tag}") - F.col(f"sx_{tag}") * F.col(f"sy_{tag}")
+            vx = n * F.col(f"sxx_{tag}") - F.col(f"sx_{tag}") * F.col(f"sx_{tag}")
+            vy = n * F.col(f"syy_{tag}") - F.col(f"sy_{tag}") * F.col(f"sy_{tag}")
+            corr = F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    n.alias("n"),
+                    F.round(corr, 6).alias("corr"),
+                )
+            )
+    return row.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n", "p.corr"
+    )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """One-row MI audit: (n, mi, nmi) for two categorical columns --
+    MI = sum p_ij * ln(p_ij / (p_i p_j)) in nats, the
+    association-strength screen that, unlike chi-square, reads directly
+    as information content; nmi normalizes by sqrt(H_a * H_b)
+    (NULL when either entropy is zero). NULL categories are legitimate
+    cohorts (same contract as cramers_v).
+
+    Same plan shape as cramers_v: one contingency aggregate + two
+    marginals, broadcast-sized joins, per-cell contributions rounded to
+    integer millionths and summed (partitioning-independent). Zero
+    cells contribute 0 by the p log p convention -- they simply never
+    appear in the contingency frame."""
+    cells = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    ra = cells.groupBy(F.col("_a").alias("_ga")).agg(F.sum("o").alias("na"))
+    cb = cells.groupBy(F.col("_b").alias("_gb")).agg(F.sum("o").alias("nb"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(ra), F.col("_a").eqNullSafe(F.col("_ga")))
+        .join(F.broadcast(cb), F.col("_b").eqNullSafe(F.col("_gb")))
+        .crossJoin(F.broadcast(tot))
+    )
+    pij = F.col("o") / F.col("n")
+    ratio = (F.col("o").cast("double") * F.col("n")) / (
+        F.col("na").cast("double") * F.col("nb")
+    )
+    mi_m = F.round(pij * F.log(ratio) * 1_000_000).cast("bigint")
+    # marginal entropies for the normalization
+    ha = ra.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                -(F.col("na") / F.col("n")) * F.log(F.col("na") / F.col("n"))
+                * 1_000_000
+            ).cast("bigint")
+        ).alias("ham")
+    )
+    hb = cb.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                -(F.col("nb") / F.col("n")) * F.log(F.col("nb") / F.col("n"))
+                * 1_000_000
+            ).cast("bigint")
+        ).alias("hbm")
+    )
+    agg = j.agg(F.first("n").alias("n"), F.sum(mi_m).alias("_mi_m"))
+    mi = F.col("_mi_m").cast("double") / 1_000_000
+    out = agg.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    denom = F.sqrt(
+        (F.col("ham").cast("double") / 1_000_000)
+        * (F.col("hbm").cast("double") / 1_000_000)
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mi, 6).alias("mi"),
+        F.round(F.when(denom > 0, mi / denom), 6).alias("nmi"),
+    )

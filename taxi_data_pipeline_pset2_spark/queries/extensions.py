@@ -1945,3 +1945,89 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_origin_folds(
         ev, "ts", ["2024-01-10 00:00:00", "2024-01-20 00:00:00"], "1 day"
     ).orderBy("fold", "event_id")
+
+
+# ---- numeric correlation matrix + categorical mutual information ----------
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    return f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(count(*) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL) AS BIGINT) AS n,
+           CAST(sum(CAST({a} AS DECIMAL(28,6))) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL) AS DOUBLE) AS sx,
+           CAST(sum(CAST({b} AS DECIMAL(28,6))) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL) AS DOUBLE) AS sy,
+           CAST(sum(CAST({a} * {b} AS DECIMAL(38,10))) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL) AS DOUBLE) AS sxy,
+           CAST(sum(CAST({a} * {a} AS DECIMAL(38,10))) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL) AS DOUBLE) AS sxx,
+           CAST(sum(CAST({b} * {b} AS DECIMAL(38,10))) FILTER ({a} IS NOT NULL AND {b} IS NOT NULL) AS DOUBLE) AS syy
+    FROM lineitem"""
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_CORR_ORACLE = f"""
+    WITH s AS ({" UNION ALL ".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )})
+    SELECT col_a, col_b, n,
+           round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS corr
+    FROM s
+    ORDER BY col_a, col_b
+"""
+
+
+@query("metric_corr_matrix", oracle=_CORR_ORACLE, tags=("stats", "agg"))
+def metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem metrics in one pass
+    (operators/stats.py corr_matrix): the numeric feature-redundancy
+    screen -- k columns, one scan, exact decimal sufficient
+    statistics."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import corr_matrix
+
+    return corr_matrix(
+        t(spark, sf_dir, "lineitem"), list(_CORR_COLS)
+    ).orderBy("col_a", "col_b")
+
+
+_MI_ORACLE = """
+    WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM orders GROUP BY a, b),
+    ra AS (SELECT a, sum(o) AS na FROM cells GROUP BY a),
+    cb AS (SELECT b, sum(o) AS nb FROM cells GROUP BY b),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    mi AS (SELECT sum(CAST(round((c.o * 1.0 / tot.n)
+                                 * ln((c.o * 1.0 * tot.n) / (ra.na * 1.0 * cb.nb))
+                                 * 1000000) AS BIGINT)) AS mim
+           FROM cells c
+           JOIN ra ON c.a IS NOT DISTINCT FROM ra.a
+           JOIN cb ON c.b IS NOT DISTINCT FROM cb.b, tot),
+    ha AS (SELECT sum(CAST(round(-(na * 1.0 / tot.n) * ln(na * 1.0 / tot.n)
+                                 * 1000000) AS BIGINT)) AS ham
+           FROM ra, tot),
+    hb AS (SELECT sum(CAST(round(-(nb * 1.0 / tot.n) * ln(nb * 1.0 / tot.n)
+                                 * 1000000) AS BIGINT)) AS hbm
+           FROM cb, tot)
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           round(mim * 1.0 / 1000000, 6) AS mi,
+           round(CASE WHEN sqrt((ham * 1.0 / 1000000) * (hbm * 1.0 / 1000000)) > 0
+                      THEN (mim * 1.0 / 1000000)
+                           / sqrt((ham * 1.0 / 1000000) * (hbm * 1.0 / 1000000))
+                 END, 6) AS nmi
+    FROM tot, mi, ha, hb
+"""
+
+
+@query("status_priority_mi", oracle=_MI_ORACLE, tags=("stats", "drift"))
+def status_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order status and priority
+    (operators/stats.py mutual_information): the information-content
+    association screen next to chi-square/Cramer's V -- same
+    contingency machinery, integer-millionths contributions."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import mutual_information
+
+    return mutual_information(
+        t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )

@@ -57,3 +57,78 @@ def test_weighted_percentile_by_mass(spark):
     assert weighted_percentile(eq, "v", "w", 0.5, ["g"]).collect()[0]["wp_v"] == 20.0
     with pytest.raises(ValueError):
         weighted_percentile(df, "v", "w", 0.0, ["g"])
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.stats import corr_matrix
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(200)
+    rows = [
+        (float(a), float(2 * a + 0.1 * rng.randn()), float(rng.randn()))
+        for a in x
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {
+        (r.col_a, r.col_b): (r.n, r.corr)
+        for r in corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    arr = np.array(rows)
+    for (ca, cb), (n, corr) in out.items():
+        i, j = "abc".index(ca), "abc".index(cb)
+        want = np.corrcoef(arr[:, i], arr[:, j])[0, 1]
+        assert n == 200
+        assert corr == pytest.approx(round(want, 6), abs=1e-5), (ca, cb)
+    assert out[("a", "b")][1] > 0.99  # planted linear relation
+    # NULL pairwise deletion + zero-variance guard
+    df2 = spark.createDataFrame(
+        [(1.0, None, 7.0), (2.0, 2.0, 7.0), (3.0, 1.0, 7.0)],
+        "a double, b double, c double",
+    )
+    out2 = {
+        (r.col_a, r.col_b): (r.n, r.corr)
+        for r in corr_matrix(df2, ["a", "b", "c"]).collect()
+    }
+    assert out2[("a", "b")][0] == 2          # NULL row excluded pairwise
+    assert out2[("a", "c")] == (3, None)     # constant column -> NULL
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        corr_matrix(df2, ["a"])
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.stats import mutual_information
+
+    # perfect dependence: MI = H = ln 2 for a 50/50 binary, nmi = 1
+    perfect = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string"
+    )
+    r = mutual_information(perfect, "a", "b").collect()[0]
+    assert r.mi == pytest.approx(math.log(2), abs=1e-5)
+    assert r.nmi == pytest.approx(1.0, abs=1e-5)
+    # independence: MI ~ 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "a string, b string",
+    )
+    r2 = mutual_information(indep, "a", "b").collect()[0]
+    assert abs(r2.mi) < 1e-6 and abs(r2.nmi) < 1e-6
+    # degenerate: constant column -> zero entropy -> NULL nmi, MI 0
+    degen = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    r3 = mutual_information(degen, "a", "b").collect()[0]
+    assert r3.mi == 0.0 and r3.nmi is None
+    # NULL categories count as cohorts
+    withnull = spark.createDataFrame(
+        [("x", "p")] * 4 + [(None, "q")] * 4, "a string, b string"
+    )
+    r4 = mutual_information(withnull, "a", "b").collect()[0]
+    assert r4.nmi == pytest.approx(1.0, abs=1e-5)
