@@ -52,19 +52,18 @@ def _cluster_cache_dir(
     suffix = f"_s{scale}_f{n_flat_files}_c{n_clustered_files}"
     cache_key = f"{base}_{st.st_size}_{st.st_mtime_ns}{suffix}"
     root = "/tmp/spark_graft_bench_cache"
-    # prune SUPERSEDED layouts: same dataset basename + params but a
-    # different source fingerprint (the dataset was regenerated), and
-    # pre-fingerprint legacy keys -- each holds ~2x the scaled table,
-    # and only the current fingerprint's layouts are ever read again
-    if os.path.isdir(root):
+    # prune ONLY the exact pre-fingerprint legacy key (~12 GB of layouts
+    # no run will read again). Other fingerprints of the same basename
+    # are deliberately KEPT: they may belong to a sibling dataset at a
+    # different path sharing the basename (/a/sf0.1 vs /b/sf0.1 -- the
+    # coexistence the fingerprint exists to protect, ADVICE r6), and
+    # name alone cannot distinguish a sibling from a superseded
+    # regeneration.
+    legacy = os.path.join(root, f"{base}{suffix}")
+    if os.path.isdir(legacy):
         import shutil as _sh
 
-        for d in os.listdir(root):
-            if d == cache_key or not (
-                d.startswith(base + "_") and d.endswith(suffix)
-            ):
-                continue
-            _sh.rmtree(os.path.join(root, d), ignore_errors=True)
+        _sh.rmtree(legacy, ignore_errors=True)
     return os.path.join(root, cache_key)
 
 

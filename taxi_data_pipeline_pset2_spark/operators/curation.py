@@ -185,16 +185,28 @@ def curation_audit(
         out = out.join(s3, id_col, "left")
     out = out.join(sig, id_col, "left")
 
+    # gate conditions mirror the PIPELINE's keep-filters negated via
+    # coalesce(cond, False): a NULL signal (e.g. NULL text -> NULL
+    # quality_score) fails curate_corpus's `quality_score >= min` filter
+    # and must therefore be LABELED dropped here, not fall through the
+    # when-chain as a phantom survivor
     stage = F.when(F.col("_a1").isNull(), F.lit("exact_dup"))
     if s2 is not None:
         stage = stage.when(F.col("_a2").isNull(), F.lit("near_dup"))
     if s3 is not None:
         stage = stage.when(F.col("_a3").isNull(), F.lit("decontaminated"))
     stage = stage.when(
-        F.col("quality_score") < min_quality, F.lit("low_quality")
-    ).when(F.col("dup_line_ratio") > max_dup_line_ratio, F.lit("repetitive"))
+        ~F.coalesce(F.col("quality_score") >= min_quality, F.lit(False)),
+        F.lit("low_quality"),
+    ).when(
+        ~F.coalesce(F.col("dup_line_ratio") <= max_dup_line_ratio, F.lit(False)),
+        F.lit("repetitive"),
+    )
     if allowed_langs:
         stage = stage.when(
-            ~F.col("pred_lang").isin(list(allowed_langs)), F.lit("language")
+            ~F.coalesce(
+                F.col("pred_lang").isin(list(allowed_langs)), F.lit(False)
+            ),
+            F.lit("language"),
         )
     return out.select(id_col, stage.alias("drop_stage"))

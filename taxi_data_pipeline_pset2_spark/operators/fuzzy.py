@@ -78,6 +78,20 @@ def _blocked_candidate_pairs(
     return pairs
 
 
+def _levenshtein_verify(pairs: DataFrame, max_distance: int) -> DataFrame:
+    """Shared verify stage: length prune (|len diff| <= d is necessary
+    for distance <= d and far cheaper) then exact Levenshtein, over a
+    (id_a, id_b, _sa, _sb) candidate frame."""
+    pruned = pairs.filter(
+        F.abs(F.length("_sa") - F.length("_sb")) <= max_distance
+    )
+    return (
+        pruned.withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str,
@@ -89,15 +103,7 @@ def fuzzy_pairs(
     """(id_a, id_b, dist) for same-block pairs with Levenshtein distance
     <= ``max_distance`` over the normalized text. id_a < id_b."""
     pairs = _blocked_candidate_pairs(df, text_col, id_col, block_len, from_end)
-    # length prune before the O(len^2) edit-distance kernel
-    pruned = pairs.filter(
-        F.abs(F.length("_sa") - F.length("_sb")) <= max_distance
-    )
-    return (
-        pruned.withColumn("dist", F.levenshtein("_sa", "_sb"))
-        .filter(F.col("dist") <= max_distance)
-        .select("id_a", "id_b", "dist")
-    )
+    return _levenshtein_verify(pairs, max_distance)
 
 
 def fuzzy_pairs_multi(
@@ -225,16 +231,10 @@ def phonetic_pairs(
     bucket expansion are the shared ``_blocked_candidate_pairs`` plan
     with the key swapped.
 
-    Soundex is defined for leading-letter strings; rows whose
-    normalized text starts with a non-letter fall into a catch-all
-    block keyed by the raw first character (standard practice: they
-    simply never pair with letter-initial rows)."""
+    Non-letter-initial caveat: Spark's soundex returns such a string
+    UNCHANGED, so digit/punctuation-initial rows block only with
+    byte-identical keys (effectively each is its own block) and gain no
+    phonetic recall -- run the prefix pass (``fuzzy_pairs``) alongside
+    for corpora with coded/numbered names."""
     pairs = _blocked_candidate_pairs(df, text_col, id_col, key_of=F.soundex)
-    pruned = pairs.filter(
-        F.abs(F.length("_sa") - F.length("_sb")) <= max_distance
-    )
-    return (
-        pruned.withColumn("dist", F.levenshtein("_sa", "_sb"))
-        .filter(F.col("dist") <= max_distance)
-        .select("id_a", "id_b", "dist")
-    )
+    return _levenshtein_verify(pairs, max_distance)

@@ -134,11 +134,7 @@ def bigram_model(
     aggregate on the pair. The model is vocabulary^2-bounded in theory,
     observed-bigrams-sized in practice."""
     toks = tokenize(F.col(text_col))
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-    )
+    pairs = _token_pairs(F.col(text_col), "prev", "cur")
     exploded = docs.select(F.explode(pairs).alias("p")).select("p.prev", "p.cur")
     bi = exploded.groupBy("prev", "cur").agg(F.count("*").alias("n_bi"))
     uni = (
@@ -168,12 +164,7 @@ def doc_bigram_logprob(
     bi, uni, vocab = bigram_model(
         model_docs if model_docs is not None else docs, text_col
     )
-    toks = tokenize(F.col(text_col))
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-    )
+    pairs = _token_pairs(F.col(text_col), "prev", "cur")
     doc_pairs = docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
         id_col, "p.prev", "p.cur"
     )
@@ -199,15 +190,16 @@ def doc_bigram_logprob(
     )
 
 
-def _token_pairs(col):
-    """(w1, w2) adjacent-token structs from a text column -- the
-    shifted-slice zip, pure expressions (no UDF, no posexplode join)."""
+def _token_pairs(col, f1: str = "w1", f2: str = "w2"):
+    """Adjacent-token structs (``f1``, ``f2``) from a text column -- the
+    shifted-slice zip, pure expressions (no UDF, no posexplode join).
+    The single pair-extraction site every bigram operator shares."""
     t = tokenize(col)
     n1 = F.greatest(F.size(t) - 1, F.lit(0))
     return F.zip_with(
         F.slice(t, 1, n1),
         F.slice(t, 2, n1),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        lambda x, y: F.struct(x.alias(f1), y.alias(f2)),
     )
 
 
@@ -271,9 +263,7 @@ def bigram_doc_logprob(
         / F.lit(denom)
     )
     lp_m = F.round(F.log(cond + backoff) * LOGP_SCALE).cast("bigint")
-    pair_sums = scored.groupBy(id_col).agg(
-        F.sum(lp_m).alias("_pair_m"), F.count("*").alias("_n_pairs")
-    )
+    pair_sums = scored.groupBy(id_col).agg(F.sum(lp_m).alias("_pair_m"))
 
     first = docs.select(
         F.col(id_col),

@@ -386,19 +386,43 @@ def inverse_frequency_weights(
     labels are one legitimate class (NULL-safe grouping). One
     class-cardinality aggregate broadcast back onto the scan; weighted
     losses downstream see every class contribute equal total mass."""
-    counts = df.groupBy(F.col(label_col).alias("_lbl")).agg(
-        F.count("*").alias("_n")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # ONE aggregate: the class-cardinality-sized count rows are
+    # collected once and both the scalars and the broadcast weight
+    # table derive from them (re-deriving the scalars via counts.agg
+    # would recompute the full aggregate a second time)
+    counts = (
+        df.groupBy(F.col(label_col).alias("_lbl"))
+        .agg(F.count("*").alias("_n"))
+        .collect()
     )
-    # the two scalars come off the class-cardinality-sized count frame
-    # (a crossJoin of counts with its own aggregate trips Spark's
-    # self-join ambiguity); driver traffic is two longs
-    row = counts.agg(F.sum("_n"), F.count("*")).first()
-    n_total, k = int(row[0]), int(row[1])
-    w = counts.select(
-        "_lbl",
-        F.round(
-            F.lit(float(n_total)) / (F.lit(k) * F.col("_n")), 6
-        ).alias(weight_col),
+    if not counts:  # empty frame: keep the shape, weight NULL
+        return df.withColumn(weight_col, F.lit(None).cast("double"))
+    n_total = sum(r["_n"] for r in counts)
+    k = len(counts)
+    schema = StructType(
+        [
+            StructField("_lbl", df.schema[label_col].dataType),
+            StructField(weight_col, DoubleType()),
+        ]
+    )
+    # mirror the engine/SQL pipeline exactly: the same double division,
+    # then HALF_UP at 6dp on the double's shortest decimal repr (what
+    # Spark's F.round does via BigDecimal.valueOf) -- python's builtin
+    # round is banker's and could disagree on .5e-7 boundaries
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _w(n: int) -> float:
+        val = float(n_total) / (k * n)
+        return float(
+            Decimal(repr(val)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    w = df.sparkSession.createDataFrame(
+        [(r["_lbl"], _w(r["_n"])) for r in counts], schema=schema
     )
     return df.join(
         F.broadcast(w), F.col(label_col).eqNullSafe(F.col("_lbl")), "left"

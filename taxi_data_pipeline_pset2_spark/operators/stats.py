@@ -74,13 +74,16 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     is zero."""
     if len(cols) < 2:
         raise ValueError("need at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("duplicate column names")
     aggs = []
     for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
             x = F.col(a).cast("double")
             y = F.col(b).cast("double")
             both = x.isNotNull() & y.isNotNull()
-            tag = f"{i}_{cols.index(b)}"
+            tag = f"{i}_{j}"
             aggs += [
                 F.count(F.when(both, F.lit(1))).cast("bigint").alias(f"n_{tag}"),
                 F.sum(F.when(both, x).cast("decimal(28,6)")).cast("double").alias(f"sx_{tag}"),
@@ -92,8 +95,9 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     row = df.agg(*aggs)
     pairs = []
     for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            tag = f"{i}_{cols.index(b)}"
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            tag = f"{i}_{j}"
             n = F.col(f"n_{tag}")
             num = n * F.col(f"sxy_{tag}") - F.col(f"sx_{tag}") * F.col(f"sy_{tag}")
             vx = n * F.col(f"sxx_{tag}") - F.col(f"sx_{tag}") * F.col(f"sx_{tag}")

@@ -63,14 +63,16 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def committed_tags(path: str) -> set[str]:
-    """Tags of all committed versions (empty for untagged commits)."""
-    out: set[str] = set()
-    for v in list_versions(path):
-        tag = _read_manifest(path, v).get("tag")
-        if tag is not None:
-            out.add(tag)
-    return out
+def committed_tags(path: str) -> dict[str, int]:
+    """tag -> version for every tagged commit. One manifest read: each
+    commit carries the CUMULATIVE tag map forward, so the check a
+    streaming writer runs per batch is O(1) manifest I/O, not a scan of
+    every historical manifest (which would make a long-lived stream's
+    total manifest reads quadratic)."""
+    versions = list_versions(path)
+    if not versions:
+        return {}
+    return dict(_read_manifest(path, versions[-1]).get("tags", {}))
 
 
 def versioned_write(
@@ -80,18 +82,21 @@ def versioned_write(
     ``mode='overwrite'`` starts a fresh logical table; ``'append'``
     extends the latest version's file set.
 
-    ``tag`` makes the commit IDEMPOTENT per tag (Delta's transactional
-    appId/version idea): if some committed version already carries this
-    tag, the write is skipped and that version is returned -- the
-    exactly-once guard an at-least-once streaming sink needs so a
-    replayed micro-batch cannot double-append."""
+    ``tag`` makes the commit IDEMPOTENT per tag (the transactional-
+    writer guard): if a committed version already carries this tag, the
+    write is skipped and that version returned. Tag choice defines the
+    dedup identity -- streaming/ingest.py tags with batch id PLUS a
+    content checksum, so only a byte-identical redelivery is a no-op."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     versions = list_versions(path)
-    if tag is not None:
-        for v in versions:
-            if _read_manifest(path, v).get("tag") == tag:
-                return v
+    tags = (
+        dict(_read_manifest(path, versions[-1]).get("tags", {}))
+        if versions
+        else {}
+    )
+    if tag is not None and tag in tags:
+        return tags[tag]
     next_v = (versions[-1] + 1) if versions else 0
 
     seg = os.path.join(path, _DATA_DIR, uuid.uuid4().hex)
@@ -104,9 +109,9 @@ def versioned_write(
         files = _read_manifest(path, versions[-1])["files"] + seg_files
 
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    manifest = {"version": next_v, "mode": mode, "files": files}
     if tag is not None:
-        manifest["tag"] = tag
+        tags[tag] = next_v
+    manifest = {"version": next_v, "mode": mode, "files": files, "tags": tags}
     tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)

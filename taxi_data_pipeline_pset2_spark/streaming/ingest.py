@@ -7,18 +7,39 @@ for reproducible training runs while the stream keeps appending, and
 every batch boundary is a named, auditable commit.
 
 Exactly-once under at-least-once foreachBatch delivery comes from the
-TAGGED commit: the batch id is the commit tag, and ``versioned_write``
-skips a tag it has already committed -- a replayed batch is a no-op at
-the manifest level, so the table never double-appends (the same
-appId/version guard Delta's transactional writers use). Single-writer
-contract is inherited: one streaming query owns one table.
+TAGGED commit: the tag is the batch id PLUS an order-independent
+content checksum, and ``versioned_write`` skips a tag it has already
+committed. The checksum is what makes the guard honest across query
+restarts: a byte-identical redelivery (same batch id, same rows --
+the normal crash-replay case, including a full re-run from a fresh
+checkpoint over an unchanged source) is a manifest-level no-op, while
+a RECOMPOSED batch (new files arrived and the fresh query grouped
+them differently under an old batch id) gets a different checksum and
+is appended rather than silently dropped. The caveat that buys: a
+recomposed batch appends ALL its rows, so rows shared with an earlier
+composition duplicate -- at-least-once at the row level in that one
+scenario; row-level exactly-once needs key-based MERGE
+(sources/sinks.py merge_upsert) downstream, as with every append-only
+transactional sink. Single-writer contract is inherited: one
+streaming query owns one table.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from taxi_data_pipeline_pset2_spark.sources.versioned import versioned_write
+
+
+def _batch_checksum(batch_df: DataFrame) -> str:
+    """Order-independent content checksum: sum of per-row xxhash64 over
+    all columns, as unsigned hex. One batch-sized aggregate."""
+    row = batch_df.agg(
+        F.sum(F.xxhash64(*batch_df.columns).cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"{row['n']}-{int(row['s'] or 0) & 0xFFFFFFFFFFFFFFFF:x}"
 
 
 def run_streaming_versioned_ingest(
@@ -27,12 +48,15 @@ def run_streaming_versioned_ingest(
     checkpoint_dir: str,
 ):
     """Start the ingest; returns the StreamingQuery. Batch ``n``
-    commits as an append version tagged ``batch-n``."""
+    commits as an append version tagged ``batch-n-<checksum>``."""
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versioned_write(
-            batch_df, table_path, mode="append", tag=f"batch-{batch_id}"
-        )
+        batch_df.persist()
+        try:
+            tag = f"batch-{batch_id}-{_batch_checksum(batch_df)}"
+            versioned_write(batch_df, table_path, mode="append", tag=tag)
+        finally:
+            batch_df.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(on_batch)

@@ -188,6 +188,31 @@ def test_curation_audit_first_failing_stage(spark):
     assert {i for i, s in audit.items() if s is None} == survivors
 
 
+def test_curation_audit_null_signals_are_not_phantom_survivors(spark):
+    """A doc whose signals come out NULL (NULL text) fails the
+    pipeline's quality filter and must be LABELED dropped, not fall
+    through the audit's when-chain as a survivor."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.curation import (
+        curate_corpus,
+        curation_audit,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "keeps falling on the quiet grey town tonight and nobody waits"
+    )
+    docs = spark.createDataFrame(
+        [(1, good), (2, None)], "doc_id long, text string"
+    )
+    audit = {r.doc_id: r.drop_stage for r in curation_audit(docs).collect()}
+    survivors = {r.doc_id for r in curate_corpus(docs).select("doc_id").collect()}
+    assert audit[2] is not None          # labeled dropped...
+    assert 2 not in survivors            # ...because the pipeline drops it
+    assert {i for i, s in audit.items() if s is None} == survivors
+
+
 def test_curation_audit_near_dup_and_decontamination_stages(spark):
     from pyspark.sql import functions as F
 

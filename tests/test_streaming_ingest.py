@@ -55,7 +55,10 @@ def test_each_batch_commits_one_version_with_time_travel(spark, tmp_path):
     q.awaitTermination(120)
 
     assert list_versions(tbl) == [0, 1, 2]
-    assert committed_tags(tbl) == {"batch-0", "batch-1", "batch-2"}
+    tags = committed_tags(tbl)
+    assert sorted(tags.values()) == [0, 1, 2]
+    for tag, v in tags.items():  # tag = batch-<id>-<checksum>, id == version here
+        assert tag.startswith(f"batch-{v}-")
     # time travel: each version holds the batches up to its boundary
     assert {r.doc_id for r in read_version(spark, tbl, 0).collect()} == {1, 2}
     assert {r.doc_id for r in read_version(spark, tbl, 1).collect()} == {1, 2, 3}
@@ -106,3 +109,26 @@ def test_restarted_query_skips_committed_batches(spark, tmp_path):
         .count()
     )
     assert counts == 0  # and no duplicated rows
+
+
+def test_recomposed_batch_is_appended_not_dropped(spark, tmp_path):
+    """The content checksum in the tag: a DIFFERENT batch arriving under
+    an already-seen batch id (fresh checkpoint, new files changed the
+    grouping) must append -- only byte-identical redeliveries no-op."""
+    from taxi_data_pipeline_pset2_spark.streaming.ingest import _batch_checksum
+
+    tbl = str(tmp_path / "tbl")
+    b_old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    b_new = spark.createDataFrame(
+        [(1, "a"), (99, "late arrival")], "doc_id long, text string"
+    )
+    t_old = f"batch-0-{_batch_checksum(b_old)}"
+    t_new = f"batch-0-{_batch_checksum(b_new)}"
+    assert t_old != t_new
+    versioned_write(b_old, tbl, mode="append", tag=t_old)
+    # identical redelivery: no-op
+    assert versioned_write(b_old, tbl, mode="append", tag=t_old) == 0
+    assert list_versions(tbl) == [0]
+    # recomposed batch under the same id: appended
+    assert versioned_write(b_new, tbl, mode="append", tag=t_new) == 1
+    assert {r.doc_id for r in read_latest(spark, tbl).collect()} == {1, 99}
