@@ -663,3 +663,40 @@ def blocklist_flags(
         ratio.alias("hit_ratio"),
         F.coalesce(ratio > F.lit(max_hit_ratio), F.lit(False)).alias("blocked"),
     )
+
+
+def sft_loss_mask(
+    docs: DataFrame,
+    sep_token: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Instruction-tuning loss masks: (id, tokens, loss_mask, n_prompt,
+    n_completion) where ``loss_mask[i] = 1`` for completion tokens
+    (strictly after the FIRST ``sep_token`` occurrence) and 0 for the
+    prompt span including the separator -- the standard SFT data prep
+    that keeps the loss off the prompt. Documents with no separator are
+    all-prompt (mask all zeros): the caller decides whether to drop or
+    keep them, so the operator stays a pure projection.
+
+    Scan-shaped pure expressions (array_position + an index-aware
+    transform); no UDF, no shuffle."""
+    toks = tokenize(F.col(text_col))
+    # first separator position (1-based); 0 when absent -> treat as
+    # "separator at end": everything is prompt
+    pos = F.array_position(toks, sep_token)
+    eff = F.when(pos > 0, pos).otherwise(F.size(toks))
+    mask = F.transform(
+        toks, lambda _, i: F.when(i + 1 > eff, F.lit(1)).otherwise(F.lit(0))
+    )
+    n_total = F.size(toks).cast("bigint")
+    n_completion = F.aggregate(
+        mask, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return docs.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        mask.alias("loss_mask"),
+        (n_total - n_completion).alias("n_prompt"),
+        n_completion.alias("n_completion"),
+    )

@@ -508,3 +508,44 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_pipeline_pset2_spark.operators.profiling import source_profile
 
     return source_profile(t(spark, sf_dir, "documents")).orderBy("source")
+
+
+_SFT_SEP = "value"
+
+_SFT_MASK_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents),
+    m AS (SELECT doc_id, ts,
+                 CASE WHEN coalesce(list_position(ts, '{_SFT_SEP}'), 0) > 0
+                      THEN list_position(ts, '{_SFT_SEP}')
+                      ELSE len(ts) END AS eff
+          FROM tk)
+    SELECT doc_id,
+           CAST(eff AS BIGINT) AS n_prompt,
+           CAST(len(ts) - eff AS BIGINT) AS n_completion,
+           array_to_string(list_transform(generate_series(1, len(ts)),
+                           i -> CASE WHEN i > eff THEN '1' ELSE '0' END), '')
+               AS mask
+    FROM m
+    ORDER BY doc_id
+"""
+
+
+@query("sft_loss_masks", oracle=_SFT_MASK_ORACLE, tags=("text", "sft"))
+def sft_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning loss masks (operators/text.py sft_loss_mask):
+    0 over the prompt span up to and including the first separator
+    token, 1 over the completion -- the SFT data prep that keeps loss
+    off the prompt. Scan-shaped index-aware array expressions; the
+    driver row compares the string-encoded mask."""
+    from taxi_data_pipeline_pset2_spark.operators.text import sft_loss_mask
+
+    out = sft_loss_mask(t(spark, sf_dir, "documents"), _SFT_SEP)
+    return out.select(
+        "doc_id",
+        "n_prompt",
+        "n_completion",
+        F.concat_ws(
+            "", F.transform(F.col("loss_mask"), lambda x: x.cast("string"))
+        ).alias("mask"),
+    ).orderBy("doc_id")

@@ -285,3 +285,25 @@ def test_blocklist_flags_density_semantics(spark):
     assert out[4][2] is None and out[4][3] is False
     with pytest.raises(ValueError):
         blocklist_flags(docs, {})
+
+
+def test_sft_loss_mask_semantics(spark):
+    from taxi_data_pipeline_pset2_spark.operators.text import sft_loss_mask
+
+    docs = spark.createDataFrame(
+        [
+            (1, "what is spark <sep> a distributed engine"),
+            (2, "no separator anywhere here"),
+            (3, "<sep> completion only"),
+            (4, "a <sep> b <sep> c"),  # FIRST separator splits
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.loss_mask, r.n_prompt, r.n_completion)
+        for r in sft_loss_mask(docs, "<sep>").collect()
+    }
+    assert out[1] == ([0, 0, 0, 0, 1, 1, 1], 4, 3)
+    assert out[2] == ([0, 0, 0, 0], 4, 0)     # all-prompt when absent
+    assert out[3] == ([0, 1, 1], 1, 2)
+    assert out[4] == ([0, 0, 1, 1, 1], 2, 3)  # second sep is completion text
