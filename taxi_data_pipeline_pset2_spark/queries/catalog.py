@@ -97,7 +97,8 @@ def query(
 # temporal_split_events, rolling_features_user_value,
 # hard_negatives_topk, oov_rate_docs, jaro_winkler_matches,
 # blocklist_safety_flags, source_quality_profile, bigram_doc_logprob,
-# class_weights_events, rolling_origin_backtest.
+# class_weights_events, rolling_origin_backtest, metric_corr_matrix,
+# status_priority_mi, sft_loss_masks.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",
