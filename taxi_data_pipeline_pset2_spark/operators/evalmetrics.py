@@ -1,0 +1,308 @@
+"""Distributed model-evaluation metrics: rank-sum ROC-AUC, calibration
+bins + ECE, Cohen's kappa, decile lift/gains.
+
+Not in the reference (its analytics stop at business aggregates;
+`data_analysis.ipynb` has no model-eval step), but any pipeline that
+scores documents or trains filters (quality classifiers, dedup
+verifiers, lang-id) needs to evaluate those scores at corpus scale --
+sklearn.metrics on a driver-side collect() stops working long before
+100 TB.
+
+Determinism contract (the dec_sum discipline): every metric reduces to
+EXACT integer/decimal sufficient statistics (order-independent under
+any partitioning), combined in one fixed double expression and rounded
+to 6 dp -- so each has a bit-exact DuckDB twin.
+
+100 TB shapes:
+- ``binary_auc``: one hash aggregate to per-(group, score) counts, then
+  a window over DISTINCT scores within each group -- never a sort of
+  the raw rows. With no group_cols the window is a single partition
+  over distinct scores only (bounded by score cardinality: ~1e6 for
+  2-dp money-like scores, fine; for unbounded float scores quantize
+  first or pass group_cols).
+- ``calibration_bins`` / ``expected_calibration_error``: one hash
+  aggregate to n_bins rows. Nothing else.
+- ``cohen_kappa``: contingency aggregate + two broadcast marginals,
+  identical plan shape to drift.cramers_v.
+- ``decile_lift``: exact global ntile WITHOUT a single-partition sort
+  of the data: per-score counts -> cumulative offsets (window over
+  distinct scores), join offsets back on score, row_number partitioned
+  BY SCORE for the tie-break -- the only unpartitioned window runs
+  over distinct scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binary_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group_cols..., n_pos, n_neg, auc): tie-aware Mann-Whitney
+    ROC-AUC of ``score_col`` ranking ``label_col`` (boolean-castable)
+    per group. Rows with a NULL label or score are excluded. auc is
+    NULL when a group has no positives or no negatives.
+
+    Tie handling matches average-rank AUC exactly: over distinct
+    scores s ascending,
+        num2 = sum( pos(s) * (2 * cum_neg_below(s) + neg(s)) )
+        auc  = num2 / (2 * n_pos * n_neg)
+    num2 is accumulated in DECIMAL(38,0) so the integer arithmetic is
+    exact past bigint range (n_pos * n_neg overflows int64 around
+    n = 6e9 rows)."""
+    group_cols = group_cols or []
+    lab = F.col(label_col).cast("boolean")
+    sc = F.col(score_col).cast("double")
+    per = (
+        df.filter(lab.isNotNull() & sc.isNotNull())
+        .groupBy(*group_cols, sc.alias("_s"))
+        .agg(
+            F.count(F.when(lab, F.lit(1))).cast("bigint").alias("_p"),
+            F.count(F.when(~lab, F.lit(1))).cast("bigint").alias("_q"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_below = F.coalesce(F.sum("_q").over(w), F.lit(0).cast("bigint"))
+    contrib = (
+        F.col("_p").cast("decimal(38,0)")
+        * (F.lit(2) * cum_below + F.col("_q")).cast("decimal(38,0)")
+    )
+    agg = (
+        per.withColumn("_c", contrib)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_p").cast("bigint").alias("n_pos"),
+            F.sum("_q").cast("bigint").alias("n_neg"),
+            F.sum("_c").alias("_num2"),
+        )
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    auc = F.col("_num2").cast("double") / (
+        F.lit(2.0) * F.col("n_pos") * F.col("n_neg")
+    )
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.round(F.when(ok, auc), 6).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n, n_pos, conf, acc, gap): fixed-width reliability-diagram
+    bins over a probability column in [0, 1]. bin = floor(p * n_bins)
+    clamped to n_bins - 1 (so p = 1.0 lands in the last bin); rows with
+    NULL or out-of-range p, or NULL label, are excluded. conf = mean
+    predicted probability (exact decimal sum / n), acc = empirical
+    positive rate, gap = |acc - conf| -- all rounded to 6 dp. Empty
+    bins are absent (count 0 contributes 0 to ECE anyway).
+
+    One hash aggregate to <= n_bins rows; the ECE rollup below reuses
+    the same sufficient statistics."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    lab = F.col(label_col).cast("boolean")
+    p = F.col(prob_col).cast("double")
+    valid = lab.isNotNull() & p.isNotNull() & (p >= 0.0) & (p <= 1.0)
+    b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    agg = (
+        df.filter(valid)
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(lab, F.lit(1))).cast("bigint").alias("n_pos"),
+            F.sum(p.cast("decimal(28,10)")).cast("double").alias("_sp"),
+        )
+    )
+    conf = F.col("_sp") / F.col("n")
+    acc = F.col("n_pos").cast("double") / F.col("n")
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(conf, 6).alias("conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(F.abs(acc - conf), 6).alias("gap"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row (n, ece, mce): expected / maximum calibration error over
+    the same fixed-width bins as ``calibration_bins``.
+    ece = sum_b (n_b / N) * |acc_b - conf_b|, mce = max_b |acc_b -
+    conf_b|; both from UNROUNDED per-bin gaps, rounded to 6 dp at the
+    end. The per-bin frame is n_bins rows, so the final reduce is
+    free."""
+    lab = F.col(label_col).cast("boolean")
+    p = F.col(prob_col).cast("double")
+    valid = lab.isNotNull() & p.isNotNull() & (p >= 0.0) & (p <= 1.0)
+    b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    bins = (
+        df.filter(valid)
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(lab, F.lit(1))).cast("bigint").alias("n_pos"),
+            F.sum(p.cast("decimal(28,10)")).cast("double").alias("_sp"),
+        )
+    )
+    gap = F.abs(
+        F.col("n_pos").cast("double") / F.col("n") - F.col("_sp") / F.col("n")
+    )
+    return bins.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.round(
+            F.sum(gap * F.col("n")) / F.sum("n").cast("double"), 6
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """One-row (n, po, pe, kappa): Cohen's kappa agreement between two
+    discrete columns over the same label space. NULL is a legitimate
+    category (NULL==NULL counts as agreement -- same contract as
+    drift.cramers_v / stats.mutual_information).
+
+    Exact integer form: agree = sum of the diagonal, penum =
+    sum_k na_k * nb_k; kappa = (agree * n - penum) / (n^2 - penum) --
+    one double division at the end, so partitioning cannot perturb it.
+    Plan: one contingency-free pass for agree + two category-sized
+    marginal aggregates joined broadcast. kappa is NULL when pe = 1
+    (both raters constant)."""
+    a = F.col(col_a)
+    b = F.col(col_b)
+    base = df.select(a.alias("_a"), b.alias("_b"))
+    counts = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("_a").eqNullSafe(F.col("_b")), F.lit(1)))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ra = base.groupBy(F.col("_a").alias("_ka")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    cb = base.groupBy(F.col("_b").alias("_kb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    pe = (
+        ra.join(F.broadcast(cb), F.col("_ka").eqNullSafe(F.col("_kb")))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("na") * F.col("nb")).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("penum")
+        )
+    )
+    j = counts.crossJoin(F.broadcast(pe))
+    n = F.col("n")
+    po = F.col("agree").cast("double") / n
+    pe_d = F.col("penum").cast("double") / (n.cast("double") * n)
+    den = (n.cast("decimal(38,0)") * n - F.col("penum")).cast("double")
+    num = (
+        F.col("agree").cast("decimal(38,0)") * n - F.col("penum")
+    ).cast("double")
+    return j.select(
+        n.alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe_d, 6).alias("pe"),
+        F.round(F.when(den != 0, num / den), 6).alias("kappa"),
+    )
+
+
+def decile_lift(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    key_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """(tile, n, n_pos, pos_rate, lift, cum_pos, cum_gain): rank rows by
+    score descending (ties broken by ``key_col`` ascending -- pass a
+    unique key for determinism), split into ``n_tiles`` equal-width
+    rank tiles, and report per-tile response rate, lift vs the overall
+    rate, and cumulative gains. Rows with NULL score or label are
+    excluded; tile = floor((rank - 1) * n_tiles / N) + 1 (the oracle
+    twin must use the same formula, NOT SQL ntile(), whose remainder
+    distribution differs).
+
+    Exact global ranks without a single-partition sort of the data:
+    (1) per-score counts, (2) cumulative offsets via a window over
+    DISTINCT scores descending, (3) offsets joined back on score,
+    (4) row_number partitioned BY SCORE orderBy key for the tie-break.
+    Only step (2)'s window is unpartitioned and it runs over distinct
+    scores, not rows."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    lab = F.col(label_col).cast("boolean")
+    sc = F.col(score_col).cast("double")
+    base = df.filter(lab.isNotNull() & sc.isNotNull()).select(
+        sc.alias("_s"), lab.alias("_y"), F.col(key_col).alias("_k")
+    )
+    per_score = base.groupBy("_s").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w_off = (
+        Window.orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_score.select(
+        "_s",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0).cast("bigint")).alias("_off"),
+    )
+    total = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.count(F.when(F.col("_y"), F.lit(1))).cast("bigint").alias("_np"),
+    )
+    w_tie = Window.partitionBy("_s").orderBy("_k")
+    ranked = (
+        base.join(offsets, "_s")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(w_tie))
+        .crossJoin(F.broadcast(total))
+    )
+    tile = (
+        F.floor((F.col("_rank") - 1) * n_tiles / F.col("_n")).cast("int") + 1
+    )
+    tiles = (
+        ranked.groupBy(tile.alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(F.col("_y"), F.lit(1))).cast("bigint").alias("n_pos"),
+            F.first("_n").alias("_nn"),
+            F.first("_np").alias("_npp"),
+        )
+    )
+    w_cum = (
+        Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n")
+    overall = F.col("_npp").cast("double") / F.col("_nn")
+    cum_pos = F.sum("n_pos").over(w_cum)
+    return tiles.select(
+        "tile",
+        "n",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(F.when(F.col("_npp") > 0, rate / overall), 6).alias("lift"),
+        cum_pos.cast("bigint").alias("cum_pos"),
+        F.round(
+            F.when(F.col("_npp") > 0, cum_pos.cast("double") / F.col("_npp")), 6
+        ).alias("cum_gain"),
+    ).orderBy("tile")

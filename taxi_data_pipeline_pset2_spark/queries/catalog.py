@@ -98,7 +98,8 @@ def query(
 # hard_negatives_topk, oov_rate_docs, jaro_winkler_matches,
 # blocklist_safety_flags, source_quality_profile, bigram_doc_logprob,
 # class_weights_events, rolling_origin_backtest, metric_corr_matrix,
-# status_priority_mi, sft_loss_masks.
+# status_priority_mi, sft_loss_masks, auc_order_status,
+# calibration_price_prob, kappa_price_status, decile_lift_orders.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",

@@ -2031,3 +2031,195 @@ def status_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(
         t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
     )
+
+
+# ---- model-evaluation metrics (operators/evalmetrics.py) -----------------
+
+_AUC_ORACLE = """
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS s,
+               (o_orderstatus = 'F') AS y
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+    per AS (
+        SELECT o_orderpriority, s,
+               CAST(count(*) FILTER (y) AS BIGINT) AS p,
+               CAST(count(*) FILTER (NOT y) AS BIGINT) AS q
+        FROM base GROUP BY o_orderpriority, s),
+    c AS (
+        SELECT o_orderpriority, p, q,
+               coalesce(sum(q) OVER (PARTITION BY o_orderpriority ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cb
+        FROM per)
+    SELECT o_orderpriority,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(q) AS BIGINT) AS n_neg,
+           round(CASE WHEN sum(p) > 0 AND sum(q) > 0
+                      THEN CAST(sum(CAST(p AS DECIMAL(38,0))
+                                    * CAST(2 * cb + q AS DECIMAL(38,0)))
+                                AS DOUBLE)
+                           / (2.0 * sum(p) * sum(q)) END, 6) AS auc
+    FROM c GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("auc_order_status", oracle=_AUC_ORACLE, tags=("evalmetrics", "stats"))
+def auc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority tie-aware ROC-AUC of o_totalprice ranking the
+    finished flag (operators/evalmetrics.py binary_auc): the
+    score-quality screen for any trained filter, computed from
+    per-distinct-score counts -- never a sort of the raw rows."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import binary_auc
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+    )
+    return binary_auc(
+        o, "is_f", "o_totalprice", ["o_orderpriority"]
+    ).orderBy("o_orderpriority")
+
+
+_CALIBRATION_ORACLE = """
+    WITH ext AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                 FROM orders),
+    base AS (
+        SELECT (o.o_totalprice - e.lo) / (e.hi - e.lo) AS p,
+               (o.o_orderstatus = 'F') AS y
+        FROM orders o CROSS JOIN ext e
+        WHERE o.o_totalprice IS NOT NULL),
+    b AS (
+        SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (y) AS BIGINT) AS n_pos,
+               CAST(sum(CAST(p AS DECIMAL(28,10))) AS DOUBLE) AS sp
+        FROM base
+        WHERE p >= 0.0 AND p <= 1.0
+        GROUP BY bin)
+    SELECT bin, n, n_pos,
+           round(sp / n, 6) AS conf,
+           round(n_pos * 1.0 / n, 6) AS acc,
+           round(abs(n_pos * 1.0 / n - sp / n), 6) AS gap
+    FROM b ORDER BY bin
+"""
+
+
+@query(
+    "calibration_price_prob", oracle=_CALIBRATION_ORACLE, tags=("evalmetrics", "agg")
+)
+def calibration_price_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/evalmetrics.py
+    calibration_bins) for a min-max-normalized price pseudo-probability
+    against the finished flag: one aggregate for the extremes
+    (broadcast back), one hash aggregate to 10 bins."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    ext = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    base = o.crossJoin(F.broadcast(ext)).select(
+        ((F.col("o_totalprice") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
+        .alias("p"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    return calibration_bins(base, "y", "p", 10).orderBy("bin")
+
+
+_KAPPA_ORACLE = """
+    WITH base AS (
+        SELECT (o_totalprice > 150000) AS a, (o_orderstatus = 'F') AS b
+        FROM orders),
+    cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (a IS NOT DISTINCT FROM b) AS BIGINT)
+                       AS agree
+            FROM base),
+    ra AS (SELECT a AS k, CAST(count(*) AS BIGINT) AS na FROM base GROUP BY a),
+    cb AS (SELECT b AS k, CAST(count(*) AS BIGINT) AS nb FROM base GROUP BY b),
+    pe AS (SELECT coalesce(sum(CAST(ra.na * cb.nb AS DECIMAL(38,0))),
+                           CAST(0 AS DECIMAL(38,0))) AS penum
+           FROM ra JOIN cb ON ra.k IS NOT DISTINCT FROM cb.k)
+    SELECT cnt.n,
+           round(cnt.agree * 1.0 / cnt.n, 6) AS po,
+           round(CAST(pe.penum AS DOUBLE) / (cnt.n * 1.0 * cnt.n), 6) AS pe,
+           round(CASE WHEN CAST(CAST(cnt.n AS DECIMAL(38,0)) * cnt.n - pe.penum
+                                AS DOUBLE) != 0
+                      THEN CAST(CAST(cnt.agree AS DECIMAL(38,0)) * cnt.n
+                                - pe.penum AS DOUBLE)
+                           / CAST(CAST(cnt.n AS DECIMAL(38,0)) * cnt.n
+                                  - pe.penum AS DOUBLE) END, 6) AS kappa
+    FROM cnt, pe
+"""
+
+
+@query("kappa_price_status", oracle=_KAPPA_ORACLE, tags=("evalmetrics", "stats"))
+def kappa_price_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between a price-threshold rater and the finished
+    flag (operators/evalmetrics.py cohen_kappa): chance-corrected
+    agreement from exact integer contingency counts -- the
+    inter-annotator screen for labeling pipelines."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import cohen_kappa
+
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") > 150000).alias("a"),
+        (F.col("o_orderstatus") == "F").alias("b"),
+    )
+    return cohen_kappa(o, "a", "b")
+
+
+_LIFT_ORACLE = """
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS s,
+               (o_orderstatus = 'F') AS y,
+               o_orderkey AS k
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                   CAST(count(*) FILTER (y) AS BIGINT) AS npp
+            FROM base),
+    r AS (SELECT y,
+                 row_number() OVER (ORDER BY s DESC, k) AS rnk
+          FROM base),
+    a AS (SELECT CAST(floor((rnk - 1) * 10 / tot.nn) AS INT) + 1 AS tile, y
+          FROM r, tot),
+    tiles AS (SELECT tile,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) FILTER (y) AS BIGINT) AS n_pos
+              FROM a GROUP BY tile)
+    SELECT t.tile, t.n, t.n_pos,
+           round(t.n_pos * 1.0 / t.n, 6) AS pos_rate,
+           round(CASE WHEN tot.npp > 0
+                      THEN (t.n_pos * 1.0 / t.n) / (tot.npp * 1.0 / tot.nn)
+                 END, 6) AS lift,
+           CAST(sum(t.n_pos) OVER (ORDER BY t.tile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_pos,
+           round(CASE WHEN tot.npp > 0
+                      THEN sum(t.n_pos) OVER (ORDER BY t.tile
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           * 1.0 / tot.npp END, 6) AS cum_gain
+    FROM tiles t, tot
+    ORDER BY t.tile
+"""
+
+
+@query("decile_lift_orders", oracle=_LIFT_ORACLE, tags=("evalmetrics", "window"))
+def decile_lift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains of price ranking the finished flag
+    (operators/evalmetrics.py decile_lift): exact global rank tiles
+    without a single-partition sort -- per-score offsets + a
+    score-partitioned tie-break window."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import decile_lift
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+    )
+    return decile_lift(o, "is_f", "o_totalprice", "o_orderkey", 10)

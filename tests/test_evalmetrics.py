@@ -1,0 +1,194 @@
+"""Model-evaluation metrics vs from-scratch numpy references.
+
+The catalog oracles (auc_order_status, calibration_price_prob,
+kappa_price_status, decile_lift_orders) prove DuckDB equivalence; these
+tests prove the METRICS themselves are right -- tie-aware average-rank
+AUC, reliability bins, chance-corrected kappa, exact rank tiles --
+against independent numpy implementations on adversarial small data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from taxi_data_pipeline_pset2_spark.operators.evalmetrics import (
+    binary_auc,
+    calibration_bins,
+    cohen_kappa,
+    decile_lift,
+    expected_calibration_error,
+)
+
+
+def _ref_auc(y: np.ndarray, s: np.ndarray) -> float:
+    """Average-rank Mann-Whitney AUC (ties get average ranks)."""
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s), dtype=float)
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    return (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def test_auc_matches_numpy_with_ties(spark):
+    rng = np.random.default_rng(7)
+    n = 400
+    y = rng.integers(0, 2, n)
+    # quantized scores force heavy ties
+    s = np.round(rng.normal(loc=y * 0.8, scale=1.0, size=n), 1)
+    df = spark.createDataFrame(
+        [(bool(a), float(b)) for a, b in zip(y, s)], "y boolean, s double"
+    )
+    got = binary_auc(df, "y", "s").collect()[0]
+    assert got["n_pos"] == int(y.sum())
+    assert got["n_neg"] == n - int(y.sum())
+    assert got["auc"] == pytest.approx(_ref_auc(y, s), abs=1e-6)
+
+
+def test_auc_grouped_and_degenerate(spark):
+    rows = [
+        # group a: perfect separation -> 1.0
+        ("a", True, 10.0), ("a", True, 9.0), ("a", False, 1.0), ("a", False, 2.0),
+        # group b: all scores tied -> 0.5
+        ("b", True, 5.0), ("b", False, 5.0), ("b", True, 5.0), ("b", False, 5.0),
+        # group c: inverted -> 0.0
+        ("c", True, 1.0), ("c", False, 9.0),
+        # group d: no negatives -> NULL
+        ("d", True, 3.0), ("d", True, 4.0),
+        # group e: NULL score/label rows excluded entirely
+        ("e", True, None), ("e", None, 1.0), ("e", True, 2.0), ("e", False, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, y boolean, s double")
+    out = {r["g"]: r for r in binary_auc(df, "y", "s", ["g"]).collect()}
+    assert out["a"]["auc"] == 1.0
+    assert out["b"]["auc"] == 0.5
+    assert out["c"]["auc"] == 0.0
+    assert out["d"]["auc"] is None
+    assert out["e"]["auc"] == 1.0 and out["e"]["n_pos"] == 1
+
+
+def test_calibration_bins_and_ece(spark):
+    rng = np.random.default_rng(11)
+    n = 500
+    p = rng.uniform(0, 1, n)
+    y = rng.uniform(0, 1, n) < p  # well-calibrated by construction
+    df = spark.createDataFrame(
+        [(bool(a), float(b)) for a, b in zip(y, p)], "y boolean, p double"
+    )
+    bins = {r["bin"]: r for r in calibration_bins(df, "y", "p", 10).collect()}
+    # numpy reference
+    idx = np.minimum((p * 10).astype(int), 9)
+    for b in range(10):
+        m = idx == b
+        if not m.any():
+            assert b not in bins
+            continue
+        r = bins[b]
+        assert r["n"] == int(m.sum())
+        assert r["n_pos"] == int(y[m].sum())
+        assert r["conf"] == pytest.approx(p[m].mean(), abs=1e-5)
+        assert r["acc"] == pytest.approx(y[m].mean(), abs=1e-6)
+        assert r["gap"] == pytest.approx(abs(y[m].mean() - p[m].mean()), abs=1e-5)
+    ece_row = expected_calibration_error(df, "y", "p", 10).collect()[0]
+    ref_ece = sum(
+        (idx == b).sum() / n * abs(y[idx == b].mean() - p[idx == b].mean())
+        for b in range(10)
+        if (idx == b).any()
+    )
+    assert ece_row["n"] == n
+    assert ece_row["ece"] == pytest.approx(ref_ece, abs=1e-5)
+    assert ece_row["ece"] < 0.1  # calibrated by construction
+    assert ece_row["mce"] >= ece_row["ece"]
+
+
+def test_calibration_excludes_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(True, 0.0), (False, 1.0), (True, 1.5), (False, -0.1), (True, None)],
+        "y boolean, p double",
+    )
+    rows = calibration_bins(df, "y", "p", 10).collect()
+    assert sum(r["n"] for r in rows) == 2  # only p=0.0 and p=1.0 kept
+    assert {r["bin"] for r in rows} == {0, 9}  # p=1.0 clamps into bin 9
+
+
+def test_cohen_kappa_reference(spark):
+    # classic textbook table: 2 raters, 3 categories
+    #      B=x  B=y  B=z
+    # A=x   20    5    5
+    # A=y   10   15    5
+    # A=z    5    5   30
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5 + [("x", "z")] * 5
+        + [("y", "x")] * 10 + [("y", "y")] * 15 + [("y", "z")] * 5
+        + [("z", "x")] * 5 + [("z", "y")] * 5 + [("z", "z")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    n = len(rows)
+    po = (20 + 15 + 30) / n
+    pe = (30 * 35 + 30 * 25 + 40 * 40) / (n * n)
+    want = (po - pe) / (1 - pe)
+    got = cohen_kappa(df, "a", "b").collect()[0]
+    assert got["n"] == n
+    assert got["po"] == pytest.approx(po, abs=1e-6)
+    assert got["pe"] == pytest.approx(pe, abs=1e-6)
+    assert got["kappa"] == pytest.approx(want, abs=1e-6)
+
+
+def test_cohen_kappa_edges(spark):
+    # perfect agreement -> kappa 1; NULL==NULL counts as agreement
+    df = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), (None, None)], "a string, b string"
+    )
+    got = cohen_kappa(df, "a", "b").collect()[0]
+    assert got["po"] == 1.0 and got["kappa"] == 1.0
+    # both raters constant -> pe = 1 -> NULL kappa
+    df2 = spark.createDataFrame([("x", "x"), ("x", "x")], "a string, b string")
+    got2 = cohen_kappa(df2, "a", "b").collect()[0]
+    assert got2["pe"] == 1.0 and got2["kappa"] is None
+
+
+def test_decile_lift_exact_tiles(spark):
+    rng = np.random.default_rng(3)
+    n = 237  # deliberately not divisible by 10
+    s = np.round(rng.uniform(0, 100, n), 0)  # ties across rows
+    y = rng.uniform(0, 100, n) < s  # higher score -> more positives
+    df = spark.createDataFrame(
+        [(int(i), float(sc), bool(lb)) for i, (sc, lb) in enumerate(zip(s, y))],
+        "k bigint, s double, y boolean",
+    )
+    rows = decile_lift(df, "y", "s", "k", 10).collect()
+    assert [r["tile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n"] for r in rows) == n
+    assert sum(r["n_pos"] for r in rows) == int(y.sum())
+    # numpy reference: rank by (-s, k), tile = floor((rank-1)*10/n)+1
+    order = np.lexsort((np.arange(n), -s))
+    tiles_ref = np.empty(n, dtype=int)
+    tiles_ref[order] = (np.arange(n) * 10) // n + 1
+    for r in rows:
+        m = tiles_ref == r["tile"]
+        assert r["n"] == int(m.sum())
+        assert r["n_pos"] == int(y[m].sum())
+    # monotone cumulative gain ending at 1.0; top decile lift > 1
+    assert rows[-1]["cum_gain"] == pytest.approx(1.0, abs=1e-6)
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert rows[0]["lift"] > 1.0
+
+
+def test_decile_lift_tile_sizes_match_formula(spark):
+    # 23 rows, 4 tiles: sizes by floor formula are 6/6/6/5
+    df = spark.createDataFrame(
+        [(i, float(i), i % 2 == 0) for i in range(23)], "k bigint, s double, y boolean"
+    )
+    rows = decile_lift(df, "y", "s", "k", 4).collect()
+    assert [r["n"] for r in rows] == [6, 6, 6, 5]
