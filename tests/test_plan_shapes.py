@@ -252,3 +252,55 @@ def test_ewma_single_shuffle_arrow_kernel(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grouped_auc_windows_partitioned_no_python(spark, sf_dir):
+    """binary_auc with group_cols: every window must be partitioned (no
+    single-partition global sort of the data) and the whole metric is
+    expression-only -- per-score hash aggregates feeding a
+    group-partitioned running sum."""
+    plan = _plan(registry()["auc_order_status"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Window ")[1:]:
+        spec = seg[:400]
+        # grouped AUC: the window partitions by the group columns
+        assert "o_orderpriority" in spec, spec
+
+
+def test_calibration_single_hash_aggregate(spark, sf_dir):
+    """calibration_bins is one partial+final hash aggregate to n_bins
+    rows over the scan (plus the broadcast min/max extremes) -- no sort,
+    no window, no Python."""
+    plan = _plan(registry()["calibration_price_prob"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan  # the min/max extremes row
+
+
+def test_kappa_broadcast_marginals_no_shuffle_join(spark, sf_dir):
+    """cohen_kappa joins two category-sized marginal frames broadcast;
+    the raw rows are never shuffle-joined."""
+    plan = _plan(registry()["kappa_price_status"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight, Cross" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decile_lift_tiebreak_window_partitioned_by_score(spark, sf_dir):
+    """decile_lift's row_number tie-break must be partitioned BY SCORE
+    (scalable); the only unpartitioned windows run over per-score /
+    per-tile aggregates, never the raw rows. The offsets join back onto
+    the rows is an equi-join, not nested-loop."""
+    plan = _plan(registry()["decile_lift_orders"].fn(spark, sf_dir))
+    # the only nested-loop is the deliberate 1-row broadcast of the
+    # (N, n_pos) totals; anything else is a plan regression
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert seg[:20].strip().startswith("BuildRight, Cross"), seg[:120]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the per-row window (row_number over _k) is partitioned by the
+    # score: windowspecdefinition's first argument is _s
+    assert "row_number() windowspecdefinition(_s#" in plan, plan
