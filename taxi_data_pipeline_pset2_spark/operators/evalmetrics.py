@@ -306,3 +306,98 @@ def decile_lift(
             F.when(F.col("_npp") > 0, cum_pos.cast("double") / F.col("_npp")), 6
         ).alias("cum_gain"),
     ).orderBy("tile")
+
+
+def retrieval_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval metrics in the TREC run/qrels shape:
+    (query, n_rel, hits, precision_at_k, recall_at_k, rr, ndcg_at_k).
+
+    ``runs``: (query_col, doc_col, rank_col) -- a ranked result list,
+    rank 1-based and unique per query (ranks > k are ignored).
+    ``qrels``: (query_col, doc_col, rel_col) -- graded relevance > 0;
+    absent pairs mean rel 0.
+
+    - precision_at_k = hits / k (fixed k denominator, the standard
+      definition -- a short result list is penalized);
+    - recall_at_k = hits / n_rel, NULL when the query has no relevant
+      docs;
+    - rr = 1 / first relevant rank within top-k, 0.0 when none;
+    - ndcg_at_k: graded DCG with log2(rank+1) discount over the run,
+      IDCG from the qrels ranked rel-desc, NULL when IDCG = 0. Both
+      DCG sums accumulate per-term integer millionths (bigint), so
+      partitioning cannot perturb the 6-dp result.
+
+    100 TB shape: one equi-join runs<->qrels on (query, doc), hash
+    aggregates per query, one qrels window partitioned BY QUERY for the
+    ideal ranking -- everything partitioned, nothing driver-side."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = F.col("_q")
+    run = runs.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("bigint").alias("_r"),
+    ).filter(F.col("_r") <= k)
+    qr = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    ).filter(F.col("_rel") > 0)
+    joined = run.join(qr, ["_q", "_d"], "left").withColumn(
+        "_rel", F.coalesce(F.col("_rel"), F.lit(0.0))
+    )
+    dcg_term = F.round(
+        F.col("_rel") / F.log2(F.col("_r") + 1) * 1_000_000
+    ).cast("bigint")
+    per_q = joined.groupBy("_q").agg(
+        F.count(F.when(F.col("_rel") > 0, F.lit(1))).cast("bigint").alias("hits"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_r"))).alias("_first"),
+        F.sum(dcg_term).alias("_dcg_m"),
+    )
+    w_ideal = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_d")
+    )
+    ideal = (
+        qr.withColumn("_ir", F.row_number().over(w_ideal))
+        .filter(F.col("_ir") <= k)
+        .groupBy("_q")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("_rel") / F.log2(F.col("_ir") + 1) * 1_000_000
+                ).cast("bigint")
+            ).alias("_idcg_m"),
+        )
+    )
+    n_rel = qr.groupBy("_q").agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    out = (
+        per_q.join(n_rel, "_q", "left")
+        .join(ideal, "_q", "left")
+        .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")))
+    )
+    prec = F.col("hits").cast("double") / k
+    rec = F.when(
+        F.col("n_rel") > 0, F.col("hits").cast("double") / F.col("n_rel")
+    )
+    rr = F.coalesce(1.0 / F.col("_first").cast("double"), F.lit(0.0))
+    ndcg = F.when(
+        F.col("_idcg_m") > 0,
+        F.col("_dcg_m").cast("double") / F.col("_idcg_m"),
+    )
+    return out.select(
+        q.alias(query_col),
+        "n_rel",
+        "hits",
+        F.round(prec, 6).alias("precision_at_k"),
+        F.round(rec, 6).alias("recall_at_k"),
+        F.round(rr, 6).alias("rr"),
+        F.round(ndcg, 6).alias("ndcg_at_k"),
+    )

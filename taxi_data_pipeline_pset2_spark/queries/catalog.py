@@ -99,7 +99,8 @@ def query(
 # blocklist_safety_flags, source_quality_profile, bigram_doc_logprob,
 # class_weights_events, rolling_origin_backtest, metric_corr_matrix,
 # status_priority_mi, sft_loss_masks, auc_order_status,
-# calibration_price_prob, kappa_price_status, decile_lift_orders.
+# calibration_price_prob, kappa_price_status, decile_lift_orders,
+# retrieval_eval_knn.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",

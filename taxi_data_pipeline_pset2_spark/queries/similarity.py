@@ -170,3 +170,94 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     dups = cosine_pairs_exact(emb, threshold=0.4).select("id_a", "id_b")
     return mine_hard_negatives(emb, dups, F.col("vec_id") % 50 == 0, k=5)
+
+
+_RETRIEVAL_ORACLE = f"""
+    WITH {_SQL_PREP},
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                                                  i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+                     q.norm2 AS qn, c.norm2 AS cn
+              FROM q JOIN n c ON c.vec_id <> q.vec_id),
+    run AS (SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rnk
+            FROM pairs
+            WINDOW w AS (PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id)
+            QUALIFY row_number() OVER w <= 5),
+    qrel AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                    CAST(1.0 AS DOUBLE) AS rel
+             FROM q JOIN n c ON c.vec_id <> q.vec_id AND c.label = q.label),
+    j AS (SELECT r.query_id, r.rnk,
+                 coalesce(qr.rel, 0.0) AS rel
+          FROM run r LEFT JOIN qrel qr
+               ON r.query_id = qr.query_id AND r.neighbor_id = qr.doc_id),
+    perq AS (SELECT query_id,
+                    CAST(count(*) FILTER (rel > 0) AS BIGINT) AS hits,
+                    min(rnk) FILTER (rel > 0) AS first_rel,
+                    sum(CAST(round(rel / log2(rnk + 1) * 1000000) AS BIGINT))
+                        AS dcg_m
+             FROM j GROUP BY query_id),
+    ideal AS (SELECT query_id,
+                     sum(CAST(round(rel / log2(ir + 1) * 1000000) AS BIGINT))
+                         AS idcg_m
+              FROM (SELECT query_id, rel,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY rel DESC, doc_id) AS ir
+                    FROM qrel QUALIFY ir <= 5) s
+              GROUP BY query_id),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+             FROM qrel GROUP BY query_id)
+    SELECT p.query_id,
+           coalesce(nr.n_rel, 0) AS n_rel,
+           p.hits,
+           round(p.hits * 1.0 / 5, 6) AS precision_at_k,
+           round(CASE WHEN nr.n_rel > 0 THEN p.hits * 1.0 / nr.n_rel END, 6)
+               AS recall_at_k,
+           round(coalesce(1.0 / first_rel, 0.0), 6) AS rr,
+           round(CASE WHEN i.idcg_m > 0 THEN p.dcg_m * 1.0 / i.idcg_m END, 6)
+               AS ndcg_at_k
+    FROM perq p
+    LEFT JOIN nrel nr ON p.query_id = nr.query_id
+    LEFT JOIN ideal i ON p.query_id = i.query_id
+    ORDER BY p.query_id
+"""
+
+
+@query(
+    "retrieval_eval_knn",
+    oracle=_RETRIEVAL_ORACLE,
+    tags=("evalmetrics", "similarity"),
+)
+def retrieval_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the exact kNN run against label-match relevance
+    (operators/evalmetrics.py retrieval_eval): per-query P@5, recall@5,
+    MRR, nDCG@5 in the TREC run/qrels shape -- the quality gate for any
+    ANN variant (swap the run, keep the qrels). Equi-joins + per-query
+    windows only; DCG terms are integer millionths, so the 6-dp values
+    hash-match the oracle."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import retrieval_eval
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        knn_topk_vectorized,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    runs = knn_topk_vectorized(emb, F.col("vec_id") % 50 == 0, k=5)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    qrels = (
+        q.join(
+            emb.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("_cl")),
+            F.col("_ql") == F.col("_cl"),
+        )
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.lit(1.0).alias("rel"),
+        )
+    )
+    return retrieval_eval(
+        runs, qrels, k=5, doc_col="neighbor_id"
+    ).orderBy("query_id")

@@ -192,3 +192,63 @@ def test_decile_lift_tile_sizes_match_formula(spark):
     )
     rows = decile_lift(df, "y", "s", "k", 4).collect()
     assert [r["n"] for r in rows] == [6, 6, 6, 5]
+
+
+def test_retrieval_eval_hand_computed(spark):
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import retrieval_eval
+
+    runs = spark.createDataFrame(
+        # q1: rel docs at ranks 1 and 3; q2: none relevant; q3: rank 2 only
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "a", 1), ("q2", "b", 2),
+         ("q3", "x", 1), ("q3", "y", 2),
+         ("q3", "z", 9)],  # rank 9 > k=3 is ignored
+        "query_id string, doc_id string, rank bigint",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1.0), ("q1", "c", 1.0), ("q1", "zz", 1.0),
+         ("q3", "y", 2.0), ("q3", "w", 1.0),
+         ("q4", "a", 1.0)],  # q4 has no run rows -> absent from output
+        "query_id string, doc_id string, rel double",
+    )
+    out = {r["query_id"]: r for r in retrieval_eval(runs, qrels, k=3).collect()}
+    assert set(out) == {"q1", "q2", "q3"}
+    import math
+
+    q1 = out["q1"]
+    assert q1["n_rel"] == 3 and q1["hits"] == 2
+    assert q1["precision_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert q1["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert q1["rr"] == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-5)
+
+    q2 = out["q2"]
+    assert q2["n_rel"] == 0 and q2["hits"] == 0
+    assert q2["recall_at_k"] is None and q2["rr"] == 0.0
+    assert q2["ndcg_at_k"] is None  # no qrels -> IDCG 0
+
+    q3 = out["q3"]
+    assert q3["hits"] == 1 and q3["rr"] == 0.5
+    # graded: run DCG = 2/log2(3); ideal = 2/log2(2) + 1/log2(3)
+    dcg3 = 2 / math.log2(3)
+    idcg3 = 2 / math.log2(2) + 1 / math.log2(3)
+    assert q3["ndcg_at_k"] == pytest.approx(dcg3 / idcg3, abs=1e-5)
+
+
+def test_retrieval_eval_perfect_run(spark):
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import retrieval_eval
+
+    runs = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2)], "query_id string, doc_id string, rank bigint"
+    )
+    qrels = spark.createDataFrame(
+        [("q", "a", 2.0), ("q", "b", 1.0)],
+        "query_id string, doc_id string, rel double",
+    )
+    r = retrieval_eval(runs, qrels, k=2).collect()[0]
+    assert r["precision_at_k"] == 1.0
+    assert r["recall_at_k"] == 1.0
+    assert r["rr"] == 1.0
+    assert r["ndcg_at_k"] == 1.0  # run order matches ideal order
