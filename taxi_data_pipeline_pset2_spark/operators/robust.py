@@ -377,3 +377,74 @@ def impute_group_median(
     return out.withColumn(
         out_col or value_col, F.coalesce(v, F.col("__med"))
     ).drop("__med")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    source_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CDF-match every source's score distribution onto the GLOBAL
+    distribution: each row's ``norm_score`` is the global score found at
+    the same quantile position its score occupies within its source.
+    The cross-source blending primitive -- per-source quality scores
+    (different scorers, different scales) become directly comparable
+    without assuming normality (contrast zscore_flag).
+
+    Method (exact nearest-rank, fully deterministic):
+      r   = rank of the row within its source by (score, id)
+      pr  = (r - 1) / (n_source - 1)            (0.5 for singletons)
+      j   = round(pr * (N - 1)) + 1             (global target position)
+      norm_score = global score at position j by the same (score, id)
+                   order
+    Rows with a NULL score are excluded.
+
+    100 TB shape: the per-source rank is a source-partitioned window;
+    the GLOBAL position index never sorts the data in one partition --
+    it is per-score offsets (window over distinct scores) + a
+    score-partitioned row_number, the same machinery as
+    evalmetrics.decile_lift; the final lookup is one equi-join on the
+    integer position."""
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(score_col).isNotNull()
+    )
+    w_src = Window.partitionBy(source_col).orderBy(score_col, id_col)
+    n_src = Window.partitionBy(source_col)
+    ranked = base.withColumn("_r", F.row_number().over(w_src)).withColumn(
+        "_ns", F.count(F.lit(1)).over(n_src)
+    )
+    # global position: per-score offsets + score-partitioned tiebreak
+    per_score = base.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w_off = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_score.select(
+        "_s", F.coalesce(F.sum("_c").over(w_off), F.lit(0).cast("bigint")).alias("_off")
+    )
+    w_tie = Window.partitionBy("_s").orderBy("_gid")
+    glob = (
+        base.select(F.col(score_col).alias("_s"), F.col(id_col).alias("_gid"))
+        .join(offsets, "_s")
+        .select(
+            (F.col("_off") + F.row_number().over(w_tie)).alias("_pos"),
+            F.col("_s").alias("_gval"),
+        )
+    )
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    pr = F.when(
+        F.col("_ns") > 1,
+        (F.col("_r") - 1).cast("double") / (F.col("_ns") - 1),
+    ).otherwise(F.lit(0.5))
+    j = (F.round(pr * (F.col("_n") - 1)) + 1).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("_j", j)
+        .join(glob, F.col("_j") == F.col("_pos"))
+        .select(
+            *[c for c in df.columns],
+            F.col("_gval").alias("norm_score"),
+        )
+    )

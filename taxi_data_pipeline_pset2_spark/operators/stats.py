@@ -174,3 +174,102 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(mi, 6).alias("mi"),
         F.round(F.when(denom > 0, mi / denom), 6).alias("nmi"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k!), written as
+# full-precision literals so Spark and any SQL twin evaluate the SAME
+# doubles. Counts above 6 are clamped (P ~ 1e-4 at lambda=1).
+POISSON1_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    n_boot: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """(group_cols..., n, mean, ci_lo, ci_hi): percentile bootstrap CI
+    for the per-group mean of ``value_col``, via the DETERMINISTIC
+    Poisson bootstrap -- replicate b weights each row by a Poisson(1)
+    count derived from hash(id | salt | b), so the whole procedure is
+    one pass, order-independent, and reproducible across engines (no
+    RNG state, no resample shuffle; Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012 -- the standard
+    way to bootstrap data too large to resample).
+
+    All n_boot replicate means are computed in ONE hash aggregate
+    (2-per-replicate sufficient statistics, exact decimal sums), then
+    sorted as a tiny per-group array: ci_lo/ci_hi are the
+    alpha/2 / 1-alpha/2 percentile replicate means (nearest-rank on
+    floor/ceil). Replicates that draw an empty resample (possible only
+    for tiny groups) are dropped from the percentile array.
+
+    100 TB shape: one scan, one group-sized aggregate; cost is
+    O(n_boot) cheap expressions per row, no extra shuffle vs a plain
+    mean."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import salted_hash
+
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha in (0, 1)")
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+
+    def _w(b: int):
+        u = salted_hash(F.col(id_col), f"{salt}|{b}").cast("double") / F.lit(
+            4294967296.0
+        )
+        expr = F.lit(6)
+        for k in range(len(POISSON1_CUM) - 1, -1, -1):
+            expr = F.when(u < POISSON1_CUM[k], F.lit(k)).otherwise(expr)
+        return expr
+
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v.cast("decimal(28,6)")).cast("double").alias("_sv"),
+    ]
+    for b in range(n_boot):
+        w = _w(b)
+        aggs.append(
+            F.sum((w * v).cast("decimal(38,6)")).cast("double").alias(f"_s{b}")
+        )
+        aggs.append(F.sum(w).cast("bigint").alias(f"_c{b}"))
+    agg = (base.groupBy(*group_cols) if group_cols else base.groupBy()).agg(*aggs)
+
+    means = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f"_c{b}") > 0,
+                        F.col(f"_s{b}") / F.col(f"_c{b}"),
+                    )
+                    for b in range(n_boot)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    out = agg.withColumn("_m", means)
+    size = F.size("_m")
+    lo_i = F.floor(F.lit(alpha / 2.0) * (size - 1)).cast("int") + 1
+    hi_i = F.ceil(F.lit(1.0 - alpha / 2.0) * (size - 1)).cast("int") + 1
+    return out.select(
+        *group_cols,
+        "n",
+        F.round(F.col("_sv") / F.col("n"), 6).alias("mean"),
+        F.round(F.element_at("_m", lo_i), 6).alias("ci_lo"),
+        F.round(F.element_at("_m", hi_i), 6).alias("ci_hi"),
+    )

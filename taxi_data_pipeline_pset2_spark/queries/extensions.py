@@ -2223,3 +2223,116 @@ def decile_lift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").alias("is_f"),
     )
     return decile_lift(o, "is_f", "o_totalprice", "o_orderkey", 10)
+
+
+_QNORM_ORACLE = """
+    WITH base AS (SELECT doc_id, source, n_chars
+                  FROM documents WHERE n_chars IS NOT NULL),
+    ranked AS (SELECT doc_id, source, n_chars,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS r,
+                      count(*) OVER (PARTITION BY source) AS ns
+               FROM base),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    gpos AS (SELECT n_chars AS gval,
+                    row_number() OVER (ORDER BY n_chars, doc_id) AS pos
+             FROM base),
+    tgt AS (SELECT ranked.doc_id, ranked.source, ranked.n_chars,
+                   CAST(round((CASE WHEN ns > 1
+                                    THEN (r - 1) * 1.0 / (ns - 1)
+                                    ELSE 0.5 END) * (tot.n - 1)) + 1
+                        AS BIGINT) AS j
+            FROM ranked, tot)
+    SELECT t.doc_id, t.source, t.n_chars, g.gval AS norm_score
+    FROM tgt t JOIN gpos g ON t.j = g.pos
+    ORDER BY t.doc_id
+"""
+
+
+@query(
+    "quantile_normalized_length", oracle=_QNORM_ORACLE, tags=("robust", "window")
+)
+def quantile_normalized_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document length across sources
+    (operators/robust.py quantile_normalize): each doc's n_chars is
+    CDF-matched onto the global length distribution, making per-source
+    scores directly comparable without a normality assumption. Global
+    positions come from per-score offsets + a score-partitioned
+    tie-break window -- never a single-partition sort of the rows."""
+    from taxi_data_pipeline_pset2_spark.operators.robust import quantile_normalize
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quantile_normalize(
+        docs, "n_chars", "source", "doc_id"
+    ).orderBy("doc_id")
+
+
+# ---- deterministic Poisson-bootstrap CI ----------------------------------
+
+def _boot_sql(n_boot: int = 40) -> str:
+    from taxi_data_pipeline_pset2_spark.operators.stats import POISSON1_CUM
+
+    def u(b: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5(coalesce(CAST(o_orderkey AS VARCHAR),"
+            f" '<null-id>') || '|boot-v1|{b}'), 1, 8)) AS BIGINT)"
+            " / 4294967296.0"
+        )
+
+    def w(b: int) -> str:
+        expr = "6"
+        for k in range(len(POISSON1_CUM) - 1, -1, -1):
+            expr = f"CASE WHEN u{b} < {POISSON1_CUM[k]!r} THEN {k} ELSE {expr} END"
+        return expr
+
+    u_cols = ", ".join(f"{u(b)} AS u{b}" for b in range(n_boot))
+    w_cols = ", ".join(f"{w(b)} AS w{b}" for b in range(n_boot))
+    s_cols = ", ".join(
+        f"CAST(sum(CAST(w{b} * v AS DECIMAL(38,6))) AS DOUBLE) AS s{b},"
+        f" CAST(sum(w{b}) AS BIGINT) AS c{b}"
+        for b in range(n_boot)
+    )
+    m_list = ", ".join(
+        f"CASE WHEN c{b} > 0 THEN s{b} / c{b} END" for b in range(n_boot)
+    )
+    return f"""
+    WITH base AS (SELECT o_orderpriority, o_orderkey,
+                         CAST(o_totalprice AS DOUBLE) AS v
+                  FROM orders WHERE o_totalprice IS NOT NULL),
+    uu AS (SELECT o_orderpriority, v, {u_cols} FROM base),
+    ww AS (SELECT o_orderpriority, v, {w_cols} FROM uu),
+    a AS (SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+                 {s_cols}
+          FROM ww GROUP BY o_orderpriority),
+    m AS (SELECT *, list_sort(list_filter([{m_list}],
+                                          x -> x IS NOT NULL)) AS mm
+          FROM a)
+    SELECT o_orderpriority, n,
+           round(sv / n, 6) AS mean,
+           round(mm[CAST(floor(0.025 * (len(mm) - 1)) AS INT) + 1], 6) AS ci_lo,
+           round(mm[CAST(ceil(0.975 * (len(mm) - 1)) AS INT) + 1], 6) AS ci_hi
+    FROM m ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "bootstrap_ci_price", oracle=_boot_sql(), tags=("stats", "agg")
+)
+def bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for mean order price per priority
+    (operators/stats.py poisson_bootstrap_ci): 40 deterministic
+    hash-weighted replicates in ONE hash aggregate -- the
+    uncertainty-at-scale primitive (no resample shuffle, no RNG
+    state)."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import poisson_bootstrap_ci
+
+    o = t(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        o,
+        "o_totalprice",
+        ["o_orderpriority"],
+        id_col="o_orderkey",
+        n_boot=40,
+    ).orderBy("o_orderpriority")

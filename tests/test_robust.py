@@ -226,3 +226,63 @@ def test_impute_group_median(spark):
     assert (None, 7.0, True) in got
     assert ("empty", None, False) in got
     assert out.count() == 8
+
+
+class TestQuantileNormalize:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, source string, s double")
+
+    def test_identity_when_single_source(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.robust import quantile_normalize
+
+        rows = [(i, "a", float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+        out = quantile_normalize(self._df(spark, rows), "s", "source", "doc_id")
+        got = {r["doc_id"]: r["norm_score"] for r in out.collect()}
+        # one source spanning the corpus: pr maps rank r to global rank r
+        assert got == {i: float(v) for i, v in enumerate([5, 1, 9, 3, 7])}
+
+    def test_cdf_matching_two_scales(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.robust import quantile_normalize
+
+        # source a on a 0-4 scale, source b on a 100-104 scale, same shape
+        rows = [(i, "a", float(i)) for i in range(5)] + [
+            (10 + i, "b", float(100 + i)) for i in range(5)
+        ]
+        out = quantile_normalize(self._df(spark, rows), "s", "source", "doc_id")
+        byid = {r["doc_id"]: r["norm_score"] for r in out.collect()}
+        # global sorted: 0,1,2,3,4,100,...,104 (N=10). pr in {0,.25,.5,.75,1}
+        # j = round(pr*9)+1 -> positions 1,3,6,8,10 -> values 0,2,100,102,104
+        want = [0.0, 2.0, 100.0, 102.0, 104.0]
+        assert [byid[i] for i in range(5)] == want
+        assert [byid[10 + i] for i in range(5)] == want  # scales erased
+
+    def test_monotone_within_source_and_null_excluded(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.robust import quantile_normalize
+
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            (i, "ab"[i % 2], float(rng.randint(0, 50)))
+            for i in range(200)
+        ] + [(999, "a", None)]
+        out = quantile_normalize(
+            self._df(spark, rows), "s", "source", "doc_id"
+        ).collect()
+        assert all(r["doc_id"] != 999 for r in out)
+        assert len(out) == 200
+        for src in "ab":
+            got = sorted(
+                ((r["s"], r["doc_id"], r["norm_score"]) for r in out if r["source"] == src)
+            )
+            norms = [g[2] for g in got]
+            assert norms == sorted(norms)  # monotone in (score, id)
+
+    def test_singleton_source_gets_global_median(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.robust import quantile_normalize
+
+        rows = [(i, "big", float(i)) for i in range(9)] + [(100, "solo", 999.0)]
+        out = quantile_normalize(self._df(spark, rows), "s", "source", "doc_id")
+        solo = [r for r in out.collect() if r["source"] == "solo"][0]
+        # pr = 0.5, N = 10 -> j = round(4.5)+1 = 6 -> 6th smallest global value
+        assert solo["norm_score"] == 5.0

@@ -132,3 +132,68 @@ def test_mutual_information_extremes(spark):
     )
     r4 = mutual_information(withnull, "a", "b").collect()[0]
     assert r4.nmi == pytest.approx(1.0, abs=1e-5)
+
+
+class TestPoissonBootstrapCI:
+    def test_ci_brackets_mean_and_matches_clt_width(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            poisson_bootstrap_ci,
+        )
+
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        vals = rng.normal(100.0, 15.0, 2000)
+        df = spark.createDataFrame(
+            [(int(i), float(v)) for i, v in enumerate(vals)], "doc_id bigint, v double"
+        )
+        r = poisson_bootstrap_ci(df, "v", id_col="doc_id", n_boot=60).collect()[0]
+        assert r["n"] == 2000
+        assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+        # CLT 95% width = 2 * 1.96 * sd / sqrt(n); bootstrap should be
+        # the same order (generous 2x factor band: 60 replicates is noisy)
+        clt = 2 * 1.96 * vals.std() / np.sqrt(len(vals))
+        width = r["ci_hi"] - r["ci_lo"]
+        assert clt / 2 < width < clt * 2, (width, clt)
+
+    def test_deterministic_and_grouped(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            poisson_bootstrap_ci,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i % 50)) for i in range(500)],
+            "doc_id bigint, g string, v double",
+        )
+        a = sorted(map(tuple, poisson_bootstrap_ci(df, "v", ["g"]).collect()))
+        b = sorted(
+            map(tuple, poisson_bootstrap_ci(df.repartition(13), "v", ["g"]).collect())
+        )
+        assert a == b  # partitioning-independent
+        assert len(a) == 2
+        for row in a:
+            assert row[3] <= row[2] <= row[4]  # ci_lo <= mean <= ci_hi
+
+    def test_salt_changes_replicates_not_mean(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            poisson_bootstrap_ci,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(300)], "doc_id bigint, v double"
+        )
+        a = poisson_bootstrap_ci(df, "v", salt="s1").collect()[0]
+        b = poisson_bootstrap_ci(df, "v", salt="s2").collect()[0]
+        assert a["mean"] == b["mean"]
+        assert (a["ci_lo"], a["ci_hi"]) != (b["ci_lo"], b["ci_hi"])
+
+    def test_tiny_group_survives(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            poisson_bootstrap_ci,
+        )
+
+        df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "doc_id bigint, v double")
+        r = poisson_bootstrap_ci(df, "v", n_boot=20).collect()[0]
+        assert r["mean"] == 6.0
+        assert r["ci_lo"] is not None and r["ci_hi"] is not None
+        assert r["ci_lo"] <= r["ci_hi"]
