@@ -401,3 +401,46 @@ def retrieval_eval(
         F.round(rr, 6).alias("rr"),
         F.round(ndcg, 6).alias("ndcg_at_k"),
     )
+
+
+def rrf_fuse(
+    runs: DataFrame,
+    k: int = 60,
+    top: int | None = None,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    run_col: str = "run_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    runs into one: score(d) = sum over runs of 1 / (k + rank_r(d)),
+    with the conventional k = 60 damping. Returns (query, doc,
+    rrf_score, fused_rank), optionally truncated to ``top`` per query.
+    Ties break by doc id, so the fused ranking is deterministic.
+
+    The per-(query, doc) score accumulates integer billionths (each
+    term is an exact function of small-integer rank, so rounding is
+    stable), making the 9-dp score and therefore the fused order
+    engine-portable. One hash aggregate + one query-partitioned window."""
+    score_b = F.round(
+        F.lit(1_000_000_000.0) / (F.lit(k) + F.col(rank_col).cast("double"))
+    ).cast("bigint")
+    agg = (
+        runs.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            score_b.alias("_sb"),
+        )
+        .groupBy("_q", "_d")
+        .agg(F.sum("_sb").alias("_score_b"))
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_score_b").desc(), F.col("_d"))
+    out = agg.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+    if top is not None:
+        out = out.filter(F.col("fused_rank") <= top)
+    return out.select(
+        F.col("_q").alias(query_col),
+        F.col("_d").alias(doc_col),
+        (F.col("_score_b").cast("double") / 1_000_000_000).alias("rrf_score"),
+        "fused_rank",
+    )

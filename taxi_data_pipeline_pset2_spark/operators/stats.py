@@ -273,3 +273,57 @@ def poisson_bootstrap_ci(
         F.round(F.element_at("_m", lo_i), 6).alias("ci_lo"),
         F.round(F.element_at("_m", hi_i), 6).alias("ci_hi"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """One-row Welch two-sample t-test comparing ``value_col`` between
+    ``group_a`` and ``group_b`` of ``group_col``: (n_a, n_b, mean_a,
+    mean_b, mean_diff, t_stat, df) with the Welch-Satterthwaite degrees
+    of freedom. The unequal-variance default (never pooled): the A/B
+    primitive next to poisson_bootstrap_ci's nonparametric CI.
+
+    The five sufficient statistics per group are exact decimal sums
+    (dec_sum discipline), combined in one fixed double expression and
+    rounded to 6 dp. Sample variance uses the n-1 denominator; groups
+    with n < 2 or zero variance yield NULL t/df."""
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    base = df.filter(v.isNotNull() & (in_a | in_b))
+
+    def side(cond, tag: str):
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.when(cond, v).cast("decimal(28,6)")).cast("double").alias(f"_s{tag}"),
+            F.sum(F.when(cond, v * v).cast("decimal(38,10)")).cast("double").alias(f"_q{tag}"),
+        ]
+
+    agg = base.agg(*side(in_a, "a"), *side(in_b, "b"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    va = (F.col("_qa") - F.col("_sa") * F.col("_sa") / na) / (na - 1)
+    vb = (F.col("_qb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    )
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, dof), 6).alias("df"),
+    )

@@ -2336,3 +2336,52 @@ def bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="o_orderkey",
         n_boot=40,
     ).orderBy("o_orderpriority")
+
+
+_WELCH_ORACLE = """
+    WITH base AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+                  FROM orders
+                  WHERE o_totalprice IS NOT NULL
+                    AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+    a AS (SELECT CAST(count(*) FILTER (g = '1-URGENT') AS BIGINT) AS n_a,
+                 CAST(sum(CAST(v AS DECIMAL(28,6))) FILTER (g = '1-URGENT') AS DOUBLE) AS sa,
+                 CAST(sum(CAST(v * v AS DECIMAL(38,10))) FILTER (g = '1-URGENT') AS DOUBLE) AS qa,
+                 CAST(count(*) FILTER (g = '5-LOW') AS BIGINT) AS n_b,
+                 CAST(sum(CAST(v AS DECIMAL(28,6))) FILTER (g = '5-LOW') AS DOUBLE) AS sb,
+                 CAST(sum(CAST(v * v AS DECIMAL(38,10))) FILTER (g = '5-LOW') AS DOUBLE) AS qb
+          FROM base)
+    SELECT n_a, n_b,
+           round(sa / n_a, 6) AS mean_a,
+           round(sb / n_b, 6) AS mean_b,
+           round(sa / n_a - sb / n_b, 6) AS mean_diff,
+           round(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND ((qa - sa * sa / n_a) / (n_a - 1) / n_a
+                            + (qb - sb * sb / n_b) / (n_b - 1) / n_b) > 0
+                      THEN (sa / n_a - sb / n_b)
+                           / sqrt((qa - sa * sa / n_a) / (n_a - 1) / n_a
+                                  + (qb - sb * sb / n_b) / (n_b - 1) / n_b)
+                 END, 6) AS t_stat,
+           round(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND ((qa - sa * sa / n_a) / (n_a - 1) / n_a
+                            + (qb - sb * sb / n_b) / (n_b - 1) / n_b) > 0
+                      THEN pow((qa - sa * sa / n_a) / (n_a - 1) / n_a
+                               + (qb - sb * sb / n_b) / (n_b - 1) / n_b, 2)
+                           / (pow((qa - sa * sa / n_a) / (n_a - 1) / n_a, 2) / (n_a - 1)
+                              + pow((qb - sb * sb / n_b) / (n_b - 1) / n_b, 2) / (n_b - 1))
+                 END, 6) AS df
+    FROM a
+"""
+
+
+@query("welch_price_priority", oracle=_WELCH_ORACLE, tags=("stats", "agg"))
+def welch_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test of order price, urgent vs low priority
+    (operators/stats.py welch_ttest): unequal-variance t and
+    Welch-Satterthwaite df from exact decimal sufficient statistics --
+    the A/B significance primitive next to the bootstrap CI."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import welch_ttest
+
+    return welch_ttest(
+        t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )

@@ -261,3 +261,68 @@ def retrieval_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(
         runs, qrels, k=5, doc_col="neighbor_id"
     ).orderBy("query_id")
+
+
+_RRF_ORACLE = f"""
+    WITH {_SQL_PREP},
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    p1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                                               i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+                  q.norm2 AS qn, c.norm2 AS cn
+           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+    r1 AS (SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER w AS BIGINT) AS rnk
+           FROM p1
+           WINDOW w AS (PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id)
+           QUALIFY row_number() OVER w <= 5),
+    p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                                               i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+                  q.norm2 AS qn, c.norm2 AS cn
+           FROM q JOIN n c ON c.vec_id <> q.vec_id AND c.label = q.label),
+    r2 AS (SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER w AS BIGINT) AS rnk
+           FROM p2
+           WINDOW w AS (PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id)
+           QUALIFY row_number() OVER w <= 5),
+    allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+    agg AS (SELECT query_id, neighbor_id,
+                   sum(CAST(round(1000000000.0 / (60 + rnk)) AS BIGINT)) AS sb
+            FROM allr GROUP BY query_id, neighbor_id),
+    f AS (SELECT query_id, neighbor_id, sb,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sb DESC, neighbor_id)
+                      AS BIGINT) AS fused_rank
+          FROM agg)
+    SELECT query_id, neighbor_id,
+           sb / 1000000000.0 AS rrf_score,
+           fused_rank
+    FROM f WHERE fused_rank <= 5
+    ORDER BY query_id, fused_rank
+"""
+
+
+@query("rrf_fuse_knn", oracle=_RRF_ORACLE, tags=("evalmetrics", "similarity"))
+def rrf_fuse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the exact kNN run with the IVF-pruned
+    run (operators/evalmetrics.py rrf_fuse, Cormack et al. 2009):
+    score = sum 1/(60 + rank), integer-billionth accumulation so the
+    fused order is engine-portable. The retrieval ensembling primitive
+    -- swap in any number of runs."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import rrf_fuse
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        knn_topk_vectorized,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    exact = knn_topk_vectorized(emb, F.col("vec_id") % 50 == 0, k=5).select(
+        "query_id", "neighbor_id", "rank", F.lit("exact").alias("run_id")
+    )
+    ivf = knn_topk(emb, F.col("vec_id") % 50 == 0, k=5, bucket_col="label").select(
+        "query_id", "neighbor_id", "rank", F.lit("ivf").alias("run_id")
+    )
+    runs = exact.unionByName(ivf)
+    return rrf_fuse(runs, k=60, top=5, doc_col="neighbor_id").orderBy(
+        "query_id", "fused_rank"
+    )

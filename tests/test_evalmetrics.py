@@ -252,3 +252,35 @@ def test_retrieval_eval_perfect_run(spark):
     assert r["recall_at_k"] == 1.0
     assert r["rr"] == 1.0
     assert r["ndcg_at_k"] == 1.0  # run order matches ideal order
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import rrf_fuse
+
+    runs = spark.createDataFrame(
+        # run1 ranks: a=1, b=2, c=3 ; run2 ranks: b=1, a=2, d=3
+        [("q", "a", 1, "r1"), ("q", "b", 2, "r1"), ("q", "c", 3, "r1"),
+         ("q", "b", 1, "r2"), ("q", "a", 2, "r2"), ("q", "d", 3, "r2")],
+        "query_id string, doc_id string, rank bigint, run_id string",
+    )
+    out = rrf_fuse(runs, k=60).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # a: 1/61 + 1/62 ; b: 1/62 + 1/61 (tie with a, doc id breaks it)
+    assert by_doc["a"]["rrf_score"] == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert by_doc["a"]["rrf_score"] == by_doc["b"]["rrf_score"]
+    assert by_doc["a"]["fused_rank"] == 1 and by_doc["b"]["fused_rank"] == 2
+    # c (1/63) and d (1/63) tie at ranks 3/4 by doc id
+    assert by_doc["c"]["fused_rank"] == 3 and by_doc["d"]["fused_rank"] == 4
+    assert rrf_fuse(runs, k=60, top=2).count() == 2
+
+
+def test_rrf_consensus_beats_single_run_winner(spark):
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import rrf_fuse
+
+    # x is rank 2 in all three runs; y is rank 1 once, absent twice
+    rows = [("q", "x", 2, r) for r in ("a", "b", "c")] + [("q", "y", 1, "a")]
+    runs = spark.createDataFrame(
+        rows, "query_id string, doc_id string, rank bigint, run_id string"
+    )
+    out = {r["doc_id"]: r["fused_rank"] for r in rrf_fuse(runs).collect()}
+    assert out["x"] == 1 and out["y"] == 2

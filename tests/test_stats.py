@@ -197,3 +197,40 @@ class TestPoissonBootstrapCI:
         assert r["mean"] == 6.0
         assert r["ci_lo"] is not None and r["ci_hi"] is not None
         assert r["ci_lo"] <= r["ci_hi"]
+
+
+class TestWelchTTest:
+    def test_matches_numpy_reference(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import welch_ttest
+
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        a = rng.normal(10.0, 2.0, 300)
+        b = rng.normal(10.8, 5.0, 120)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t_ref = (a.mean() - b.mean()) / np.sqrt(se2)
+        df_ref = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert r["n_a"] == 300 and r["n_b"] == 120
+        assert r["mean_a"] == pytest.approx(a.mean(), abs=1e-5)
+        assert r["t_stat"] == pytest.approx(t_ref, abs=1e-4)
+        assert r["df"] == pytest.approx(df_ref, rel=1e-5)
+
+    def test_degenerate_groups_null_stat(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import welch_ttest
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)], "g string, v double"
+        )
+        r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+        assert r["mean_diff"] == -1.0
+        assert r["t_stat"] is None and r["df"] is None  # zero variance
+        df2 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+        r2 = welch_ttest(df2, "v", "g", "a", "b").collect()[0]
+        assert r2["t_stat"] is None  # n < 2
