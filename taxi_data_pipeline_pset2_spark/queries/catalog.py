@@ -101,7 +101,7 @@ def query(
 # status_priority_mi, sft_loss_masks, auc_order_status,
 # calibration_price_prob, kappa_price_status, decile_lift_orders,
 # retrieval_eval_knn, quantile_normalized_length, bootstrap_ci_price,
-# rrf_fuse_knn, welch_price_priority.
+# rrf_fuse_knn, welch_price_priority, mannwhitney_price_priority.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",

@@ -2272,53 +2272,47 @@ def quantile_normalized_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _boot_sql(n_boot: int = 40) -> str:
     from taxi_data_pipeline_pset2_spark.operators.stats import POISSON1_CUM
 
-    def u(b: int) -> str:
-        return (
-            "CAST(('0x' || substr(md5(coalesce(CAST(o_orderkey AS VARCHAR),"
-            f" '<null-id>') || '|boot-v1|{b}'), 1, 8)) AS BIGINT)"
-            " / 4294967296.0"
-        )
-
-    def w(b: int) -> str:
-        expr = "6"
-        for k in range(len(POISSON1_CUM) - 1, -1, -1):
-            expr = f"CASE WHEN u{b} < {POISSON1_CUM[k]!r} THEN {k} ELSE {expr} END"
-        return expr
-
-    u_cols = ", ".join(f"{u(b)} AS u{b}" for b in range(n_boot))
-    w_cols = ", ".join(f"{w(b)} AS w{b}" for b in range(n_boot))
-    s_cols = ", ".join(
-        f"CAST(sum(CAST(w{b} * v AS DECIMAL(38,6))) AS DOUBLE) AS s{b},"
-        f" CAST(sum(w{b}) AS BIGINT) AS c{b}"
-        for b in range(n_boot)
+    # mirror of poisson_bootstrap_ci's engineered shape: replicate rows
+    # via generate_series, 16-bit hex-string thresholds, bigint scaled
+    # sums (scale=2 for 2-dp money), decimal side-aggregate for n/mean
+    th = [format(int(round(c * 65536)), "04x") for c in POISSON1_CUM]
+    case = (
+        "CASE "
+        + " ".join(f"WHEN ch < '{t}' THEN {k}" for k, t in enumerate(th))
+        + " ELSE 6 END"
     )
-    m_list = ", ".join(
-        f"CASE WHEN c{b} > 0 THEN s{b} / c{b} END" for b in range(n_boot)
-    )
+    n_hash = (n_boot + 7) // 8
     return f"""
-    WITH base AS (SELECT o_orderpriority, o_orderkey,
-                         CAST(o_totalprice AS DOUBLE) AS v
+    WITH base AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+                         o_orderkey AS id
                   FROM orders WHERE o_totalprice IS NOT NULL),
-    uu AS (SELECT o_orderpriority, v, {u_cols} FROM base),
-    ww AS (SELECT o_orderpriority, v, {w_cols} FROM uu),
-    a AS (SELECT o_orderpriority,
-                 CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sv,
-                 {s_cols}
-          FROM ww GROUP BY o_orderpriority),
-    m AS (SELECT *, list_sort(list_filter([{m_list}],
-                                          x -> x IS NOT NULL)) AS mm
-          FROM a)
-    SELECT o_orderpriority, n,
-           round(sv / n, 6) AS mean,
+    hx AS (SELECT g, CAST(round(v * 100) AS BIGINT) AS vi, gg,
+                  md5(coalesce(CAST(id AS VARCHAR), '<null-id>')
+                      || '|boot-v1|' || CAST(gg AS VARCHAR)) AS hex
+           FROM base CROSS JOIN generate_series(0, {n_hash - 1}) AS t(gg)),
+    chk AS (SELECT g, vi, 8 * gg + cc AS b, substr(hex, 4 * cc + 1, 4) AS ch
+            FROM hx CROSS JOIN generate_series(0, 7) AS t2(cc)),
+    rep AS (SELECT g, vi, b, {case} AS w FROM chk),
+    perb AS (SELECT g, b, sum(w * vi) AS si, CAST(sum(w) AS BIGINT) AS c
+             FROM rep GROUP BY g, b),
+    m AS (SELECT g, list_sort(list_filter(
+                    list(CASE WHEN c > 0 THEN CAST(si AS DOUBLE) / c / 100.0 END),
+                    x -> x IS NOT NULL)) AS mm
+          FROM perb GROUP BY g),
+    side AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv
+             FROM base GROUP BY g)
+    SELECT s.g AS o_orderpriority, s.n,
+           round(s.sv / s.n, 6) AS mean,
            round(mm[CAST(floor(0.025 * (len(mm) - 1)) AS INT) + 1], 6) AS ci_lo,
            round(mm[CAST(ceil(0.975 * (len(mm) - 1)) AS INT) + 1], 6) AS ci_hi
-    FROM m ORDER BY o_orderpriority
+    FROM m JOIN side s ON m.g = s.g
+    ORDER BY o_orderpriority
 """
 
 
 @query(
-    "bootstrap_ci_price", oracle=_boot_sql(), tags=("stats", "agg")
+    "bootstrap_ci_price", oracle=_boot_sql(), tags=("bench", "stats", "agg")
 )
 def bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% Poisson-bootstrap CI for mean order price per priority
@@ -2335,6 +2329,7 @@ def bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         id_col="o_orderkey",
         n_boot=40,
+        scale=2,
     ).orderBy("o_orderpriority")
 
 
@@ -2382,6 +2377,63 @@ def welch_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_pipeline_pset2_spark.operators.stats import welch_ttest
 
     return welch_ttest(
+        t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
+_MWU_ORACLE = """
+    WITH base AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+                  FROM orders
+                  WHERE o_totalprice IS NOT NULL
+                    AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+    per AS (SELECT v AS s,
+                   CAST(count(*) FILTER (g = '1-URGENT') AS BIGINT) AS p,
+                   CAST(count(*) FILTER (g = '5-LOW') AS BIGINT) AS q
+            FROM base GROUP BY v),
+    c AS (SELECT p, q,
+                 coalesce(sum(q) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cb
+          FROM per),
+    a AS (SELECT CAST(sum(p) AS BIGINT) AS n_a,
+                 CAST(sum(q) AS BIGINT) AS n_b,
+                 sum(CAST(p AS DECIMAL(38,0))
+                     * CAST(2 * cb + q AS DECIMAL(38,0))) AS num2,
+                 sum(CAST((p + q) * (p + q) * (p + q) - (p + q)
+                          AS DECIMAL(38,0))) AS ties
+          FROM c)
+    SELECT n_a, n_b,
+           round(CAST(num2 AS DOUBLE) / 2.0, 6) AS u_a,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                      THEN CAST(num2 AS DOUBLE) / (2.0 * n_a * n_b) END, 6)
+               AS auc,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                       AND CAST(n_a * n_b AS DOUBLE) / 12.0
+                           * (CAST(n_a + n_b + 1 AS DOUBLE)
+                              - CAST(ties AS DOUBLE)
+                                / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))) > 0
+                      THEN (CAST(num2 AS DOUBLE) / 2.0
+                            - CAST(n_a * n_b AS DOUBLE) / 2.0)
+                           / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                                  * (CAST(n_a + n_b + 1 AS DOUBLE)
+                                     - CAST(ties AS DOUBLE)
+                                       / (CAST(n_a + n_b AS DOUBLE)
+                                          * (n_a + n_b - 1))))
+                 END, 6) AS z
+    FROM a
+"""
+
+
+@query("mannwhitney_price_priority", oracle=_MWU_ORACLE, tags=("stats", "agg"))
+def mannwhitney_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U test of order price, urgent vs low
+    priority (operators/stats.py mannwhitney_u): the rank-based
+    nonparametric A/B companion to the Welch t -- same per-distinct-
+    value machinery as the grouped ROC-AUC, never a raw-row sort."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import mannwhitney_u
+
+    return mannwhitney_u(
         t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
         "1-URGENT", "5-LOW",
     )

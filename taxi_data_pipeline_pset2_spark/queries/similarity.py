@@ -227,7 +227,7 @@ _RETRIEVAL_ORACLE = f"""
 @query(
     "retrieval_eval_knn",
     oracle=_RETRIEVAL_ORACLE,
-    tags=("evalmetrics", "similarity"),
+    tags=("bench", "evalmetrics", "similarity"),
 )
 def retrieval_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluate the exact kNN run against label-match relevance

@@ -234,3 +234,63 @@ class TestWelchTTest:
         df2 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
         r2 = welch_ttest(df2, "v", "g", "a", "b").collect()[0]
         assert r2["t_stat"] is None  # n < 2
+
+
+class TestMannWhitneyU:
+    def test_matches_reference_with_ties(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import mannwhitney_u
+
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        a = np.round(rng.normal(10, 3, 150), 0)  # heavy ties
+        b = np.round(rng.normal(11, 3, 90), 0)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+        # reference: average ranks over pooled sample
+        pooled = np.concatenate([a, b])
+        order = np.argsort(pooled, kind="stable")
+        ranks = np.empty(len(pooled))
+        srt = pooled[order]
+        i = 0
+        while i < len(pooled):
+            j = i
+            while j + 1 < len(pooled) and srt[j + 1] == srt[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        na, nb = len(a), len(b)
+        u_ref = ranks[:na].sum() - na * (na + 1) / 2
+        assert r["u_a"] == pytest.approx(u_ref, abs=1e-6)
+        assert r["auc"] == pytest.approx(u_ref / (na * nb), abs=1e-6)
+        _, counts = np.unique(pooled, return_counts=True)
+        tie_sum = float((counts**3 - counts).sum())
+        n = na + nb
+        var = na * nb / 12 * ((n + 1) - tie_sum / (n * (n - 1)))
+        z_ref = (u_ref - na * nb / 2) / np.sqrt(var)
+        assert r["z"] == pytest.approx(z_ref, abs=1e-5)
+
+    def test_all_tied_gives_null_z(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import mannwhitney_u
+
+        df = spark.createDataFrame(
+            [("a", 5.0)] * 3 + [("b", 5.0)] * 4, "g string, v double"
+        )
+        r = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+        assert r["auc"] == 0.5 and r["z"] is None
+
+    def test_consistent_with_binary_auc(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.evalmetrics import binary_auc
+        from taxi_data_pipeline_pset2_spark.operators.stats import mannwhitney_u
+
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        rows = [("ab"[i % 2], float(rng.integers(0, 20))) for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        mwu = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+        auc = binary_auc(
+            df.withColumn("y", df.g == "a"), "y", "v"
+        ).collect()[0]
+        assert mwu["auc"] == auc["auc"]
