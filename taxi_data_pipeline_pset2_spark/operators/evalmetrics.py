@@ -444,3 +444,86 @@ def rrf_fuse(
         (F.col("_score_b").cast("double") / 1_000_000_000).alias("rrf_score"),
         "fused_rank",
     )
+
+
+def fit_isotonic(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration map per group:
+    (group_cols..., score, n, fitted_p) -- the L2-optimal monotone fit
+    of the positive rate as a function of score, via the classic
+    pool-adjacent-violators algorithm (PAVA). Where calibration_bins
+    MEASURES miscalibration, this FIXES it: join a scored frame on
+    (group, score) to replace raw scores with calibrated probabilities
+    (equi-join application; unseen scores need a nearest-threshold
+    lookup, out of scope here).
+
+    100 TB shape: rows collapse FIRST to per-(group, distinct score)
+    (sum_label, count) aggregates -- the only thing PAVA needs -- then
+    an Arrow applyInPandas kernel runs linear-time PAVA per group.
+    Kernel memory is O(distinct scores in the group), the same bound
+    binary_auc documents; the raw rows are never sorted or collected.
+    PAVA itself is from scratch (stack-based merge, weighted means kept
+    as exact integer (sum, count) pairs until the final division)."""
+    import pandas as pd
+
+    group_cols = group_cols or []
+    lab = F.col(label_col).cast("boolean")
+    sc = F.col(score_col).cast("double")
+    per = (
+        df.filter(lab.isNotNull() & sc.isNotNull())
+        .groupBy(*group_cols, sc.alias("score"))
+        .agg(
+            F.count(F.when(lab, F.lit(1))).cast("bigint").alias("_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+    out_fields = ", ".join(
+        [f"`{c}` {t}" for c, t in _schema_pairs(per, group_cols)]
+        + ["score double", "n bigint", "fitted_p double"]
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        # stack of blocks [sum_pos, count, n_rows]; merge while the
+        # previous block's mean is >= the new block's mean (weighted
+        # means compared as exact integer cross-products). Merging on
+        # equality is harmless and keeps blocks canonical.
+        blocks: list[list[int]] = []
+        for pos, cnt in zip(pdf["_pos"].to_numpy(), pdf["n"].to_numpy()):
+            cur = [int(pos), int(cnt), 1]
+            while blocks and blocks[-1][0] * cur[1] >= cur[0] * blocks[-1][1]:
+                prev = blocks.pop()
+                cur = [prev[0] + cur[0], prev[1] + cur[1], prev[2] + cur[2]]
+            blocks.append(cur)
+        out_p: list[float] = []
+        for pos, cnt, n_rows in blocks:
+            out_p.extend([round(pos / cnt, 6)] * n_rows)
+        res = pdf[[*group_cols, "score", "n"]].copy()
+        res["fitted_p"] = out_p
+        return res
+
+    if group_cols:
+        return per.groupBy(*group_cols).applyInPandas(pava, out_fields)
+    # no groups: a constant key column keeps the kernel and schema
+    # uniform (applyInPandas passes data columns, not grouping exprs)
+    per1 = per.withColumn("_one", F.lit(1))
+
+    def pava1(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = pava(pdf.drop(columns=["_one"]))
+        return res
+
+    return (
+        per1.groupBy("_one")
+        .applyInPandas(pava1, out_fields)
+    )
+
+
+def _schema_pairs(df: DataFrame, cols: list[str]) -> list[tuple[str, str]]:
+    """(name, spark-sql type) for the given columns of ``df``."""
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return [(c, by_name[c]) for c in cols]

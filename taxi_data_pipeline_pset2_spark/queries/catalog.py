@@ -101,7 +101,8 @@ def query(
 # status_priority_mi, sft_loss_masks, auc_order_status,
 # calibration_price_prob, kappa_price_status, decile_lift_orders,
 # retrieval_eval_knn, quantile_normalized_length, bootstrap_ci_price,
-# rrf_fuse_knn, welch_price_priority, mannwhitney_price_priority.
+# rrf_fuse_knn, welch_price_priority, mannwhitney_price_priority;
+# isotonic_calibration is rows-only (iterative PAVA).
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",
@@ -157,6 +158,7 @@ _WINDOW: tuple[str, ...] = (
 # Rows-only entries kept at the very end of the registry (their driver
 # row would add nothing over the local pytest replay).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
+    "isotonic_calibration",
     "compression_ratio_docs",
     "curation_drop_audit",
     "phonetic_matches",

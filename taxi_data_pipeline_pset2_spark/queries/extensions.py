@@ -2437,3 +2437,23 @@ def mannwhitney_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
         "1-URGENT", "5-LOW",
     )
+
+
+@query("isotonic_calibration", oracle=None, tags=("evalmetrics", "iterative"))
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAVA isotonic calibration of the finished-flag rate as a
+    function of binned price (operators/evalmetrics.py fit_isotonic).
+    Iterative pooling -> non-SQL-expressible, rows-only driver check;
+    L2-optimality vs a brute-force reference is pinned in
+    tests/test_evalmetrics.py. Scores are pre-binned to 100 levels so
+    the per-group kernel bound (distinct scores) is explicit."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import fit_isotonic
+
+    o = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") / 6000).cast("int").alias("price_bin"),
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+        "o_orderpriority",
+    )
+    return fit_isotonic(
+        o, "is_f", "price_bin", ["o_orderpriority"]
+    ).orderBy("o_orderpriority", "score")

@@ -284,3 +284,67 @@ def test_rrf_consensus_beats_single_run_winner(spark):
     )
     out = {r["doc_id"]: r["fused_rank"] for r in rrf_fuse(runs).collect()}
     assert out["x"] == 1 and out["y"] == 2
+
+
+def _pava_ref(pos, cnt):
+    """O(n^2) reference PAVA: pool any adjacent violator until stable."""
+    blocks = [[p, c] for p, c in zip(pos, cnt)]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][0] * blocks[i + 1][1] >= blocks[i + 1][0] * blocks[i][1]:
+                a = blocks.pop(i + 1)
+                blocks[i][0] += a[0]
+                blocks[i][1] += a[1]
+                changed = True
+                break
+    return blocks
+
+
+def test_isotonic_matches_bruteforce_reference(spark):
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import fit_isotonic
+
+    rng = np.random.default_rng(17)
+    n = 600
+    s = np.round(rng.uniform(0, 10, n), 0)
+    y = rng.uniform(0, 12, n) < s  # noisy but increasing
+    df = spark.createDataFrame(
+        [(float(a), bool(b)) for a, b in zip(s, y)], "s double, y boolean"
+    )
+    rows = sorted(fit_isotonic(df, "y", "s").collect(), key=lambda r: r["score"])
+    # build reference from per-score aggregates
+    uniq = sorted(set(s))
+    pos = [int(y[s == u].sum()) for u in uniq]
+    cnt = [int((s == u).sum()) for u in uniq]
+    blocks = _pava_ref(pos, cnt)
+    # expand: walk blocks over the distinct scores by consumed count
+    expanded = []
+    for p, c in blocks:
+        took = 0
+        while took < c:
+            idx = len(expanded)
+            expanded.append(round(p / c, 6))
+            took += cnt[idx]
+    got = [r["fitted_p"] for r in rows]
+    assert [r["score"] for r in rows] == [float(u) for u in uniq]
+    assert got == expanded
+    assert got == sorted(got)  # monotone
+
+
+def test_isotonic_already_monotone_identity_and_groups(spark):
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import fit_isotonic
+
+    # strictly increasing rates survive unchanged; decreasing pool to one
+    rows = (
+        [("inc", 1.0, False)] * 4 + [("inc", 1.0, True)] * 1
+        + [("inc", 2.0, False)] * 2 + [("inc", 2.0, True)] * 2
+        + [("inc", 3.0, True)] * 3
+        + [("dec", 1.0, True)] * 3 + [("dec", 2.0, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = fit_isotonic(df, "y", "s", ["g"]).collect()
+    inc = {r["score"]: r["fitted_p"] for r in out if r["g"] == "inc"}
+    assert inc == {1.0: 0.2, 2.0: 0.5, 3.0: 1.0}
+    dec = {r["score"]: r["fitted_p"] for r in out if r["g"] == "dec"}
+    assert dec == {1.0: 0.5, 2.0: 0.5}  # violators pooled
