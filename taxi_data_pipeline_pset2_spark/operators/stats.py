@@ -434,3 +434,102 @@ def mannwhitney_u(
         F.round(F.when((na > 0) & (nb > 0), auc), 6).alias("auc"),
         F.round(F.when(ok, z), 6).alias("z"),
     )
+
+
+def cuped_adjusted_ttest(
+    df: DataFrame,
+    value_col: str,
+    covariate_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """One-row CUPED-adjusted Welch t-test (Deng et al., WSDM 2013):
+    (n_a, n_b, theta, mean_a_adj, mean_b_adj, mean_diff, var_reduction,
+    t_stat, df). The experimentation workhorse at scale -- a
+    pre-experiment covariate x (e.g. last month's metric) absorbs
+    between-user variance: y_adj = y - theta * (x - mean(x)), theta =
+    cov(x, y) / var(x) POOLED over both arms, then Welch on y_adj.
+    var_reduction reports 1 - var(y_adj)/var(y) pooled (~rho^2).
+
+    Everything reduces to the nine pooled/per-arm decimal sufficient
+    statistics in ONE hash aggregate; theta and the adjusted moments
+    are fixed double expressions over them, so the result is
+    partitioning-independent and has an exact SQL twin. Rows with a
+    NULL value or covariate are excluded. NULL t/df when either arm has
+    n < 2, var(x) = 0, or the adjusted variance is 0."""
+    y = F.col(value_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    base = df.filter(
+        y.isNotNull() & x.isNotNull() & (in_a | in_b)
+    )
+
+    def stats(cond, tag):
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.when(cond, y).cast("decimal(28,6)")).cast("double").alias(f"_sy{tag}"),
+            F.sum(F.when(cond, x).cast("decimal(28,6)")).cast("double").alias(f"_sx{tag}"),
+            F.sum(F.when(cond, y * y).cast("decimal(38,10)")).cast("double").alias(f"_syy{tag}"),
+            F.sum(F.when(cond, x * x).cast("decimal(38,10)")).cast("double").alias(f"_sxx{tag}"),
+            F.sum(F.when(cond, x * y).cast("decimal(38,10)")).cast("double").alias(f"_sxy{tag}"),
+        ]
+
+    agg = base.agg(*stats(in_a, "a"), *stats(in_b, "b"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    sy = F.col("_sya") + F.col("_syb")
+    sx = F.col("_sxa") + F.col("_sxb")
+    syy = F.col("_syya") + F.col("_syyb")
+    sxx = F.col("_sxxa") + F.col("_sxxb")
+    sxy = F.col("_sxya") + F.col("_sxyb")
+    # pooled (biased-normalization cancels in the ratio)
+    cov_xy = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    # try_divide: degenerate inputs (empty arm, constant covariate) must
+    # surface as NULLs via the `ok` guards below, not ANSI div-by-zero.
+    theta = F.try_divide(cov_xy, var_x)
+    xbar = F.try_divide(sx, n)
+    # per-arm adjusted moments: y_adj = y - theta (x - xbar)
+    def adj(tag):
+        ni = F.col(f"n_{tag}")
+        syi = F.col(f"_sy{tag}")
+        sxi = F.col(f"_sx{tag}")
+        mean_adj = F.try_divide(syi - theta * (sxi - ni * xbar), ni)
+        # sum of y_adj^2 = syy - 2 theta (sxy - xbar sy)
+        #                + theta^2 (sxx - 2 xbar sx + n xbar^2)
+        ss_adj = (
+            F.col(f"_syy{tag}")
+            - 2 * theta * (F.col(f"_sxy{tag}") - xbar * syi)
+            + theta * theta
+            * (F.col(f"_sxx{tag}") - 2 * xbar * sxi + ni * xbar * xbar)
+        )
+        var_adj = F.try_divide(ss_adj - ni * mean_adj * mean_adj, ni - 1)
+        return mean_adj, var_adj
+
+    ma, va = adj("a")
+    mb, vb = adj("b")
+    sea = F.try_divide(va, na)
+    seb = F.try_divide(vb, nb)
+    se2 = sea + seb
+    t = F.try_divide(ma - mb, F.sqrt(se2))
+    dof = F.try_divide(
+        se2 * se2,
+        F.try_divide(sea * sea, na - 1) + F.try_divide(seb * seb, nb - 1),
+    )
+    var_adj_pooled = var_y - cov_xy * cov_xy * F.try_divide(F.lit(1.0), var_x)
+    vr = F.lit(1.0) - F.try_divide(var_adj_pooled, var_y)
+    ok = (na >= 2) & (nb >= 2) & (var_x > 0) & (se2 > 0)
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(F.when(var_x > 0, theta), 6).alias("theta"),
+        F.round(F.when(var_x > 0, ma), 6).alias("mean_a_adj"),
+        F.round(F.when(var_x > 0, mb), 6).alias("mean_b_adj"),
+        F.round(F.when(var_x > 0, ma - mb), 6).alias("mean_diff"),
+        F.round(F.when((var_x > 0) & (var_y > 0), vr), 6).alias("var_reduction"),
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, dof), 6).alias("df"),
+    )

@@ -2457,3 +2457,89 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_isotonic(
         o, "is_f", "price_bin", ["o_orderpriority"]
     ).orderBy("o_orderpriority", "score")
+
+
+_CUPED_ORACLE = """
+    WITH base AS (SELECT l_linestatus AS g,
+                         CAST(l_extendedprice AS DOUBLE) AS y,
+                         CAST(l_quantity AS DOUBLE) AS x
+                  FROM lineitem
+                  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                    AND l_linestatus IN ('O', 'F')),
+    a AS (SELECT
+            CAST(count(*) FILTER (g = 'O') AS BIGINT) AS n_a,
+            CAST(sum(CAST(y AS DECIMAL(28,6))) FILTER (g = 'O') AS DOUBLE) AS sya,
+            CAST(sum(CAST(x AS DECIMAL(28,6))) FILTER (g = 'O') AS DOUBLE) AS sxa,
+            CAST(sum(CAST(y * y AS DECIMAL(38,10))) FILTER (g = 'O') AS DOUBLE) AS syya,
+            CAST(sum(CAST(x * x AS DECIMAL(38,10))) FILTER (g = 'O') AS DOUBLE) AS sxxa,
+            CAST(sum(CAST(x * y AS DECIMAL(38,10))) FILTER (g = 'O') AS DOUBLE) AS sxya,
+            CAST(count(*) FILTER (g = 'F') AS BIGINT) AS n_b,
+            CAST(sum(CAST(y AS DECIMAL(28,6))) FILTER (g = 'F') AS DOUBLE) AS syb,
+            CAST(sum(CAST(x AS DECIMAL(28,6))) FILTER (g = 'F') AS DOUBLE) AS sxb,
+            CAST(sum(CAST(y * y AS DECIMAL(38,10))) FILTER (g = 'F') AS DOUBLE) AS syyb,
+            CAST(sum(CAST(x * x AS DECIMAL(38,10))) FILTER (g = 'F') AS DOUBLE) AS sxxb,
+            CAST(sum(CAST(x * y AS DECIMAL(38,10))) FILTER (g = 'F') AS DOUBLE) AS sxyb
+          FROM base),
+    p AS (SELECT *,
+                 n_a + n_b AS n,
+                 sya + syb AS sy, sxa + sxb AS sx,
+                 syya + syyb AS syy, sxxa + sxxb AS sxx, sxya + sxyb AS sxy
+          FROM a),
+    th AS (SELECT *,
+                  n * sxy - sx * sy AS cov_xy,
+                  n * sxx - sx * sx AS var_x,
+                  n * syy - sy * sy AS var_y,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+                  sx / n AS xbar
+           FROM p),
+    m AS (SELECT *,
+                 (sya - theta * (sxa - n_a * xbar)) / n_a AS ma,
+                 (syb - theta * (sxb - n_b * xbar)) / n_b AS mb,
+                 syya - 2 * theta * (sxya - xbar * sya)
+                   + theta * theta * (sxxa - 2 * xbar * sxa + n_a * xbar * xbar)
+                   AS ssa,
+                 syyb - 2 * theta * (sxyb - xbar * syb)
+                   + theta * theta * (sxxb - 2 * xbar * sxb + n_b * xbar * xbar)
+                   AS ssb
+          FROM th),
+    v AS (SELECT *,
+                 (ssa - n_a * ma * ma) / (n_a - 1) / n_a AS sea,
+                 (ssb - n_b * mb * mb) / (n_b - 1) / n_b AS seb
+          FROM m)
+    SELECT n_a, n_b,
+           round(CASE WHEN var_x > 0 THEN theta END, 6) AS theta,
+           round(CASE WHEN var_x > 0 THEN ma END, 6) AS mean_a_adj,
+           round(CASE WHEN var_x > 0 THEN mb END, 6) AS mean_b_adj,
+           round(CASE WHEN var_x > 0 THEN ma - mb END, 6) AS mean_diff,
+           round(CASE WHEN var_x > 0 AND var_y > 0
+                      THEN 1.0 - (var_y - cov_xy * cov_xy / var_x) / var_y
+                 END, 6) AS var_reduction,
+           round(CASE WHEN n_a >= 2 AND n_b >= 2 AND var_x > 0
+                       AND sea + seb > 0
+                      THEN (ma - mb) / sqrt(sea + seb) END, 6) AS t_stat,
+           round(CASE WHEN n_a >= 2 AND n_b >= 2 AND var_x > 0
+                       AND sea + seb > 0
+                      THEN (sea + seb) * (sea + seb)
+                           / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1))
+                 END, 6) AS df
+    FROM v
+"""
+
+
+@query("cuped_price_linestatus", oracle=_CUPED_ORACLE, tags=("stats", "agg"))
+def cuped_price_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted Welch t-test of extended price between open and
+    finished line items, with quantity as the pre-experiment covariate
+    (operators/stats.py cuped_adjusted_ttest, Deng et al. 2013): the
+    variance-reduction experimentation primitive -- nine decimal
+    sufficient statistics in one aggregate, closed-form adjustment."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import cuped_adjusted_ttest
+
+    return cuped_adjusted_ttest(
+        t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_linestatus",
+        "O",
+        "F",
+    )

@@ -294,3 +294,49 @@ class TestMannWhitneyU:
             df.withColumn("y", df.g == "a"), "y", "v"
         ).collect()[0]
         assert mwu["auc"] == auc["auc"]
+
+
+class TestCupedAdjustedTTest:
+    def test_variance_reduction_and_reference(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            cuped_adjusted_ttest,
+            welch_ttest,
+        )
+
+        import numpy as np
+
+        rng = np.random.default_rng(31)
+        n = 1200
+        x = rng.normal(50, 10, n)  # pre-experiment covariate
+        arm = np.array(["a", "b"])[rng.integers(0, 2, n)]
+        y = 2.0 * x + (arm == "a") * 1.5 + rng.normal(0, 3, n)
+        rows = [(str(g), float(xx), float(yy)) for g, xx, yy in zip(arm, x, y)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = cuped_adjusted_ttest(df, "y", "x", "g", "a", "b").collect()[0]
+        # theta ~ pooled cov/var
+        xc = x - x.mean()
+        theta_ref = (xc * (y - y.mean())).sum() / (xc * xc).sum()
+        assert r["theta"] == pytest.approx(theta_ref, rel=1e-4)
+        # adjusted means reference
+        y_adj = y - theta_ref * (x - x.mean())
+        ma = y_adj[arm == "a"].mean()
+        mb = y_adj[arm == "b"].mean()
+        assert r["mean_a_adj"] == pytest.approx(ma, abs=1e-4)
+        assert r["mean_diff"] == pytest.approx(ma - mb, abs=1e-4)
+        # the covariate explains most variance -> big reduction
+        assert r["var_reduction"] > 0.9
+        # and the adjusted test is far more sensitive than raw Welch
+        w = welch_ttest(df, "y", "g", "a", "b").collect()[0]
+        assert abs(r["t_stat"]) > 2 * abs(w["t_stat"])
+
+    def test_constant_covariate_nulls(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            cuped_adjusted_ttest,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 5.0), ("a", 1.0, 6.0), ("b", 1.0, 9.0), ("b", 1.0, 7.0)],
+            "g string, x double, y double",
+        )
+        r = cuped_adjusted_ttest(df, "y", "x", "g", "a", "b").collect()[0]
+        assert r["theta"] is None and r["t_stat"] is None
