@@ -1,0 +1,116 @@
+"""Market-basket association rules: pairwise support / confidence /
+lift over (basket, item) co-occurrences.
+
+The classic retail-analytics primitive (Agrawal & Srikant, VLDB 1994's
+Apriori restricted to 2-itemsets -- in practice the level that drives
+"bought together" features). The reference's relational surface stops
+at grouped aggregates; this is the first genuinely combinatorial
+aggregate in the catalog, so the scale discipline is explicit:
+
+ - the pair generation is a SELF-JOIN ON THE BASKET KEY with ``item_a <
+   item_b``, never a cartesian over items: work is sum over baskets of
+   C(items_in_basket, 2), linear in baskets for bounded basket width;
+ - basket width is BOUNDED by ``max_basket_items``: a pathological
+   basket with 10^4 items would contribute 5*10^7 pairs on its own, so
+   over-wide baskets are dropped (counted, not silent -- the relational
+   analogue of dedup.py's capped LSH buckets);
+ - item frequencies and the basket total are category-sized frames
+   broadcast onto the pair aggregate -- nothing corpus-shaped is
+   shuffled twice;
+ - counts are exact integers, ratios are single double divisions
+   rounded once to 6 dp, so results hash-match a DuckDB twin under any
+   partitioning.
+
+At 100 TB the same shape holds: the (basket, item) distinct is one
+shuffle, the self-join reuses its partitioning (same key), and the
+pair aggregate's cardinality is item-vocabulary-squared at worst --
+bounded by min_support long before that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.001,
+    max_basket_items: int = 256,
+) -> DataFrame:
+    """Association rules for unordered item PAIRS: one row per pair
+    (item_a < item_b) with
+
+      (item_a, item_b, n_ab, n_a, n_b, support, conf_a_b, conf_b_a,
+       lift)
+
+    where support = n_ab / n_baskets, conf_a_b = P(b in basket | a in
+    basket) = n_ab / n_a, and lift = support / (P(a) * P(b)) -- lift >
+    1 means the items co-occur more than independence predicts. Pairs
+    below ``min_support`` are dropped; baskets wider than
+    ``max_basket_items`` distinct items are excluded entirely (degenerate
+    "everything" baskets say nothing about association and cost
+    quadratic pairs). NULL baskets and NULL items are excluded. Ordered
+    by n_ab desc, item_a, item_b."""
+    if not 0 < min_support <= 1:
+        raise ValueError(f"min_support must be in (0, 1], got {min_support}")
+    if max_basket_items < 2:
+        raise ValueError("max_basket_items must be >= 2")
+    bi = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    # bound basket width BEFORE pairing: the width aggregate shares the
+    # distinct's hash partitioning on _b, so AQE plans it shuffle-free
+    sizes = bi.groupBy("_b").agg(F.count("*").alias("_w"))
+    bi = bi.join(
+        sizes.filter(F.col("_w") <= max_basket_items).select("_b"), "_b"
+    )
+    totals = bi.agg(F.countDistinct("_b").alias("_nb"))
+    items = bi.groupBy(F.col("_i").alias("_ic")).agg(
+        F.count("*").alias("_ni")
+    )
+    pairs = (
+        bi.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x._b") == F.col("y._b")) & (F.col("x._i") < F.col("y._i")),
+        )
+        .groupBy(
+            F.col("x._i").alias("item_a"), F.col("y._i").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    # item-frequency and total frames are vocabulary-/one-row-sized
+    j = (
+        pairs.join(
+            F.broadcast(items.withColumnRenamed("_ic", "item_a")), "item_a"
+        )
+        .withColumnRenamed("_ni", "n_a")
+        .join(F.broadcast(items.withColumnRenamed("_ic", "item_b")), "item_b")
+        .withColumnRenamed("_ni", "n_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    support = F.col("n_ab") / F.col("_nb")
+    return (
+        j.filter(support >= F.lit(min_support))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(support, 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
+            F.round(
+                (F.col("n_ab") * F.col("_nb"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "item_a", "item_b")
+    )

@@ -214,6 +214,7 @@ def _load_all() -> None:
         return
     # Import for decorator side effects.
     from taxi_data_pipeline_pset2_spark.queries import (  # noqa: F401
+        analytics,
         dedup,
         extensions,
         families,
