@@ -62,3 +62,75 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(
         baskets, "l_orderkey", "p_brand", min_support=0.005
     )
+
+
+_KM_ORACLE = """
+    WITH dur AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(max(l.l_shipdate) AS DATE)) AS d,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+               o.o_orderstatus
+    ),
+    by_t AS (
+      SELECT priority, CAST(d AS DOUBLE) AS t,
+             CAST(sum(ev) AS BIGINT) AS n_event,
+             CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      FROM dur WHERE d >= 0 GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT *,
+             sum(n_event + n_censored) OVER (PARTITION BY priority)
+               - coalesce(sum(n_event + n_censored) OVER (
+                   PARTITION BY priority ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM by_t
+    ),
+    fac AS (SELECT *, 1.0 - n_event / CAST(n_risk AS DOUBLE) AS factor
+            FROM risk),
+    s AS (
+      SELECT *,
+             max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+               OVER cum AS zero_seen,
+             sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+               OVER cum AS logsum
+      FROM fac
+      WINDOW cum AS (PARTITION BY priority ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT priority, t, CAST(n_risk AS BIGINT) AS n_risk, n_event,
+           n_censored,
+           round(CASE WHEN zero_seen = 1 THEN 0.0 ELSE exp(logsum) END, 6)
+             AS survival
+    FROM s ORDER BY priority, t
+"""
+
+
+@query("fulfillment_survival_km", oracle=_KM_ORACLE, tags=("survival", "window", "bench"))
+def fulfillment_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-fulfillment curves per order priority
+    (operators/survival.py): duration = days from order date to the
+    last line shipment, event observed when the order reached status
+    'F', censored otherwise. Curve rows are (group, distinct duration)
+    -- subjects reduce to one hash aggregate before any window runs."""
+    from taxi_data_pipeline_pset2_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_last_ship"))
+    )
+    base = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("_last_ship"), F.to_date("o_orderdate")
+        ).alias("d"),
+        (F.col("o_orderstatus") == "F").alias("ev"),
+    )
+    return kaplan_meier(base, "d", "ev", ["priority"])
