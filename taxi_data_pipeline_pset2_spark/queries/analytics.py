@@ -134,3 +134,67 @@ def fulfillment_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").alias("ev"),
     )
     return kaplan_meier(base, "d", "ev", ["priority"])
+
+
+_CUSUM_ORACLE = """
+    WITH base AS (
+      SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,6)) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id,
+             row_number() OVER ord AS k,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS cum,
+             CAST(sum(x) OVER (PARTITION BY user_id) AS DOUBLE) AS tot,
+             CAST(sum(x * x) OVER (PARTITION BY user_id) AS DOUBLE) AS tot2
+      FROM base
+      WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    cand AS (
+      SELECT user_id, n, k AS change_pos,
+             abs(cum - k * tot / n) AS abs_c,
+             cum / k AS mb,
+             (tot - cum) / (n - k) AS ma,
+             tot2 / n - (tot / n) * (tot / n) AS varp
+      FROM w WHERE k < n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY abs_c DESC, change_pos ASC) AS r
+      FROM cand
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN varp > 0 THEN change_pos END AS BIGINT)
+             AS change_pos,
+           round(CASE WHEN varp > 0 THEN abs_c END, 6) AS cusum_abs,
+           round(CASE WHEN varp > 0
+                      THEN abs_c / (sqrt(varp) * sqrt(n)) END, 6)
+             AS cusum_stat,
+           round(CASE WHEN varp > 0 THEN mb END, 6) AS mean_before,
+           round(CASE WHEN varp > 0 THEN ma END, 6) AS mean_after,
+           round(CASE WHEN varp > 0 THEN ma - mb END, 6) AS shift
+    FROM best WHERE r = 1 ORDER BY user_id
+"""
+
+
+@query("user_value_changepoint", oracle=_CUSUM_ORACLE, tags=("changepoint", "window", "bench"))
+def user_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean-shift change point over the event value series
+    (operators/changepoint.py): centered-CUSUM argmax with a
+    scale-free strength score -- the WHEN to drift.py's WHETHER.
+    O(n) per series via the CUSUM identity, never a per-split
+    two-sample rescan."""
+    from taxi_data_pipeline_pset2_spark.operators.changepoint import (
+        mean_shift_changepoint,
+    )
+
+    return mean_shift_changepoint(
+        t(spark, sf_dir, "events"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+    )
