@@ -236,3 +236,55 @@ def source_profile(
         .agg((F.sum("_em").cast("double") / 1_000_000).alias("lang_entropy"))
     )
     return per_src.join(ent, source_col)
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law (Newcomb
+    1881 / Benford 1938; the standard forensic screen for fabricated or
+    truncated numeric feeds -- organically-grown magnitudes follow
+    P(d) = log10(1 + 1/d), capped or synthesized ones don't).
+
+    Returns 9 rows (digit, n, frac_observed, frac_expected,
+    chi2_contrib): chi-square per digit against the Benford expectation
+    (sum the column for the test statistic, 8 df). Zero/NULL values
+    carry no first digit and are excluded.
+
+    Engine-portability: the first digit comes from the DECIMAL string
+    rendering (regexp first [1-9]) rather than floor(x/10^floor(log10 x))
+    -- the float-log route misassigns exact powers of ten when log10
+    lands a hair under an integer. The Benford expectations are
+    PRE-COMPUTED python literals, so Spark and the DuckDB oracle compare
+    against bit-identical constants. One hash aggregate to 9 rows.
+    """
+    import math
+
+    digit = F.regexp_extract(
+        F.col(col).cast("decimal(18,6)").cast("string"), "[1-9]", 0
+    )
+    counts = (
+        df.select(digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(str(d), math.log10(1 + 1 / d)) for d in range(1, 10)],
+        "digit string, frac_expected double",
+    )
+    j = expected.join(counts, "digit", "left").na.fill({"n": 0})
+    totals = j.agg(F.sum("n").alias("_tot"))
+    j = j.crossJoin(F.broadcast(totals))
+    exp_n = F.col("_tot") * F.col("frac_expected")
+    return j.select(
+        "digit",
+        "n",
+        F.round(F.try_divide(F.col("n"), F.col("_tot")), 6).alias(
+            "frac_observed"
+        ),
+        F.round("frac_expected", 6).alias("frac_expected"),
+        F.round(
+            F.try_divide((F.col("n") - exp_n) * (F.col("n") - exp_n), exp_n),
+            6,
+        ).alias("chi2_contrib"),
+    ).orderBy("digit")

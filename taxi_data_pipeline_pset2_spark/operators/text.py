@@ -700,3 +700,80 @@ def sft_loss_mask(
         (n_total - n_completion).alias("n_prompt"),
         n_completion.alias("n_completion"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church &
+    Hanks, CL 1990): adjacent whitespace-token pairs whose corpus
+    co-occurrence beats the unigram-independence expectation,
+
+        pmi = ln( (c_ab / T_b) / ((c_a / T_u) * (c_b / T_u)) )
+
+    with T_u total token positions and T_b total bigram positions.
+    The corpus-linguistics primitive behind multiword-expression
+    vocabularies (BPE merges optimize frequency; PMI surfaces the
+    low-frequency-but-glued pairs frequency misses). ``min_count``
+    suppresses the classic PMI pathology (hapax pairs scoring ln(T)).
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi) -- top_k by (pmi desc,
+    w1, w2). Plan: two explode+hash aggregates (bigrams, unigrams), two
+    vocabulary-keyed joins onto the min_count-filtered pair frame, one
+    broadcast totals row, TakeOrdered top-k. Nothing corpus-shaped
+    shuffles twice; pmi is one double expression over exact integer
+    counts, rounded once to 6 dp."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
+
+    toks = docs.select(tokenize(F.col(text_col)).alias("_t"))
+    n_bi = F.greatest(F.size("_t") - 1, F.lit(0))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, n_bi).alias("w1"),
+                    F.slice(F.col("_t"), 2, n_bi).alias("w2"),
+                )
+            ).alias("_p")
+        )
+        .groupBy(
+            F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n_tok"))
+    )
+    totals = toks.agg(
+        F.sum(F.size("_t")).cast("double").alias("_tu"),
+        F.sum(n_bi).cast("double").alias("_tb"),
+    )
+    j = (
+        pairs.join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .withColumnRenamed("n_tok", "n_w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .withColumnRenamed("n_tok", "n_w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.col("_tb"))
+        / ((F.col("n_w1") / F.col("_tu")) * (F.col("n_w2") / F.col("_tu")))
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )

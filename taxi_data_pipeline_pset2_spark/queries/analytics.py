@@ -198,3 +198,142 @@ def user_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["ts", "event_id"],
         "value",
     )
+
+
+def _benford_oracle() -> str:
+    import math
+
+    vals = ", ".join(
+        f"('{d}', {math.log10(1 + 1 / d)!r})" for d in range(1, 10)
+    )
+    return f"""
+    WITH d AS (
+      SELECT regexp_extract(
+               CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR),
+               '[1-9]', 0) AS digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n
+      FROM d WHERE digit <> '' GROUP BY digit
+    ),
+    expd AS (SELECT * FROM (VALUES {vals}) AS v(digit, frac_expected)),
+    j AS (
+      SELECT e.digit, coalesce(c.n, 0) AS n, e.frac_expected
+      FROM expd e LEFT JOIN counts c USING (digit)
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM j)
+    SELECT digit, n,
+           round(n / tt, 6) AS frac_observed,
+           round(frac_expected, 6) AS frac_expected,
+           round((n - tt * frac_expected) * (n - tt * frac_expected)
+                 / (tt * frac_expected), 6) AS chi2_contrib
+    FROM j, tot ORDER BY digit
+"""
+
+
+@query("benford_price_audit", oracle=_benford_oracle(), tags=("quality", "agg"))
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit of order totals
+    (operators/profiling.py benford_audit): per-digit observed vs
+    expected fraction and chi-square contribution -- the forensic
+    screen for fabricated/truncated numeric feeds. One hash aggregate
+    to 9 rows; decimal-string digit extraction, not float log10."""
+    from taxi_data_pipeline_pset2_spark.operators.profiling import (
+        benford_audit,
+    )
+
+    return benford_audit(t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_PMI_ORACLE = r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM (SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(range(1, len(t))) AS g(i))
+      GROUP BY w1, w2 HAVING count(*) >= 5
+    ),
+    tot AS (
+      SELECT CAST(sum(len(t)) AS DOUBLE) AS tu,
+             CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS tb
+      FROM toks
+    )
+    SELECT w1, w2, n_pair, a.n_tok AS n_w1, b.n_tok AS n_w2,
+           round(ln((n_pair / tb)
+                    / ((a.n_tok / tu) * (b.n_tok / tu))), 6) AS pmi
+    FROM bc JOIN uc a ON bc.w1 = a.tok JOIN uc b ON bc.w2 = b.tok, tot
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+"""
+
+
+@query("pmi_collocations_docs", oracle=_PMI_ORACLE, tags=("text", "bench"))
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by PMI over the document corpus
+    (operators/text.py pmi_collocations): adjacent token pairs glued
+    tighter than unigram independence predicts, min pair count 5.
+    Two explode+aggregate passes, vocabulary-keyed joins, TakeOrdered."""
+    from taxi_data_pipeline_pset2_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(
+        t(spark, sf_dir, "documents"), min_count=5, top_k=100
+    )
+
+
+_RFM_ORACLE = """
+    WITH pc AS (
+      SELECT o_custkey AS customer,
+             max(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(count(o_orderdate) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    a AS (SELECT max(last_d) AS anchor FROM pc),
+    s AS (SELECT pc.*,
+                 CAST(date_diff('day', last_d, anchor) AS BIGINT)
+                   AS recency_days
+          FROM pc, a),
+    sc AS (SELECT *,
+             ntile(5) OVER (ORDER BY recency_days DESC NULLS LAST,
+                            customer) AS r_score,
+             ntile(5) OVER (ORDER BY frequency ASC NULLS LAST,
+                            customer) AS f_score,
+             ntile(5) OVER (ORDER BY monetary ASC NULLS LAST,
+                            customer) AS m_score
+           FROM s)
+    SELECT customer, recency_days, frequency,
+           round(monetary, 2) AS monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+    FROM sc ORDER BY customer
+"""
+
+
+@query("customer_rfm_segments", oracle=_RFM_ORACLE, tags=("segmentation", "window"))
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of customers from the orders fact
+    (operators/segmentation.py): one customer-sized aggregate, then
+    exact NTILE scoring with key tie-breaks (dimension-scale; the
+    corpus-scale route is quantile_bin's sketch boundaries)."""
+    from taxi_data_pipeline_pset2_spark.operators.segmentation import (
+        rfm_segments,
+    )
+
+    return rfm_segments(
+        t(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
