@@ -1,0 +1,163 @@
+"""Product quantization for embedding-scale ANN (Jegou, Douze &
+Schmid, TPAMI 2011 -- the FAISS IndexPQ design, re-expressed on Spark).
+
+The 100 TB problem PQ solves: an exact float32 corpus of 10^10 x 1024-d
+embeddings is ~40 TB -- too big to scan per query and too big to cache.
+PQ splits each vector into ``m`` subvectors, k-means-quantizes each
+subspace to ``k`` centroids, and stores only the m centroid ids:
+m * ceil(log2 k) bits per vector (D=64, m=8, k=16 -> 4 bytes vs 256,
+a 64x compression), searched by Asymmetric Distance Computation (ADC):
+per query, one m x k lookup table of exact query-to-centroid squared
+distances, then every stored code scores as a sum of m table gathers --
+no float vector is ever touched at query time.
+
+Spark mapping of the three phases:
+
+ - TRAIN: codebooks fit on a DETERMINISTIC BOUNDED SAMPLE (first
+   ``train_cap`` ids) with driver-side numpy Lloyd per subspace --
+   the FAISS convention (codebooks are m*k*D/m floats; fitting them
+   on the full corpus buys nothing but cost). Init = first k sample
+   vectors per subspace; empty clusters keep their previous centroid;
+   everything is deterministic, no RNG.
+ - ENCODE: one ``mapInPandas`` pass; per Arrow batch the subspace
+   argmins are m small matmuls. Output (id, codes array<int>) -- the
+   compressed corpus, the only thing the search path ever scans.
+ - SEARCH (ADC): the query's m x k LUT broadcasts (tiny); a second
+   Arrow kernel gathers+sums per batch; TakeOrdered returns top-k.
+
+Composition: ``knn_ivf`` (operators/similarity.py) prunes WHICH
+vectors to score; PQ compresses HOW each vector is stored/scored --
+production ANN (IVFPQ) stacks both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lloyd(X: "np.ndarray", k: int, n_iter: int) -> "np.ndarray":
+    """Deterministic numpy Lloyd: init = first k rows, empty clusters
+    keep their previous centroid. Returns (k, d) float64."""
+    cent = X[:k].copy()
+    for _ in range(n_iter):
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        idx = d2.argmin(axis=1)
+        for j in range(k):
+            mask = idx == j
+            if mask.any():
+                cent[j] = X[mask].mean(axis=0)
+    return cent
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 50_000,
+) -> "np.ndarray":
+    """Fit PQ codebooks: returns (m, k, D/m) float64. D must divide by
+    ``m``; the training sample is the first ``train_cap`` rows by id
+    (deterministic across partitionings)."""
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy(id_col)
+        .limit(train_cap)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need >= k={k} training vectors, got {len(rows)}")
+    X = np.array([r["v"] for r in rows], dtype=np.float64)  # (N, D)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [_lloyd(X[:, s * dsub : (s + 1) * dsub], k, n_iter) for s in range(m)]
+    )
+
+
+def encode_pq(
+    emb: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress the corpus: (id, codes array<int>), codes[s] = argmin
+    centroid of subspace s. One Arrow pass, m small matmuls per batch."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    m, k, dsub = codebooks.shape
+    b = spark.sparkContext.broadcast(codebooks)
+
+    def run(batches):
+        C = b.value
+        c_sq = (C * C).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            X = np.array(list(pdf["v"]), dtype=np.float64)  # (N, D)
+            if X.shape[1] != m * dsub:
+                raise ValueError(
+                    f"embedding dim {X.shape[1]} != m*dsub {m * dsub}"
+                )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = -2.0 * (Xs @ C[s].T) + c_sq[s][None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
+    return base.mapInPandas(run, schema=f"{id_col} long, codes array<int>")
+
+
+def search_pq(
+    codes_df: DataFrame,
+    codebooks: "np.ndarray",
+    query: list[float],
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the compressed corpus: (id, adc_dist) ascending
+    (squared-L2 approximation), ties by id. The query never meets a
+    stored float vector -- only the broadcast m x k LUT."""
+    import pandas as pd
+
+    spark = codes_df.sparkSession
+    m, k, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != {m * dsub}")
+    lut = np.empty((m, k), dtype=np.float64)
+    for s in range(m):
+        diff = codebooks[s] - q[s * dsub : (s + 1) * dsub][None, :]
+        lut[s] = (diff * diff).sum(axis=1)
+    b = spark.sparkContext.broadcast(lut)
+
+    def run(batches):
+        L = b.value
+        rows = np.arange(m)
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (N, m)
+            dist = L[rows[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_dist": dist})
+
+    scored = codes_df.mapInPandas(
+        run, schema=f"{id_col} long, adc_dist double"
+    )
+    return (
+        scored.orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(top_k)
+        .select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
+    )

@@ -337,3 +337,28 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_totalprice",
     )
+
+
+@query("pq_ann_topk", oracle=None, tags=("similarity", "ann", "bench"))
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train m=8/k=16
+    codebooks on the embedding corpus, encode to 8 codes/vector (32x
+    compression of the 64-d float vectors), ADC top-10 for the lowest
+    vec_id's embedding. Iterative k-means training -> no SQL twin;
+    determinism + recall pinned in tests/test_pq.py. The compressed
+    search path never touches a stored float vector."""
+    from taxi_data_pipeline_pset2_spark.operators.pq import (
+        encode_pq,
+        search_pq,
+        train_pq,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = train_pq(emb, m=8, k=16, n_iter=10)
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()[0]["v"]
+    )
+    return search_pq(encode_pq(emb, cb), cb, q, top_k=10)

@@ -169,6 +169,7 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "mmr_rerank_topk",
     "semdedup_survivors",
     "packing_assignments",
+    "pq_ann_topk",
 )
 MAX_DRIVER_QUERIES = 50
 
