@@ -1,0 +1,110 @@
+"""PageRank over an edge-list DataFrame (Page, Brin, Motwani &
+Winograd 1999), the join-aggregate way Spark's own GraphX/Pregel
+examples express it -- completing the graph family started by
+connected components (operators/components.py).
+
+Pipeline uses: authority scoring of documents in a link/citation
+graph (a quality prior for corpus curation), influence ranking of
+entities in an interaction graph.
+
+Per power-iteration round:
+
+ - contributions: edges JOIN ranks ON src (edges are hash-partitioned
+   by src ONCE and persisted; every round's join reuses that
+   partitioning -- the shuffle happens n_iter times on the RANKS side
+   only, which is node-sized, never edge-sized),
+ - one hash aggregate of contributions by dst,
+ - dangling mass (rank parked on nodes with no out-edges) and the
+   teleport term fold in as scalars: rank' = (1-d)/N + d * (contrib +
+   dangling/N). Ranks sum to exactly 1 each round up to float error.
+
+Ranks are localCheckpoint'ed per round -- 10 rounds of join-on-join would
+otherwise stack an exponential lineage (same discipline as
+components.py's star contraction). Driver traffic per round is ONE
+scalar (the dangling mass), never the rank vector: at 10^9 nodes the
+rank frame stays distributed.
+
+No SQL twin (iterative); correctness is pinned against a from-scratch
+python power iteration and closed-form graphs in tests/test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Node ranks after ``n_iter`` power-iteration rounds:
+    (node, rank) with sum(rank) == 1, ordered rank desc, node asc.
+    Parallel edges count multiply (weight by repetition); self-loops
+    are legitimate edges. NULL endpoints are dropped."""
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double"
+        )
+    # out-degree (node-sized); nodes absent here are dangling
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(n_iter):
+        with_deg = ranks.join(
+            deg, ranks.node == deg.src, "left"
+        ).select("node", "rank", "_deg")
+        dangling = (
+            with_deg.filter(F.col("_deg").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("_deg").isNotNull()),
+                e.src == F.col("node"),
+            )
+            .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node", F.round("rank", 8).alias("rank")
+    ).orderBy(F.desc("rank"), "node")

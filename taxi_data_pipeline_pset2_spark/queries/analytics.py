@@ -362,3 +362,22 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["v"]
     )
     return search_pq(encode_pq(emb, cb), cb, q, top_k=10)
+
+
+@query("pagerank_supplier_customer", oracle=None, tags=("graph", "bench"))
+def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier->customer fulfillment graph
+    (operators/graph.py): an edge per order line from its supplier to
+    the ordering customer; customers are all dangling, exercising the
+    teleport redistribution. Top-25 authorities. Iterative -> no SQL
+    twin; update-rule equality vs a python power iteration is pinned in
+    tests/test_graph.py."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+    )
+    return pagerank(edges, n_iter=8).limit(25)

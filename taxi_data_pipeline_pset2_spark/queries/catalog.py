@@ -170,6 +170,7 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "semdedup_survivors",
     "packing_assignments",
     "pq_ann_topk",
+    "pagerank_supplier_customer",
 )
 MAX_DRIVER_QUERIES = 50
 

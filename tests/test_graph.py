@@ -1,0 +1,94 @@
+"""PageRank tests: python power-iteration equality, closed-form
+graphs, dangling mass, mass conservation."""
+
+import pytest
+
+from taxi_data_pipeline_pset2_spark.operators.graph import pagerank
+
+
+def _reference_pagerank(edges, d=0.85, n_iter=10):
+    """From-scratch dict-based power iteration, same update rule."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        base = (1 - d) / n + d * dangling / n
+        new = {v: base for v in nodes}
+        for s, ts in out.items():
+            share = rank[s] / len(ts)
+            for t_ in ts:
+                new[t_] += d * share
+        rank = new
+    return rank
+
+
+class TestPageRank:
+    def test_matches_reference(self, spark):
+        edges = [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+            ("d", "c"), ("b", "d"), ("e", "a"),  # e dangling-in, a hub
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.rank for r in pagerank(df, n_iter=15).collect()}
+        ref = _reference_pagerank(edges, n_iter=15)
+        assert set(got) == set(ref)
+        for v in ref:
+            assert got[v] == pytest.approx(ref[v], abs=1e-6)
+
+    def test_mass_conserved_with_dangling(self, spark):
+        # b and c have no out-edges: dangling mass redistributes
+        df = spark.createDataFrame(
+            [("a", "b"), ("a", "c")], "src string, dst string"
+        )
+        ranks = pagerank(df, n_iter=10).collect()
+        assert sum(r.rank for r in ranks) == pytest.approx(1.0, abs=1e-6)
+        by = {r.node: r.rank for r in ranks}
+        assert by["b"] == pytest.approx(by["c"], abs=1e-7)  # symmetry
+        assert by["b"] > by["a"]  # sinks accumulate
+
+    def test_cycle_is_uniform(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        ranks = pagerank(df, n_iter=20).collect()
+        for r in ranks:
+            assert r.rank == pytest.approx(1 / 3, abs=1e-7)
+
+    def test_parallel_edges_weight(self, spark):
+        # a -> b twice, a -> c once: b gets 2/3 of a's share
+        edges = [("a", "b"), ("a", "b"), ("a", "c")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.rank for r in pagerank(df, n_iter=8).collect()}
+        ref = _reference_pagerank_weighted(edges, n_iter=8)
+        for v in ref:
+            assert got[v] == pytest.approx(ref[v], abs=1e-7)
+
+    def test_nulls_dropped_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), (None, "c"), ("c", None)], "src string, dst string"
+        )
+        nodes = {r.node for r in pagerank(df, n_iter=2).collect()}
+        assert nodes == {"a", "b"}  # NULL-endpoint edges fully dropped
+        with pytest.raises(ValueError):
+            pagerank(df, damping=1.0)
+
+
+def _reference_pagerank_weighted(edges, d=0.85, n_iter=10):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        base = (1 - d) / n + d * dangling / n
+        new = {v: base for v in nodes}
+        for s, t in edges:
+            new[t] += d * rank[s] / out[s]
+        rank = new
+    return rank
