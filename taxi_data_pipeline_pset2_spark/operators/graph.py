@@ -69,42 +69,53 @@ def pagerank(
         return edges.sparkSession.createDataFrame(
             [], "node string, rank double"
         )
-    # out-degree (node-sized); nodes absent here are dangling
+    # out-degree folded INTO the rank frame once: each round would
+    # otherwise re-join ranks-to-deg twice (dangling scan + contrib
+    # scan) and pay a driver collect for the dangling scalar. Carrying
+    # _deg through the rounds makes one round = one materialization:
+    # the dangling mass is a broadcast 1-row aggregate inside the plan.
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    nodes_deg = nodes.join(
+        deg, nodes.node == deg.src, "left"
+    ).select("node", "_deg").persist()
+    ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(n_iter):
-        with_deg = ranks.join(
-            deg, ranks.node == deg.src, "left"
-        ).select("node", "rank", "_deg")
-        dangling = (
-            with_deg.filter(F.col("_deg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        dang = ranks.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
+        # ranks is node-sized: broadcast it onto the persisted edge
+        # partitions so the only per-round shuffle is the contribution
+        # aggregate (map-side combined). At node counts past broadcast
+        # range Spark falls back to the src-partitioned sort-merge join
+        # against the pre-partitioned edges -- still one shuffle of the
+        # node-sized frame, never the edges.
         contrib = (
             e.join(
-                with_deg.filter(F.col("_deg").isNotNull()),
+                F.broadcast(ranks.filter(F.col("_deg").isNotNull())),
                 e.src == F.col("node"),
             )
             .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("dst")
             .agg(F.sum("_c").alias("_contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes_deg.join(contrib, nodes_deg.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "_deg",
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("_contrib"), F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dang") / n
+                    + F.lit(damping)
+                    * F.coalesce(F.col("_contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
     e.unpersist()
     nodes.unpersist()
+    nodes_deg.unpersist()
     return ranks.select(
         "node", F.round("rank", 8).alias("rank")
     ).orderBy(F.desc("rank"), "node")

@@ -78,3 +78,56 @@ def rfm_segments(
         .cast("int")
         .alias("rfm"),
     ).orderBy("customer")
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """Pareto / ABC inventory classification: aggregate ``value_col``
+    per key, rank by value desc (key asc on ties), and classify by
+    CUMULATIVE value share -- A while cum share <= ``a_cut``, B while
+    <= ``b_cut``, else C (the 80/15/5 warehouse convention). The
+    catalog's Lorenz-curve companion to gini_coefficient: gini scores
+    the concentration, this names the heavy keys.
+
+    Returns (key, value, rank, share, cum_share, abc_class) ordered by
+    rank. One hash aggregate to key cardinality, then rank + running-sum
+    windows over the aggregated frame (key-sized, not fact-sized);
+    values accumulate as DECIMAL and the running sum is the ordered
+    prefix sum of exact decimals, so shares are partition-independent.
+    Keys with NULL values are excluded; a zero/negative total leaves
+    shares NULL (classification undefined)."""
+    from pyspark.sql import Window
+
+    if not 0 < a_cut < b_cut <= 1:
+        raise ValueError(f"need 0 < a_cut < b_cut <= 1, got {a_cut}, {b_cut}")
+    per_key = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_v"))
+    )
+    w_rank = Window.orderBy(F.desc("_v"), F.asc("key"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_key.select(
+        "key",
+        F.col("_v").cast("double").alias("value"),
+        F.row_number().over(w_rank).cast("bigint").alias("rank"),
+        F.sum("_v").over(w_cum).cast("double").alias("_cum"),
+    )
+    totals = per_key.agg(F.sum("_v").cast("double").alias("_tot"))
+    j = ranked.crossJoin(F.broadcast(totals))
+    share = F.when(F.col("_tot") > 0, F.col("value") / F.col("_tot"))
+    cum_share = F.when(F.col("_tot") > 0, F.col("_cum") / F.col("_tot"))
+    cls = F.when(cum_share <= a_cut, "A").when(cum_share <= b_cut, "B").otherwise("C")
+    return j.select(
+        "key",
+        F.round("value", 6).alias("value"),
+        "rank",
+        F.round(share, 6).alias("share"),
+        F.round(cum_share, 6).alias("cum_share"),
+        F.when(F.col("_tot") > 0, cls).alias("abc_class"),
+    ).orderBy("rank")

@@ -14,6 +14,8 @@ output is group-cardinality-sized. Nothing else."""
 
 from __future__ import annotations
 
+from collections.abc import Sequence as _Seq
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -533,3 +535,96 @@ def cuped_adjusted_ttest(
         F.round(F.when(ok, t), 6).alias("t_stat"),
         F.round(F.when(ok, dof), 6).alias("df"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    group_cols: _Seq[str] = (),
+) -> DataFrame:
+    """Gini concentration coefficient per group: (group_cols..., n,
+    total, gini), the standard inequality measure (0 = perfectly even,
+    ->1 = one unit holds everything) over NON-NEGATIVE values --
+    revenue concentration by segment, token-share concentration by
+    source. Uses the rank identity
+
+        G = (2 * sum(i * x_(i)) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with x_(i) ascending. One shuffle on the group key: a rank window
+    pass, then a hash aggregate. Tied values may rank either way --
+    the weighted sum is invariant under permuting equal values, so the
+    result is still deterministic. Sums accumulate as DECIMAL; NULLs
+    are excluded; groups with n=0 or total=0 emit NULL gini."""
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in group_cols]
+    x = F.col(value_col).cast("decimal(18,6)")
+    base = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(F.asc(value_col))
+    ranked = base.select(
+        *group_cols,
+        x.alias("_x"),
+        F.row_number().over(w).cast("decimal(10,0)").alias("_i"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).cast("double").alias("_six"),
+    )
+    g = (
+        2.0 * F.col("_six") - (F.col("n") + 1) * F.col("_sx")
+    ) / (F.col("n") * F.col("_sx"))
+    out = agg.select(
+        *group_cols,
+        "n",
+        F.round(F.col("_sx"), 6).alias("total"),
+        F.round(F.when(F.col("_sx") > 0, g), 6).alias("gini"),
+    )
+    return out.orderBy(*group_cols) if group_cols else out
+
+
+def group_entropy(
+    df: DataFrame,
+    category_col: str,
+    group_cols: _Seq[str] = (),
+) -> DataFrame:
+    """Shannon entropy of a categorical mix per group: (group_cols...,
+    n, k, entropy, norm_entropy) with entropy = -sum p ln p (nats) and
+    norm_entropy = entropy / ln(k) in [0, 1] (0 for single-category
+    groups) -- the diversity gauge for source/language mixes a curation
+    pipeline monitors next to PSI drift. NULL categories count as a
+    legitimate category (same cohort stance as drift.py). Two hash
+    aggregates (category-sized, then group-sized); per-category
+    c*ln(c) terms round to integer millionths before summing (the
+    lm_score discipline -- a raw double sum over an unordered hash
+    aggregate is partitioning-dependent in its last ulp)."""
+    keys = [F.col(c) for c in group_cols]
+    counts = df.groupBy(
+        *keys, F.col(category_col).alias("_cat")
+    ).agg(F.count("*").alias("_c"))
+    clogc_m = F.round(
+        F.col("_c").cast("double")
+        * F.log(F.col("_c").cast("double"))
+        * 1_000_000
+    ).cast("bigint")
+    agg = counts.groupBy(*keys).agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(clogc_m).alias("_clogc_m"),
+    )
+    # -sum p ln p = ln n - (1/n) sum c ln c  (exact-count form: one ln
+    # per category, no per-row p division)
+    h = F.log(F.col("n").cast("double")) - (
+        F.col("_clogc_m").cast("double") / 1_000_000
+    ) / F.col("n")
+    norm = F.when(F.col("k") > 1, h / F.log(F.col("k").cast("double"))).otherwise(
+        F.lit(0.0)
+    )
+    out = agg.select(
+        *group_cols,
+        "n",
+        "k",
+        F.round(h, 6).alias("entropy"),
+        F.round(norm, 6).alias("norm_entropy"),
+    )
+    return out.orderBy(*group_cols) if group_cols else out

@@ -381,3 +381,144 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
     )
     return pagerank(edges, n_iter=8).limit(25)
+
+
+_GINI_ORACLE = """
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY 1
+    ),
+    seg AS (
+      SELECT c_mktsegment AS segment, CAST(spend AS DECIMAL(18,6)) AS x
+      FROM pc JOIN customer ON c_custkey = o_custkey
+    ),
+    ranked AS (
+      SELECT segment, x,
+             row_number() OVER (PARTITION BY segment ORDER BY x ASC)
+               AS i
+      FROM seg
+    ),
+    agg AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(CAST(i AS DECIMAL(10,0)) * x) AS DOUBLE) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT segment, n, round(sx, 6) AS total,
+           round(CASE WHEN sx > 0
+                      THEN (2 * six - (n + 1) * sx) / (n * sx) END, 6)
+             AS gini
+    FROM agg ORDER BY segment
+"""
+
+
+@query("gini_customer_spend", oracle=_GINI_ORACLE, tags=("stats", "window"))
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer lifetime spend per market segment
+    (operators/stats.py gini_coefficient): how top-heavy each segment's
+    revenue is. Facts reduce to a customer-sized aggregate before the
+    rank window runs."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    seg = per_cust.join(
+        F.broadcast(c), per_cust.o_custkey == c.c_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), "spend")
+    return gini_coefficient(seg, "spend", ["segment"])
+
+
+_ENTROPY_ORACLE = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                            * 1000000) AS BIGINT)) AS clogc_m
+      FROM c GROUP BY 1
+    )
+    SELECT user_id, n, k,
+           round(ln(CAST(n AS DOUBLE))
+                 - (CAST(clogc_m AS DOUBLE) / 1000000) / n, 6) AS entropy,
+           round(CASE WHEN k > 1
+                      THEN (ln(CAST(n AS DOUBLE))
+                            - (CAST(clogc_m AS DOUBLE) / 1000000) / n)
+                           / ln(CAST(k AS DOUBLE))
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM a ORDER BY user_id
+"""
+
+
+@query("event_type_entropy", oracle=_ENTROPY_ORACLE, tags=("stats", "agg"))
+def event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix
+    (operators/stats.py group_entropy): behavioral diversity, the
+    per-entity companion to the corpus-level PSI drift gauges.
+    Integer-millionths c*ln(c) accumulation keeps the sum
+    partitioning-independent."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import group_entropy
+
+    return group_entropy(
+        t(spark, sf_dir, "events"), "event_type", ["user_id"]
+    )
+
+
+_ABC_ORACLE = """
+    WITH per_key AS (
+      SELECT p_brand AS key,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS v
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT key, CAST(v AS DOUBLE) AS value,
+             CAST(row_number() OVER ord AS BIGINT) AS rank,
+             CAST(sum(v) OVER (ORDER BY v DESC, key ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS cum
+      FROM per_key
+      WINDOW ord AS (ORDER BY v DESC, key ASC)
+    ),
+    tot AS (SELECT CAST(sum(v) AS DOUBLE) AS tt FROM per_key)
+    SELECT key, round(value, 6) AS value, rank,
+           round(CASE WHEN tt > 0 THEN value / tt END, 6) AS share,
+           round(CASE WHEN tt > 0 THEN cum / tt END, 6) AS cum_share,
+           CASE WHEN tt > 0 THEN
+             CASE WHEN cum / tt <= 0.8 THEN 'A'
+                  WHEN cum / tt <= 0.95 THEN 'B'
+                  ELSE 'C' END
+           END AS abc_class
+    FROM ranked, tot ORDER BY rank
+"""
+
+
+@query("abc_brand_revenue", oracle=_ABC_ORACLE, tags=("segmentation", "window"))
+def abc_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of brands by discounted revenue
+    (operators/segmentation.py abc_classification): cumulative-share
+    classes over the brand-sized aggregate -- the Lorenz companion to
+    gini_customer_spend."""
+    from taxi_data_pipeline_pset2_spark.operators.segmentation import (
+        abc_classification,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return abc_classification(j, "p_brand", "rev")
