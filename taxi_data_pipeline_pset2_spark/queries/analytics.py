@@ -522,3 +522,169 @@ def abc_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return abc_classification(j, "p_brand", "rev")
+
+
+_ATTRIB_ORACLE = """
+    WITH conv AS (
+      SELECT user_id AS cu, ts AS ct, event_id AS cid
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id AS tu, ts AS tt, event_id AS tid,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    j AS (
+      SELECT channel, cu, cid, tt, tid
+      FROM tch JOIN conv
+        ON tu = cu AND tt < ct AND tt >= ct - INTERVAL 120 MINUTE
+    ),
+    r AS (
+      SELECT channel,
+             row_number() OVER (PARTITION BY cu, cid ORDER BY tt, tid)
+               AS rn,
+             count(*) OVER (PARTITION BY cu, cid) AS n
+      FROM j
+    ),
+    wts AS (
+      SELECT channel,
+             CASE WHEN rn = 1 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS f,
+             CASE WHEN rn = n THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS l,
+             CAST(1.0 AS DOUBLE) / n AS lin,
+             CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                  WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                  WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS pos
+      FROM r
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(round(f * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS credit_first,
+           CAST(sum(CAST(round(l * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS credit_last,
+           CAST(sum(CAST(round(lin * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS credit_linear,
+           CAST(sum(CAST(round(pos * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS credit_position
+    FROM wts GROUP BY channel ORDER BY channel
+"""
+
+
+@query("purchase_attribution", oracle=_ATTRIB_ORACLE, tags=("attribution", "join", "bench"))
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution of purchases to the click/view/signup
+    touches in the prior 2 hours (operators/attribution.py): all four
+    standard models in one pass -- user-equi-key join with the window
+    predicate in the join condition (no nested-loop), millionth-exact
+    credit sums."""
+    from taxi_data_pipeline_pset2_spark.operators.attribution import (
+        multi_touch_attribution,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return multi_touch_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        is_conversion=F.col("event_type") == "purchase",
+        is_touch=F.col("event_type").isin("click", "view", "signup"),
+        lookback_minutes=120,
+    )
+
+
+_PATHS_ORACLE = """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             string_agg(coalesce(event_type, ''), ' > ' ORDER BY rn)
+               AS path
+      FROM r WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+"""
+
+
+@query("top_user_paths", oracle=_PATHS_ORACLE, tags=("paths", "agg"))
+def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-step user journey prefixes (operators/paths.py):
+    per-user array collect + array-side sort (no window shuffle),
+    path-count aggregate, TakeOrdered head -- the Sankey table."""
+    from taxi_data_pipeline_pset2_spark.operators.paths import top_paths
+
+    return top_paths(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        max_steps=5,
+        top_n=20,
+    )
+
+
+_SNAIVE_ORACLE = """
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS t,
+             sum(CAST(value AS DECIMAL(18,6))) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.t, a.y, b.y AS yp
+      FROM s a JOIN s b
+        ON a.event_type = b.event_type
+       AND a.t = b.t + INTERVAL 24 HOUR
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (t < TIMESTAMP '2024-01-24 00:00:00')
+                  AS BIGINT) AS n_train,
+             CAST(count(*) FILTER (t >= TIMESTAMP '2024-01-24 00:00:00')
+                  AS BIGINT) AS n_test,
+             CAST(sum(abs(y - yp))
+                  FILTER (t < TIMESTAMP '2024-01-24 00:00:00')
+                  AS DOUBLE) AS se_train,
+             CAST(sum(abs(y - yp))
+                  FILTER (t >= TIMESTAMP '2024-01-24 00:00:00')
+                  AS DOUBLE) AS se_test
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, n_train, n_test,
+           round(CASE WHEN n_train > 0 THEN se_train / n_train END, 6)
+             AS mae_train,
+           round(CASE WHEN n_test > 0 THEN se_test / n_test END, 6)
+             AS mae_test,
+           round(CASE WHEN n_train > 0 AND n_test > 0 AND se_train > 0
+                      THEN (se_test / n_test) / (se_train / n_train)
+                 END, 6) AS mase
+    FROM agg ORDER BY event_type
+"""
+
+
+@query("seasonal_naive_mase", oracle=_SNAIVE_ORACLE, tags=("forecast", "join"))
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest of hourly event value per type
+    (operators/forecast.py): forecast = same hour yesterday, scored by
+    MASE with the train period before Jan 24. The time-shift self-join
+    handles gapped hours exactly where a row-lag window would not."""
+    from taxi_data_pipeline_pset2_spark.operators.forecast import (
+        seasonal_naive_eval,
+    )
+
+    return seasonal_naive_eval(
+        t(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        "value",
+        "2024-01-24 00:00:00",
+        bucket="hour",
+        season_buckets=24,
+    )
