@@ -161,3 +161,141 @@ def search_pq(
         .limit(top_k)
         .select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
     )
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    query: list[float],
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    top_k: int = 10,
+    kmeans_iter: int = 3,
+    pq_iter: int = 10,
+    train_cap: int = 50_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ (the FAISS IndexIVFPQ composition): coarse k-means cells
+    prune WHICH vectors get scored (scan ~n_probe/n_cells of the
+    corpus), RESIDUAL product quantization compresses HOW -- codes
+    encode x - centroid[cell], so each cell's codebook error is
+    centered (the Jegou et al. 2011 design; unresidualized IVF+PQ
+    wastes the codebook range on the coarse offsets).
+
+    Flow: coarse assign (operators/clustering.py Lloyd, deterministic
+    init) -> one Arrow pass emits residuals -> codebooks fit on the
+    first ``train_cap`` residuals by id -> one Arrow pass encodes ->
+    query ranks POPULATED cells driver-side against the same centroid
+    table that partitioned the corpus, builds one per-probed-cell ADC
+    LUT from (q - centroid[cell]), and a final Arrow kernel scores only
+    rows in probed cells. Returns (id, cell, adc_dist) ascending, ties
+    by id. Recall vs exact brute force pinned in tests/test_pq.py."""
+    import pandas as pd
+
+    from taxi_data_pipeline_pset2_spark.operators.clustering import (
+        kmeans_fit_assign,
+    )
+
+    spark = emb.sparkSession
+    q = np.asarray(query, dtype=np.float64)
+    assigned, cents = kmeans_fit_assign(
+        emb,
+        k=n_cells,
+        n_iter=kmeans_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
+    joined = base.join(
+        assigned.select(id_col, F.col("cluster").alias("cell")), id_col
+    )
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def make_residuals(batches):
+        C = b_cents.value
+        for pdf in batches:
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            cells = pdf["cell"].to_numpy()
+            R = X - C[cells]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cells,
+                    "v": list(R),
+                }
+            )
+
+    residuals = joined.mapInPandas(
+        make_residuals, schema=f"{id_col} long, cell int, v array<double>"
+    ).persist()
+    try:
+        cb = train_pq(
+            residuals.select(id_col, F.col("v").alias("embedding")),
+            m=m,
+            k=k,
+            n_iter=pq_iter,
+            id_col=id_col,
+            train_cap=train_cap,
+        )
+        codes = encode_pq(
+            residuals.select(id_col, "cell", F.col("v").alias("embedding")),
+            cb,
+            id_col=id_col,
+        )
+        # encode_pq drops extra columns; rejoin cell (node-sized join on id)
+        codes = codes.join(residuals.select(id_col, "cell"), id_col)
+
+        populated = sorted(
+            r.cell for r in residuals.select("cell").distinct().collect()
+        )
+        d2cells = ((cents[populated] - q[None, :]) ** 2).sum(axis=1)
+        probe = [populated[i] for i in np.argsort(d2cells)[:n_probe]]
+        dsub = cb.shape[2]
+        luts = {}
+        for c in probe:
+            r = q - cents[c]
+            lut = np.empty((m, k), dtype=np.float64)
+            for s in range(m):
+                diff = cb[s] - r[s * dsub : (s + 1) * dsub][None, :]
+                lut[s] = (diff * diff).sum(axis=1)
+            luts[c] = lut
+        b_luts = spark.sparkContext.broadcast(luts)
+
+        def score(batches):
+            L = b_luts.value
+            rows = np.arange(m)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cds = np.array(list(pdf["codes"]), dtype=np.int64)
+                cells = pdf["cell"].to_numpy()
+                dist = np.empty(len(pdf), dtype=np.float64)
+                for c, lut in L.items():
+                    mask = cells == c
+                    if mask.any():
+                        dist[mask] = lut[rows[None, :], cds[mask]].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cell": cells,
+                        "adc_dist": dist,
+                    }
+                )
+
+        scored = codes.filter(F.col("cell").isin(probe)).mapInPandas(
+            score, schema=f"{id_col} long, cell int, adc_dist double"
+        )
+        return (
+            scored.orderBy(F.asc("adc_dist"), F.asc(id_col))
+            .limit(top_k)
+            .select(
+                id_col, "cell", F.round("adc_dist", 6).alias("adc_dist")
+            )
+        )
+    finally:
+        residuals.unpersist()

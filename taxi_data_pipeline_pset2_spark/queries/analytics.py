@@ -688,3 +688,22 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket="hour",
         season_buckets=24,
     )
+
+
+@query("ivfpq_ann_topk", oracle=None, tags=("similarity", "ann", "bench"))
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN (operators/pq.py ivfpq_search): coarse k-means cells
+    prune the scan to ~n_probe/n_cells of the corpus, residual PQ codes
+    score it compressed -- the FAISS IndexIVFPQ composition on Spark.
+    Top-10 for the lowest vec_id's embedding. Iterative -> rows-only;
+    recall and pruning pinned in tests/test_pq.py."""
+    from taxi_data_pipeline_pset2_spark.operators.pq import ivfpq_search
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()[0]["v"]
+    )
+    return ivfpq_search(emb, q, n_cells=8, n_probe=2, m=8, k=16, top_k=10)

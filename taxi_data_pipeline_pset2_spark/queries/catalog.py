@@ -171,6 +171,7 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "packing_assignments",
     "pq_ann_topk",
     "pagerank_supplier_customer",
+    "ivfpq_ann_topk",
 )
 MAX_DRIVER_QUERIES = 50
 

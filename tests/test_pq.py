@@ -117,3 +117,44 @@ class TestSearch:
         # the logical compression is D*4 bytes -> m*ceil(log2 k)/8
         logical = (32 * 4) / (4 * np.ceil(np.log2(8)) / 8)
         assert logical > 80  # ~85x
+
+
+class TestIvfPq:
+    def test_recall_and_cell_pruning(self, spark, emb_df):
+        from taxi_data_pipeline_pset2_spark.operators.pq import ivfpq_search
+
+        import numpy as np
+
+        df, X = emb_df
+        hits = 0
+        for qi in [5, 150, 250, 350]:
+            out = ivfpq_search(
+                df,
+                [float(v) for v in X[qi]],
+                n_cells=4,
+                n_probe=2,
+                m=16,
+                k=64,
+                top_k=10,
+                kmeans_iter=4,
+            ).collect()
+            assert len(out) == 10
+            # pruning: results come from at most n_probe cells
+            assert len({r.cell for r in out}) <= 2
+            exact = set(
+                np.argsort(((X - X[qi]) ** 2).sum(axis=1))[:10].tolist()
+            )
+            hits += len(exact & {r.vec_id for r in out})
+        recall = hits / 40
+        assert recall >= 0.5, f"ivfpq recall@10 {recall}"
+
+    def test_query_finds_own_neighborhood(self, spark, emb_df):
+        from taxi_data_pipeline_pset2_spark.operators.pq import ivfpq_search
+
+        df, X = emb_df
+        out = ivfpq_search(
+            df, [float(v) for v in X[42]], n_cells=4, n_probe=1,
+            m=8, k=16, top_k=5, kmeans_iter=4,
+        ).collect()
+        # all results from the query's own gaussian cluster (ids 0..99)
+        assert all(0 <= r.vec_id < 100 for r in out)
