@@ -1,0 +1,119 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005): mergeable
+approximate frequency counts, completing the sketch family (HLL
+distinct counts, KLL quantiles -- queries/relational.py; freqItems
+heavy hitters -- operators/frequency.py).
+
+What CMS buys at 100 TB that the exact groupBy cannot: the sketch is
+``depth x width`` counters REGARDLESS of key cardinality, so per-day /
+per-source frequency tables over an unbounded key domain (URLs,
+shingles, user ids) stay fixed-size, merge by cell-wise addition
+(re-aggregatable rollups, the same contract as the HLL/KLL rollup
+tables), and answer point queries with a one-sided error: est >= true,
+est <= true + eps * N with probability 1 - delta for width = e/eps,
+depth = ln(1/delta).
+
+Spark-first representation: the sketch is a SPARSE (row, bucket, c)
+DataFrame -- pure explode + hash aggregate, no UDF, no driver state.
+Merging = union + groupBy sum. Point estimates = a join of the queried
+items' (row, bucket) probes against the sketch, min over rows.
+
+Determinism/portability: the d hash functions are the house
+engine-portable md5 construction (operators/dedup.py stable_hash64)
+seeded by the row index, so a DuckDB twin reproduces the SKETCH ITSELF
+bit-exactly -- the catalog entry's oracle rebuilds the sketch in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(value: Column, row: Column, width: int) -> Column:
+    """Engine-portable bucket: first 8 md5 hex digits of 'row:value' as
+    bigint, mod width. DuckDB twin:
+    CAST('0x' || substr(md5(row || ':' || value), 1, 8) AS BIGINT) % width."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(row.cast("string"), F.lit(":"), value)), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % width
+
+
+def cms_sketch(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: sparse (row, bucket, c) with one entry per
+    NON-EMPTY cell (at most depth * width rows, usually far fewer).
+    NULL values are excluded (count them separately if needed)."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1; got {width}, {depth}")
+    v = F.col(col).cast("string")
+    rows = df.filter(F.col(col).isNotNull()).select(
+        v.alias("_v"),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+    )
+    return (
+        rows.select("row", _bucket(F.col("_v"), F.col("row"), width).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME (width, depth): cell-wise sum.
+    The mergeability that makes per-partition / per-day sketch rollups
+    re-aggregatable without touching raw data again."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "bucket").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Estimated count per distinct item value: (value, est) with
+    est = min over rows of the probed cell (0 when any probe row is
+    empty -- the item was never inserted). ``width``/``depth`` must
+    match the sketch's build parameters. One probe-side explode +
+    (row, bucket)-keyed join + min aggregate; the sketch side is
+    fixed-size, broadcastable."""
+    v = F.col(col).cast("string")
+    probes = (
+        items.filter(F.col(col).isNotNull())
+        .select(v.alias("value"))
+        .distinct()
+        .select(
+            "value",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(depth)])
+            ).alias("row"),
+        )
+        .select(
+            "value",
+            "row",
+            _bucket(F.col("value"), F.col("row"), width).alias("bucket"),
+        )
+    )
+    j = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        j.groupBy("value")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("est")
+        )
+        .orderBy("value")
+    )

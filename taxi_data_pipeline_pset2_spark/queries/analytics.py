@@ -707,3 +707,55 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["v"]
     )
     return ivfpq_search(emb, q, n_cells=8, n_probe=2, m=8, k=16, top_k=10)
+
+
+_CMS_ORACLE = """
+    WITH src AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS v
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    d(j) AS (VALUES (0), (1), (2), (3)),
+    sk AS (
+      SELECT j AS row,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v), 1, 8)
+                  AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM src, d GROUP BY 1, 2
+    ),
+    items AS (
+      SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS value
+      FROM part WHERE p_partkey <= 50
+    ),
+    probes AS (
+      SELECT value, j AS row,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || value),
+                                 1, 8) AS BIGINT) % 512 AS bucket
+      FROM items, d
+    )
+    SELECT value, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN sk USING (row, bucket)
+    GROUP BY value ORDER BY value
+"""
+
+
+@query("cms_partkey_counts", oracle=_CMS_ORACLE, tags=("sketch", "agg", "bench"))
+def cms_partkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the first 50 part keys
+    over lineitem (operators/cms.py, width 512 x depth 4 -- narrow
+    enough that collisions are real): the engine-portable md5 hashing
+    means the DuckDB oracle rebuilds the SKETCH ITSELF bit-exactly,
+    overestimates included. Fixed-size mergeable state, pure
+    explode+aggregate, no UDF."""
+    from taxi_data_pipeline_pset2_spark.operators.cms import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    sk = cms_sketch(li, "l_partkey", width=512, depth=4)
+    items = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 50)
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    return cms_point_estimates(sk, items, "pk", width=512, depth=4)

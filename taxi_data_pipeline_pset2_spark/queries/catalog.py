@@ -103,6 +103,13 @@ def query(
 # retrieval_eval_knn, quantile_normalized_length, bootstrap_ci_price,
 # rrf_fuse_knn, welch_price_priority, mannwhitney_price_priority;
 # isotonic_calibration is rows-only (iterative PAVA).
+# Added mid-r7 (oracled, no driver row yet): cuped_price_linestatus,
+# brand_association_rules, fulfillment_survival_km,
+# user_value_changepoint, benford_price_audit, pmi_collocations_docs,
+# customer_rfm_segments, gini_customer_spend, event_type_entropy,
+# abc_brand_revenue, purchase_attribution, top_user_paths,
+# seasonal_naive_mase; rows-only: pq_ann_topk, ivfpq_ann_topk,
+# pagerank_supplier_customer.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",

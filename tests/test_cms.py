@@ -1,0 +1,76 @@
+"""Count-min sketch tests: one-sided error, merge = rebuild, collision
+behavior, determinism across partitionings."""
+
+import pytest
+
+from taxi_data_pipeline_pset2_spark.operators.cms import (
+    cms_merge,
+    cms_point_estimates,
+    cms_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def zipf_df(spark):
+    # key i appears (101 - i) times, i = 1..100 -> 5050 rows
+    rows = [(i,) for i in range(1, 101) for _ in range(101 - i)]
+    return spark.createDataFrame(rows, "k int")
+
+
+class TestCms:
+    def test_overestimates_only_and_bounded(self, zipf_df, spark):
+        sk = cms_sketch(zipf_df, "k", width=256, depth=4)
+        items = spark.createDataFrame([(i,) for i in range(1, 101)], "k int")
+        est = {
+            int(r.value): r.est
+            for r in cms_point_estimates(sk, items, "k", 256, 4).collect()
+        }
+        exact = {i: 101 - i for i in range(1, 101)}
+        n = 5050
+        for i, e in est.items():
+            assert e >= exact[i]  # CMS never underestimates
+            # eps = e/width -> bound e*N/width ~ 53; generous 3x slack
+            assert e - exact[i] <= 3 * 2.71828 * n / 256
+
+    def test_tight_when_wide(self, zipf_df, spark):
+        sk = cms_sketch(zipf_df, "k", width=8192, depth=4)
+        items = spark.createDataFrame([(i,) for i in range(1, 101)], "k int")
+        est = {
+            int(r.value): r.est
+            for r in cms_point_estimates(sk, items, "k", 8192, 4).collect()
+        }
+        assert est == {i: 101 - i for i in range(1, 101)}  # no collisions
+
+    def test_absent_item_zero_when_wide(self, zipf_df, spark):
+        sk = cms_sketch(zipf_df, "k", width=8192, depth=4)
+        items = spark.createDataFrame([(999,)], "k int")
+        r = cms_point_estimates(sk, items, "k", 8192, 4).collect()[0]
+        assert r.est == 0
+
+    def test_merge_equals_rebuild(self, spark):
+        a = spark.createDataFrame([(i % 10,) for i in range(200)], "k int")
+        b = spark.createDataFrame([(i % 7,) for i in range(150)], "k int")
+        merged = cms_merge(
+            cms_sketch(a, "k", 128, 3), cms_sketch(b, "k", 128, 3)
+        )
+        rebuilt = cms_sketch(a.unionByName(b), "k", 128, 3)
+        m = {(r.row, r.bucket): r.c for r in merged.collect()}
+        rb = {(r.row, r.bucket): r.c for r in rebuilt.collect()}
+        assert m == rb
+
+    def test_partitioning_invariant(self, zipf_df, spark):
+        s1 = {
+            (r.row, r.bucket): r.c
+            for r in cms_sketch(zipf_df, "k", 64, 2).collect()
+        }
+        s2 = {
+            (r.row, r.bucket): r.c
+            for r in cms_sketch(zipf_df.repartition(13), "k", 64, 2).collect()
+        }
+        assert s1 == s2
+
+    def test_validation(self, zipf_df):
+        with pytest.raises(ValueError):
+            cms_sketch(zipf_df, "k", width=1)
+        with pytest.raises(ValueError):
+            cms_merge()
