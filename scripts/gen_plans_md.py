@@ -72,6 +72,23 @@ AUDITED = [
     ("jaro_winkler_matches", "prefix-blocked bounded bucket expansion; "
      "the only Python in the plan is the Arrow JW verify kernel on "
      "candidate pairs"),
+    ("brand_association_rules", "basket-key self-join with bounded "
+     "width -- never an item cartesian; item-frequency/total frames "
+     "broadcast onto the pair aggregate"),
+    ("fulfillment_survival_km", "subjects reduce to a (group,t) hash "
+     "aggregate BEFORE the risk-set windows; no Python eval"),
+    ("user_value_changepoint", "CUSUM identity keeps it join-free: two "
+     "window passes over one user sort, no per-split rescan"),
+    ("purchase_attribution", "lookback predicate rides the user "
+     "equi-join (hash/sort-merge, no nested-loop); millionth-exact "
+     "credit sums"),
+    ("seasonal_naive_mase", "series reduces to (key,bucket) before the "
+     "time-shift self-join; metrics are one more aggregate"),
+    ("cms_partkey_counts", "explode + hash aggregate only, map-side "
+     "combined; probe join broadcasts the fixed-size sketch"),
+    ("pagerank_supplier_customer", "edges partitioned once and "
+     "persisted; per-round the node-sized rank frame broadcasts, "
+     "dangling mass is an in-plan broadcast aggregate"),
 ]
 
 

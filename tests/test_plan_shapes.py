@@ -304,3 +304,86 @@ def test_decile_lift_tiebreak_window_partitioned_by_score(spark, sf_dir):
     # the per-row window (row_number over _k) is partitioned by the
     # score: windowspecdefinition's first argument is _s
     assert "row_number() windowspecdefinition(_s#" in plan, plan
+
+
+def test_association_rules_no_cartesian_broadcast_totals(spark, sf_dir):
+    """The basket self-join must stay equi-keyed on the basket id (a
+    cartesian over items would be quadratic in the vocabulary), and the
+    item-frequency/total frames must broadcast onto the pair aggregate,
+    never shuffle it."""
+    plan = _plan(registry()["brand_association_rules"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row totals crossJoin (broadcast)
+    bnl = plan.count("BroadcastNestedLoopJoin")
+    assert bnl <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part dim + item freqs
+
+
+def test_attribution_equi_join_not_nested_loop(spark, sf_dir):
+    """The touch-conversion join carries the lookback range predicate
+    INSIDE a user-equi-keyed join: the plan must be a hash/sort-merge
+    join on user id, never BroadcastNestedLoop over the events table."""
+    plan = _plan(registry()["purchase_attribution"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_reduces_before_windows(spark, sf_dir):
+    """Kaplan-Meier windows must run over the (group, t) aggregate, not
+    raw subjects: a HashAggregate must appear BELOW the first Window in
+    the plan tree (aggregate executes first)."""
+    plan = _plan(registry()["fulfillment_survival_km"].fn(spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan
+    # executedPlan prints top-down: the aggregate that feeds the window
+    # appears after (deeper than) the Window node, and no Python
+    # evaluation anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_pure_codegen_no_python(spark, sf_dir):
+    """The sketch is explode + hash aggregate only: no Python eval, no
+    join on the build side, map-side partial aggregation present."""
+    from taxi_data_pipeline_pset2_spark.operators.cms import cms_sketch
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(cms_sketch(li, "l_partkey", width=512, depth=4))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan  # map-side combine of sketch cells
+
+
+def test_paths_no_window_shuffle_single_exchange(spark, sf_dir):
+    """top_paths sorts array-side: the plan must contain no Window node
+    and shuffle only for the two hash aggregates (user, then path) +
+    the TakeOrdered head."""
+    plan = _plan(registry()["top_user_paths"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_seasonal_naive_single_aggregate_then_join(spark, sf_dir):
+    """The series reduces to (key, bucket) BEFORE the seasonal
+    self-join; the final metrics are one more hash aggregate. No
+    nested-loop anywhere."""
+    plan = _plan(registry()["seasonal_naive_mase"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+
+
+def test_changepoint_no_self_join(spark, sf_dir):
+    """The CUSUM identity keeps change-point detection join-free: two
+    window passes over one user-partitioned sort, no per-split
+    rescan joins."""
+    plan = _plan(registry()["user_value_changepoint"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+
+
+def test_gini_aggregate_feeds_rank_window(spark, sf_dir):
+    """Gini runs its rank window over the customer-sized aggregate; the
+    fact scan must reduce through a HashAggregate before any Window,
+    and the customer dim joins broadcast."""
+    plan = _plan(registry()["gini_customer_spend"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
