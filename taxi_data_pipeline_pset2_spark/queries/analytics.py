@@ -759,3 +759,51 @@ def cms_partkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("pk"))
     )
     return cms_point_estimates(sk, items, "pk", width=512, depth=4)
+
+
+_PROPS_ORACLE = """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+    FROM x WHERE k IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("props_payload_stats", oracle=_PROPS_ORACLE, tags=("json", "agg"))
+def props_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed aggregation over the JSON payload column
+    (operators/json_ops.py): parse events.props through the inferred
+    schema ONCE (from_json, JVM-side -- never per-query
+    get_json_object re-parsing), then plain grouped stats on the typed
+    field. The silver-boundary pattern for semi-structured feeds."""
+    from taxi_data_pipeline_pset2_spark.operators.json_ops import (
+        parse_json_column,
+    )
+
+    ev = parse_json_column(
+        t(spark, sf_dir, "events"), "props", flatten=True, prefix="p_"
+    )
+    k = F.col("p_k").cast("long")
+    base = ev.filter(k.isNotNull())
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(k).cast("bigint").alias("n"),
+            F.min(k).cast("bigint").alias("min_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.round(
+                F.sum(k).cast("double") / F.count(k), 6
+            ).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
