@@ -1,0 +1,163 @@
+"""Streaming mean-shift monitor: sequential Page CUSUM (Page 1954) of
+a numeric column's batch means against a fixed reference -- the
+streaming complement of the offline change-point operator
+(operators/changepoint.py finds WHERE a recorded series shifted; this
+raises the alarm WHILE it shifts).
+
+Per micro-batch (foreachBatch):
+
+ 1. one batch-sized aggregate -> (n, mean) via exact decimal sums;
+ 2. standardized batch score z = (mean - mu0) / (sigma0 / sqrt(n))
+    against the reference mean/sd fixed at monitor start (the
+    reference frame is scanned exactly ONCE -- the O(batch) discipline
+    of streaming/drift.py);
+ 3. two one-sided CUSUM statistics with the textbook drift allowance
+    ``k`` (default 0.5 sd) and alarm threshold ``h`` (default 5):
+        s_pos = max(0, s_pos_prev + z - k)
+        s_neg = max(0, s_neg_prev - z - k)
+ 4. ONE audit row (batch_id, n_rows, batch_mean, z, s_pos, s_neg,
+    alarmed) written to a batch-id-keyed directory -- overwrite on
+    replay.
+
+State across batches is recovered FROM THE AUDIT LOG ITSELF (the
+latest row with batch_id < current), so an at-least-once replay of
+batch i re-reads exactly the state that preceded i and rewrites an
+identical row: the monitor is replay-idempotent without a separate
+state store. Empty batches carry state forward unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def reference_moments(df: DataFrame, col: str) -> tuple[float, float]:
+    """(mean, sd_pop) of the reference column from exact decimal sums;
+    raises on an empty/zero-variance reference (no basis to monitor)."""
+    r = df.agg(
+        F.count(F.col(col)).alias("n"),
+        F.sum(F.col(col).cast("decimal(28,6)")).cast("double").alias("s"),
+        F.sum(
+            (F.col(col).cast("double") * F.col(col).cast("double")).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("ss"),
+    ).first()
+    n = int(r["n"] or 0)
+    if n < 2:
+        raise ValueError(f"reference needs >= 2 non-null rows, got {n}")
+    mean = r["s"] / n
+    var = r["ss"] / n - mean * mean
+    if var <= 0:
+        raise ValueError("reference has zero variance; nothing to scale by")
+    return mean, var ** 0.5
+
+
+def _prior_state(
+    spark: SparkSession, audit_dir: str, batch_id: int
+) -> tuple[float, float]:
+    """(s_pos, s_neg) from the newest audit row older than batch_id;
+    (0, 0) when none exists."""
+    try:
+        audit = read_meanshift_audit(spark, audit_dir)
+    except Exception:  # first batch: no audit yet
+        return 0.0, 0.0
+    row = (
+        audit.filter(F.col("batch_id") < batch_id)
+        .orderBy(F.desc("batch_id"))
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        return 0.0, 0.0
+    return float(row[0]["s_pos"]), float(row[0]["s_neg"])
+
+
+def batch_cusum_row(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    col: str,
+    mu0: float,
+    sigma0: float,
+    batch_id: int,
+    s_pos_prev: float,
+    s_neg_prev: float,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """One audit row for one batch given the carried state. Exposed for
+    the stream = batch equality test."""
+    r = batch_df.agg(
+        F.count(F.col(col)).alias("n"),
+        F.sum(F.col(col).cast("decimal(28,6)")).cast("double").alias("s"),
+    ).first()
+    n = int(r["n"] or 0)
+    if n == 0:
+        mean, z = None, 0.0  # empty batch: state carries unchanged
+        s_pos, s_neg = s_pos_prev, s_neg_prev
+    else:
+        mean = r["s"] / n
+        z = (mean - mu0) / (sigma0 / n ** 0.5)
+        s_pos = max(0.0, s_pos_prev + z - k)
+        s_neg = max(0.0, s_neg_prev - z - k)
+    return spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                n,
+                None if mean is None else round(mean, 6),
+                round(z, 6),
+                round(s_pos, 6),
+                round(s_neg, 6),
+                bool(max(s_pos, s_neg) > h),
+            )
+        ],
+        "batch_id long, n_rows long, batch_mean double, z double, "
+        "s_pos double, s_neg double, alarmed boolean",
+    )
+
+
+def run_streaming_meanshift_monitor(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    col: str,
+    audit_dir: str,
+    checkpoint_dir: str,
+    k: float = 0.5,
+    h: float = 5.0,
+):
+    """Start the monitor; returns the StreamingQuery. The audit log
+    lands one parquet directory per batch id (same layout as the drift
+    monitor)."""
+    spark = reference.sparkSession
+    mu0, sigma0 = reference_moments(reference, col)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s_pos_prev, s_neg_prev = _prior_state(spark, audit_dir, batch_id)
+        row = batch_cusum_row(
+            spark, batch_df, col, mu0, sigma0, batch_id,
+            s_pos_prev, s_neg_prev, k, h,
+        )
+        row.drop("batch_id").write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_meanshift_audit(spark: SparkSession, audit_dir: str) -> DataFrame:
+    """The accumulated audit log (batch_id recovered from the directory
+    key)."""
+    return spark.read.option("basePath", audit_dir).parquet(
+        os.path.join(audit_dir, "batch_id=*")
+    )
