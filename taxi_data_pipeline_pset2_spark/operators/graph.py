@@ -78,44 +78,51 @@ def pagerank(
     nodes_deg = nodes.join(
         deg, nodes.node == deg.src, "left"
     ).select("node", "_deg").persist()
-    ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    for _ in range(n_iter):
-        dang = ranks.filter(F.col("_deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
-        )
-        # ranks is node-sized: broadcast it onto the persisted edge
-        # partitions so the only per-round shuffle is the contribution
-        # aggregate (map-side combined). At node counts past broadcast
-        # range Spark falls back to the src-partitioned sort-merge join
-        # against the pre-partitioned edges -- still one shuffle of the
-        # node-sized frame, never the edges.
-        contrib = (
-            e.join(
-                F.broadcast(ranks.filter(F.col("_deg").isNotNull())),
-                e.src == F.col("node"),
+    try:
+        ranks = nodes_deg.withColumn(
+            "rank", F.lit(1.0 / n)
+        ).localCheckpoint()
+        for _ in range(n_iter):
+            dang = ranks.filter(F.col("_deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
             )
-            .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
-            .groupBy("dst")
-            .agg(F.sum("_c").alias("_contrib"))
-        )
-        ranks = (
-            nodes_deg.join(contrib, nodes_deg.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "_deg",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_dang") / n
-                    + F.lit(damping)
-                    * F.coalesce(F.col("_contrib"), F.lit(0.0))
-                ).alias("rank"),
+            # ranks is node-sized: broadcast it onto the persisted edge
+            # partitions so the only per-round shuffle is the
+            # contribution aggregate (map-side combined). At node counts
+            # past broadcast range Spark falls back to the
+            # src-partitioned sort-merge join against the pre-partitioned
+            # edges -- still one shuffle of the node-sized frame, never
+            # the edges.
+            contrib = (
+                e.join(
+                    F.broadcast(ranks.filter(F.col("_deg").isNotNull())),
+                    e.src == F.col("node"),
+                )
+                .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
+                .groupBy("dst")
+                .agg(F.sum("_c").alias("_contrib"))
             )
-            .localCheckpoint()
-        )
-    e.unpersist()
-    nodes.unpersist()
-    nodes_deg.unpersist()
+            ranks = (
+                nodes_deg.join(
+                    contrib, nodes_deg.node == contrib.dst, "left"
+                )
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    "_deg",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("_dang") / n
+                        + F.lit(damping)
+                        * F.coalesce(F.col("_contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        nodes_deg.unpersist()
     return ranks.select(
         "node", F.round("rank", 8).alias("rank")
     ).orderBy(F.desc("rank"), "node")

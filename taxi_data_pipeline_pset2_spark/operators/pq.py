@@ -76,6 +76,9 @@ def train_pq(
     )
     if len(rows) < k:
         raise ValueError(f"need >= k={k} training vectors, got {len(rows)}")
+    dims = {len(r["v"]) for r in rows}
+    if len(dims) != 1:  # fail here, not as an opaque numpy shape error
+        raise ValueError(f"mixed embedding dimensions in sample: {sorted(dims)}")
     X = np.array([r["v"] for r in rows], dtype=np.float64)  # (N, D)
     d = X.shape[1]
     if d % m:
