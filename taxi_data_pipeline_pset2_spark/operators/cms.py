@@ -52,14 +52,27 @@ def cms_sketch(
     if width < 2 or depth < 1:
         raise ValueError(f"need width >= 2, depth >= 1; got {width}, {depth}")
     v = F.col(col).cast("string")
-    rows = df.filter(F.col(col).isNotNull()).select(
-        v.alias("_v"),
+    # aggregate raw rows to exact per-VALUE counts first: the d md5
+    # hashes then run over the value vocabulary, not over every raw row
+    # d times (a pure explode-first formulation was ~6x slower at sf0.1)
+    per_value = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    rows = per_value.select(
+        "_v",
+        "_c",
         F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
     )
     return (
-        rows.select("row", _bucket(F.col("_v"), F.col("row"), width).alias("bucket"))
+        rows.select(
+            "row",
+            _bucket(F.col("_v"), F.col("row"), width).alias("bucket"),
+            "_c",
+        )
         .groupBy("row", "bucket")
-        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(F.sum("_c").cast("bigint").alias("c"))
     )
 
 
