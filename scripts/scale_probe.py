@@ -74,8 +74,22 @@ def main() -> None:
 
         return exact_dedup_groups(df)
 
+    def pmi(df):
+        from taxi_data_pipeline_pset2_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        return pmi_collocations(df, min_count=5, top_k=100)
+
+    def cms(df):
+        from taxi_data_pipeline_pset2_spark.operators.cms import cms_sketch
+
+        # full-text values: vocabulary ~= corpus, the sketch's worst case
+        return cms_sketch(df, "text", width=4096, depth=4)
+
     ops = {"minhash_lsh_pairs": minhash, "tfidf_cosine_pairs": tfidf_cos,
-           "exact_dedup": exact}
+           "exact_dedup": exact, "pmi_collocations": pmi,
+           "cms_sketch_text": cms}
 
     for name, fn in ops.items():
         times: dict[int, float] = {}
