@@ -126,3 +126,61 @@ def pagerank(
     return ranks.select(
         "node", F.round("rank", 8).alias("rank")
     ).orderBy(F.desc("rank"), "node")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007), made DETERMINISTIC: each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label (the stock algorithm's random tie-break makes
+    runs irreproducible; the ordered tie-break trades a little mixing
+    for bit-stable output). Edges are treated as UNDIRECTED; initial
+    label = the node's own id. Returns (node, label) ordered by node.
+
+    The coarse, cheap cousin of connected components
+    (operators/components.py): components answer "reachable at all",
+    LPA splits a connected graph into densely-knit communities.
+    Per round: one join of the (node, label) frame onto the persisted
+    symmetrized edges + one (node, label) count aggregate + one
+    per-node argmax window -- node/edge-shaped work only, ranks frame
+    localCheckpoint'ed per round (same lineage discipline as
+    pagerank)."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("a"),
+            F.col(dst_col).cast("string").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    nodes = sym.select(F.col("a").alias("node")).distinct().persist()
+    try:
+        labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+        w = Window.partitionBy("node").orderBy(
+            F.desc("_cnt"), F.asc("label")
+        )
+        for _ in range(n_iter):
+            neigh = (
+                sym.join(
+                    labels.withColumnRenamed("node", "b"), "b"
+                )  # label of each neighbor b, delivered to node a
+                .groupBy(F.col("a").alias("node"), "label")
+                .agg(F.count("*").alias("_cnt"))
+            )
+            labels = (
+                neigh.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("node", "label")
+                .localCheckpoint()
+            )
+    finally:
+        sym.unpersist()
+        nodes.unpersist()
+    return labels.orderBy("node")

@@ -807,3 +807,38 @@ def props_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("brand_communities", oracle=None, tags=("graph",))
+def brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the brand co-occurrence graph
+    (operators/graph.py label_propagation composing
+    operators/basket.py): edges = brand pairs whose order-basket lift
+    exceeds 1 (co-bought more than independence predicts). Iterative ->
+    rows-only; determinism and reference equality pinned in
+    tests/test_graph.py."""
+    from taxi_data_pipeline_pset2_spark.operators.basket import (
+        association_rules,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    rules = association_rules(
+        baskets, "l_orderkey", "p_brand", min_support=0.005
+    )
+    # top-40 edges by lift: thresholding at lift > 1 keeps a
+    # near-complete graph (25 brands all co-occur somewhere) and LPA
+    # correctly folds it into one community -- sparsify to the
+    # strongest associations so the structure is visible
+    edges = (
+        rules.orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(40)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return label_propagation(edges, n_iter=4)

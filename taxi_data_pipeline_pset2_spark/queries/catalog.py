@@ -179,6 +179,7 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "pq_ann_topk",
     "pagerank_supplier_customer",
     "ivfpq_ann_topk",
+    "brand_communities",
 )
 MAX_DRIVER_QUERIES = 50
 

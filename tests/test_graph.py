@@ -92,3 +92,67 @@ def _reference_pagerank_weighted(edges, d=0.85, n_iter=10):
             new[t] += d * rank[s] / out[s]
         rank = new
     return rank
+
+
+class TestLabelPropagation:
+    def test_two_cliques_two_communities(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.graph import (
+            label_propagation,
+        )
+
+        def clique(names):
+            return [
+                (a, b) for a in names for b in names if a < b
+            ]
+
+        edges = clique(["a1", "a2", "a3", "a4"]) + clique(
+            ["b1", "b2", "b3", "b4"]
+        )
+        edges.append(("a1", "b1"))  # single bridge
+        df = spark.createDataFrame(edges, "src string, dst string")
+        out = {r.node: r.label for r in label_propagation(df, n_iter=6).collect()}
+        a_labels = {out[n] for n in ["a2", "a3", "a4"]}
+        b_labels = {out[n] for n in ["b2", "b3", "b4"]}
+        assert len(a_labels) == 1 and len(b_labels) == 1
+        assert a_labels != b_labels  # the bridge does not merge cliques
+
+    def test_matches_python_reference(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "d")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: r.label for r in label_propagation(df, n_iter=3).collect()
+        }
+
+        # synchronous reference with the same min-label tie-break
+        adj = {}
+        for s, t in edges:
+            adj.setdefault(s, []).append(t)
+            adj.setdefault(t, []).append(s)
+        labels = {v: v for v in adj}
+        for _ in range(3):
+            new = {}
+            for v, ns in adj.items():
+                counts = {}
+                for u in ns:
+                    counts[labels[u]] = counts.get(labels[u], 0) + 1
+                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[v] = best[0][0]
+            labels = new
+        assert got == labels
+
+    def test_partitioning_invariant(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = [("a", "b"), ("b", "c"), ("x", "y")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        l1 = sorted(map(tuple, label_propagation(df, n_iter=4).collect()))
+        l2 = sorted(
+            map(tuple, label_propagation(df.repartition(7), n_iter=4).collect())
+        )
+        assert l1 == l2
