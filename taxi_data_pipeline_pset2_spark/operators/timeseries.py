@@ -302,8 +302,17 @@ def hampel_outliers(
     mad = _arr_median(
         F.transform(F.col("_win"), lambda x: F.abs(x - F.col("rolling_median")))
     )
-    score = F.round(
-        F.lit(0.6745) * F.abs(v - F.col("rolling_median")) / mad, 6
+    # round(x*1e6)/1e6 instead of round(x, 6): Spark rounds via the
+    # double's SHORTEST DECIMAL repr (BigDecimal.valueOf), DuckDB via
+    # multiply -- for a score sitting one ulp under a .5 millionth
+    # boundary (seen at sf0.001: 0.8031874999999999) the two disagree.
+    # Rounding the IEEE product x*1e6, which both engines compute
+    # bit-identically, removes the ambiguity; the oracle mirrors it.
+    score = (
+        F.round(F.lit(0.6745) * F.abs(v - F.col("rolling_median")) / mad * 1_000_000)
+        .cast("bigint")
+        .cast("double")
+        / 1_000_000
     )
     return (
         out.withColumn("hampel_score", F.when(mad > 0, score))

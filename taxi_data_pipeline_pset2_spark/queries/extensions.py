@@ -1093,8 +1093,12 @@ _HAMPEL_ORACLE = """
     )
     SELECT user_id, event_id,
            round(m, 6) AS rolling_median,
-           CASE WHEN s > 0 THEN round(0.6745 * abs(value - m) / s, 6) END AS hampel_score,
-           coalesce(CASE WHEN s > 0 THEN round(0.6745 * abs(value - m) / s, 6) END > 3.0,
+           CASE WHEN s > 0
+                THEN CAST(round(0.6745 * abs(value - m) / s * 1000000) AS BIGINT)
+                     / 1000000.0 END AS hampel_score,
+           coalesce(CASE WHEN s > 0
+                         THEN CAST(round(0.6745 * abs(value - m) / s * 1000000) AS BIGINT)
+                              / 1000000.0 END > 3.0,
                     false) AS is_outlier
     FROM mad
     ORDER BY user_id, event_id
