@@ -40,19 +40,35 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     n_iter: int = 10,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Node ranks after ``n_iter`` power-iteration rounds:
     (node, rank) with sum(rank) == 1, ordered rank desc, node asc.
-    Parallel edges count multiply (weight by repetition); self-loops
-    are legitimate edges. NULL endpoints are dropped."""
+    Parallel edges count multiply (weight by repetition); with
+    ``weight_col`` each edge carries that non-negative weight instead
+    (a node's rank splits across out-edges proportionally to weight --
+    parallel weighted edges are equivalent to one summed edge).
+    Self-loops are legitimate edges. NULL endpoints, NULL weights and
+    weight <= 0 edges are dropped (a zero-weight edge carries nothing
+    and must not make its source non-dangling)."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    w_expr = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
     e = (
         edges.select(
             F.col(src_col).cast("string").alias("src"),
             F.col(dst_col).cast("string").alias("dst"),
+            w_expr.alias("_w"),
         )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("_w") > 0)
+        )
         .repartition("src")
         .persist()
     )
@@ -74,7 +90,7 @@ def pagerank(
     # scan) and pay a driver collect for the dangling scalar. Carrying
     # _deg through the rounds makes one round = one materialization:
     # the dangling mass is a broadcast 1-row aggregate inside the plan.
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    deg = e.groupBy("src").agg(F.sum("_w").alias("_deg"))
     nodes_deg = nodes.join(
         deg, nodes.node == deg.src, "left"
     ).select("node", "_deg").persist()
@@ -98,7 +114,10 @@ def pagerank(
                     F.broadcast(ranks.filter(F.col("_deg").isNotNull())),
                     e.src == F.col("node"),
                 )
-                .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
+                .select(
+                    "dst",
+                    (F.col("rank") * F.col("_w") / F.col("_deg")).alias("_c"),
+                )
                 .groupBy("dst")
                 .agg(F.sum("_c").alias("_contrib"))
             )

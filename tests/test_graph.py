@@ -156,3 +156,32 @@ class TestLabelPropagation:
             map(tuple, label_propagation(df.repartition(7), n_iter=4).collect())
         )
         assert l1 == l2
+
+
+class TestWeightedPageRank:
+    def test_weighted_equals_replicated(self, spark):
+        # weight 2 on a->b must equal the edge repeated twice
+        rep = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("a", "c"), ("c", "a")],
+            "src string, dst string",
+        )
+        wtd = spark.createDataFrame(
+            [("a", "b", 2.0), ("a", "c", 1.0), ("c", "a", 1.0)],
+            "src string, dst string, w double",
+        )
+        r1 = {r.node: r.rank for r in pagerank(rep, n_iter=8).collect()}
+        r2 = {
+            r.node: r.rank
+            for r in pagerank(wtd, n_iter=8, weight_col="w").collect()
+        }
+        assert r1 == r2
+
+    def test_zero_weight_edge_makes_source_dangling(self, spark):
+        wtd = spark.createDataFrame(
+            [("a", "b", 1.0), ("b", "a", 0.0)],
+            "src string, dst string, w double",
+        )
+        ranks = {r.node: r.rank for r in pagerank(wtd, n_iter=6, weight_col="w").collect()}
+        # b has no effective out-edge: pure sink + dangling; mass conserved
+        assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+        assert ranks["b"] > ranks["a"]
