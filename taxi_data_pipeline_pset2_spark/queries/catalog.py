@@ -108,8 +108,9 @@ def query(
 # user_value_changepoint, benford_price_audit, pmi_collocations_docs,
 # customer_rfm_segments, gini_customer_spend, event_type_entropy,
 # abc_brand_revenue, purchase_attribution, top_user_paths,
-# seasonal_naive_mase; rows-only: pq_ann_topk, ivfpq_ann_topk,
-# pagerank_supplier_customer.
+# seasonal_naive_mase, cms_partkey_counts, props_payload_stats;
+# rows-only: pq_ann_topk, ivfpq_ann_topk, pagerank_supplier_customer,
+# brand_communities.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",
