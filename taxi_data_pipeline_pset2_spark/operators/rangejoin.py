@@ -172,3 +172,76 @@ def interval_overlap_join(
         & (lf["__rj_bucket"] == F.greatest(lf["__rj_first"], rf["__rj_first"]))
     )
     return lf.join(rf, cond, "inner").drop("__rj_bucket", "__rj_first")
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merged-interval coverage per key -- the sweep-line union of
+    possibly-overlapping [start, end) intervals: (key_cols...,
+    n_intervals, n_islands, covered, raw_total, overlap_saved), all
+    exact integers in the start/end unit, ordered by key.
+
+    The de-overlap every session/maintenance/billing dataset needs
+    before "total active time" means anything (summing raw durations
+    double-counts overlaps; this is the correct union length). An
+    island is a maximal run of intervals where each starts at or before
+    the running max end of its predecessors (touching intervals merge);
+    covered = sum over islands of (max end - min start), raw_total =
+    plain duration sum, overlap_saved = raw_total - covered >= 0.
+
+    Shape at 100 TB: ONE sort shuffle on (key, start, end) drives both
+    windows (running max end for island breaks, running sum for island
+    ids), then two hash aggregates (island-sized, key-sized) that AQE
+    co-partitions with the sort. No self-join, no explode -- the
+    sweep-line is linear in rows, the classic contrast to the bucketed
+    overlap JOIN above (which pairs intervals; this unions them).
+    Intervals with NULL or end <= start are dropped; island membership
+    of exact-duplicate rows is order-independent, so the result is
+    deterministic under any partitioning."""
+    from pyspark.sql.window import Window
+
+    s = F.col(start_col).cast("bigint")
+    e = F.col(end_col).cast("bigint")
+    base = df.filter(s.isNotNull() & e.isNotNull() & (e > s)).select(
+        *key_cols, s.alias("_s"), e.alias("_e")
+    )
+    keys = [F.col(c) for c in key_cols]
+    w_ord = Window.partitionBy(*keys).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.select(
+        *key_cols,
+        "_s",
+        "_e",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).select(
+        *key_cols,
+        "_s",
+        "_e",
+        F.sum("_new")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_isl"),
+    )
+    islands = flagged.groupBy(*keys, F.col("_isl")).agg(
+        F.count("*").alias("_n"),
+        (F.max("_e") - F.min("_s")).alias("_len"),
+        F.sum(F.col("_e") - F.col("_s")).alias("_raw"),
+    )
+    return (
+        islands.groupBy(*keys)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_intervals"),
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum("_len").cast("bigint").alias("covered"),
+            F.sum("_raw").cast("bigint").alias("raw_total"),
+            (F.sum("_raw") - F.sum("_len")).cast("bigint").alias("overlap_saved"),
+        )
+        .orderBy(*key_cols)
+    )

@@ -628,3 +628,71 @@ def group_entropy(
         F.round(norm, 6).alias("norm_entropy"),
     )
     return out.orderBy(*group_cols) if group_cols else out
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: _Seq[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation per group: (group_cols..., n, rho),
+    the monotone-association complement of corr_matrix's Pearson (which
+    a single outlier can saturate). Ties get AVERAGE (fractional)
+    ranks -- the textbook estimator, so rho matches scipy.stats
+    .spearmanr and a DuckDB window twin bit-exactly.
+
+    Rank bookkeeping stays INTEGER end-to-end: the doubled average rank
+    2*avg_rank = 2*RANK() + tie_count - 1 is a BIGINT (rho is invariant
+    under the affine rescale, so correlating doubled ranks gives the
+    identical coefficient), every sum/product accumulates as
+    BIGINT/DECIMAL(38,0) -- order-independent under any partitioning --
+    and the only doubles are the final Pearson-on-ranks combination,
+    one fixed expression rounded to 6 dp. Rows with a NULL in either
+    column are excluded first (ranks are computed on the complete
+    pairs). Shape: two window passes per variable (rank + per-value tie
+    count over the same sort) = two sort shuffles on (group, value),
+    then one hash aggregate; NULL rho when n < 2 or either rank
+    variance is zero (all-tied column)."""
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *keys, x.alias("_x"), y.alias("_y")
+    )
+
+    def _rank2(col: str, out: str):
+        wr = Window.partitionBy(*keys).orderBy(F.col(col))
+        wt = Window.partitionBy(*keys, F.col(col))
+        return (
+            2 * F.rank().over(wr) + F.count("*").over(wt) - 1
+        ).cast("bigint").alias(out)
+
+    ranked = base.select(
+        *keys, _rank2("_x", "_rx"), _rank2("_y", "_ry")
+    )
+    agg = (ranked.groupBy(*keys) if keys else ranked.groupBy()).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_rx").cast("double").alias("_sx"),
+        F.sum("_ry").cast("double").alias("_sy"),
+        F.sum((F.col("_rx") * F.col("_ry")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_sxy"),
+        F.sum((F.col("_rx") * F.col("_rx")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_sxx"),
+        F.sum((F.col("_ry") * F.col("_ry")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+    out = agg.select(
+        *keys, "n", F.round(rho, 6).alias("rho")
+    )
+    return out.orderBy(*keys) if keys else out

@@ -322,3 +322,167 @@ def hampel_outliers(
         )
         .drop("_win")
     )
+
+
+def acf(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    max_lag: int = 14,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sample autocorrelation function per series: (group_cols..., lag,
+    n_pairs, acf) for lag = 1..max_lag, ordered by (group, lag) -- the
+    seasonality/persistence probe run on a REGULAR series (compose with
+    time_spine / an aggregate-per-bucket upstream; gaps in t silently
+    shift lags, as in every ACF implementation).
+
+    Estimator: r_k = sum_{t>k} (x_t - m)(x_{t-k} - m) / sum_t (x_t - m)^2
+    with m the full-series mean -- the standard Box-Jenkins form. The
+    implementation expands the products so every accumulated quantity
+    (pair co-products, pair margins, totals) is an exact DECIMAL sum:
+    one window sort per series materializes all max_lag lag columns in
+    a single pass, one hash aggregate collects the sufficient
+    statistics, and the only doubles are the final fixed-shape
+    combination per lag, rounded to 6 dp. Shape: one sort shuffle on
+    (group, t) + one group-sized aggregate + a max_lag-wide explode --
+    max_lag is a constant, the series length never hits the driver.
+    Lags with no pairs (series shorter than k+1) or a zero-variance
+    series yield NULL acf."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    keys = list(group_cols or [])
+    w = Window.partitionBy(*keys).orderBy(F.col(t_col))
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(*keys, F.col(t_col), x.alias("_x"))
+    lagged = base.select(
+        *keys,
+        "_x",
+        *[F.lag("_x", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("_x").cast("decimal(28,6)")).cast("double").alias("_sx"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("_sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        both = lk.isNotNull()
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast("bigint").alias(f"c_{k}"),
+            F.sum((F.col("_x") * lk).cast("decimal(38,10)"))
+            .cast("double")
+            .alias(f"sxy_{k}"),
+            F.sum(F.when(both, F.col("_x")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias(f"sa_{k}"),
+            F.sum(lk.cast("decimal(28,6)")).cast("double").alias(f"sb_{k}"),
+        ]
+    agg = (lagged.groupBy(*keys) if keys else lagged.groupBy()).agg(*aggs)
+    m = F.col("_sx") / F.col("n")
+    den = F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("n")
+    rows = []
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"sxy_{k}")
+            - m * (F.col(f"sa_{k}") + F.col(f"sb_{k}"))
+            + F.col(f"c_{k}") * m * m
+        )
+        rows.append(
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.col(f"c_{k}").alias("n_pairs"),
+                F.round(
+                    F.when((F.col(f"c_{k}") > 0) & (den > 0), num / den), 6
+                ).alias("acf"),
+            )
+        )
+    out = agg.select(*keys, F.explode(F.array(*rows)).alias("_r")).select(
+        *keys, "_r.lag", "_r.n_pairs", "_r.acf"
+    )
+    return out.orderBy(*keys, "lag") if keys else out.orderBy("lag")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Additive moving-average seasonal decomposition per series:
+    (group_cols..., t, value, trend, seasonal, resid) with
+
+      trend    = centered moving average over ``period`` rows (odd
+                 period required; NULL at the edges without a full
+                 window),
+      seasonal = mean detrended value of the row's phase (t mod
+                 period), computed over rows where trend exists,
+      resid    = value - trend - seasonal.
+
+    ``t_col`` must be an INTEGER time index (epoch days/hours -- the
+    caller's bucketing defines the cadence) on a dense series; value is
+    integer-valued in the exactness contract below.
+
+    Exactness: the windowed trend sum and the per-phase detrended sums
+    stay INTEGER (trend*period and detrended*period are exact bigints);
+    trend/seasonal/resid become doubles only in final fixed-shape
+    divisions rounded to 6 dp, so any partitioning and a DuckDB window
+    twin agree bit-exactly. Seasonal indices are the raw phase means
+    (not re-centered: re-centering sums `period` doubles whose
+    accumulation order the engine doesn't pin). Shape: one sort shuffle
+    on (group, t) for the moving window, one phase-sized aggregate
+    broadcast back -- series length never hits the driver."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd >= 3, got {period}")
+    keys = list(group_cols or [])
+    h = period // 2
+    w = Window.partitionBy(*keys).orderBy("t").rowsBetween(-h, h)
+    t_i = F.col(t_col).cast("bigint")
+    v = F.col(value_col).cast("bigint")
+    base = df.filter(v.isNotNull()).select(
+        *keys, t_i.alias("t"), v.alias("value")
+    )
+    trended = base.select(
+        *keys,
+        "t",
+        "value",
+        F.when(
+            F.count("*").over(w) == period, F.sum("value").over(w)
+        ).alias("_tsum"),
+    ).withColumn(
+        "_det_p",  # detrended * period, exact bigint where trend exists
+        (F.col("value") * period - F.col("_tsum")).cast("bigint"),
+    )
+    phase = F.pmod(F.col("t"), F.lit(period)).cast("int")
+    ph = (
+        trended.filter(F.col("_tsum").isNotNull())
+        .groupBy(*keys, phase.alias("_ph"))
+        .agg(
+            F.sum("_det_p").cast("bigint").alias("_ps"),
+            F.count("*").cast("bigint").alias("_pc"),
+        )
+    )
+    joined = trended.withColumn("_ph", phase).join(
+        F.broadcast(ph), [*keys, "_ph"], "left"
+    )
+    trend = F.col("_tsum").cast("double") / period
+    seasonal = F.col("_ps").cast("double") / (F.col("_pc") * period).cast(
+        "double"
+    )
+    return joined.select(
+        *keys,
+        "t",
+        "value",
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(
+            F.when(
+                F.col("_tsum").isNotNull() & F.col("_ps").isNotNull(),
+                F.col("value") - trend - seasonal,
+            ),
+            6,
+        ).alias("resid"),
+    ).orderBy(*keys, "t")

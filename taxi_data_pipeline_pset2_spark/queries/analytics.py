@@ -842,3 +842,95 @@ def brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     )
     return label_propagation(edges, n_iter=4)
+
+
+_TRI_ORACLE = """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS bk, CAST(l_suppkey AS VARCHAR) AS i
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    pc AS (
+      SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+      FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+      GROUP BY 1, 2
+    ),
+    e0 AS (SELECT a, b FROM pc WHERE n_ab >= 2),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN da.degree < db.degree
+                   OR (da.degree = db.degree AND a < b)
+             THEN a ELSE b END AS lo,
+             CASE WHEN da.degree < db.degree
+                   OR (da.degree = db.degree AND a < b)
+             THEN b ELSE a END AS hi,
+             CASE WHEN da.degree < db.degree
+                   OR (da.degree = db.degree AND a < b)
+             THEN db.degree ELSE da.degree END AS dhi
+      FROM e0 JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+    ),
+    tri AS (
+      SELECT o1.lo AS n1, o1.hi AS n2, o2.hi AS n3
+      FROM o o1
+      JOIN o o2 ON o1.lo = o2.lo
+               AND (o1.dhi < o2.dhi
+                    OR (o1.dhi = o2.dhi AND o1.hi < o2.hi))
+      JOIN o o3 ON o3.lo = o1.hi AND o3.hi = o2.hi
+    ),
+    tc AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS tcount
+      FROM (SELECT n1 AS node FROM tri UNION ALL SELECT n2 FROM tri
+            UNION ALL SELECT n3 FROM tri)
+      GROUP BY 1
+    )
+    SELECT deg.node, degree,
+           CAST(coalesce(tcount, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN degree >= 2
+                 THEN 2.0 * coalesce(tcount, 0)
+                      / (degree * (degree - 1.0)) END, 6) AS clustering
+    FROM deg LEFT JOIN tc USING (node)
+    ORDER BY node
+"""
+
+
+@query("supplier_triangle_stats", oracle=_TRI_ORACLE, tags=("graph", "join", "bench"))
+def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient per supplier over
+    the co-fulfillment graph (operators/graph.py triangle_counts):
+    suppliers are linked when they ship lines of the SAME order at
+    least twice. Pair generation is the order-key self-join (bounded by
+    order width, never an all-supplier cartesian); the triangle pass
+    uses degree orientation so each triangle is emitted once at its
+    lowest-degree apex -- the first fully-oracled entry of the graph
+    family (pagerank/LPA are iterative, rows-only)."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    bi = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        .select(
+            F.col("l_orderkey").alias("bk"),
+            F.col("l_suppkey").cast("string").alias("i"),
+        )
+        .distinct()
+    )
+    edges = (
+        bi.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.i") < F.col("y.i")),
+        )
+        .groupBy(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges)

@@ -2547,3 +2547,283 @@ def cuped_price_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "O",
         "F",
     )
+
+
+_SPEARMAN_ORACLE = """
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    r AS (
+      SELECT flag,
+             CAST(2 * rank() OVER (PARTITION BY flag ORDER BY x)
+                  + count(*) OVER (PARTITION BY flag, x) - 1
+                  AS BIGINT) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY flag ORDER BY y)
+                  + count(*) OVER (PARTITION BY flag, y) - 1
+                  AS BIGINT) AS ry
+      FROM base
+    ),
+    s AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS DOUBLE) AS sx,
+             CAST(sum(ry) AS DOUBLE) AS sy,
+             CAST(sum(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM r GROUP BY flag
+    )
+    SELECT flag, n,
+           round(CASE WHEN (n * sxx - sx * sx) > 0
+                       AND (n * syy - sy * sy) > 0
+                 THEN (n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS rho
+    FROM s ORDER BY flag
+"""
+
+
+@query("spearman_qty_price", oracle=_SPEARMAN_ORACLE, tags=("stats", "window"))
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag (operators/stats.py spearman_corr): the
+    monotone-association screen next to metric_corr_matrix's Pearson.
+    Doubled integer average ranks keep every accumulation exact; the
+    oracle twin rebuilds the identical ranks with DuckDB windows."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import spearman_corr
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    return spearman_corr(li, "x", "y", ["flag"])
+
+
+_DAILY_SER_SQL = """
+      b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                   CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+      sp AS (SELECT CAST(unnest(generate_series(lo, hi,
+                                 INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+      dc AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+             FROM orders GROUP BY 1),
+      ser AS (SELECT date_diff('day', DATE '1970-01-01', sp.d) AS t,
+                     CAST(coalesce(c, 0) AS BIGINT) AS value
+              FROM sp LEFT JOIN dc USING (d))
+"""
+
+_ACF_ORACLE = f"""
+    WITH {_DAILY_SER_SQL},
+    lags AS (SELECT unnest(generate_series(1, 14)) AS k),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+      FROM ser
+    ),
+    per_k AS (
+      SELECT l.k,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CAST(CAST(s1.value AS DOUBLE)
+                           * CAST(s2.value AS DOUBLE)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(CAST(s1.value AS DOUBLE) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sa,
+             CAST(sum(CAST(CAST(s2.value AS DOUBLE) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sb
+      FROM lags l, ser s1, ser s2
+      WHERE s1.t = s2.t + l.k
+      GROUP BY l.k
+    )
+    SELECT CAST(l.k AS INTEGER) AS lag,
+           CAST(coalesce(p.c, 0) AS BIGINT) AS n_pairs,
+           round(CASE WHEN coalesce(p.c, 0) > 0
+                       AND (tot.sxx - tot.sx * tot.sx / tot.n) > 0
+                 THEN (p.sxy - (tot.sx / tot.n) * (p.sa + p.sb)
+                       + p.c * (tot.sx / tot.n) * (tot.sx / tot.n))
+                      / (tot.sxx - tot.sx * tot.sx / tot.n)
+                 END, 6) AS acf
+    FROM lags l LEFT JOIN per_k p ON p.k = l.k CROSS JOIN tot
+    ORDER BY lag
+"""
+
+
+def _daily_order_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense zero-filled daily order-count series (t = epoch day)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("value")
+    )
+    spine = o.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    ).select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"))
+    return spine.join(daily, "d", "left").select(
+        F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))).alias("t"),
+        F.coalesce("value", F.lit(0)).cast("bigint").alias("value"),
+    )
+
+
+@query("acf_daily_orders", oracle=_ACF_ORACLE, tags=("timeseries", "window"))
+def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order volume, lags 1..14
+    (operators/timeseries.py acf): the weekly-seasonality probe. The
+    series is the zero-filled daily count over a generated date spine;
+    the oracle rebuilds each lag relationally (self-join on t offset)
+    but shares the exact decimal sufficient statistics and the final
+    double combination."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import acf
+
+    return acf(_daily_order_series(spark, sf_dir), "t", "value", max_lag=14)
+
+
+_SEASONAL_ORACLE = f"""
+    WITH {_DAILY_SER_SQL},
+    tr AS (
+      SELECT t, value,
+             CASE WHEN count(*) OVER wm = 7
+                  THEN CAST(sum(value) OVER wm AS BIGINT) END AS tsum
+      FROM ser
+      WINDOW wm AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (SELECT t, value, tsum,
+                   value * 7 - tsum AS detp, t % 7 AS ph
+            FROM tr),
+    phs AS (SELECT ph, CAST(sum(detp) AS BIGINT) AS ps,
+                   CAST(count(*) AS BIGINT) AS pc
+            FROM det WHERE tsum IS NOT NULL GROUP BY ph)
+    SELECT t, value,
+           round(CAST(tsum AS DOUBLE) / 7, 6) AS trend,
+           round(CAST(ps AS DOUBLE) / CAST(pc * 7 AS DOUBLE), 6) AS seasonal,
+           round(CASE WHEN tsum IS NOT NULL AND ps IS NOT NULL
+                 THEN value - CAST(tsum AS DOUBLE) / 7
+                      - CAST(ps AS DOUBLE) / CAST(pc * 7 AS DOUBLE)
+                 END, 6) AS resid
+    FROM det LEFT JOIN phs USING (ph)
+    ORDER BY t
+"""
+
+
+@query("seasonal_daily_orders", oracle=_SEASONAL_ORACLE, tags=("timeseries", "window"))
+def seasonal_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive 7-day seasonal decomposition of daily order volume
+    (operators/timeseries.py seasonal_decompose): centered moving-
+    average trend, phase-mean seasonal, residual. Integer-exact
+    windowed sums (trend*7, detrended*7 are bigints) make the
+    decomposition hash-stable against the DuckDB window twin."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(
+        _daily_order_series(spark, sf_dir), "t", "value", period=7
+    )
+
+
+_COVERAGE_ORACLE = """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_ms(ts) // 1000 AS BIGINT) AS s,
+             CAST(epoch_ms(ts) // 1000 AS BIGINT)
+               + greatest(1, CAST(floor(value * 60) AS BIGINT)) AS e
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    base AS (SELECT * FROM iv WHERE e > s),
+    fl AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+                  THEN 1 ELSE 0 END AS nw
+      FROM base
+      WINDOW wp AS (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+      FROM fl
+    ),
+    g AS (
+      SELECT user_id, grp, count(*) AS n,
+             max(e) - min(s) AS len, sum(e - s) AS raw
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS covered,
+           CAST(sum(raw) AS BIGINT) AS raw_total,
+           CAST(sum(raw) - sum(len) AS BIGINT) AS overlap_saved
+    FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("user_event_coverage", oracle=_COVERAGE_ORACLE, tags=("timeseries", "window", "bench"))
+def user_event_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval activity coverage per user (operators/rangejoin
+    .py interval_coverage): each event opens a [ts, ts + value minutes)
+    activity window; overlaps must union, not sum. One sweep-line sort
+    per user -- the linear-complement of the bucketed overlap JOIN
+    (session_maintenance_overlap pairs intervals; this de-overlaps
+    them)."""
+    from taxi_data_pipeline_pset2_spark.operators.rangejoin import (
+        interval_coverage,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    s = F.unix_timestamp("ts")
+    iv = ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + F.greatest(F.lit(1), F.floor(F.col("value") * 60))).alias("e"),
+    )
+    return interval_coverage(iv, ["user_id"], "s", "e")
+
+
+_PARETO_ORACLE = """
+    WITH pts AS (
+      SELECT DISTINCT p_brand AS brand,
+             CAST(p_retailprice AS DOUBLE) AS price,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    ),
+    fl AS (
+      SELECT brand, price, size,
+             max(size) OVER (PARTITION BY brand
+                             ORDER BY price ASC, size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pm
+      FROM pts
+    )
+    SELECT brand, price, size
+    FROM fl WHERE pm IS NULL OR size > pm
+    ORDER BY brand, price, size
+"""
+
+
+@query("pareto_parts_price_size", oracle=_PARETO_ORACLE, tags=("window", "agg"))
+def pareto_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts per brand (operators/pareto.py):
+    cheapest-price / largest-size non-dominated set -- the
+    multi-objective shortlist as one sorted window sweep, no quadratic
+    NOT EXISTS."""
+    from taxi_data_pipeline_pset2_spark.operators.pareto import (
+        pareto_frontier,
+    )
+
+    pts = t(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return pareto_frontier(pts, "price", "size", ["brand"])

@@ -185,3 +185,82 @@ class TestWeightedPageRank:
         # b has no effective out-edge: pure sink + dangling; mass conserved
         assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
         assert ranks["b"] > ranks["a"]
+
+
+from itertools import combinations
+
+from taxi_data_pipeline_pset2_spark.operators.graph import triangle_counts
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by triple enumeration."""
+    adj = {}
+    for s, t_ in edges:
+        if s == t_ or s is None or t_ is None:
+            continue
+        adj.setdefault(s, set()).add(t_)
+        adj.setdefault(t_, set()).add(s)
+    tri = {v: 0 for v in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return adj, tri
+
+
+class TestTriangleCounts:
+    def test_matches_bruteforce(self, spark):
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"),          # triangle abc
+            ("c", "d"), ("d", "a"),                       # triangle acd
+            ("d", "e"), ("e", "f"),                       # tail, no tri
+            ("b", "a"), ("a", "a"),                       # dup + self-loop
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r for r in triangle_counts(df).collect()}
+        adj, tri = _brute_triangles(edges)
+        assert set(got) == set(adj)
+        for v in adj:
+            assert got[v].degree == len(adj[v]), v
+            assert got[v].triangles == tri[v], v
+            d = len(adj[v])
+            if d >= 2:
+                assert got[v].clustering == pytest.approx(
+                    2.0 * tri[v] / (d * (d - 1)), abs=1e-6
+                )
+            else:
+                assert got[v].clustering is None
+
+    def test_complete_graph_clustering_one(self, spark):
+        nodes = [f"n{i}" for i in range(6)]
+        edges = [(a, b) for a, b in combinations(nodes, 2)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        rows = triangle_counts(df).collect()
+        # K6: every node is in C(5,2) = 10 triangles, clustering 1.0
+        assert all(r.triangles == 10 and r.clustering == 1.0 for r in rows)
+
+    def test_triangle_free_bipartite(self, spark):
+        edges = [(f"l{i}", f"r{j}") for i in range(3) for j in range(4)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        rows = triangle_counts(df).collect()
+        assert all(r.triangles == 0 for r in rows)
+        assert all(r.clustering == 0.0 for r in rows)
+
+    def test_random_graphs_match_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(3):
+            nodes = [f"v{i}" for i in range(12)]
+            edges = [
+                (a, b)
+                for a, b in combinations(nodes, 2)
+                if rng.random() < 0.3
+            ]
+            if not edges:
+                continue
+            df = spark.createDataFrame(edges, "src string, dst string")
+            got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+            _, tri = _brute_triangles(edges)
+            assert got == tri, f"trial {trial}"

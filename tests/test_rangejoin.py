@@ -189,3 +189,71 @@ def test_span_cap_boundary_exact(spark, lo, n_buckets):
                 pts, ivs, "x", "lo", "hi", bucket_width=1.0,
                 span_cap=n_buckets - 1,
             ).count()
+
+
+class TestIntervalCoverage:
+    @staticmethod
+    def _ref_cover(ivs):
+        """Brute-force union length by sorting and merging."""
+        ivs = sorted(ivs)
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        return (
+            len(ivs),
+            len(islands),
+            sum(e - s for s, e in islands),
+            sum(e - s for s, e in ivs),
+        )
+
+    def test_hand_case(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.rangejoin import (
+            interval_coverage,
+        )
+
+        rows = [
+            ("u1", 0, 10), ("u1", 5, 12),   # overlap -> [0,12]
+            ("u1", 12, 20),                  # touching merges
+            ("u1", 30, 35),                  # second island
+            ("u2", 0, 1),
+            ("u2", 5, 5),                    # empty: dropped
+            ("u2", None, 9),                 # NULL: dropped
+        ]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        got = {r.k: r for r in interval_coverage(df, ["k"], "s", "e").collect()}
+        assert got["u1"].n_intervals == 4
+        assert got["u1"].n_islands == 2
+        assert got["u1"].covered == 25   # [0,20] + [30,35]
+        assert got["u1"].raw_total == 10 + 7 + 8 + 5
+        assert got["u1"].overlap_saved == 5  # the [5,10] double-count
+        assert got["u2"].n_intervals == 1 and got["u2"].covered == 1
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        raw=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),
+                st.integers(min_value=1, max_value=15),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_matches_bruteforce(self, spark, raw):
+        from taxi_data_pipeline_pset2_spark.operators.rangejoin import (
+            interval_coverage,
+        )
+
+        ivs = [(s, s + d) for s, d in raw]
+        df = spark.createDataFrame(
+            [("k", s, e) for s, e in ivs], "k string, s long, e long"
+        )
+        r = interval_coverage(df, ["k"], "s", "e").collect()[0]
+        n, ni, cov, rawt = self._ref_cover(ivs)
+        assert (r.n_intervals, r.n_islands, r.covered, r.raw_total) == (
+            n, ni, cov, rawt,
+        )
+        assert r.overlap_saved == rawt - cov

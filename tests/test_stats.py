@@ -340,3 +340,86 @@ class TestCupedAdjustedTTest:
         )
         r = cuped_adjusted_ttest(df, "y", "x", "g", "a", "b").collect()[0]
         assert r["theta"] is None and r["t_stat"] is None
+
+
+class TestSpearman:
+    @staticmethod
+    def _ref_rho(xs, ys):
+        """Average-rank Spearman via numpy Pearson on fractional ranks."""
+        import numpy as np
+
+        def avg_ranks(v):
+            v = np.asarray(v, dtype=float)
+            order = np.argsort(v, kind="stable")
+            ranks = np.empty(len(v))
+            i = 0
+            sv = v[order]
+            while i < len(v):
+                j = i
+                while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                    j += 1
+                ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+                i = j + 1
+            return ranks
+
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        c = np.corrcoef(rx, ry)
+        return float(c[0, 1])
+
+    def test_matches_numpy_reference_with_ties(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            spearman_corr,
+        )
+
+        xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+        ys = [3.0, 1.0, 4.0, 4.0, 6.0, 9.0, 6.0, 10.0]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        row = spearman_corr(df, "x", "y").collect()[0]
+        assert row.n == 8
+        assert row.rho == pytest.approx(self._ref_rho(xs, ys), abs=1e-6)
+
+    def test_perfect_monotone_and_reverse(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            spearman_corr,
+        )
+
+        xs = [1.0, 2.0, 3.0, 4.0]
+        df = spark.createDataFrame(
+            [(x, x * x * x, -x, "g") for x in xs],
+            "x double, up double, down double, g string",
+        )
+        assert spearman_corr(df, "x", "up", ["g"]).collect()[0].rho == 1.0
+        assert spearman_corr(df, "x", "down", ["g"]).collect()[0].rho == -1.0
+
+    def test_constant_column_null_and_null_rows_excluded(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            spearman_corr,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (None, 1.0), (4.0, None)],
+            "x double, y double",
+        )
+        row = spearman_corr(df, "x", "y").collect()[0]
+        assert row.n == 3  # NULL rows excluded before ranking
+        assert row.rho is None  # zero rank variance in y
+
+    def test_random_data_matches_reference_per_group(self, spark):
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            spearman_corr,
+        )
+
+        rng = random.Random(11)
+        rows = [
+            (g, float(rng.randint(0, 9)), float(rng.randint(0, 9)))
+            for g in ("a", "b")
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {r.g: r.rho for r in spearman_corr(df, "x", "y", ["g"]).collect()}
+        for g in ("a", "b"):
+            xs = [x for gg, x, _ in rows if gg == g]
+            ys = [y for gg, _, y in rows if gg == g]
+            assert got[g] == pytest.approx(self._ref_rho(xs, ys), abs=1e-6)

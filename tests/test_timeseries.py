@@ -335,3 +335,115 @@ def test_rolling_features_match_pandas_one_shuffle(spark):
         rolling_features(df, ["user_id"], "ts", "value", lags=(), windows=())
     with _p.raises(ValueError):
         rolling_features(df, ["user_id"], "ts", "value", lags=(0,))
+
+
+class TestAcf:
+    @staticmethod
+    def _ref_acf(xs, max_lag):
+        import numpy as np
+
+        x = np.asarray(xs, dtype=float)
+        m = x.mean()
+        den = ((x - m) ** 2).sum()
+        out = {}
+        for k in range(1, max_lag + 1):
+            if k >= len(x) or den == 0:
+                out[k] = None
+            else:
+                out[k] = float(((x[k:] - m) * (x[:-k] - m)).sum() / den)
+        return out
+
+    def test_matches_numpy_reference(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import acf
+
+        xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], "t int, value double"
+        )
+        got = {r.lag: (r.n_pairs, r.acf) for r in acf(df, "t", "value", 5).collect()}
+        ref = self._ref_acf(xs, 5)
+        for k in range(1, 6):
+            assert got[k][0] == len(xs) - k
+            assert got[k][1] == pytest.approx(ref[k], abs=1e-6)
+
+    def test_periodic_series_peaks_at_period(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import acf
+
+        xs = [float(i % 4) for i in range(40)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], "t int, value double"
+        )
+        got = {r.lag: r.acf for r in acf(df, "t", "value", 6).collect()}
+        assert got[4] == max(got.values())
+        assert got[4] > 0.8
+
+    def test_grouped_and_short_series(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import acf
+
+        rows = [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 1.0), ("b", 0, 7.0)]
+        df = spark.createDataFrame(rows, "g string, t int, value double")
+        out = acf(df, "t", "value", 3, ["g"]).collect()
+        by = {(r.g, r.lag): (r.n_pairs, r.acf) for r in out}
+        assert by[("b", 1)] == (0, None)  # no pairs
+        assert by[("a", 3)][0] == 0
+        assert by[("a", 1)][1] is not None
+
+    def test_max_lag_validation(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import acf
+
+        df = spark.createDataFrame([(0, 1.0)], "t int, value double")
+        with pytest.raises(ValueError, match="max_lag"):
+            acf(df, "t", "value", 0)
+
+
+class TestSeasonalDecompose:
+    def test_recovers_planted_weekly_pattern(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        # value = 100 + phase bump, integers, 8 full weeks
+        bump = [0, 10, 20, 5, 15, 30, 25]
+        rows = [(t, 100 + bump[t % 7]) for t in range(56)]
+        df = spark.createDataFrame(rows, "t int, value long")
+        out = seasonal_decompose(df, "t", "value", period=7).collect()
+        by_t = {r.t: r for r in out}
+        # interior trend = mean over any 7 consecutive = 100 + mean(bump)
+        exp_trend = 100 + sum(bump) / 7.0
+        for t in range(3, 53):
+            assert by_t[t].trend == pytest.approx(exp_trend, abs=1e-6)
+            # resid = 0 for a pure trend+seasonal series
+            assert by_t[t].resid == pytest.approx(0.0, abs=1e-6)
+        # seasonal = bump - mean(bump) for every interior phase
+        for t in range(3, 10):
+            assert by_t[t].seasonal == pytest.approx(
+                bump[t % 7] - sum(bump) / 7.0, abs=1e-6
+            )
+        # edges: no full window -> NULL trend/resid
+        assert by_t[0].trend is None and by_t[0].resid is None
+        assert by_t[55].trend is None
+
+    def test_even_period_rejected(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        df = spark.createDataFrame([(0, 1)], "t int, value long")
+        with pytest.raises(ValueError, match="odd"):
+            seasonal_decompose(df, "t", "value", period=4)
+
+    def test_value_plus_components_identity(self, spark):
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        rng = random.Random(3)
+        rows = [(t, rng.randint(0, 50)) for t in range(30)]
+        df = spark.createDataFrame(rows, "t int, value long")
+        for r in seasonal_decompose(df, "t", "value", period=5).collect():
+            if r.resid is not None:
+                assert r.value - r.trend - r.seasonal == pytest.approx(
+                    r.resid, abs=2e-6
+                )
