@@ -111,6 +111,9 @@ def query(
 # seasonal_naive_mase, cms_partkey_counts, props_payload_stats;
 # rows-only: pq_ann_topk, ivfpq_ann_topk, pagerank_supplier_customer,
 # brand_communities.
+# Added late-r7 (oracled, no driver row yet): supplier_triangle_stats,
+# spearman_qty_price, acf_daily_orders, seasonal_daily_orders,
+# user_event_coverage, pareto_parts_price_size.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",

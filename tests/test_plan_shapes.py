@@ -387,3 +387,50 @@ def test_gini_aggregate_feeds_rank_window(spark, sf_dir):
     plan = _plan(registry()["gini_customer_spend"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_triangles_equi_joins_only(spark, sf_dir):
+    """The wedge/closure joins are equi-keyed on node ids with the
+    ordering predicates as residuals: no cartesian, no nested-loop over
+    the edge set, no Python eval."""
+    plan = _plan(registry()["supplier_triangle_stats"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spearman_two_sorts_one_aggregate(spark, sf_dir):
+    """Ranking is window work over (group, value) sorts; the Pearson
+    combination is one hash aggregate -- no join anywhere in the
+    plan."""
+    plan = _plan(registry()["spearman_qty_price"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2
+    assert "partial_" in plan  # map-side combine on the final aggregate
+
+
+def test_acf_single_window_pass(spark, sf_dir):
+    """All 14 lag columns materialize in ONE window pass over one sort
+    (no per-lag self-joins -- the oracle does that; the engine must
+    not), then a single aggregate + constant-width explode."""
+    plan = _plan(registry()["acf_daily_orders"].fn(spark, sf_dir))
+    assert plan.count("Window") == 1, plan
+    # the only join builds the zero-filled spine (date grid left join)
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_coverage_linear_sweep(spark, sf_dir):
+    """The sweep-line must stay join-free: one sort drives both windows
+    (island flag + running id), then two hash aggregates."""
+    plan = _plan(registry()["user_event_coverage"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pareto_no_self_join(spark, sf_dir):
+    """The frontier is the sorted-window sweep, never the quadratic
+    NOT EXISTS anti-join."""
+    plan = _plan(registry()["pareto_parts_price_size"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
