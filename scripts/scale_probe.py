@@ -91,10 +91,59 @@ def main() -> None:
            "exact_dedup": exact, "pmi_collocations": pmi,
            "cms_sketch_text": cms}
 
-    for name, fn in ops.items():
+    # graph probe: disjoint replicas (per-replica node suffix) keep the
+    # degree distribution intact, so triangles/wedges scale EXACTLY
+    # linearly in the replication factor -- any superlinearity is the
+    # operator's own (a broken orientation would blow up quadratically
+    # on the densest nodes)
+    ebase = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select(
+            F.col("l_orderkey").alias("bk"),
+            F.col("l_partkey").cast("string").alias("i"),
+        )
+        .distinct()
+    )
+    ebase = (
+        ebase.alias("x")
+        .join(
+            ebase.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.i") < F.col("y.i")),
+        )
+        .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
+        .distinct()
+    )
+
+    def scaled_edges(factor: int):
+        if factor == 1:
+            return ebase
+        return ebase.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        ).select(
+            F.concat("src", F.lit("_r"), F.col("_rep").cast("string")).alias("src"),
+            F.concat("dst", F.lit("_r"), F.col("_rep").cast("string")).alias("dst"),
+        ).repartition(32)
+
+    def triangles(df):
+        from taxi_data_pipeline_pset2_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        return triangle_counts(df)
+
+    graph_ops = {"triangle_counts": (scaled_edges, triangles)}
+
+    runs = [(name, scaled, fn) for name, fn in ops.items()] + [
+        (name, gen, fn) for name, (gen, fn) in graph_ops.items()
+    ]
+    for name, gen, fn in runs:
         times: dict[int, float] = {}
         for factor in FACTORS:
-            df = scaled(factor).localCheckpoint(eager=True)  # exclude gen cost
+            df = gen(factor).localCheckpoint(eager=True)  # exclude gen cost
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()

@@ -114,3 +114,102 @@ def association_rules(
         )
         .orderBy(F.desc("n_ab"), "item_a", "item_b")
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_cooccur: int = 2,
+    top_k: int = 10,
+    max_basket_items: int = 256,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors by co-occurrence
+    cosine: for every item, its ``top_k`` most-similar items as
+    (item, neighbor, n_ab, cosine, rank), cosine = n_ab /
+    sqrt(n_a * n_b) over distinct-basket co-occurrence counts --
+    the classic "customers also bought" primitive (Linden, Smith &
+    York, IEEE Internet Computing 2003) next to association_rules'
+    lift (which normalizes by independence; cosine normalizes by
+    popularity geometry).
+
+    Same scale shape as association_rules: basket-key self-join
+    bounded by ``max_basket_items``, item frequencies broadcast,
+    pairs below ``min_cooccur`` dropped before ranking. The per-item
+    top-k is one window over the (pairs x 2) symmetric frame --
+    pair-vocabulary-sized, never corpus-sized. Ranking ties break by
+    neighbor id, cosine rounds once to 6 dp AFTER ranking, so output
+    is deterministic under any partitioning."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_cooccur < 1:
+        raise ValueError(f"min_cooccur must be >= 1, got {min_cooccur}")
+    from pyspark.sql.window import Window
+
+    bi = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    sizes = bi.groupBy("_b").agg(F.count("*").alias("_w"))
+    bi = bi.join(
+        sizes.filter(F.col("_w") <= max_basket_items).select("_b"), "_b"
+    )
+    items = bi.groupBy(F.col("_i").alias("_ic")).agg(
+        F.count("*").alias("_ni")
+    )
+    pairs = (
+        bi.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x._b") == F.col("y._b")) & (F.col("x._i") < F.col("y._i")),
+        )
+        .groupBy(F.col("x._i").alias("_a"), F.col("y._i").alias("_bb"))
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_cooccur)
+    )
+    sym = pairs.select(
+        F.col("_a").alias("item"), F.col("_bb").alias("neighbor"), "n_ab"
+    ).union(
+        pairs.select(
+            F.col("_bb").alias("item"), F.col("_a").alias("neighbor"), "n_ab"
+        )
+    )
+    j = (
+        sym.join(
+            F.broadcast(
+                items.select(
+                    F.col("_ic").alias("item"), F.col("_ni").alias("_na")
+                )
+            ),
+            "item",
+        )
+        .join(
+            F.broadcast(
+                items.select(
+                    F.col("_ic").alias("neighbor"), F.col("_ni").alias("_nb")
+                )
+            ),
+            "neighbor",
+        )
+        .withColumn(
+            "_cos",
+            F.col("n_ab")
+            / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("_cos"), F.asc("neighbor")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "item",
+            "neighbor",
+            "n_ab",
+            F.round("_cos", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("item", "rank")
+    )

@@ -696,3 +696,147 @@ def spearman_corr(
         *keys, "n", F.round(rho, 6).alias("rho")
     )
     return out.orderBy(*keys) if keys else out
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: _Seq[str] = (),
+    max_group_rows: int = 20_000,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: (group_cols..., n, n_slopes,
+    slope, intercept), slope = MEDIAN of all pairwise slopes
+    (y_j - y_i)/(x_j - x_i) over x_i < x_j, intercept = median(y -
+    slope * x) -- the estimator that shrugs off ~29% outliers where
+    grouped_linreg's least squares follows them (Sen, JASA 1968).
+
+    Inherently quadratic in group size, so it is a SMALL-SERIES
+    operator by contract: groups wider than ``max_group_rows`` fail
+    loudly inside the plan (assert_true, the span_cap discipline from
+    rangejoin.py) instead of detonating a trillion-pair shuffle.
+    Aggregate first -- the catalog entry runs it over monthly rollups,
+    never raw facts. Pair generation is a group-keyed self-join (one
+    shuffle each side); medians are Spark's exact interpolating
+    percentile over the slope set, matching DuckDB quantile_cont
+    bit-exactly (the A4 contract); slopes from identical operands are
+    identical IEEE doubles, so the result is deterministic and fully
+    oracle-able. NULL rows drop; groups with < 2 distinct x yield NULL
+    slope."""
+    keys = list(group_cols)
+
+    def _j(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
+        return a.join(b, keys, how) if keys else a.crossJoin(b)
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *keys, x.alias("_x"), y.alias("_y")
+    )
+    counts = base.groupBy(*keys).agg(F.count("*").cast("bigint").alias("n"))
+    # the cap rides the plan as an assert inside a filter (NULL on pass,
+    # error on breach) so pruning can't drop it and no extra action runs
+    guard = counts.withColumn(
+        "_guard",
+        F.assert_true(
+            F.col("n") <= max_group_rows,
+            F.concat(
+                F.lit(
+                    f"theil_sen group exceeds max_group_rows={max_group_rows}: "
+                ),
+                F.col("n").cast("string"),
+            ),
+        ),
+    ).filter(F.col("_guard").isNull()).drop("_guard")
+    lhs = _j(
+        base.select(*keys, F.col("_x").alias("_xi"), F.col("_y").alias("_yi")),
+        F.broadcast(guard.drop("n")) if keys else F.broadcast(guard.select(F.lit(1).alias("_one"))),
+    )
+    rhs = base.select(*keys, F.col("_x").alias("_xj"), F.col("_y").alias("_yj"))
+    pairs = (
+        _j(lhs, rhs)
+        .filter(F.col("_xi") < F.col("_xj"))
+        .select(
+            *keys,
+            (
+                (F.col("_yj") - F.col("_yi")) / (F.col("_xj") - F.col("_xi"))
+            ).alias("_m"),
+        )
+    )
+    slopes = pairs.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_slopes"),
+        F.expr("percentile(_m, 0.5)").alias("_slope"),
+    )
+    resid = _j(base, F.broadcast(slopes.select(*keys, "_slope")))
+    inter = resid.groupBy(*keys).agg(
+        F.expr("percentile(_y - _slope * _x, 0.5)").alias("_icept")
+    )
+    out = _j(_j(counts, slopes, "left"), inter, "left").select(
+        *keys,
+        "n",
+        F.coalesce(F.col("n_slopes"), F.lit(0)).cast("bigint").alias("n_slopes"),
+        F.round("_slope", 6).alias("slope"),
+        F.round("_icept", 6).alias("intercept"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols: _Seq[str],
+    ts_col: str,
+) -> DataFrame:
+    """Inter-arrival-time statistics per key: (key_cols..., n_events,
+    n_gaps, mean_gap, sd_gap, cv, burstiness) in seconds, 6-dp -- the
+    traffic-shape profile (cron-like, Poisson-like, bursty) that drift
+    monitors and capacity models key off. burstiness = (sd - mean) /
+    (sd + mean) in [-1, 1): -1 periodic, 0 Poisson, ->1 bursty (Goh &
+    Barabasi, EPL 2008); cv = sd / mean.
+
+    Gaps are exact integer seconds from one lag window (ties on equal
+    timestamps give zero gaps -- legitimate bursts); sums of gaps and
+    squared gaps accumulate as BIGINT/DECIMAL(38,0), population
+    variance combines them in one fixed double expression. One sort
+    shuffle on (key, ts) + one hash aggregate. Keys with < 2 events
+    yield NULL stats; zero-mean (all simultaneous) keys yield NULL
+    cv/burstiness."""
+    from pyspark.sql.window import Window
+
+    keys = [F.col(c) for c in key_cols]
+    s = F.unix_timestamp(ts_col)
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        *key_cols, s.alias("_s")
+    )
+    w = Window.partitionBy(*keys).orderBy("_s")
+    gapped = base.select(
+        *key_cols, (F.col("_s") - F.lag("_s", 1).over(w)).alias("_g")
+    )
+    agg = gapped.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("_g").cast("bigint").alias("n_gaps"),
+        F.sum("_g").cast("bigint").alias("_sg"),
+        F.sum((F.col("_g") * F.col("_g")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("_sg").cast("double") / n
+    var = (F.col("_sgg") - F.col("_sg").cast("double") * F.col("_sg").cast("double") / n) / n
+    sd = F.sqrt(F.when(var > 0, var).otherwise(F.lit(0.0)))
+    return agg.select(
+        *key_cols,
+        "n_events",
+        "n_gaps",
+        F.round(F.when(F.col("n_gaps") > 0, mean), 6).alias("mean_gap"),
+        F.round(F.when(F.col("n_gaps") > 0, sd), 6).alias("sd_gap"),
+        F.round(
+            F.when((F.col("n_gaps") > 0) & (mean > 0), sd / mean), 6
+        ).alias("cv"),
+        F.round(
+            F.when(
+                (F.col("n_gaps") > 0) & ((sd + mean) > 0),
+                (sd - mean) / (sd + mean),
+            ),
+            6,
+        ).alias("burstiness"),
+    ).orderBy(*key_cols)

@@ -846,16 +846,17 @@ def brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_ORACLE = """
     WITH bi AS (
-      SELECT DISTINCT l_orderkey AS bk, CAST(l_suppkey AS VARCHAR) AS i
+      SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS VARCHAR) AS i
       FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        AND l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
     ),
-    pc AS (
-      SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+    e0 AS (
+      SELECT x.i AS a, y.i AS b
       FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
       GROUP BY 1, 2
     ),
-    e0 AS (SELECT a, b FROM pc WHERE n_ab >= 2),
     deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS degree
       FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
@@ -897,16 +898,19 @@ _TRI_ORACLE = """
 """
 
 
-@query("supplier_triangle_stats", oracle=_TRI_ORACLE, tags=("graph", "join", "bench"))
-def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counts + local clustering coefficient per supplier over
-    the co-fulfillment graph (operators/graph.py triangle_counts):
-    suppliers are linked when they ship lines of the SAME order at
-    least twice. Pair generation is the order-key self-join (bounded by
-    order width, never an all-supplier cartesian); the triangle pass
-    uses degree orientation so each triangle is emitted once at its
-    lowest-degree apex -- the first fully-oracled entry of the graph
-    family (pagerank/LPA are iterative, rows-only)."""
+@query("part_triangle_stats", oracle=_TRI_ORACLE, tags=("graph", "join", "bench"))
+def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient per part over the
+    1998 co-purchase graph (operators/graph.py triangle_counts): parts
+    are linked when the same order ships both that year (each order's
+    parts form a clique, so the graph is triangle-rich). Pair
+    generation is the order-key self-join (bounded by order width,
+    never an all-part cartesian); the triangle pass uses degree
+    orientation so each triangle is emitted once at its lowest-degree
+    apex -- the first fully-oracled entry of the graph family
+    (pagerank/LPA are iterative, rows-only). The year slice keeps the
+    bench entry demo-sized; the full-corpus graph is the scale probe's
+    job (scripts/scale_probe.py)."""
     from taxi_data_pipeline_pset2_spark.operators.graph import (
         triangle_counts,
     )
@@ -914,11 +918,14 @@ def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = (
         t(spark, sf_dir, "lineitem")
         .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+            & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
         )
         .select(
             F.col("l_orderkey").alias("bk"),
-            F.col("l_suppkey").cast("string").alias("i"),
+            F.col("l_partkey").cast("string").alias("i"),
         )
         .distinct()
     )
@@ -928,9 +935,7 @@ def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             bi.alias("y"),
             (F.col("x.bk") == F.col("y.bk")) & (F.col("x.i") < F.col("y.i")),
         )
-        .groupBy(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-        .select("src", "dst")
+        .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
+        .distinct()
     )
     return triangle_counts(edges)

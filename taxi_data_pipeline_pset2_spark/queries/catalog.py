@@ -111,9 +111,10 @@ def query(
 # seasonal_naive_mase, cms_partkey_counts, props_payload_stats;
 # rows-only: pq_ann_topk, ivfpq_ann_topk, pagerank_supplier_customer,
 # brand_communities.
-# Added late-r7 (oracled, no driver row yet): supplier_triangle_stats,
+# Added late-r7 (oracled, no driver row yet): part_triangle_stats,
 # spearman_qty_price, acf_daily_orders, seasonal_daily_orders,
-# user_event_coverage, pareto_parts_price_size.
+# user_event_coverage, pareto_parts_price_size, brand_item_neighbors,
+# theilsen_monthly_revenue, user_interarrival_stats.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",

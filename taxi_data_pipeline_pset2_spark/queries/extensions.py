@@ -2827,3 +2827,176 @@ def pareto_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("bigint").alias("size"),
     )
     return pareto_frontier(pts, "price", "size", ["brand"])
+
+
+_ITEMSIM_ORACLE = """
+    WITH bi0 AS (
+      SELECT DISTINCT l_orderkey AS bk, p_brand AS i
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL
+    ),
+    ok AS (SELECT bk FROM bi0 GROUP BY bk HAVING count(*) <= 256),
+    bi AS (SELECT bi0.* FROM bi0 JOIN ok USING (bk)),
+    ic AS (SELECT i, count(*) AS c FROM bi GROUP BY i),
+    pc AS (
+      SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT a AS item, b AS neighbor, n_ab FROM pc
+      UNION ALL
+      SELECT b AS item, a AS neighbor, n_ab FROM pc
+    ),
+    sc AS (
+      SELECT item, neighbor, n_ab,
+             n_ab / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cos
+      FROM sym
+      JOIN ic ca ON ca.i = item
+      JOIN ic cb ON cb.i = neighbor
+    ),
+    rk AS (
+      SELECT item, neighbor, n_ab, cos,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY cos DESC, neighbor) AS rank
+      FROM sc
+    )
+    SELECT item, neighbor, n_ab, round(cos, 6) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM rk WHERE rank <= 5 ORDER BY item, rank
+"""
+
+
+@query("brand_item_neighbors", oracle=_ITEMSIM_ORACLE, tags=("basket", "join"))
+def brand_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 "bought together" brand neighbors by co-occurrence cosine
+    (operators/basket.py item_similarity): the collaborative-filtering
+    primitive next to association_rules' lift -- same bounded
+    basket-key self-join, popularity-geometry normalization, per-item
+    window rank."""
+    from taxi_data_pipeline_pset2_spark.operators.basket import (
+        item_similarity,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return item_similarity(
+        baskets, "l_orderkey", "p_brand", min_cooccur=2, top_k=5
+    )
+
+
+_THEILSEN_ORACLE = """
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             CAST(12 * extract(year FROM o_orderdate)
+                  + extract(month FROM o_orderdate) AS DOUBLE) AS x,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders
+      GROUP BY 1, 12 * extract(year FROM o_orderdate)
+                  + extract(month FROM o_orderdate)
+    ),
+    cnt AS (SELECT priority, CAST(count(*) AS BIGINT) AS n
+            FROM m GROUP BY 1),
+    pairs AS (
+      SELECT a.priority, (b.y - a.y) / (b.x - a.x) AS s
+      FROM m a JOIN m b ON a.priority = b.priority AND a.x < b.x
+    ),
+    sl AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_slopes,
+             quantile_cont(s, 0.5) AS slope
+      FROM pairs GROUP BY 1
+    ),
+    ic AS (
+      SELECT m.priority, quantile_cont(m.y - sl.slope * m.x, 0.5) AS icept
+      FROM m JOIN sl ON m.priority = sl.priority
+      GROUP BY m.priority
+    )
+    SELECT cnt.priority, cnt.n,
+           CAST(coalesce(sl.n_slopes, 0) AS BIGINT) AS n_slopes,
+           round(sl.slope, 6) AS slope,
+           round(ic.icept, 6) AS intercept
+    FROM cnt
+    LEFT JOIN sl ON cnt.priority = sl.priority
+    LEFT JOIN ic ON cnt.priority = ic.priority
+    ORDER BY cnt.priority
+"""
+
+
+@query("theilsen_monthly_revenue", oracle=_THEILSEN_ORACLE, tags=("stats", "join"))
+def theilsen_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust revenue trend per order priority
+    (operators/stats.py theil_sen) over the MONTHLY rollup -- the
+    aggregate-first contract for the quadratic estimator: ~80 months
+    per group, thousands of pairwise slopes, never raw-fact pairs.
+    Slope/intercept are exact interpolating medians, matching
+    quantile_cont."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import theil_sen
+
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (12 * F.year("o_orderdate") + F.month("o_orderdate")).alias("_xm"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    ).select("priority", F.col("_xm").cast("double").alias("x"), "y")
+    return theil_sen(m, "x", "y", ["priority"])
+
+
+_INTERARRIVAL_ORACLE = """
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_ms(ts) // 1000 AS BIGINT)
+               - lag(CAST(epoch_ms(ts) // 1000 AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY
+                       CAST(epoch_ms(ts) // 1000 AS BIGINT)) AS gap
+      FROM events WHERE ts IS NOT NULL
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(CAST(gap * gap AS DECIMAL(38,0))) AS DOUBLE) AS sgg
+      FROM g GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id, n_events, n_gaps,
+             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+             sqrt(CASE WHEN (sgg - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                   / CAST(n_gaps AS DOUBLE))
+                            / CAST(n_gaps AS DOUBLE) > 0
+                  THEN (sgg - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                              / CAST(n_gaps AS DOUBLE))
+                       / CAST(n_gaps AS DOUBLE)
+                  ELSE 0.0 END) AS sd
+      FROM a
+    )
+    SELECT user_id, n_events, n_gaps,
+           round(CASE WHEN n_gaps > 0 THEN mean END, 6) AS mean_gap,
+           round(CASE WHEN n_gaps > 0 THEN sd END, 6) AS sd_gap,
+           round(CASE WHEN n_gaps > 0 AND mean > 0
+                 THEN sd / mean END, 6) AS cv,
+           round(CASE WHEN n_gaps > 0 AND (sd + mean) > 0
+                 THEN (sd - mean) / (sd + mean) END, 6) AS burstiness
+    FROM d ORDER BY user_id
+"""
+
+
+@query("user_interarrival_stats", oracle=_INTERARRIVAL_ORACLE, tags=("timeseries", "window"))
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per user (operators/stats.py
+    interarrival_stats): mean/sd/CV/burstiness of event spacing -- the
+    traffic-shape profile. One lag window + one hash aggregate, exact
+    integer gap sums."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import (
+        interarrival_stats,
+    )
+
+    return interarrival_stats(
+        t(spark, sf_dir, "events"), ["user_id"], "ts"
+    )

@@ -64,3 +64,66 @@ class TestAssociationRules:
             association_rules(df, "b", "i", min_support=0.0)
         with pytest.raises(ValueError):
             association_rules(df, "b", "i", max_basket_items=1)
+
+
+class TestItemSimilarity:
+    def test_hand_computed_cosine(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.basket import (
+            item_similarity,
+        )
+
+        # baskets: ab ab abc c c
+        rows = (
+            [("b1", i) for i in "ab"]
+            + [("b2", i) for i in "ab"]
+            + [("b3", i) for i in "abc"]
+            + [("b4", "c"), ("b5", "c")]
+        )
+        df = spark.createDataFrame(rows, "bk string, item string")
+        out = item_similarity(df, "bk", "item", min_cooccur=1, top_k=5)
+        got = {(r.item, r.neighbor): (r.n_ab, r.cosine) for r in out.collect()}
+        # n_a=3, n_b=3, n_c=3; ab co-occurs 3x, ac/bc 1x
+        assert got[("a", "b")] == (3, 1.0)
+        assert got[("b", "a")] == (3, 1.0)
+        assert got[("a", "c")][0] == 1
+        assert got[("a", "c")][1] == pytest.approx(1 / 3, abs=1e-6)
+        # ranking: b's best neighbor is a, then c
+        ranks = {
+            (r.item, r.rank): r.neighbor for r in out.collect()
+        }
+        assert ranks[("b", 1)] == "a" and ranks[("b", 2)] == "c"
+
+    def test_min_cooccur_and_topk(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.basket import (
+            item_similarity,
+        )
+
+        rows = (
+            [("b1", i) for i in "ab"]
+            + [("b2", i) for i in "ab"]
+            + [("b3", i) for i in "ac"]
+        )
+        df = spark.createDataFrame(rows, "bk string, item string")
+        out = item_similarity(df, "bk", "item", min_cooccur=2, top_k=1)
+        got = {(r.item, r.neighbor) for r in out.collect()}
+        # ac co-occurs once -> filtered; only the ab edge survives
+        assert got == {("a", "b"), ("b", "a")}
+
+    def test_symmetric_pairs(self, spark):
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.basket import (
+            item_similarity,
+        )
+
+        rng = random.Random(2)
+        rows = [
+            (f"b{i}", rng.choice("pqrst"))
+            for i in range(40)
+            for _ in range(3)
+        ]
+        df = spark.createDataFrame(rows, "bk string, item string")
+        out = item_similarity(df, "bk", "item", min_cooccur=1, top_k=99)
+        got = {(r.item, r.neighbor): r.cosine for r in out.collect()}
+        for (a, b), c in got.items():
+            assert got[(b, a)] == c  # cosine is symmetric

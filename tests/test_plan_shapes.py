@@ -393,7 +393,7 @@ def test_triangles_equi_joins_only(spark, sf_dir):
     """The wedge/closure joins are equi-keyed on node ids with the
     ordering predicates as residuals: no cartesian, no nested-loop over
     the edge set, no Python eval."""
-    plan = _plan(registry()["supplier_triangle_stats"].fn(spark, sf_dir))
+    plan = _plan(registry()["part_triangle_stats"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -434,3 +434,27 @@ def test_pareto_no_self_join(spark, sf_dir):
     plan = _plan(registry()["pareto_parts_price_size"].fn(spark, sf_dir))
     assert "Join" not in plan, plan
     assert "Window" in plan
+
+
+def test_item_similarity_basket_equi_join(spark, sf_dir):
+    """Like association_rules: the pair join stays equi-keyed on the
+    basket id, the frequency lookups broadcast."""
+    plan = _plan(registry()["brand_item_neighbors"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_theilsen_group_keyed_pair_join(spark, sf_dir):
+    """The quadratic pair generation must ride a group-keyed equi-join
+    (x_i < x_j as residual), never a nested loop over the rollup."""
+    plan = _plan(registry()["theilsen_monthly_revenue"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interarrival_join_free(spark, sf_dir):
+    """One lag window + one hash aggregate; no join anywhere."""
+    plan = _plan(registry()["user_interarrival_stats"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1

@@ -423,3 +423,126 @@ class TestSpearman:
             xs = [x for gg, x, _ in rows if gg == g]
             ys = [y for gg, _, y in rows if gg == g]
             assert got[g] == pytest.approx(self._ref_rho(xs, ys), abs=1e-6)
+
+
+class TestTheilSen:
+    def test_matches_numpy_median_of_slopes(self, spark):
+        import numpy as np
+
+        from taxi_data_pipeline_pset2_spark.operators.stats import theil_sen
+
+        xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+        ys = [2.0, 2.9, 4.2, 5.0, 6.1, 6.8]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        row = theil_sen(df, "x", "y").collect()[0]
+        slopes = [
+            (ys[j] - ys[i]) / (xs[j] - xs[i])
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        ]
+        exp_m = float(np.median(slopes))
+        assert row.n == 6 and row.n_slopes == 15
+        assert row.slope == pytest.approx(exp_m, abs=1e-6)
+        exp_b = float(np.median([y - exp_m * x for x, y in zip(xs, ys)]))
+        assert row.intercept == pytest.approx(exp_b, abs=1e-6)
+
+    def test_robust_to_outlier_where_ols_is_not(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            grouped_linreg,
+            theil_sen,
+        )
+
+        rows = [(float(i), 2.0 * i) for i in range(10)]
+        rows[9] = (9.0, 500.0)  # one wild outlier
+        df = spark.createDataFrame(rows, "x double, y double")
+        ts = theil_sen(df, "x", "y").collect()[0]
+        ols = grouped_linreg(df, "x", "y").collect()[0]
+        assert ts.slope == pytest.approx(2.0, abs=0.1)
+        assert ols.slope > 10  # least squares chased the outlier
+
+    def test_no_pairs_yields_null_slope(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import theil_sen
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 5.0), ("g", 1.0, 9.0), ("h", 2.0, 1.0)],
+            "g string, x double, y double",
+        )
+        got = {r.g: r for r in theil_sen(df, "x", "y", ["g"]).collect()}
+        assert got["g"].n == 2 and got["g"].n_slopes == 0
+        assert got["g"].slope is None and got["g"].intercept is None
+        assert got["h"].n_slopes == 0
+
+    def test_group_cap_fails_loudly(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import theil_sen
+
+        df = spark.createDataFrame(
+            [(float(i), float(i)) for i in range(30)], "x double, y double"
+        )
+        with pytest.raises(Exception, match="max_group_rows"):
+            theil_sen(df, "x", "y", max_group_rows=10).collect()
+
+
+class TestInterarrivalStats:
+    def test_periodic_vs_bursty(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            interarrival_stats,
+        )
+
+        rows = [
+            ("cron", f"2024-01-01 00:{m:02d}:00") for m in range(0, 50, 10)
+        ] + [
+            ("burst", t)
+            for t in (
+                "2024-01-01 00:00:00", "2024-01-01 00:00:01",
+                "2024-01-01 00:00:02", "2024-01-01 01:00:00",
+                "2024-01-01 01:00:01",
+            )
+        ]
+        df = spark.createDataFrame(rows, "k string, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts")
+        )
+        got = {r.k: r for r in interarrival_stats(df, ["k"], "ts").collect()}
+        assert got["cron"].mean_gap == 600.0
+        assert got["cron"].sd_gap == 0.0
+        assert got["cron"].burstiness == -1.0  # perfectly periodic
+        assert got["burst"].burstiness > 0.2   # bursty (0.267 here)
+        assert got["cron"].n_events == 5 and got["cron"].n_gaps == 4
+
+    def test_single_event_and_simultaneous(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            interarrival_stats,
+        )
+
+        rows = [("solo", "2024-01-01 00:00:00")] + [
+            ("same", "2024-01-01 00:00:00"),
+            ("same", "2024-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts")
+        )
+        got = {r.k: r for r in interarrival_stats(df, ["k"], "ts").collect()}
+        assert got["solo"].n_gaps == 0 and got["solo"].mean_gap is None
+        # simultaneous events: gap 0, mean 0 -> cv/burstiness undefined
+        assert got["same"].mean_gap == 0.0
+        assert got["same"].cv is None and got["same"].burstiness is None
+
+    def test_matches_numpy(self, spark):
+        import random
+
+        import numpy as np
+
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            interarrival_stats,
+        )
+
+        rng = random.Random(9)
+        secs = sorted(rng.sample(range(100000), 50))
+        rows = [("u", s) for s in secs]
+        df = spark.createDataFrame(rows, "k string, s long").select(
+            "k", F.timestamp_seconds("s").alias("ts")
+        )
+        r = interarrival_stats(df, ["k"], "ts").collect()[0]
+        gaps = np.diff(secs)
+        assert r.mean_gap == pytest.approx(gaps.mean(), abs=1e-6)
+        assert r.sd_gap == pytest.approx(gaps.std(), abs=1e-4)
+        assert r.cv == pytest.approx(gaps.std() / gaps.mean(), abs=1e-6)
