@@ -318,3 +318,89 @@ def label_propagation(
         sym.unpersist()
         nodes.unpersist()
     return labels.orderBy("node")
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Core number per node -- the largest k such that the node sits in
+    a subgraph where everyone keeps >= k neighbors: (node, core)
+    ordered by node. The density ladder between connected components
+    ("reachable at all") and triangles ("locally clustered"): the
+    k-core is THE standard dense-nucleus extractor for graph cleanup
+    and influence seeding.
+
+    Computed by H-index iteration (Lu, Zhou et al., Nature
+    Communications 2016): init every node at its degree, then
+    repeatedly set h(v) = H-index of its neighbors' current values
+    (the largest h with >= h neighbors valued >= h); the sequence is
+    non-increasing and converges to the coreness EXACTLY, usually in
+    a handful of rounds -- unlike sequential peeling, every node
+    updates in parallel, so a path graph needs O(log) rounds, not
+    O(n). The fixpoint is unique, so output is deterministic no matter
+    how many rounds convergence took.
+
+    Per round: one node-keyed join of the value frame onto the
+    persisted symmetrized edges, one per-node descending window (the
+    H-index is max over rank r of min(r, value_r)), one hash
+    aggregate; ONE scalar (changed-node count) reaches the driver --
+    edge-shaped shuffles only, localCheckpoint lineage truncation, the
+    pagerank/LPA discipline. Self-loops and NULL endpoints drop;
+    parallel edges collapse (simple-graph coreness). Iterative -> no
+    SQL twin; peeling-reference equality in tests/test_graph.py."""
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("a"),
+            F.col(dst_col).cast("string").alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+    )
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    try:
+        cur = (
+            sym.groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("core"))
+            .localCheckpoint()
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("_v"), "b")
+        for _ in range(max_iter):
+            neigh = sym.join(
+                cur.select(F.col("node").alias("b"), F.col("core").alias("_v")),
+                "b",
+            )
+            new = (
+                neigh.select(
+                    "a",
+                    F.least(
+                        F.row_number().over(w).cast("bigint"), F.col("_v")
+                    ).alias("_h"),
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.max("_h").alias("core"))
+                .localCheckpoint()
+            )
+            changed = (
+                new.alias("n")
+                .join(cur.alias("c"), "node")
+                .filter(F.col("n.core") != F.col("c.core"))
+                .count()
+            )
+            cur = new
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return cur.orderBy("node")

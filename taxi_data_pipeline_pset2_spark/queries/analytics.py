@@ -939,3 +939,35 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+@query("part_kcore", oracle=None, tags=("graph",))
+def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core numbers over the 1998 part co-purchase graph
+    (operators/graph.py kcore, H-index iteration): the dense-nucleus
+    ladder next to part_triangle_stats' local clustering. Iterative ->
+    rows-only; peeling-reference equality pinned in
+    tests/test_graph.py."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import kcore
+
+    bi = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select(
+            F.col("l_orderkey").alias("bk"),
+            F.col("l_partkey").cast("string").alias("i"),
+        )
+        .distinct()
+    )
+    edges = (
+        bi.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.i") < F.col("y.i")),
+        )
+        .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
+    )
+    return kcore(edges)

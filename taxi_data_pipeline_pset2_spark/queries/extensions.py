@@ -3000,3 +3000,77 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(
         t(spark, sf_dir, "events"), ["user_id"], "ts"
     )
+
+
+_SPATIAL_ORACLE = """
+    WITH c AS (
+      SELECT c_custkey,
+             (CAST('0x' || substr(md5('cx:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 1000000) / 1000.0 AS x,
+             (CAST('0x' || substr(md5('cy:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 1000000) / 1000.0 AS y
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             (CAST('0x' || substr(md5('sx:' || CAST(s_suppkey AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 1000000) / 1000.0 AS x,
+             (CAST('0x' || substr(md5('sy:' || CAST(s_suppkey AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 1000000) / 1000.0 AS y
+      FROM supplier
+    ),
+    p AS (
+      SELECT c_custkey, s_suppkey,
+             (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, round(sqrt(d2), 6) AS dist
+    FROM p WHERE d2 <= 2500.0
+    ORDER BY c_custkey, s_suppkey
+"""
+
+
+def _hash_coord(key, salt: str):
+    """0..1000 planar coordinate from the engine-portable md5 bucket
+    (the cms.py construction): first 8 hex digits as int, mod 1e6,
+    /1000."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % 1_000_000) / F.lit(1000.0)
+
+
+@query("customers_near_suppliers", oracle=_SPATIAL_ORACLE, tags=("spatial", "join", "bench"))
+def customers_near_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed planar radius join (operators/spatial.py
+    grid_radius_join): every (customer, supplier) pair within distance
+    50 on a synthetic 1000x1000 plane (coordinates derived from the
+    engine-portable md5 hash, so both engines place every point
+    identically). The ORACLE is the brute-force cross join -- an
+    independent proof that the 3x3 neighbor-cell equi-join finds
+    exactly the qualifying pairs, boundary cases included."""
+    from taxi_data_pipeline_pset2_spark.operators.spatial import (
+        grid_radius_join,
+    )
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _hash_coord(F.col("c_custkey"), "cx:").alias("cx_pos"),
+        _hash_coord(F.col("c_custkey"), "cy:").alias("cy_pos"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _hash_coord(F.col("s_suppkey"), "sx:").alias("sx_pos"),
+        _hash_coord(F.col("s_suppkey"), "sy:").alias("sy_pos"),
+    )
+    return (
+        grid_radius_join(
+            cust, supp, ("cx_pos", "cy_pos"), ("sx_pos", "sy_pos"), radius=50.0
+        )
+        .select("c_custkey", "s_suppkey", "dist")
+        .orderBy("c_custkey", "s_suppkey")
+    )

@@ -264,3 +264,74 @@ class TestTriangleCounts:
             got = {r.node: r.triangles for r in triangle_counts(df).collect()}
             _, tri = _brute_triangles(edges)
             assert got == tri, f"trial {trial}"
+
+
+from taxi_data_pipeline_pset2_spark.operators.graph import kcore
+
+
+def _peel_cores(edges):
+    """Reference coreness by sequential min-degree peeling."""
+    adj = {}
+    for s, t_ in edges:
+        if s == t_:
+            continue
+        adj.setdefault(s, set()).add(t_)
+        adj.setdefault(t_, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    live = dict(deg)
+    while live:
+        v = min(live, key=lambda u: (live[u], u))
+        core[v] = live[v]
+        for u in adj[v]:
+            if u in live and u != v:
+                live[u] = max(live[u] - 1, core[v])
+        del live[v]
+    # peeling gives non-decreasing removal degrees; core[v] must be the
+    # running max to handle ties correctly
+    return core
+
+
+class TestKCore:
+    def test_clique_and_path(self, spark):
+        from itertools import combinations
+
+        nodes = [f"k{i}" for i in range(5)]
+        clique = [(a, b) for a, b in combinations(nodes, 2)]
+        path = [(f"p{i}", f"p{i+1}") for i in range(4)]
+        df = spark.createDataFrame(clique + path, "src string, dst string")
+        got = {r.node: r.core for r in kcore(df).collect()}
+        assert all(got[v] == 4 for v in nodes)      # K5: core 4
+        assert all(got[f"p{i}"] == 1 for i in range(5))  # path: core 1
+
+    def test_matches_peeling_reference(self, spark):
+        import random
+        from itertools import combinations
+
+        rng = random.Random(13)
+        for trial in range(3):
+            vs = [f"v{i}" for i in range(14)]
+            edges = [
+                (a, b) for a, b in combinations(vs, 2) if rng.random() < 0.25
+            ]
+            if not edges:
+                continue
+            df = spark.createDataFrame(edges, "src string, dst string")
+            got = {r.node: r.core for r in kcore(df).collect()}
+            ref = _peel_cores(edges)
+            assert got == ref, f"trial {trial}"
+
+    def test_two_cliques_bridged(self, spark):
+        from itertools import combinations
+
+        a = [f"a{i}" for i in range(4)]  # K4 -> core 3
+        b = [f"b{i}" for i in range(3)]  # K3 -> core 2
+        edges = (
+            [(x, y) for x, y in combinations(a, 2)]
+            + [(x, y) for x, y in combinations(b, 2)]
+            + [("a0", "b0")]  # bridge does not raise either core
+        )
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.core for r in kcore(df).collect()}
+        assert all(got[v] == 3 for v in a)
+        assert all(got[v] == 2 for v in b)

@@ -458,3 +458,13 @@ def test_interarrival_join_free(spark, sf_dir):
     plan = _plan(registry()["user_interarrival_stats"].fn(spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Window") == 1
+
+
+def test_spatial_grid_equi_join(spark, sf_dir):
+    """The radius join must plan as an equi-join on the cell keys with
+    the squared-distance residual -- never BroadcastNestedLoop over the
+    point sets."""
+    plan = _plan(registry()["customers_near_suppliers"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
