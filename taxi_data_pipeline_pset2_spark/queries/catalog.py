@@ -186,6 +186,7 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "pagerank_supplier_customer",
     "ivfpq_ann_topk",
     "brand_communities",
+    "part_kcore",
 )
 MAX_DRIVER_QUERIES = 50
 
