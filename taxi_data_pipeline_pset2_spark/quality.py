@@ -186,3 +186,20 @@ def monotonic_by(
             F.col("_prev").cast("string").alias("previous"),
         )
     )
+
+
+def expect_implication(
+    df: DataFrame, when_expr: str, then_expr: str
+) -> DataFrame:
+    """Violating rows where ``when_expr`` holds but ``then_expr`` does
+    not (dbt-utils expression_is_true scoped by a condition) -- the
+    cross-field rule every warehouse accumulates: "if status is
+    shipped, ship_date must be set", "if discount > 0, price > 0".
+    Three-valued logic: a NULL ``then_expr`` under a true antecedent is
+    a violation (the rule was applicable and unmet); rows where the
+    antecedent is false or NULL pass. Scan-shaped, codegen-only."""
+    cond = F.expr(when_expr)
+    holds = F.expr(then_expr)
+    return df.filter(
+        F.coalesce(cond, F.lit(False)) & ~F.coalesce(holds, F.lit(False))
+    )

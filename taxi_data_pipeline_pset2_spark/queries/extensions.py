@@ -3074,3 +3074,65 @@ def customers_near_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "s_suppkey", "dist")
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+_IVM_ORACLE = """
+    SELECT date_trunc('month', o_orderdate) AS o_month,
+           o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    ORDER BY o_month, priority
+"""
+
+
+@query("ivm_join_view_maintenance", oracle=_IVM_ORACLE, tags=("incremental", "join", "bench"))
+def ivm_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained orders x lineitem join view
+    (operators/ivm.py maintain_join_view): the base view joins only
+    pre-2001 orders with pre-2001 shipments; 2001 orders and 2001
+    shipments then apply as append deltas via the delta rule
+    (delta_A x B_new + A_old x delta_B, both delta-broadcast). The
+    ORACLE is the from-scratch full join -- the maintained view must
+    aggregate to bit-identical monthly revenue, the strongest
+    maintenance proof (the scd2_incremental_apply pattern)."""
+    from taxi_data_pipeline_pset2_spark.operators.ivm import (
+        maintain_join_view,
+    )
+
+    cut = F.lit("2001-01-01").cast("timestamp")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    a_old = o.filter(F.col("o_orderdate") < cut)
+    delta_a = o.filter(F.col("o_orderdate") >= cut)
+    b_old = li.filter(F.col("l_shipdate") < cut)
+    delta_b = li.filter(F.col("l_shipdate") >= cut)
+    cols = [
+        "o_orderkey", "o_orderpriority", "o_orderdate",
+        "l_extendedprice", "l_shipdate",
+    ]
+    view_old = a_old.join(b_old, ["o_orderkey"]).select(*cols)
+    v = maintain_join_view(
+        view_old, a_old, delta_a, li, delta_b, ["o_orderkey"]
+    )
+    return (
+        v.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("o_month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_month", "priority")
+    )

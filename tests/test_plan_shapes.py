@@ -468,3 +468,11 @@ def test_spatial_grid_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivm_deltas_broadcast(spark, sf_dir):
+    """Both incremental joins must carry the delta side as a broadcast
+    (cost tracks the delta, never a full-side shuffle pair)."""
+    plan = _plan(registry()["ivm_join_view_maintenance"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -289,3 +289,32 @@ def test_extended_expectations(spark):
     )
     bad = monotonic_by(mono, "t", "v", ["g"]).collect()
     assert len(bad) == 1 and bad[0]["g"] == "a" and bad[0]["at"] == "3"
+
+
+def test_expect_implication_three_valued(spark):
+    """if shipped then ship_ts set: false/NULL antecedents pass, a NULL
+    consequent under a true antecedent violates."""
+    from taxi_data_pipeline_pset2_spark.quality import expect_implication
+
+    rows = [
+        ("shipped", "2024-01-01"),   # ok
+        ("shipped", None),           # VIOLATION: applicable, unmet
+        ("open", None),              # antecedent false -> pass
+        (None, None),                # antecedent NULL -> pass
+    ]
+    df = spark.createDataFrame(rows, "status string, ship_ts string")
+    bad = expect_implication(
+        df, "status = 'shipped'", "ship_ts IS NOT NULL"
+    ).collect()
+    assert len(bad) == 1 and bad[0].status == "shipped"
+
+
+def test_expect_implication_numeric_rule(spark):
+    from taxi_data_pipeline_pset2_spark.quality import expect_implication
+
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (0.0, 2.0), (5.0, 0.0), (None, 3.0)],
+        "price double, discount double",
+    )
+    # if discount > 0 then price > 0: violated by (0, 2) and (NULL, 3)
+    assert expect_implication(df, "discount > 0", "price > 0").count() == 2
