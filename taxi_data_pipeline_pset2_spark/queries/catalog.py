@@ -115,7 +115,8 @@ def query(
 # spearman_qty_price, acf_daily_orders, seasonal_daily_orders,
 # user_event_coverage, pareto_parts_price_size, brand_item_neighbors,
 # theilsen_monthly_revenue, user_interarrival_stats,
-# customers_near_suppliers, ivm_join_view_maintenance; rows-only:
+# customers_near_suppliers, ivm_join_view_maintenance,
+# brand_target_encoding; rows-only:
 # part_kcore.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",

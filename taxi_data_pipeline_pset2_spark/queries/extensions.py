@@ -3136,3 +3136,62 @@ def ivm_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_month", "priority")
     )
+
+
+_TENC_ORACLE = """
+    WITH base AS (
+      SELECT p_brand AS cat, l_orderkey % 5 AS fold,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_extendedprice IS NOT NULL AND l_orderkey IS NOT NULL
+    ),
+    cf AS (
+      SELECT cat, CAST(fold AS BIGINT) AS fold,
+             CAST(count(*) AS BIGINT) AS cnt_cf,
+             sum(CAST(y AS DECIMAL(28,6))) AS sum_cf
+      FROM base GROUP BY 1, 2
+    ),
+    c AS (SELECT cat, CAST(sum(cnt_cf) AS BIGINT) AS cnt_c,
+                 sum(sum_cf) AS sum_c FROM cf GROUP BY 1),
+    f AS (SELECT fold, CAST(sum(cnt_cf) AS BIGINT) AS cnt_f,
+                 sum(sum_cf) AS sum_f FROM cf GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt_cf) AS BIGINT) AS cnt_t,
+                   sum(sum_cf) AS sum_t FROM cf)
+    SELECT cf.cat AS brand, cf.fold,
+           CAST(cnt_c - cnt_cf AS BIGINT) AS n_oof,
+           round(CAST(sum_t - sum_f AS DOUBLE)
+                 / CAST(cnt_t - cnt_f AS DOUBLE), 6) AS prior,
+           round((CAST(sum_c - sum_cf AS DOUBLE)
+                  + 20.0 * (CAST(sum_t - sum_f AS DOUBLE)
+                            / CAST(cnt_t - cnt_f AS DOUBLE)))
+                 / (CAST(cnt_c - cnt_cf AS DOUBLE) + 20.0), 6) AS encoding
+    FROM cf
+    JOIN c ON cf.cat IS NOT DISTINCT FROM c.cat
+    JOIN f ON cf.fold = f.fold
+    CROSS JOIN tot
+    ORDER BY brand, cf.fold
+"""
+
+
+@query("brand_target_encoding", oracle=_TENC_ORACLE, tags=("ml", "agg"))
+def brand_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding of brand -> mean line
+    price (operators/encoding.py target_encode_oof): each (brand, fold)
+    cell is encoded from the OTHER folds only, smoothed toward the
+    fold's out-of-fold global mean -- one (category, fold) aggregate,
+    derived margins broadcast back. Folds are l_orderkey % 5
+    (deterministic on both engines)."""
+    from taxi_data_pipeline_pset2_spark.operators.encoding import (
+        target_encode_oof,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    return target_encode_oof(base, "brand", "y", "fold", smoothing=20.0)

@@ -1,0 +1,126 @@
+"""Streaming heavy hitters with BOUNDED state: a Misra-Gries summary
+of capacity m maintained across micro-batches, merged per batch with
+the mergeable-summaries rule (Agarwal, Cormode et al., PODS 2012):
+
+    1. add the batch's EXACT counts into the carried summary,
+    2. find the (m+1)-th largest counter d,
+    3. subtract d from every counter and drop the non-positives.
+
+The result keeps <= m counters with the classic deterministic
+guarantee: every value with true frequency > N/(m+1) is IN the
+summary, and each kept estimate undercounts its true count by at most
+the accumulated deduction (tracked as ``max_undercount``) -- the
+bounded-state answer to "top sources/domains/tokens so far" over an
+unbounded key domain, where exact streaming counts would grow without
+limit. The batch complement is the two-phase exact heavy hitters
+(operators/frequency.py); this is what runs when the data never stops.
+
+State discipline (the streaming/incremental.py + streaming/drift.py
+contract): per batch, work is O(batch + m) -- one exact batch-sized
+aggregate, one outer join against the m-row summary, one (m+1)-th
+order statistic. The summary is persisted under a batch-id-keyed
+directory; a replayed batch recomputes from its predecessor's
+directory and overwrites byte-identical state, so at-least-once
+foreachBatch delivery keeps the summary exact. All counts are exact
+integers; ties at the deduction threshold resolve by (count desc,
+value asc), so state is deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STATE_SCHEMA = "value string, est bigint, max_undercount bigint"
+
+
+def mg_merge(
+    state: DataFrame, batch_counts: DataFrame, capacity: int
+) -> DataFrame:
+    """One Misra-Gries merge step: carried summary + exact batch counts
+    -> new summary of <= ``capacity`` rows. Both inputs schema
+    (value, est, max_undercount); batch counts enter with
+    max_undercount = 0."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    merged = (
+        state.unionByName(batch_counts)
+        .groupBy("value")
+        .agg(
+            F.sum("est").cast("bigint").alias("est"),
+            F.sum("max_undercount").cast("bigint").alias("max_undercount"),
+        )
+    )
+    # the (capacity+1)-th largest counter; 0 when <= capacity survive.
+    # The summary frame is <= capacity + batch-distinct rows: the sort
+    # is summary-sized, never stream-sized.
+    d_row = (
+        merged.orderBy(F.desc("est"), F.asc("value"))
+        .limit(capacity + 1)
+        .agg(
+            F.when(F.count("*") > capacity, F.min("est"))
+            .otherwise(F.lit(0))
+            .alias("d")
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(d_row))
+        .filter(F.col("est") > F.col("d"))
+        .select(
+            "value",
+            (F.col("est") - F.col("d")).cast("bigint").alias("est"),
+            (F.col("max_undercount") + F.col("d"))
+            .cast("bigint")
+            .alias("max_undercount"),
+        )
+    )
+
+
+def _state_dir(base: str, batch_id: int) -> str:
+    return os.path.join(base, f"state_batch={batch_id}")
+
+
+def read_topk_state(
+    spark: SparkSession, state_base: str, batch_id: int
+) -> DataFrame:
+    """The summary as of ``batch_id`` (empty frame for batch -1)."""
+    path = _state_dir(state_base, batch_id)
+    try:
+        return spark.read.schema(_STATE_SCHEMA).parquet(path)
+    except Exception:  # noqa: BLE001 - first batch: no predecessor state
+        return spark.createDataFrame([], _STATE_SCHEMA)
+
+
+def run_streaming_topk(
+    stream_df: DataFrame,
+    col: str,
+    state_base: str,
+    checkpoint_dir: str,
+    capacity: int = 64,
+):
+    """Start the monitor; returns the StreamingQuery. Each batch folds
+    its exact value counts into the carried summary and writes the new
+    summary under state_batch=<id> (overwrite -> replay-idempotent)."""
+    spark = stream_df.sparkSession
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = read_topk_state(spark, state_base, batch_id - 1)
+        counts = (
+            batch_df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("value"))
+            .agg(F.count("*").cast("bigint").alias("est"))
+            .withColumn("max_undercount", F.lit(0).cast("bigint"))
+        )
+        new_state = mg_merge(prev, counts, capacity)
+        new_state.write.mode("overwrite").parquet(
+            _state_dir(state_base, batch_id)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

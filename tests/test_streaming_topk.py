@@ -1,0 +1,163 @@
+"""Streaming Misra-Gries heavy hitters: merge step equals a python MG
+reference, the frequency guarantee holds, state stays bounded, replay
+rewrites identical state."""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import Counter
+
+import pytest
+
+from taxi_data_pipeline_pset2_spark.streaming.incremental import read_docs_stream
+from taxi_data_pipeline_pset2_spark.streaming.topk import (
+    mg_merge,
+    read_topk_state,
+    run_streaming_topk,
+)
+
+
+def _mg_reference(values, m):
+    """From-scratch Misra-Gries with batch folding = item-at-a-time MG
+    bounds; here we replicate the EXACT batch-merge rule the stream
+    uses: add exact counts, subtract the (m+1)-th largest, drop <= 0."""
+    state: dict[str, int] = {}
+    under: dict[str, int] = {}
+    for batch in values:
+        c = Counter(batch)
+        for v, n in c.items():
+            state[v] = state.get(v, 0) + n
+            under.setdefault(v, 0)
+        if len(state) > m:
+            d = sorted(state.values(), reverse=True)[m]
+        else:
+            d = 0
+        if d:
+            for v in list(state):
+                state[v] -= d
+                under[v] += d
+                if state[v] <= 0:
+                    del state[v]
+                    del under[v]
+    return state, under
+
+
+def _write_units(spark, base, batches):
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    t0 = time.time() - 100
+    n = 0
+    for i, rows in enumerate(batches):
+        unit = os.path.join(base, f"unit{i}")
+        spark.createDataFrame(
+            [(j, v) for j, v in enumerate(rows)], "event_id long, v string"
+        ).coalesce(1).write.mode("overwrite").parquet(unit)
+        for f in sorted(os.listdir(unit)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"part-{i:03d}.parquet")
+                os.rename(os.path.join(unit, f), dst)
+                os.utime(dst, (t0 + n, t0 + n))
+                n += 1
+    return flat
+
+
+def _batches():
+    return [
+        ["a"] * 30 + ["b"] * 10 + [f"x{i}" for i in range(20)],
+        ["a"] * 20 + ["c"] * 15 + [f"y{i}" for i in range(20)],
+        ["b"] * 25 + ["a"] * 5 + [f"z{i}" for i in range(10)],
+    ]
+
+
+class TestMgMerge:
+    def test_single_merge_matches_reference(self, spark):
+        state0 = spark.createDataFrame(
+            [], "value string, est bigint, max_undercount bigint"
+        )
+        batch = ["a"] * 5 + ["b"] * 3 + ["c", "d", "e"]
+        counts = (
+            spark.createDataFrame([(v,) for v in batch], "value string")
+            .groupBy("value")
+            .count()
+            .selectExpr(
+                "value",
+                "cast(count as bigint) as est",
+                "cast(0 as bigint) as max_undercount",
+            )
+        )
+        got = {
+            r.value: (r.est, r.max_undercount)
+            for r in mg_merge(state0, counts, 2).collect()
+        }
+        ref_state, ref_under = _mg_reference([batch], 2)
+        assert {v: c for v, (c, _) in got.items()} == ref_state
+        for v, (_, u) in got.items():
+            assert u == ref_under[v]
+
+    def test_capacity_validation(self, spark):
+        df = spark.createDataFrame(
+            [], "value string, est bigint, max_undercount bigint"
+        )
+        with pytest.raises(ValueError, match="capacity"):
+            mg_merge(df, df, 0)
+
+
+def test_stream_matches_reference_and_guarantee(spark, tmp_path):
+    batches = _batches()
+    flat = _write_units(spark, str(tmp_path / "ev"), batches)
+    state_base = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    m = 4
+
+    stream = read_docs_stream(spark, flat, max_files_per_trigger=1)
+    q = run_streaming_topk(stream, "v", state_base, ckpt, capacity=m)
+    q.awaitTermination(120)
+
+    final = {
+        r.value: (r.est, r.max_undercount)
+        for r in read_topk_state(spark, state_base, len(batches) - 1).collect()
+    }
+    ref_state, ref_under = _mg_reference(batches, m)
+    assert {v: c for v, (c, _) in final.items()} == ref_state
+    for v, (_, u) in final.items():
+        assert u == ref_under[v]
+    assert len(final) <= m  # bounded state
+
+    # the MG guarantee: anything with true freq > N/(m+1) is present,
+    # and est <= true <= est + max_undercount
+    truth = Counter(v for b in batches for v in b)
+    n_total = sum(truth.values())
+    for v, n in truth.items():
+        if n > n_total / (m + 1):
+            assert v in final, v
+    for v, (est, u) in final.items():
+        assert est <= truth[v] <= est + u, v
+
+
+def test_replay_rewrites_identical_state(spark, tmp_path):
+    batches = _batches()[:2]
+    flat = _write_units(spark, str(tmp_path / "ev"), batches)
+    state_base = str(tmp_path / "state")
+    m = 4
+
+    q = run_streaming_topk(
+        read_docs_stream(spark, flat, max_files_per_trigger=1),
+        "v", state_base, str(tmp_path / "ckpt1"), capacity=m,
+    )
+    q.awaitTermination(120)
+    first = sorted(
+        (r.value, r.est, r.max_undercount)
+        for r in read_topk_state(spark, state_base, 1).collect()
+    )
+    # wipe the CHECKPOINT (not the state) -> full at-least-once replay
+    q2 = run_streaming_topk(
+        read_docs_stream(spark, flat, max_files_per_trigger=1),
+        "v", state_base, str(tmp_path / "ckpt2"), capacity=m,
+    )
+    q2.awaitTermination(120)
+    second = sorted(
+        (r.value, r.est, r.max_undercount)
+        for r in read_topk_state(spark, state_base, 1).collect()
+    )
+    assert first == second
