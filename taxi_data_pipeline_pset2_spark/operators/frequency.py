@@ -90,3 +90,61 @@ def frequent_shingles(
         .withColumn("frac", F.round(F.col("n") / F.lit(n_docs), 6))
         .orderBy(F.desc("n"), F.asc("value"))
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-window distinct count per day -- rolling WAU:
+    (day, n_distinct) for every day in the data's span, where
+    n_distinct counts ids active in [day - window_days + 1, day].
+
+    A sliding DISTINCT cannot ride a window-function sum (distinct
+    doesn't decompose), and re-scanning the fact per day is quadratic.
+    The scalable shape: reduce to DISTINCT (id, day) pairs once, then
+    explode each pair to the ``window_days`` window-ends it serves
+    (a CONSTANT factor, the rangejoin.py explode discipline), dedup
+    (id, window_end) -- one id active on several days inside a window
+    must count once -- and hash-aggregate per window end. Work is
+    O(active-pairs x window), never O(days x corpus). Days with zero
+    activity report 0 via the generated day spine; window ends beyond
+    the data's last day are clipped."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    d = F.to_date(ts_col)
+    pairs = (
+        df.filter(d.isNotNull())
+        .select(F.col(id_col).alias("_id"), d.alias("_d"))
+        .distinct()
+    )
+    bounds = pairs.agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    served = (
+        pairs.select(
+            "_id",
+            F.explode(
+                F.sequence(
+                    F.col("_d"),
+                    F.date_add(F.col("_d"), window_days - 1),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("_n"))
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(_lo, _hi, interval 1 day)")).alias("day")
+    )
+    return (
+        spine.join(served, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("day")
+    )

@@ -288,3 +288,39 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
             6,
         ).alias("chi2_contrib"),
     ).orderBy("digit")
+
+
+def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One-row shuffle-key skew audit for a prospective join/aggregate
+    key: (n_rows, n_keys, max_key_rows, top1_share, p99_key_rows,
+    mean_key_rows, skew_ratio) -- the pre-flight check before keying a
+    100 TB shuffle (operators/skew.py holds the FIXES: salting,
+    bucketed joins; this measures whether they're needed). skew_ratio =
+    max key rows / mean key rows: ~1 uniform, >> 1 means the biggest
+    key's partition becomes the straggler task.
+
+    One hash aggregate to key-sized counts, then one key-sized
+    aggregate with an exact interpolating percentile -- nothing
+    row-sized leaves the first aggregate. NULL keys are a legitimate
+    (often the worst-offending) key. 6-dp rounding; exact integer
+    counts; matches a DuckDB twin bit-exactly."""
+    counts = df.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).agg(F.count("*").cast("bigint").alias("_c"))
+    return counts.agg(
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("_c").cast("bigint").alias("max_key_rows"),
+        F.round(
+            F.max("_c").cast("double") / F.sum("_c").cast("double"), 6
+        ).alias("top1_share"),
+        F.round(F.expr("percentile(_c, 0.99)"), 6).alias("p99_key_rows"),
+        F.round(
+            F.sum("_c").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_key_rows"),
+        F.round(
+            F.max("_c").cast("double")
+            / (F.sum("_c").cast("double") / F.count("*").cast("double")),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -3195,3 +3195,78 @@ def brand_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("y"),
     )
     return target_encode_oof(base, "brand", "y", "fold", smoothing=20.0)
+
+
+_SKEW_ORACLE = """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             AS top1_share,
+           round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
+           round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_key_rows,
+           round(CAST(max(c) AS DOUBLE)
+                 / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+             AS skew_ratio
+    FROM c
+"""
+
+
+@query("user_key_skew", oracle=_SKEW_ORACLE, tags=("profiling", "agg"))
+def user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit for events.user_id
+    (operators/profiling.py skew_report): the pre-flight measurement
+    that decides whether operators/skew.py's salting machinery is
+    needed before keying a shuffle on this column."""
+    from taxi_data_pipeline_pset2_spark.operators.profiling import (
+        skew_report,
+    )
+
+    return skew_report(t(spark, sf_dir, "events"), ["user_id"])
+
+
+_ROLLING_DISTINCT_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS id, CAST(ts AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL
+    ),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM pairs),
+    served AS (
+      SELECT DISTINCT id,
+             CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM pairs
+    ),
+    cnt AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+            FROM served GROUP BY day),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM b
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_distinct
+    FROM spine LEFT JOIN cnt USING (day)
+    ORDER BY day
+"""
+
+
+@query("rolling_7day_users", oracle=_ROLLING_DISTINCT_ORACLE, tags=("timeseries", "agg", "bench"))
+def rolling_7day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per day (operators/frequency
+    .py rolling_distinct): sliding DISTINCT doesn't decompose into
+    window sums, so each active (user, day) pair explodes to the
+    constant 7 window-ends it serves and dedups once -- O(pairs x 7),
+    never O(days x corpus)."""
+    from taxi_data_pipeline_pset2_spark.operators.frequency import (
+        rolling_distinct,
+    )
+
+    return rolling_distinct(
+        t(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )

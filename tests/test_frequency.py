@@ -45,3 +45,85 @@ def test_frequent_shingles_finds_planted_boilerplate(spark):
     assert out["all rights reserved"] == 0.5  # 100 of 200 docs
     # nothing from the unique tails sneaks in
     assert all(f >= 0.3 for f in out.values())
+
+
+class TestRollingDistinct:
+    @staticmethod
+    def _ref(pairs, w):
+        import datetime as dt
+
+        days = sorted({d for _, d in pairs})
+        lo, hi = days[0], days[-1]
+        out = {}
+        cur = lo
+        while cur <= hi:
+            out[cur.isoformat()] = len(
+                {u for u, d in pairs if cur - dt.timedelta(days=w - 1) <= d <= cur}
+            )
+            cur += dt.timedelta(days=1)
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        import datetime as dt
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.frequency import (
+            rolling_distinct,
+        )
+
+        rng = random.Random(21)
+        base = dt.date(2024, 3, 1)
+        pairs = [
+            (f"u{rng.randint(0, 8)}", base + dt.timedelta(days=rng.randint(0, 20)))
+            for _ in range(80)
+        ]
+        df = spark.createDataFrame(
+            [(u, dt.datetime.combine(d, dt.time(12, 0))) for u, d in pairs],
+            "user_id string, ts timestamp",
+        )
+        got = {
+            r.day: r.n_distinct
+            for r in rolling_distinct(df, "ts", "user_id", 7).collect()
+        }
+        assert got == self._ref(set(pairs), 7)
+
+    def test_gap_days_report_trailing_actives(self, spark):
+        import datetime as dt
+
+        from taxi_data_pipeline_pset2_spark.operators.frequency import (
+            rolling_distinct,
+        )
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1)),
+            ("b", dt.datetime(2024, 1, 1)),
+            ("a", dt.datetime(2024, 1, 10)),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        got = {
+            r.day: r.n_distinct
+            for r in rolling_distinct(df, "ts", "user_id", 3).collect()
+        }
+        assert got["2024-01-01"] == 2
+        assert got["2024-01-03"] == 2   # still inside the 3-day window
+        assert got["2024-01-04"] == 0   # window slid past day 1
+        assert got["2024-01-10"] == 1
+
+    def test_window_one_is_daily_distinct(self, spark):
+        import datetime as dt
+
+        from taxi_data_pipeline_pset2_spark.operators.frequency import (
+            rolling_distinct,
+        )
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1)),
+            ("a", dt.datetime(2024, 1, 1, 5)),
+            ("b", dt.datetime(2024, 1, 2)),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        got = {
+            r.day: r.n_distinct
+            for r in rolling_distinct(df, "ts", "user_id", 1).collect()
+        }
+        assert got == {"2024-01-01": 1, "2024-01-02": 1}

@@ -476,3 +476,20 @@ def test_ivm_deltas_broadcast(spark, sf_dir):
     plan = _plan(registry()["ivm_join_view_maintenance"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_rolling_distinct_constant_explode(spark, sf_dir):
+    """The sliding distinct must be the pair-explode shape: no
+    per-day rescan joins of the fact (only the spine left join), no
+    window functions, no Python."""
+    plan = _plan(registry()["rolling_7day_users"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the constant-width explode
+
+
+def test_skew_report_two_aggregates_no_join(spark, sf_dir):
+    plan = _plan(registry()["user_key_skew"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_" in plan  # map-side combine on the key counts

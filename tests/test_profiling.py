@@ -206,3 +206,30 @@ def test_source_profile_semantics(spark):
     assert (s2.n_docs, s2.n_unique, s2.dup_rate) == (1, 1, 0.0)
     assert s2.lang_entropy == 0.0  # monolingual source
     assert 0.0 <= s2.avg_quality <= 1.0
+
+
+class TestSkewReport:
+    def test_hand_built_skew(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.profiling import (
+            skew_report,
+        )
+
+        rows = [("hot",)] * 90 + [("a",)] * 5 + [("b",)] * 4 + [(None,)]
+        df = spark.createDataFrame(rows, "k string")
+        r = skew_report(df, ["k"]).collect()[0]
+        assert r.n_rows == 100 and r.n_keys == 4
+        assert r.max_key_rows == 90
+        assert r.top1_share == 0.9
+        assert r.mean_key_rows == 25.0
+        assert r.skew_ratio == 3.6  # 90 / 25
+        # NULL is a counted key (often the worst offender in practice)
+
+    def test_uniform_ratio_one(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.profiling import (
+            skew_report,
+        )
+
+        rows = [(f"k{i % 10}",) for i in range(100)]
+        df = spark.createDataFrame(rows, "k string")
+        r = skew_report(df, ["k"]).collect()[0]
+        assert r.skew_ratio == 1.0 and r.top1_share == 0.1
