@@ -13,8 +13,12 @@ y of everything sorted before it (anything earlier has x <= ours, so
 a >= y there dominates us).
 
 Shape at 100 TB: one distinct (hash shuffle) + one sort shuffle on
-(group, x, y) + a window -- linear, no self-join. Other orientations
-are the caller negating a column. Exact duplicates collapse first
+(group, x, y) + a window -- linear, no self-join; each group is one
+window partition (an ungrouped frontier over a corpus-sized DISTINCT
+point set would single-task -- pre-bucket x and take per-bucket
+frontiers first if that ever matters; frontiers compose). Other
+orientations are the caller negating a column. Exact duplicates
+collapse first
 (mutually non-dominating duplicates would otherwise make "frontier
 membership" order-dependent); output is the distinct frontier point
 set, deterministic under any partitioning, so it carries a full DuckDB

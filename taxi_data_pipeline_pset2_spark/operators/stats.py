@@ -650,10 +650,16 @@ def spearman_corr(
     and the only doubles are the final Pearson-on-ranks combination,
     one fixed expression rounded to 6 dp. Rows with a NULL in either
     column are excluded first (ranks are computed on the complete
-    pairs). Shape: two window passes per variable (rank + per-value tie
-    count over the same sort) = two sort shuffles on (group, value),
-    then one hash aggregate; NULL rho when n < 2 or either rank
-    variance is zero (all-tied column)."""
+    pairs).
+
+    100 TB shape: the doubled rank depends only on (group, value), so
+    it is computed per DISTINCT value -- a per-value count aggregate
+    plus a cumulative-offset window over the value-vocabulary-sized
+    frame (2*rows_below + ties + 1), hash-joined back to the rows.
+    Never a row-sort window: a 3-group fact table would otherwise sort
+    a third of the corpus in ONE task per group (the decile_lift /
+    quantile_normalize per-score-offset machinery). NULL rho when
+    n < 2 or either rank variance is zero (all-tied column)."""
     from pyspark.sql import Window
 
     keys = list(group_cols)
@@ -663,15 +669,24 @@ def spearman_corr(
         *keys, x.alias("_x"), y.alias("_y")
     )
 
-    def _rank2(col: str, out: str):
-        wr = Window.partitionBy(*keys).orderBy(F.col(col))
-        wt = Window.partitionBy(*keys, F.col(col))
-        return (
-            2 * F.rank().over(wr) + F.count("*").over(wt) - 1
-        ).cast("bigint").alias(out)
+    def _rank2_map(col: str, out: str) -> DataFrame:
+        """(keys..., col, out): doubled average rank per distinct value
+        = 2*(rows below) + ties + 1."""
+        per_v = base.groupBy(*keys, col).agg(
+            F.count("*").cast("bigint").alias("_c")
+        )
+        w_off = (
+            Window.partitionBy(*[F.col(c) for c in keys])
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        below = F.coalesce(F.sum("_c").over(w_off), F.lit(0).cast("bigint"))
+        return per_v.select(
+            *keys, col, (2 * below + F.col("_c") + 1).cast("bigint").alias(out)
+        )
 
-    ranked = base.select(
-        *keys, _rank2("_x", "_rx"), _rank2("_y", "_ry")
+    ranked = base.join(_rank2_map("_x", "_rx"), [*keys, "_x"]).join(
+        _rank2_map("_y", "_ry"), [*keys, "_y"]
     )
     agg = (ranked.groupBy(*keys) if keys else ranked.groupBy()).agg(
         F.count("*").cast("bigint").alias("n"),

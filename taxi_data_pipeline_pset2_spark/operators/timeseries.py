@@ -347,8 +347,11 @@ def acf(
     combination per lag, rounded to 6 dp. Shape: one sort shuffle on
     (group, t) + one group-sized aggregate + a max_lag-wide explode --
     max_lag is a constant, the series length never hits the driver.
-    Lags with no pairs (series shorter than k+1) or a zero-variance
-    series yield NULL acf."""
+    Each SERIES is one window partition (sequential by nature); scale
+    comes from many series -- an ungrouped call puts the whole frame in
+    one partition, so pre-aggregate to a bounded series first (the
+    catalog entry runs on daily buckets). Lags with no pairs (series
+    shorter than k+1) or a zero-variance series yield NULL acf."""
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     keys = list(group_cols or [])
@@ -434,7 +437,9 @@ def seasonal_decompose(
     (not re-centered: re-centering sums `period` doubles whose
     accumulation order the engine doesn't pin). Shape: one sort shuffle
     on (group, t) for the moving window, one phase-sized aggregate
-    broadcast back -- series length never hits the driver."""
+    broadcast back -- series length never hits the driver. As with
+    acf, one series = one window partition: pre-aggregate to a bounded
+    cadence (daily/hourly buckets) before decomposing."""
     if period < 3 or period % 2 == 0:
         raise ValueError(f"period must be odd >= 3, got {period}")
     keys = list(group_cols or [])

@@ -399,14 +399,17 @@ def test_triangles_equi_joins_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_spearman_two_sorts_one_aggregate(spark, sf_dir):
-    """Ranking is window work over (group, value) sorts; the Pearson
-    combination is one hash aggregate -- no join anywhere in the
-    plan."""
+def test_spearman_value_vocab_windows(spark, sf_dir):
+    """Ranks come from cumulative-offset windows over the DISTINCT
+    value frames (an aggregate feeds each window -- never a raw-row
+    sort window), hash-joined back; no nested loop anywhere."""
     plan = _plan(registry()["spearman_qty_price"].fn(spark, sf_dir))
-    assert "Join" not in plan
-    assert plan.count("Window") >= 2
-    assert "partial_" in plan  # map-side combine on the final aggregate
+    assert plan.count("Window") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # each window's input subtree must aggregate first (the per-value
+    # count): raw-row rank windows are banned
+    assert "partial_count" in plan
 
 
 def test_acf_single_window_pass(spark, sf_dir):
