@@ -89,6 +89,21 @@ AUDITED = [
     ("pagerank_supplier_customer", "edges partitioned once and "
      "persisted; per-round the node-sized rank frame broadcasts, "
      "dangling mass is an in-plan broadcast aggregate"),
+    ("part_triangle_stats", "degree-oriented wedge generation: three "
+     "node-keyed equi-joins + one explode/aggregate, no cartesian, "
+     "no Python"),
+    ("spearman_qty_price", "ranks from cumulative-offset windows over "
+     "the DISTINCT value frames (aggregate feeds each window), "
+     "hash-joined back -- never a raw-row sort window"),
+    ("user_event_coverage", "join-free sweep-line: one (key,start) "
+     "sort drives both windows, then two hash aggregates"),
+    ("customers_near_suppliers", "3x3 neighbor-cell equi-join with the "
+     "squared-distance residual; never BroadcastNestedLoop over the "
+     "point sets"),
+    ("ivm_join_view_maintenance", "both incremental joins broadcast "
+     "the delta side; refresh cost tracks the delta, not the view"),
+    ("rolling_7day_users", "constant-width window-end explode + dedup "
+     "+ hash aggregate; no per-day fact rescans, no window functions"),
 ]
 
 
