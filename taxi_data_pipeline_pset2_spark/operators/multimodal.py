@@ -202,3 +202,64 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.filter(F.col("media_type") == "video/mp4").mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def synth_png_header(
+    df: DataFrame, id_col: str, width, height, bit_depth: int = 8,
+    color_type: int = 6,
+) -> DataFrame:
+    """Attach a byte-correct PNG signature + IHDR chunk as a ``payload``
+    binary column (magic, length, 'IHDR', 4-byte big-endian dims,
+    depth, color type): the deterministic stand-in for real image
+    blobs that lets header parsing be tested end-to-end without media
+    libraries. ``width``/``height`` are Column expressions."""
+    hex_str = F.concat(
+        F.lit(_PNG_MAGIC_HEX),
+        F.lit("0000000D"),                       # IHDR length = 13
+        F.lit("49484452"),                       # 'IHDR'
+        F.lpad(F.hex(width.cast("bigint")), 8, "0"),
+        F.lpad(F.hex(height.cast("bigint")), 8, "0"),
+        F.lpad(F.hex(F.lit(int(bit_depth))), 2, "0"),
+        F.lpad(F.hex(F.lit(int(color_type))), 2, "0"),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"), F.unhex(hex_str).alias("payload")
+    )
+
+
+def parse_png_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata from raw PNG bytes with BUILT-IN expressions only
+    (substring/hex/conv on the binary column -- whole-stage codegen, no
+    Python, no decode library): adds
+
+      is_png     -- the 8-byte signature matches,
+      width / height -- IHDR big-endian dims (bytes 17-24),
+      bit_depth / color_type -- IHDR bytes 25-26,
+
+    NULL metadata for non-PNG or truncated payloads. THIS is the part
+    of the multimodal surface that is real at 100 TB -- container
+    headers route, filter and shard blobs (group by resolution, drop
+    sub-256px images) long before any pixel decode runs; only the
+    decode itself (operators/multimodal.py decode_stub) needs a media
+    library."""
+    p = F.col(payload_col)
+    is_png = (F.octet_length(p) >= 26) & (
+        F.hex(F.substring(p, 1, 8)) == F.lit(_PNG_MAGIC_HEX)
+    )
+
+    def be_int(pos: int, nbytes: int):
+        return F.conv(F.hex(F.substring(p, pos, nbytes)), 16, 10).cast(
+            "bigint"
+        )
+
+    return df.select(
+        "*",
+        is_png.alias("is_png"),
+        F.when(is_png, be_int(17, 4)).alias("width"),
+        F.when(is_png, be_int(21, 4)).alias("height"),
+        F.when(is_png, be_int(25, 1)).cast("int").alias("bit_depth"),
+        F.when(is_png, be_int(26, 1)).cast("int").alias("color_type"),
+    )

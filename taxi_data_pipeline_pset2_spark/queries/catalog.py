@@ -116,7 +116,8 @@ def query(
 # user_event_coverage, pareto_parts_price_size, brand_item_neighbors,
 # theilsen_monthly_revenue, user_interarrival_stats,
 # customers_near_suppliers, ivm_join_view_maintenance,
-# brand_target_encoding, user_key_skew, rolling_7day_users; rows-only:
+# brand_target_encoding, user_key_skew, rolling_7day_users,
+# multimodal_png_dims; rows-only:
 # part_kcore.
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",

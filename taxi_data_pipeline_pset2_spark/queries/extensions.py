@@ -3270,3 +3270,47 @@ def rolling_7day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_distinct(
         t(spark, sf_dir, "events"), "ts", "user_id", window_days=7
     )
+
+
+_PNG_ORACLE = """
+    SELECT doc_id AS media_id,
+           TRUE AS is_png,
+           CAST(16 + (doc_id * 7) % 1024 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 13) % 768 AS BIGINT) AS height,
+           8 AS bit_depth, 6 AS color_type
+    FROM documents
+    ORDER BY media_id
+"""
+
+
+@query("multimodal_png_dims", oracle=_PNG_ORACLE, tags=("multimodal",))
+def multimodal_png_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG header metadata parsed from raw binary payloads
+    (operators/multimodal.py parse_png_header): byte-correct signature
+    + IHDR headers are synthesized per document with planted dims, and
+    the parser must recover them through the real binary path
+    (substring/hex/conv on a binary column, codegen-only). The oracle
+    computes the PLANTED dims directly from doc_id -- proving the
+    synthesize->bytes->parse round trip is exact. Header-level typed
+    metadata is the multimodal operation that is real at 100 TB;
+    only pixel decode is stubbed (decode_stub)."""
+    from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+        parse_png_header,
+        synth_png_header,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    media = synth_png_header(
+        docs,
+        "doc_id",
+        16 + (F.col("doc_id") * 7) % 1024,
+        16 + (F.col("doc_id") * 13) % 768,
+    )
+    return (
+        parse_png_header(media)
+        .select(
+            "media_id", "is_png", "width", "height", "bit_depth",
+            "color_type",
+        )
+        .orderBy("media_id")
+    )

@@ -84,3 +84,72 @@ def test_sample_frames_explodes_videos_only(spark, sf_smoke_dir):
     # deterministic: re-running yields identical frame hashes
     again = {(r.media_id, r.frame_idx): r.frame_sha for r in sample_frames(media, 4).collect()}
     assert {(r.media_id, r.frame_idx): r.frame_sha for r in rows} == again
+
+
+class TestPngHeader:
+    def test_parses_real_png_header_bytes(self, spark):
+        import struct
+
+        from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+            parse_png_header,
+        )
+
+        def png_hdr(w, h, depth=8, ctype=2):
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13)
+                + b"IHDR"
+                + struct.pack(">II", w, h)
+                + bytes([depth, ctype])
+            )
+
+        rows = [
+            (1, png_hdr(640, 480)),
+            (2, png_hdr(4096, 2160, depth=16, ctype=6)),
+            (3, b"RIFFxxxxWAVE"),          # not a PNG
+            (4, b"\x89PNG\r\n\x1a\n"),     # truncated: magic only
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in parse_png_header(df).collect()}
+        assert got[1].is_png and (got[1].width, got[1].height) == (640, 480)
+        assert got[1].bit_depth == 8 and got[1].color_type == 2
+        assert got[2].width == 4096 and got[2].bit_depth == 16
+        assert got[3].is_png is False and got[3].width is None
+        assert got[4].is_png is False  # truncated fails the length gate
+
+    def test_synth_roundtrip_matches_planted(self, spark):
+        from pyspark.sql import functions as F
+
+        from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+            parse_png_header,
+            synth_png_header,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        media = synth_png_header(
+            df, "doc_id", 16 + (F.col("doc_id") * 7) % 1024,
+            16 + (F.col("doc_id") * 13) % 768,
+        )
+        for r in parse_png_header(media).collect():
+            assert r.is_png
+            assert r.width == 16 + (r.media_id * 7) % 1024
+            assert r.height == 16 + (r.media_id * 13) % 768
+
+    def test_no_python_in_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+            parse_png_header,
+            synth_png_header,
+        )
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        media = synth_png_header(df, "doc_id", F.lit(32), F.lit(32))
+        plan = (
+            parse_png_header(media)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
