@@ -101,3 +101,55 @@ def funnel_summary(
     return spark.createDataFrame(
         rows, "stage int, users bigint, conversion_from_start double"
     )
+
+
+def funnel_step_timings(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    within_minutes: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inter-step latency distribution of the funnel: one row per
+    transition (step i-1 -> i) with (step, transition, n_users,
+    median_s, p90_s, mean_s) in whole seconds -- the "WHERE do users
+    stall" companion to funnel_summary's "how many make it". Only
+    users who completed the transition contribute; transitions nobody
+    completed report n_users = 0 with NULL latencies.
+
+    Same single-aggregate shape as funnel_stages (this composes it):
+    the per-user stage times explode to a CONSTANT k-1 transition rows,
+    then one transition-keyed aggregate. Gaps are exact integer seconds
+    (per-timestamp truncation, so both engines subtract identical
+    integers); medians/p90s are exact interpolating percentiles
+    (quantile_cont semantics); the mean divides an exact BIGINT sum.
+    """
+    stages = funnel_stages(
+        events, steps, within_minutes, user_col, type_col, ts_col
+    )
+    rows = []
+    for i in range(1, len(steps)):
+        gap = F.unix_timestamp(f"t_{i}") - F.unix_timestamp(f"t_{i - 1}")
+        rows.append(
+            F.struct(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(f"{steps[i - 1]}->{steps[i]}").alias("transition"),
+                gap.cast("bigint").alias("gap"),
+            )
+        )
+    exploded = stages.select(F.explode(F.array(*rows)).alias("_t")).select(
+        "_t.step", "_t.transition", "_t.gap"
+    )
+    return (
+        exploded.groupBy("step", "transition")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_users"),
+            F.round(F.expr("percentile(gap, 0.5)"), 6).alias("median_s"),
+            F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_s"),
+            F.round(
+                F.sum("gap").cast("double") / F.count("gap"), 6
+            ).alias("mean_s"),
+        )
+        .orderBy("step")
+    )

@@ -168,3 +168,55 @@ def scd2_apply_snapshot(
         .unionByName(close.select(*cols))
         .unionByName(opened.select(*cols))
     )
+
+
+def infer_members(
+    dim: DataFrame,
+    facts: DataFrame,
+    dim_key: str,
+    fact_key: str,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Late-arriving-dimension handling (Kimball's "inferred members"):
+    fact keys with no dimension row yet get a placeholder member so the
+    fact load never drops or orphans rows -- the dim row is fleshed out
+    when the real attributes arrive (an SCD update against the same
+    key). Returns the dimension plus placeholders, with an
+    ``is_inferred`` flag; every attribute not in ``defaults`` is NULL
+    on placeholders.
+
+    The companion to quality.py's relationships test: that test FINDS
+    orphaned fact keys, this repairs the referential break the standard
+    warehouse way (contrast dim_zone's single static 'Unknown' member
+    -- U2 -- which collapses all strays into one row; inferred members
+    keep per-key identity so facts re-join correctly after backfill).
+
+    Shape: one distinct on the fact key (the only fact-sized work) +
+    one left-anti join against the dim (broadcast when the dim is
+    dim-sized); the union appends placeholder-count rows. NULL fact
+    keys are not members (the reference's COALESCE(sk, 0) default-row
+    convention covers those)."""
+    defaults = defaults or {}
+    unknown = set(defaults) - set(dim.columns)
+    if unknown:
+        raise ValueError(f"defaults for non-dim columns: {sorted(unknown)}")
+    missing = (
+        facts.filter(F.col(fact_key).isNotNull())
+        .select(F.col(fact_key).alias(dim_key))
+        .distinct()
+        .join(dim, dim_key, "left_anti")
+    )
+    placeholders = missing.select(
+        dim_key,
+        *[
+            (F.lit(defaults[c]) if c in defaults else F.lit(None))
+            .cast(dim.schema[c].dataType)
+            .alias(c)
+            for c in dim.columns
+            if c != dim_key
+        ],
+        F.lit(True).alias("is_inferred"),
+    )
+    return dim.withColumn("is_inferred", F.lit(False)).unionByName(
+        placeholders
+    )

@@ -3314,3 +3314,43 @@ def multimodal_png_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+_INFER_ORACLE = """
+    WITH dim AS (
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer WHERE c_custkey % 10 != 0
+    ),
+    missing AS (
+      SELECT DISTINCT o_custkey AS c_custkey
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM dim)
+    )
+    SELECT c_custkey, c_name, c_mktsegment, FALSE AS is_inferred FROM dim
+    UNION ALL
+    SELECT c_custkey, NULL, 'UNKNOWN', TRUE FROM missing
+    ORDER BY c_custkey
+"""
+
+
+@query("inferred_dim_members", oracle=_INFER_ORACLE, tags=("dim", "join"))
+def inferred_dim_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension repair (plans/scd.py infer_members):
+    every tenth customer is withheld from the dimension; orders
+    referencing the withheld keys get per-key placeholder members
+    (segment defaulted, name NULL) so the fact load keeps referential
+    integrity until the real attributes backfill -- Kimball's inferred
+    members, the per-key upgrade of dim_zone's single 'Unknown' row."""
+    from taxi_data_pipeline_pset2_spark.plans.scd import infer_members
+
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 != 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    facts = t(spark, sf_dir, "orders").select("o_custkey")
+    return infer_members(
+        dim, facts, "c_custkey", "o_custkey",
+        defaults={"c_mktsegment": "UNKNOWN"},
+    ).orderBy("c_custkey")

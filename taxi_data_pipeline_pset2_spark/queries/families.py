@@ -612,3 +612,51 @@ def phonetic_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phonetic_pairs(cust, "c_name", "c_custkey", max_distance=2).orderBy(
         "id_a", "id_b"
     )
+
+
+_FUNNEL_TIMING_ORACLE = """
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT s0.user_id, s0.t0, min(e.ts) AS t1 FROM s0
+           JOIN events e ON e.user_id = s0.user_id
+            AND e.event_type = 'click' AND e.ts > s0.t0
+           GROUP BY s0.user_id, s0.t0),
+    s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2 FROM s1
+           JOIN events e ON e.user_id = s1.user_id
+            AND e.event_type = 'purchase' AND e.ts > s1.t1
+           GROUP BY s1.user_id, s1.t1),
+    g1 AS (SELECT CAST(epoch_ms(t1) // 1000 - epoch_ms(t0) // 1000
+                       AS BIGINT) AS gap FROM s1),
+    g2 AS (SELECT CAST(epoch_ms(t2) // 1000 - epoch_ms(t1) // 1000
+                       AS BIGINT) AS gap FROM s2)
+    SELECT 1 AS step, 'view->click' AS transition,
+           CAST(count(gap) AS BIGINT) AS n_users,
+           round(quantile_cont(gap, 0.5), 6) AS median_s,
+           round(quantile_cont(gap, 0.9), 6) AS p90_s,
+           round(CAST(sum(gap) AS DOUBLE) / count(gap), 6) AS mean_s
+    FROM g1
+    UNION ALL
+    SELECT 2, 'click->purchase',
+           CAST(count(gap) AS BIGINT),
+           round(quantile_cont(gap, 0.5), 6),
+           round(quantile_cont(gap, 0.9), 6),
+           round(CAST(sum(gap) AS DOUBLE) / count(gap), 6)
+    FROM g2
+    ORDER BY step
+"""
+
+
+@query("funnel_step_timings", oracle=_FUNNEL_TIMING_ORACLE, tags=("funnel", "agg"))
+def funnel_step_timings_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-step latency of the view -> click -> purchase funnel
+    (operators/funnel.py funnel_step_timings): median/p90/mean seconds
+    per transition from the same single-aggregate stage times --
+    "where do users stall", next to funnel_conversion's "how many
+    make it"."""
+    from taxi_data_pipeline_pset2_spark.operators.funnel import (
+        funnel_step_timings,
+    )
+
+    return funnel_step_timings(
+        t(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )

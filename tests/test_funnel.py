@@ -89,3 +89,57 @@ def test_funnel_summary_counts(spark, sf_dir):
     assert s0 >= s1 >= s2 > 0
     assert summary[0][1] == 1.0
     assert summary[2][1] == round(s2 / s0, 6)
+
+
+class TestFunnelStepTimings:
+    def test_hand_built_latencies(self, spark):
+        import datetime as dt
+
+        from taxi_data_pipeline_pset2_spark.operators.funnel import (
+            funnel_step_timings,
+        )
+
+        b = dt.datetime(2024, 1, 1)
+
+        def ev(u, t, mins):
+            return (u, t, b + dt.timedelta(minutes=mins))
+
+        rows = [
+            # u1: view@0 click@10 purchase@40  -> gaps 600, 1800
+            ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 40),
+            # u2: view@0 click@30 (no purchase) -> gap 1800
+            ev(2, "view", 0), ev(2, "click", 30),
+            # u3: click before view: click never counts
+            ev(3, "click", 0), ev(3, "view", 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r.step: r
+            for r in funnel_step_timings(
+                df, ("view", "click", "purchase")
+            ).collect()
+        }
+        assert got[1].n_users == 2
+        assert got[1].median_s == 1200.0  # interpolated between 600, 1800
+        assert got[1].mean_s == 1200.0
+        assert got[1].transition == "view->click"
+        assert got[2].n_users == 1 and got[2].median_s == 1800.0
+
+    def test_uncompleted_transition_reports_zero(self, spark):
+        import datetime as dt
+
+        from taxi_data_pipeline_pset2_spark.operators.funnel import (
+            funnel_step_timings,
+        )
+
+        rows = [(1, "view", dt.datetime(2024, 1, 1))]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r.step: r
+            for r in funnel_step_timings(df, ("view", "click")).collect()
+        }
+        assert got[1].n_users == 0 and got[1].median_s is None

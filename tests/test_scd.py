@@ -164,3 +164,60 @@ def test_apply_snapshot_chain_equals_rebuild(spark):
     hist2 = scd2_apply_snapshot(hist, extra, ["k"], ["attr"], "2024-04-01")
     k2 = [r for r in hist2.collect() if r.k == 2 and r.is_current]
     assert len(k2) == 1 and k2[0].attr is None
+
+
+class TestInferMembers:
+    def test_placeholders_and_flags(self, spark):
+        from taxi_data_pipeline_pset2_spark.plans.scd import infer_members
+
+        dim = spark.createDataFrame(
+            [(1, "Alice", "A"), (2, "Bob", "B")], "k long, name string, seg string"
+        )
+        facts = spark.createDataFrame(
+            [(1,), (3,), (3,), (4,), (None,)], "fk long"
+        )
+        out = infer_members(
+            dim, facts, "k", "fk", defaults={"seg": "UNK"}
+        ).collect()
+        by = {r.k: r for r in out}
+        assert set(by) == {1, 2, 3, 4}  # NULL fact key is not a member
+        assert by[1].is_inferred is False and by[1].name == "Alice"
+        assert by[3].is_inferred is True and by[3].name is None
+        assert by[3].seg == "UNK" and by[4].seg == "UNK"
+
+    def test_no_missing_keys_is_identity_plus_flag(self, spark):
+        from taxi_data_pipeline_pset2_spark.plans.scd import infer_members
+
+        dim = spark.createDataFrame([(1, "x")], "k long, v string")
+        facts = spark.createDataFrame([(1,)], "fk long")
+        out = infer_members(dim, facts, "k", "fk").collect()
+        assert len(out) == 1 and out[0].is_inferred is False
+
+    def test_unknown_default_column_rejected(self, spark):
+        import pytest as _pytest
+
+        from taxi_data_pipeline_pset2_spark.plans.scd import infer_members
+
+        dim = spark.createDataFrame([(1, "x")], "k long, v string")
+        with _pytest.raises(ValueError, match="non-dim"):
+            infer_members(dim, dim, "k", "k", defaults={"nope": 1})
+
+    def test_backfill_update_replaces_placeholder(self, spark):
+        """The lifecycle claim: once real attributes arrive, an SCD
+        apply against the same key supersedes the placeholder."""
+        from taxi_data_pipeline_pset2_spark.plans.scd import infer_members
+
+        dim = spark.createDataFrame([(1, "Alice")], "k long, name string")
+        facts = spark.createDataFrame([(2,)], "fk long")
+        with_ph = infer_members(dim, facts, "k", "fk")
+        arrived = spark.createDataFrame([(2, "Carol")], "k long, name string")
+        repaired = (
+            with_ph.join(arrived.withColumnRenamed("name", "_n"), "k", "left")
+            .select(
+                "k",
+                F.coalesce("_n", "name").alias("name"),
+                (F.col("is_inferred") & F.col("_n").isNull()).alias("is_inferred"),
+            )
+        )
+        by = {r.k: r for r in repaired.collect()}
+        assert by[2].name == "Carol" and by[2].is_inferred is False
