@@ -130,3 +130,51 @@ def cms_point_estimates(
         )
         .orderBy("value")
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimate from two sketches built with the
+    SAME (width, depth) over the two join keys: one row
+    (est_join_size) = min over hash rows of the cell-wise inner
+    product sum_b a[r,b] * b[r,b] (Cormode & Muthukrishnan 2005, 4.2;
+    the AGMS-style estimator CM sketches inherit). Upper-biased like
+    the point estimate: colliding keys only ADD, so
+    true <= est <= true + (Na * Nb) / width per row, and the min over
+    depth independent rows tightens it.
+
+    The planner-adjacent use: |A JOIN B| for a 100 TB pair costs two
+    fixed-size sketches (one scan each, mergeable across partitions /
+    days) instead of running the join -- size a shuffle, pick a
+    broadcast side, or veto a runaway join before executing it.
+    Shape: one (row, bucket) equi-join of two <= depth*width-row
+    frames + one depth-row aggregate; exact integer products
+    (DECIMAL(38,0) sums), so the DuckDB twin reproduces the estimate
+    bit-exactly."""
+    prods = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.row").alias("row"),
+            (F.col("a.c") * F.col("b.c")).cast("decimal(38,0)").alias("_p"),
+        )
+        .groupBy("row")
+        .agg(F.sum("_p").alias("_ip"))
+    )
+    # rows with NO overlapping non-empty cells have inner product 0 --
+    # they must participate in the min, so seed all depth rows
+    spark = sketch_a.sparkSession
+    all_rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    return (
+        all_rows.join(prods, "row", "left")
+        .agg(
+            F.min(F.coalesce(F.col("_ip"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_join_size")
+        )
+    )

@@ -117,7 +117,8 @@ def query(
 # theilsen_monthly_revenue, user_interarrival_stats,
 # customers_near_suppliers, ivm_join_view_maintenance,
 # brand_target_encoding, user_key_skew, rolling_7day_users,
-# multimodal_png_dims, funnel_step_timings, inferred_dim_members;
+# multimodal_png_dims, funnel_step_timings, inferred_dim_members,
+# cms_join_size_estimate;
 # rows-only:
 # part_kcore.
 _WINDOW: tuple[str, ...] = (

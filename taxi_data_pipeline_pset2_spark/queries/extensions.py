@@ -3354,3 +3354,50 @@ def inferred_dim_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, facts, "c_custkey", "o_custkey",
         defaults={"c_mktsegment": "UNKNOWN"},
     ).orderBy("c_custkey")
+
+
+_CMS_JOIN_ORACLE = """
+    WITH d(j) AS (VALUES (0), (1), (2), (3)),
+    av AS (SELECT CAST(o_orderkey AS VARCHAR) AS v, count(*) AS c
+           FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+    bv AS (SELECT CAST(l_orderkey AS VARCHAR) AS v, count(*) AS c
+           FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+    sa AS (SELECT j AS row,
+                  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v),
+                                      1, 8) AS BIGINT) % 65536 AS bucket,
+                  CAST(sum(c) AS BIGINT) AS c
+           FROM av, d GROUP BY 1, 2),
+    sb AS (SELECT j AS row,
+                  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v),
+                                      1, 8) AS BIGINT) % 65536 AS bucket,
+                  CAST(sum(c) AS BIGINT) AS c
+           FROM bv, d GROUP BY 1, 2),
+    ip AS (SELECT sa.row,
+                  sum(CAST(sa.c * sb.c AS DECIMAL(38,0))) AS p
+           FROM sa JOIN sb ON sa.row = sb.row AND sa.bucket = sb.bucket
+           GROUP BY sa.row)
+    SELECT CAST(min(coalesce(p, 0)) AS BIGINT) AS est_join_size
+    FROM d LEFT JOIN ip ON ip.row = d.j
+"""
+
+
+@query("cms_join_size_estimate", oracle=_CMS_JOIN_ORACLE, tags=("sketch", "agg"))
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|orders JOIN lineitem| estimated from two count-min sketches
+    (operators/cms.py cms_join_size): the sketch inner-product
+    estimator -- join cardinality for shuffle sizing WITHOUT running
+    the join; two fixed-size sketches, one (row, bucket) equi-join.
+    The engine-portable hashing means the oracle rebuilds both
+    sketches and lands on the bit-identical estimate."""
+    from taxi_data_pipeline_pset2_spark.operators.cms import (
+        cms_join_size,
+        cms_sketch,
+    )
+
+    sa = cms_sketch(
+        t(spark, sf_dir, "orders"), "o_orderkey", width=65536, depth=4
+    )
+    sb = cms_sketch(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", width=65536, depth=4
+    )
+    return cms_join_size(sa, sb, depth=4)

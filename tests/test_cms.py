@@ -74,3 +74,58 @@ class TestCms:
             cms_sketch(zipf_df, "k", width=1)
         with pytest.raises(ValueError):
             cms_merge()
+
+
+class TestCmsJoinSize:
+    def test_upper_biased_and_bounded(self, spark):
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.cms import (
+            cms_join_size,
+            cms_sketch,
+        )
+
+        rng = random.Random(4)
+        a_keys = [rng.randint(0, 200) for _ in range(800)]
+        b_keys = [rng.randint(0, 200) for _ in range(500)]
+        a = spark.createDataFrame([(k,) for k in a_keys], "k long")
+        b = spark.createDataFrame([(k,) for k in b_keys], "k long")
+        width, depth = 1024, 4
+        est = cms_join_size(
+            cms_sketch(a, "k", width, depth),
+            cms_sketch(b, "k", width, depth),
+            depth,
+        ).collect()[0].est_join_size
+        from collections import Counter
+
+        ca, cb = Counter(a_keys), Counter(b_keys)
+        true = sum(ca[k] * cb[k] for k in ca)
+        assert est >= true  # one-sided
+        assert est <= true + len(a_keys) * len(b_keys) / width
+
+    def test_disjoint_keys_estimate_near_zero(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.cms import (
+            cms_join_size,
+            cms_sketch,
+        )
+
+        a = spark.createDataFrame([(i,) for i in range(50)], "k long")
+        b = spark.createDataFrame([(i + 1000,) for i in range(50)], "k long")
+        est = cms_join_size(
+            cms_sketch(a, "k", 2048, 4), cms_sketch(b, "k", 2048, 4), 4
+        ).collect()[0].est_join_size
+        # true join size 0; collisions may add a little, min-row damps it
+        assert est <= 5
+
+    def test_exact_on_collision_free_sketch(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.cms import (
+            cms_join_size,
+            cms_sketch,
+        )
+
+        a = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+        b = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+        est = cms_join_size(
+            cms_sketch(a, "k", 4096, 4), cms_sketch(b, "k", 4096, 4), 4
+        ).collect()[0].est_join_size
+        assert est == 2 * 1 + 1 * 2  # 3 keys in 4096 buckets: no collision
