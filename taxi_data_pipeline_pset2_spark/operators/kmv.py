@@ -1,0 +1,117 @@
+"""KMV (k-minimum-values) distinct-value sketches with set operations
+(Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007 -- the theta-sketch
+family's simplest member): keep the k smallest hash values of a
+column's DISTINCT values; the k-th minimum estimates the distinct
+count, and because two sketches over the same hash are coordinated
+samples, union/intersection/Jaccard estimates come from comparing
+them -- the set-operation power HLL lacks (HLL unions well but cannot
+intersect without inclusion-exclusion error blowup).
+
+Estimators (hash space M = 2^32, h_(k) = k-th smallest):
+
+    distinct(A)        ~= (k - 1) * M / h_(k)
+    union: KMV(A u B)   = k smallest of merged sketches (exact rule)
+    jaccard rho        ~= |union's k smallest present in BOTH| / k
+    intersection       ~= rho * distinct(A u B)
+
+Scale shape: per set, one DISTINCT + one TakeOrdered(k) -- the sketch
+is k rows regardless of cardinality, mergeable by union + re-take.
+Determinism: the hash is the house engine-portable md5 construction,
+so a DuckDB twin rebuilds every sketch and estimate bit-exactly (no
+randomness, no RNG seeds) -- unlike HLL/KLL whose internals are
+engine-private, KMV is oracle-able end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M = float(2**32)
+
+
+def _h(col):
+    """Uniform hash of a value into [0, 2^32): first 8 md5 hex digits."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct hash values of ``col``: one-column frame
+    (h), <= k rows (fewer when the column has < k distinct values).
+    NULLs are excluded."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(_h(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """(n_kept, est_distinct): (k-1) * M / h_(k) when the sketch is
+    full; EXACT count when fewer than k distinct values exist (the
+    sketch then holds every one)."""
+    agg = sketch.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("_hk"),
+    )
+    return agg.select(
+        "n_kept",
+        F.round(
+            F.when(
+                F.col("n_kept") >= k,
+                (F.lit(float(k - 1)) * F.lit(_M)) / F.col("_hk").cast("double"),
+            ).otherwise(F.col("n_kept").cast("double")),
+            6,
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_set_estimates(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """One row of coordinated-sample set estimates:
+    (est_a, est_b, est_union, jaccard, est_intersection). Both
+    sketches must share the same k and hash."""
+    union_k = (
+        sketch_a.unionByName(sketch_b).distinct().orderBy("h").limit(k)
+    ).localCheckpoint(eager=True)
+    # rho = fraction of the union's k smallest present in BOTH sketches;
+    # the count is <= k rows -- bounded driver traffic
+    both = (
+        union_k.join(sketch_a, "h", "left_semi")
+        .join(sketch_b, "h", "left_semi")
+        .count()
+    )
+    est_a = kmv_distinct_estimate(sketch_a, k).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    est_b = kmv_distinct_estimate(sketch_b, k).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    est_u = kmv_distinct_estimate(union_k, k).select(
+        F.col("est_distinct").alias("est_union"),
+        F.col("n_kept").alias("_nu"),
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.lit(both) / F.col("_nu").cast("double"), 6).alias(
+                "jaccard"
+            ),
+            F.round(
+                (F.lit(both) / F.col("_nu").cast("double"))
+                * F.col("est_union"),
+                6,
+            ).alias("est_intersection"),
+        )
+    )

@@ -3401,3 +3401,72 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem"), "l_orderkey", width=65536, depth=4
     )
     return cms_join_size(sa, sb, depth=4)
+
+
+_KMV_K = 256
+_KMV_ORACLE = f"""
+    WITH ha AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                          1, 8) AS BIGINT) AS h
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND extract(year FROM o_orderdate) = 1997
+    ),
+    hb AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                          1, 8) AS BIGINT) AS h
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND extract(year FROM o_orderdate) = 1998
+    ),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+            ORDER BY h LIMIT {_KMV_K}),
+    ea AS (SELECT count(*) AS nk, max(h) AS hk FROM ska),
+    eb AS (SELECT count(*) AS nk, max(h) AS hk FROM skb),
+    eu AS (SELECT count(*) AS nk, max(h) AS hk FROM sku),
+    bo AS (SELECT count(*) AS c FROM sku
+           WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+    SELECT
+      round(CASE WHEN ea.nk >= {_KMV_K}
+            THEN ({_KMV_K - 1}.0 * 4294967296.0) / CAST(ea.hk AS DOUBLE)
+            ELSE CAST(ea.nk AS DOUBLE) END, 6) AS est_a,
+      round(CASE WHEN eb.nk >= {_KMV_K}
+            THEN ({_KMV_K - 1}.0 * 4294967296.0) / CAST(eb.hk AS DOUBLE)
+            ELSE CAST(eb.nk AS DOUBLE) END, 6) AS est_b,
+      round(CASE WHEN eu.nk >= {_KMV_K}
+            THEN ({_KMV_K - 1}.0 * 4294967296.0) / CAST(eu.hk AS DOUBLE)
+            ELSE CAST(eu.nk AS DOUBLE) END, 6) AS est_union,
+      round(bo.c / CAST(eu.nk AS DOUBLE), 6) AS jaccard,
+      round((bo.c / CAST(eu.nk AS DOUBLE))
+            * round(CASE WHEN eu.nk >= {_KMV_K}
+                    THEN ({_KMV_K - 1}.0 * 4294967296.0)
+                         / CAST(eu.hk AS DOUBLE)
+                    ELSE CAST(eu.nk AS DOUBLE) END, 6), 6)
+        AS est_intersection
+    FROM ea, eb, eu, bo
+"""
+
+
+@query("kmv_customer_overlap", oracle=_KMV_ORACLE, tags=("sketch", "agg"))
+def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer overlap between the 1997 and 1998 order
+    cohorts from two 256-row KMV sketches (operators/kmv.py):
+    coordinated-sample union/Jaccard/intersection estimates -- the set
+    operations HLL cannot answer -- at k rows per side regardless of
+    cardinality. Deterministic portable hashing: the oracle rebuilds
+    both sketches and every estimate bit-exactly."""
+    from taxi_data_pipeline_pset2_spark.operators.kmv import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1997)
+    b = o.filter(F.year("o_orderdate") == 1998)
+    return kmv_set_estimates(
+        kmv_sketch(a, "o_custkey", _KMV_K),
+        kmv_sketch(b, "o_custkey", _KMV_K),
+        _KMV_K,
+    )
