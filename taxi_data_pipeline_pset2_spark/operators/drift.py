@@ -202,3 +202,80 @@ def psi_numeric(
         )
 
     return psi_categorical(assign(expected), assign(actual), "_bin", smoothing)
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group:
+    (group_cols..., n_a, n_b, ks_d, ks_lambda) comparing the value
+    distribution where ``flag_col`` is true (sample A) vs false
+    (sample B). The BINNING-FREE distribution comparison next to
+    psi_numeric (whose quantile bins can hide shape changes inside a
+    bin): D = max over pooled jump points of |F_A(x) - F_B(x)|;
+    ks_lambda = D * sqrt(n_a*n_b/(n_a+n_b)) is the scale-free effect
+    size (asymptotic alpha=0.05 rejects around lambda > 1.36 -- the
+    full Smirnov series is left to the caller's lookup, keeping the
+    output engine-exact).
+
+    Step CDFs only move at observed values, so evaluating at the
+    pooled DISTINCT values is exact -- and that is also the scale
+    shape: one (group, value) hash aggregate with per-sample counts,
+    one cumulative window over the value-vocabulary-sized frame (the
+    spearman_corr discipline -- never a raw-row sort), one max
+    aggregate. Counts are exact integers; the CDF quotients are fixed
+    double expressions; NULL values and NULL flags drop; a group with
+    an empty side yields NULL D."""
+    keys = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    flag = F.col(flag_col).cast("boolean")
+    base = df.filter(v.isNotNull() & flag.isNotNull()).select(
+        *keys, v.alias("_v"), flag.alias("_f")
+    )
+    per_v = base.groupBy(*keys, "_v").agg(
+        F.count(F.when(F.col("_f"), F.lit(1))).cast("bigint").alias("_ca"),
+        F.count(F.when(~F.col("_f"), F.lit(1))).cast("bigint").alias("_cb"),
+    )
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in keys])
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in keys])
+    cum = per_v.select(
+        *keys,
+        F.sum("_ca").over(w_cum).alias("_cuma"),
+        F.sum("_cb").over(w_cum).alias("_cumb"),
+        F.sum("_ca").over(w_all).alias("_na"),
+        F.sum("_cb").over(w_all).alias("_nb"),
+    )
+    diff = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.abs(
+            F.col("_cuma").cast("double") / F.col("_na").cast("double")
+            - F.col("_cumb").cast("double") / F.col("_nb").cast("double")
+        ),
+    )
+    agg = cum.groupBy(*keys).agg(
+        F.max("_na").cast("bigint").alias("n_a"),
+        F.max("_nb").cast("bigint").alias("n_b"),
+        F.max(diff).alias("_d"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    lam = F.col("_d") * F.sqrt(
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    out = agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, F.col("_d")), 6).alias("ks_d"),
+        F.round(F.when(ok, lam), 6).alias("ks_lambda"),
+    )
+    return out.orderBy(*keys) if keys else out

@@ -3470,3 +3470,63 @@ def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch(b, "o_custkey", _KMV_K),
         _KMV_K,
     )
+
+
+_KS_ORACLE = """
+    WITH base AS (
+      SELECT o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS v,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS f
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    per_v AS (
+      SELECT status, v,
+             CAST(count(*) FILTER (f) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (NOT f) AS BIGINT) AS cb
+      FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT status,
+             sum(ca) OVER wc AS cuma, sum(cb) OVER wc AS cumb,
+             sum(ca) OVER wa AS na, sum(cb) OVER wa AS nb
+      FROM per_v
+      WINDOW wc AS (PARTITION BY status ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wa AS (PARTITION BY status)
+    ),
+    agg AS (
+      SELECT status,
+             CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b,
+             max(CASE WHEN na > 0 AND nb > 0 THEN
+                 abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) END) AS d
+      FROM cum GROUP BY status
+    )
+    SELECT status, n_a, n_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0 THEN d END, 6) AS ks_d,
+           round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 d * sqrt(CAST(n_a * n_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE)) END, 6) AS ks_lambda
+    FROM agg ORDER BY status
+"""
+
+
+@query("ks_price_by_urgency", oracle=_KS_ORACLE, tags=("drift", "stats", "window"))
+def ks_price_by_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov comparison of order value,
+    urgent (1-URGENT/2-HIGH) vs standard priorities, per order status
+    (operators/drift.py ks_statistic): the binning-free shape test next
+    to psi_numeric's binned PSI -- cumulative CDF gaps over the
+    distinct-value frame, never a raw-row sort."""
+    from taxi_data_pipeline_pset2_spark.operators.drift import ks_statistic
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    flagged = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+    )
+    return ks_statistic(flagged, "v", "urgent", ["status"])

@@ -107,3 +107,57 @@ def test_psi_numeric_detects_shift_and_not_identity(spark):
     with_null = base.union(spark.createDataFrame([(None,)], "v double"))
     rows = {r.category for r in psi_numeric(with_null, with_null, "v", bins=5).collect()}
     assert None in rows
+
+
+class TestKsStatistic:
+    @staticmethod
+    def _ref_ks(a, b):
+        import numpy as np
+
+        pooled = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+        return float(np.max(np.abs(fa - fb)))
+
+    def test_matches_numpy_reference(self, spark):
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.drift import (
+            ks_statistic,
+        )
+
+        rng = random.Random(17)
+        a = [rng.gauss(0, 1) for _ in range(150)]
+        b = [rng.gauss(0.6, 1.2) for _ in range(120)]
+        rows = [(x, True) for x in a] + [(x, False) for x in b]
+        df = spark.createDataFrame(rows, "v double, f boolean")
+        r = ks_statistic(df, "v", "f").collect()[0]
+        assert (r.n_a, r.n_b) == (150, 120)
+        assert r.ks_d == pytest.approx(self._ref_ks(a, b), abs=1e-6)
+
+    def test_identical_and_disjoint_distributions(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.drift import (
+            ks_statistic,
+        )
+
+        same = [(float(i % 10), (i // 10) % 2 == 0) for i in range(100)]
+        df = spark.createDataFrame(same, "v double, f boolean")
+        assert ks_statistic(df, "v", "f").collect()[0].ks_d == 0.0
+
+        rows = [(float(i), True) for i in range(20)] + [
+            (float(i + 100), False) for i in range(20)
+        ]
+        df2 = spark.createDataFrame(rows, "v double, f boolean")
+        assert ks_statistic(df2, "v", "f").collect()[0].ks_d == 1.0
+
+    def test_empty_side_null_and_ties(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.drift import (
+            ks_statistic,
+        )
+
+        rows = [("g1", 1.0, True), ("g1", 2.0, True), ("g2", 1.0, True),
+                ("g2", 1.0, False)]
+        df = spark.createDataFrame(rows, "g string, v double, f boolean")
+        got = {r.g: r for r in ks_statistic(df, "v", "f", ["g"]).collect()}
+        assert got["g1"].ks_d is None          # no B sample
+        assert got["g2"].ks_d == 0.0           # tied single value
