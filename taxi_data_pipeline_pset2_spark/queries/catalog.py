@@ -118,7 +118,8 @@ def query(
 # customers_near_suppliers, ivm_join_view_maintenance,
 # brand_target_encoding, user_key_skew, rolling_7day_users,
 # multimodal_png_dims, funnel_step_timings, inferred_dim_members,
-# cms_join_size_estimate, kmv_customer_overlap, ks_price_by_urgency;
+# cms_join_size_estimate, kmv_customer_overlap, ks_price_by_urgency,
+# seasonal_outlier_days;
 # rows-only:
 # part_kcore.
 _WINDOW: tuple[str, ...] = (

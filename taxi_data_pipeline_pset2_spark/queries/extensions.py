@@ -3530,3 +3530,82 @@ def ks_price_by_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
     )
     return ks_statistic(flagged, "v", "urgent", ["status"])
+
+
+_SEASONAL_OUTLIER_ORACLE = f"""
+    WITH {_DAILY_SER_SQL},
+    tr AS (
+      SELECT t, value,
+             CASE WHEN count(*) OVER wm = 7
+                  THEN CAST(sum(value) OVER wm AS BIGINT) END AS tsum
+      FROM ser
+      WINDOW wm AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (SELECT t, value, tsum,
+                   value * 7 - tsum AS detp, t % 7 AS ph
+            FROM tr),
+    phs AS (SELECT ph, CAST(sum(detp) AS BIGINT) AS ps,
+                   CAST(count(*) AS BIGINT) AS pc
+            FROM det WHERE tsum IS NOT NULL GROUP BY ph),
+    dec_ AS (
+      SELECT t, value,
+             round(CASE WHEN tsum IS NOT NULL AND ps IS NOT NULL
+                   THEN value - CAST(tsum AS DOUBLE) / 7
+                        - CAST(ps AS DOUBLE) / CAST(pc * 7 AS DOUBLE)
+                   END, 6) AS resid
+      FROM det LEFT JOIN phs USING (ph)
+    ),
+    med AS (SELECT quantile_cont(resid, 0.5) AS m FROM dec_
+            WHERE resid IS NOT NULL),
+    mad AS (SELECT quantile_cont(abs(resid - med.m), 0.5) AS mad
+            FROM dec_, med WHERE resid IS NOT NULL)
+    SELECT t, value, resid,
+           round((resid - med.m) / (1.4826 * mad.mad), 6) AS mad_score
+    FROM dec_, med, mad
+    WHERE resid IS NOT NULL AND mad.mad > 0
+      AND abs((resid - med.m) / (1.4826 * mad.mad)) > 3.0
+    ORDER BY t
+"""
+
+
+@query("seasonal_outlier_days", oracle=_SEASONAL_OUTLIER_ORACLE, tags=("timeseries", "window"))
+def seasonal_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted demand anomalies: days whose decomposition
+    residual sits more than 3 robust sigmas (MAD * 1.4826) from the
+    median residual -- the composition of this round's
+    seasonal_decompose with the robust-outlier discipline
+    (operators/robust.py, operators/timeseries.py hampel_outliers):
+    de-trend and de-season FIRST, or every holiday week flags its
+    whole neighborhood."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    dec = seasonal_decompose(
+        _daily_order_series(spark, sf_dir), "t", "value", period=7
+    ).filter(F.col("resid").isNotNull())
+    med = dec.agg(F.expr("percentile(resid, 0.5)").alias("_m"))
+    dec_m = dec.crossJoin(F.broadcast(med))
+    mad = dec_m.agg(
+        F.expr("percentile(abs(resid - _m), 0.5)").alias("_mad")
+    )
+    scored = dec_m.crossJoin(F.broadcast(mad)).withColumn(
+        "mad_score",
+        F.round(
+            (F.col("resid") - F.col("_m")) / (1.4826 * F.col("_mad")), 6
+        ),
+    )
+    return (
+        scored.filter(
+            (F.col("_mad") > 0)
+            & (
+                F.abs(
+                    (F.col("resid") - F.col("_m"))
+                    / (1.4826 * F.col("_mad"))
+                )
+                > 3.0
+            )
+        )
+        .select("t", "value", "resid", "mad_score")
+        .orderBy("t")
+    )
