@@ -119,7 +119,8 @@ def query(
 # brand_target_encoding, user_key_skew, rolling_7day_users,
 # multimodal_png_dims, funnel_step_timings, inferred_dim_members,
 # cms_join_size_estimate, kmv_customer_overlap, ks_price_by_urgency,
-# seasonal_outlier_days;
+# seasonal_outlier_days, k_anonymity_audit, pseudonymized_customers,
+# orders_table_checksum;
 # rows-only:
 # part_kcore.
 _WINDOW: tuple[str, ...] = (

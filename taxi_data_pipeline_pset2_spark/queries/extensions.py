@@ -3609,3 +3609,92 @@ def seasonal_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", "value", "resid", "mad_score")
         .orderBy("t")
     )
+
+
+_KANON_ORACLE = """
+    SELECT c_mktsegment AS segment, c_nationkey AS nation,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY 1, 2
+    HAVING count(*) < 5
+    ORDER BY n, segment, nation
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_ORACLE, tags=("privacy", "agg"))
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier cohorts smaller than k=5 over (segment, nation)
+    (operators/privacy.py k_anonymity): each row is a re-identifiable
+    cohort the release must generalize or suppress -- Sweeney's
+    criterion as a violating-rows audit, one hash aggregate."""
+    from taxi_data_pipeline_pset2_spark.operators.privacy import k_anonymity
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    return k_anonymity(c, ["segment", "nation"], k=5)
+
+
+_PSEUDO_ORACLE = """
+    SELECT c_custkey,
+           substr(md5('r7salt:' || c_name), 1, 16) AS c_name,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey <= 200
+    ORDER BY c_custkey
+"""
+
+
+@query("pseudonymized_customers", oracle=_PSEUDO_ORACLE, tags=("privacy",))
+def pseudonymized_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted pseudonymization of customer names
+    (operators/privacy.py pseudonymize): equal names -> equal tokens,
+    so joins and aggregates survive tokenization; rotating the salt
+    rotates the pseudonym space between releases. Scan-shaped,
+    codegen-only."""
+    from taxi_data_pipeline_pset2_spark.operators.privacy import pseudonymize
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    return pseudonymize(c, ["c_name"], salt="r7salt", length=16).orderBy(
+        "c_custkey"
+    )
+
+
+_CHECKSUM_ORACLE = """
+    WITH fp AS (
+      SELECT CAST('0x' || substr(md5(concat_ws(chr(1),
+               coalesce(CAST(o_orderkey AS VARCHAR),
+                        chr(2) || 'NULL' || chr(2)),
+               coalesce(CAST(o_custkey AS VARCHAR),
+                        chr(2) || 'NULL' || chr(2)),
+               coalesce(o_orderstatus, chr(2) || 'NULL' || chr(2)),
+               coalesce(o_orderpriority, chr(2) || 'NULL' || chr(2)))),
+               1, 15) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(h AS DECIMAL(38,0)))
+                % CAST(9223372036854775808 AS DECIMAL(38,0)) AS BIGINT)
+             AS checksum
+    FROM fp
+"""
+
+
+@query("orders_table_checksum", oracle=_CHECKSUM_ORACLE, tags=("audit", "agg"))
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-independent reconciliation checksum of the
+    orders key columns (operators/audit.py table_checksum): two systems
+    agree iff their (n_rows, checksum) pairs agree -- the oracle IS the
+    other system here, computing the identical portable-md5 checksum in
+    DuckDB. One scan, one aggregate, one row."""
+    from taxi_data_pipeline_pset2_spark.operators.audit import table_checksum
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    return table_checksum(o)
