@@ -102,3 +102,54 @@ def target_encode_oof(
             6,
         ).alias("encoding"),
     ).orderBy(cat_col, fold_col)
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 1024,
+    signed: bool = True,
+) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al., ICML 2009): each
+    document becomes sparse rows (id, idx, weight) with idx =
+    portable_hash(token) mod dim and, when ``signed``, each token
+    contributing +-1 by a second hash bit -- the sign trick makes
+    collision noise zero-mean instead of additive. The
+    fixed-dimension featurizer that needs NO vocabulary pass, no
+    driver-side dictionary, no fitting: the property that makes it THE
+    text vectorizer at 100 TB (HashingTF's semantics, re-expressed as
+    plain exploded aggregates so the output is a relational frame, not
+    an ML-local vector type).
+
+    Shape: tokenize-explode (scan-shaped) + one (id, idx) hash
+    aggregate; output is nnz-sized. Weights are exact integers; the
+    md5 construction is the house engine-portable hashing, so a DuckDB
+    twin rebuilds every index, sign and weight bit-exactly."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("_tok")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), tok)
+        .filter(F.col("_tok") != "")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10
+    ).cast("bigint")
+    idx = (h % dim).cast("int")
+    if signed:
+        # an independent bit: parity of the NEXT md5 hex digit
+        sign_bit = F.conv(F.substring(F.md5(F.col("_tok")), 9, 1), 16, 10)
+        contrib = F.when(sign_bit % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    else:
+        contrib = F.lit(1)
+    return (
+        base.select("id", idx.alias("idx"), contrib.alias("_c"))
+        .groupBy("id", "idx")
+        .agg(F.sum("_c").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("id", "idx")
+    )

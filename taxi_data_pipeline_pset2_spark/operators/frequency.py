@@ -148,3 +148,36 @@ def rolling_distinct(
         )
         .orderBy("day")
     )
+
+
+def mode_by(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic mode per group: (group_cols..., mode, n_mode) --
+    the most frequent value, ties broken by the SMALLEST value (Spark's
+    built-in ``mode()`` is tie-nondeterministic, which disqualifies it
+    from any hash-verified pipeline). NULL is a legitimate value and
+    can be the mode; it loses every tie (NULLS LAST in the tiebreak).
+    Shape: one (group, value) hash aggregate + one argmax window over
+    the value-vocabulary frame -- never a raw-row sort."""
+    from pyspark.sql.window import Window
+
+    keys = list(group_cols or [])
+    counts = df.groupBy(
+        *keys, F.col(value_col).alias("_v")
+    ).agg(F.count("*").cast("bigint").alias("_n"))
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.desc("_n"), F.asc_nulls_last("_v")
+    )
+    out = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            *keys,
+            F.col("_v").alias("mode"),
+            F.col("_n").alias("n_mode"),
+        )
+    )
+    return out.orderBy(*keys) if keys else out

@@ -3698,3 +3698,74 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
     return table_checksum(o)
+
+
+_HASHED_FEAT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ne AS (SELECT id, tok FROM toks WHERE tok != ''),
+    hashed AS (
+      SELECT id,
+             CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 512
+                  AS INTEGER) AS idx,
+             CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS c
+      FROM ne
+    )
+    SELECT id, idx, CAST(sum(c) AS BIGINT) AS weight
+    FROM hashed GROUP BY id, idx
+    HAVING sum(c) != 0
+    ORDER BY id, idx
+"""
+
+
+@query("hashed_doc_features", oracle=_HASHED_FEAT_ORACLE, tags=("ml", "text", "agg"))
+def hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick features over documents (operators/encoding
+    .py hashed_features, dim 512): the vocabulary-free text vectorizer
+    -- no dictionary pass, no fitting, fixed dimension at any corpus
+    size; the sign bit zero-means collision noise. Sparse relational
+    output (id, idx, weight), bit-identical in the oracle."""
+    from taxi_data_pipeline_pset2_spark.operators.encoding import (
+        hashed_features,
+    )
+
+    return hashed_features(
+        t(spark, sf_dir, "documents"), "text", "doc_id", dim=512
+    )
+
+
+_MODE_ORACLE = """
+    WITH counts AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT status, v, n,
+             row_number() OVER (PARTITION BY status
+                                ORDER BY n DESC, v ASC NULLS LAST) AS r
+      FROM counts
+    )
+    SELECT status, v AS mode, n AS n_mode
+    FROM rk WHERE r = 1 ORDER BY status
+"""
+
+
+@query("modal_priority_by_status", oracle=_MODE_ORACLE, tags=("agg",))
+def modal_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent order priority per status
+    (operators/frequency.py mode_by) with smallest-value tie-break --
+    Spark's built-in mode() is tie-nondeterministic, which disqualifies
+    it from hash-verified pipelines. Value-vocabulary aggregate +
+    argmax window."""
+    from taxi_data_pipeline_pset2_spark.operators.frequency import mode_by
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("v"),
+    )
+    return mode_by(o, "v", ["status"])

@@ -81,3 +81,58 @@ class TestTargetEncodeOof:
             target_encode_oof(
                 _df(spark, [("a", 0, 1.0)]), "cat", "y", "fold", -1.0
             )
+
+
+class TestHashedFeatures:
+    def test_reference_equality(self, spark):
+        import hashlib
+
+        from taxi_data_pipeline_pset2_spark.operators.encoding import (
+            hashed_features,
+        )
+
+        docs = [(1, "the cat sat"), (2, "the the dog"), (3, None), (4, "  ")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id, r.idx): r.weight
+            for r in hashed_features(df, "text", "doc_id", dim=64).collect()
+        }
+
+        def ref(text):
+            out = {}
+            for tok in text.strip().lower().split():
+                h = hashlib.md5(tok.encode()).hexdigest()
+                idx = int(h[:8], 16) % 64
+                sign = 1 if int(h[8], 16) % 2 == 0 else -1
+                out[idx] = out.get(idx, 0) + sign
+            return {k: v for k, v in out.items() if v != 0}
+
+        want = {}
+        for i, text in docs:
+            if text and text.strip():
+                for idx, w in ref(text).items():
+                    want[(i, idx)] = w
+        assert got == want
+
+    def test_same_token_same_slot_across_docs(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.encoding import (
+            hashed_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "apple"), (2, "apple banana")], "doc_id long, text string"
+        )
+        rows = hashed_features(df, "text", "doc_id", dim=128).collect()
+        apple_slots = {r.idx for r in rows if r.id == 1}
+        assert apple_slots <= {r.idx for r in rows if r.id == 2}
+
+    def test_dim_validation(self, spark):
+        import pytest as _pytest
+
+        from taxi_data_pipeline_pset2_spark.operators.encoding import (
+            hashed_features,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="dim"):
+            hashed_features(df, "text", "doc_id", dim=1)

@@ -127,3 +127,32 @@ class TestRollingDistinct:
             for r in rolling_distinct(df, "ts", "user_id", 1).collect()
         }
         assert got == {"2024-01-01": 1, "2024-01-02": 1}
+
+
+class TestModeBy:
+    def test_tie_breaks_to_smallest(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.frequency import mode_by
+
+        rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")]
+        df = spark.createDataFrame(rows, "g string, v string")
+        r = mode_by(df, "v", ["g"]).collect()[0]
+        assert (r.mode, r.n_mode) == ("a", 2)  # a and b tie at 2 -> a
+
+    def test_null_can_win_but_loses_ties(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.frequency import mode_by
+
+        df1 = spark.createDataFrame(
+            [("g", None), ("g", None), ("g", "x")], "g string, v string"
+        )
+        assert mode_by(df1, "v", ["g"]).collect()[0].mode is None
+        df2 = spark.createDataFrame(
+            [("g", None), ("g", "x")], "g string, v string"
+        )
+        assert mode_by(df2, "v", ["g"]).collect()[0].mode == "x"
+
+    def test_ungrouped(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.frequency import mode_by
+
+        df = spark.createDataFrame([(1,), (2,), (2,)], "v long")
+        r = mode_by(df, "v").collect()[0]
+        assert (r.mode, r.n_mode) == (2, 2)
