@@ -491,3 +491,61 @@ def seasonal_decompose(
             6,
         ).alias("resid"),
     ).orderBy(*keys, "t")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key over an IRREGULAR series:
+    (key_cols..., n_obs, span_s, twa) where each observation's value
+    holds until the next observation and twa = integral / span -- the
+    correct "average position/price/level" when sampling is uneven (a
+    plain AVG over-weights bursts of closely-spaced readings; TWAP is
+    the market/telemetry standard). The last observation carries no
+    weight (its holding interval is unobserved); keys with < 2
+    observations yield NULL twa.
+
+    Exactness: durations are integer seconds (lead over one sort
+    window); value * duration accumulates as DECIMAL(38,6) -- exact
+    under any partitioning -- and the single final division rounds to
+    6 dp, so a DuckDB window twin hash-matches. One sort shuffle on
+    (key, ts) + one hash aggregate. Simultaneous observations
+    contribute zero-duration segments (ties are harmless; which of two
+    equal-ts values "holds" for zero seconds is moot)."""
+    from pyspark.sql.window import Window
+
+    keys = [F.col(c) for c in key_cols]
+    s = F.unix_timestamp(ts_col)
+    v = F.col(value_col).cast("decimal(28,6)")
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*key_cols, s.alias("_s"), v.alias("_v"))
+    w = Window.partitionBy(*keys).orderBy("_s", "_v")
+    seg = base.select(
+        *key_cols,
+        "_v",
+        (F.lead("_s", 1).over(w) - F.col("_s")).alias("_dur"),
+    )
+    agg = seg.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("_dur").cast("bigint").alias("span_s"),
+        F.sum(
+            (F.col("_v") * F.col("_dur")).cast("decimal(38,6)")
+        ).alias("_integral"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_obs",
+        F.coalesce(F.col("span_s"), F.lit(0)).cast("bigint").alias("span_s"),
+        F.round(
+            F.when(
+                F.col("span_s") > 0,
+                F.col("_integral").cast("double")
+                / F.col("span_s").cast("double"),
+            ),
+            6,
+        ).alias("twa"),
+    ).orderBy(*key_cols)

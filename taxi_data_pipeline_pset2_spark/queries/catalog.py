@@ -120,7 +120,8 @@ def query(
 # multimodal_png_dims, funnel_step_timings, inferred_dim_members,
 # cms_join_size_estimate, kmv_customer_overlap, ks_price_by_urgency,
 # seasonal_outlier_days, k_anonymity_audit, pseudonymized_customers,
-# orders_table_checksum, hashed_doc_features, modal_priority_by_status;
+# orders_table_checksum, hashed_doc_features, modal_priority_by_status,
+# user_value_twap;
 # rows-only:
 # part_kcore.
 _WINDOW: tuple[str, ...] = (

@@ -3769,3 +3769,47 @@ def modal_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("v"),
     )
     return mode_by(o, "v", ["status"])
+
+
+_TWAP_ORACLE = """
+    WITH base AS (
+      SELECT user_id,
+             CAST(epoch_ms(ts) // 1000 AS BIGINT) AS s,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    seg AS (
+      SELECT user_id, v,
+             lead(s) OVER (PARTITION BY user_id ORDER BY s, v) - s AS dur
+      FROM base
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(dur) AS BIGINT) AS span_s,
+             sum(CAST(v * dur AS DECIMAL(38,6))) AS integral
+      FROM seg GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           CAST(coalesce(span_s, 0) AS BIGINT) AS span_s,
+           round(CASE WHEN span_s > 0
+                 THEN CAST(integral AS DOUBLE) / CAST(span_s AS DOUBLE)
+                 END, 6) AS twa
+    FROM agg ORDER BY user_id
+"""
+
+
+@query("user_value_twap", oracle=_TWAP_ORACLE, tags=("timeseries", "window"))
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user
+    (operators/timeseries.py time_weighted_avg): each reading holds
+    until the next, so burst sampling doesn't over-weight the mean --
+    the TWAP/telemetry-correct aggregate over irregular series. Exact
+    decimal value x integer-second integration."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(
+        t(spark, sf_dir, "events"), ["user_id"], "ts", "value"
+    )

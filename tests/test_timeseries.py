@@ -447,3 +447,58 @@ class TestSeasonalDecompose:
                 assert r.value - r.trend - r.seasonal == pytest.approx(
                     r.resid, abs=2e-6
                 )
+
+
+class TestTimeWeightedAvg:
+    def test_hand_case_vs_plain_avg(self, spark):
+        import datetime as dt
+
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        b = dt.datetime(2024, 1, 1)
+        # value 10 held for 90s, then a burst of three 100s (5s apart)
+        rows = [
+            ("u", b, 10.0),
+            ("u", b + dt.timedelta(seconds=90), 100.0),
+            ("u", b + dt.timedelta(seconds=95), 100.0),
+            ("u", b + dt.timedelta(seconds=100), 100.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        r = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
+        # integral = 10*90 + 100*5 + 100*5 = 1900 over 100s
+        assert r.span_s == 100 and r.twa == 19.0
+        assert r.n_obs == 4
+        # plain AVG would say 77.5 -- the burst distortion TWAP fixes
+
+    def test_single_observation_null(self, spark):
+        import datetime as dt
+
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        df = spark.createDataFrame(
+            [("u", dt.datetime(2024, 1, 1), 5.0)],
+            "k string, ts timestamp, v double",
+        )
+        r = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
+        assert r.twa is None and r.span_s == 0
+
+    def test_constant_series_twa_equals_value(self, spark):
+        import datetime as dt
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        rng = random.Random(6)
+        b = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u", b + dt.timedelta(seconds=s), 42.5)
+            for s in sorted(rng.sample(range(100000), 30))
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        assert time_weighted_avg(df, ["k"], "ts", "v").collect()[0].twa == 42.5
