@@ -496,3 +496,27 @@ def test_skew_report_two_aggregates_no_join(spark, sf_dir):
     plan = _plan(registry()["user_key_skew"].fn(spark, sf_dir))
     assert "Join" not in plan
     assert "partial_" in plan  # map-side combine on the key counts
+
+
+def test_hashed_features_pure_codegen(spark, sf_dir):
+    """Tokenize-explode + one hash aggregate: no join, no window, no
+    Python anywhere."""
+    plan = _plan(registry()["hashed_doc_features"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan  # map-side combine
+
+
+def test_table_checksum_single_aggregate(spark, sf_dir):
+    """Scan + one partial/final aggregate; the checksum must never
+    shuffle rows by any key."""
+    plan = _plan(registry()["orders_table_checksum"].fn(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1  # only the final single-partition
+
+
+def test_twap_one_sort_window(spark, sf_dir):
+    plan = _plan(registry()["user_value_twap"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
