@@ -404,3 +404,76 @@ def kcore(
     finally:
         sym.unpersist()
     return cur.orderBy("node")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected simple graph
+    (Newman, PRL 2002): one row (n_nodes, n_edges, assortativity) with
+    the Pearson correlation of endpoint degrees over all edges (each
+    edge contributing both orientations, the standard symmetrization).
+    Positive = hubs link hubs (social nets), negative = hubs link
+    leaves (the internet, star schemas) -- THE one-number structure
+    summary next to the clustering coefficient.
+
+    Same hygiene as triangle_counts (self-loops, NULLs, parallel edges
+    drop). Shape: canonical-edge distinct + node-sized degree
+    aggregate + two degree lookups on the edge list + ONE sufficient-
+    statistics aggregate -- all exact integer/decimal sums (degrees
+    are ints, so every product is exact), one fixed double formula
+    rounded to 6 dp: fully oracle-able, unlike the iterative graph
+    siblings. NULL when degree variance is zero (regular graphs --
+    assortativity is undefined on K_n or a perfect cycle)."""
+    e0 = (
+        edges.select(
+            F.col(src_col).cast("string").alias("_s"),
+            F.col(dst_col).cast("string").alias("_t"),
+        )
+        .filter(
+            F.col("_s").isNotNull()
+            & F.col("_t").isNotNull()
+            & (F.col("_s") != F.col("_t"))
+        )
+        .select(
+            F.least("_s", "_t").alias("a"), F.greatest("_s", "_t").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select(F.col("b")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    j = sym.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("_dx")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("_dy")), "b"
+    )
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum(F.col("_dx").cast("decimal(38,0)")).cast("double").alias("_sx"),
+        F.sum((F.col("_dx") * F.col("_dy")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_sxy"),
+        F.sum((F.col("_dx") * F.col("_dx")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_sxx"),
+    )
+    nodes_cnt = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n = F.col("_n").cast("double")
+    # symmetric sums: sy == sx, syy == sxx
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return (
+        agg.crossJoin(F.broadcast(nodes_cnt))
+        .select(
+            "n_nodes",
+            (F.col("_n") / 2).cast("bigint").alias("n_edges"),
+            F.round(F.when(den > 0, num / den), 6).alias("assortativity"),
+        )
+    )

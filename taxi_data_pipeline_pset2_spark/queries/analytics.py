@@ -971,3 +971,80 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
     )
     return kcore(edges)
+
+
+_ASSORT_ORACLE = """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS VARCHAR) AS i
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        AND l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+    ),
+    e0 AS (
+      SELECT x.i AS a, y.i AS b
+      FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+      GROUP BY 1
+    ),
+    sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    j AS (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM sym
+      JOIN deg da ON da.node = sym.a
+      JOIN deg db ON db.node = sym.b
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM j
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT n_nodes,
+           CAST(n / 2 AS BIGINT) AS n_edges,
+           round(CASE WHEN (n * sxx - sx * sx) > 0
+                 THEN (n * sxy - sx * sx) / (n * sxx - sx * sx)
+                 END, 6) AS assortativity
+    FROM agg, nn
+"""
+
+
+@query("part_graph_assortativity", oracle=_ASSORT_ORACLE, tags=("graph", "agg"))
+def part_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the 1998 part co-purchase graph
+    (operators/graph.py degree_assortativity): do popular parts
+    co-occur with other popular parts, or with long-tail ones? The
+    one-number structure summary next to part_triangle_stats' local
+    clustering -- exact integer sufficient statistics, fully
+    oracled."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    bi = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select(
+            F.col("l_orderkey").alias("bk"),
+            F.col("l_partkey").cast("string").alias("i"),
+        )
+        .distinct()
+    )
+    edges = (
+        bi.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x.bk") == F.col("y.bk")) & (F.col("x.i") < F.col("y.i")),
+        )
+        .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
+    )
+    return degree_assortativity(edges)

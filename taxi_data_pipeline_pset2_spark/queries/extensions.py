@@ -3813,3 +3813,52 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(
         t(spark, sf_dir, "events"), ["user_id"], "ts", "value"
     )
+
+
+_LTV_ORACLE = """
+    WITH base AS (
+      SELECT o_custkey AS u,
+             CAST(12 * extract(year FROM o_orderdate)
+                  + extract(month FROM o_orderdate) AS INTEGER) AS m,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ),
+    cohorts AS (SELECT u, min(m) AS cohort FROM base GROUP BY u),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+              FROM cohorts GROUP BY cohort),
+    rev AS (
+      SELECT c.cohort, b.m - c.cohort AS age_months, sum(b.v) AS r
+      FROM base b JOIN cohorts c ON b.u = c.u
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age_months,
+             sum(r) OVER (PARTITION BY cohort ORDER BY age_months
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_r
+      FROM rev
+    )
+    SELECT cum.cohort AS cohort_month,
+           CAST(age_months AS INTEGER) AS age_months,
+           n_customers,
+           CAST(cum_r AS DOUBLE) AS cum_revenue,
+           round(CAST(cum_r AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+             AS ltv_per_customer
+    FROM cum JOIN sizes ON cum.cohort = sizes.cohort
+    ORDER BY cohort_month, age_months
+"""
+
+
+@query("cohort_ltv_curves", oracle=_LTV_ORACLE, tags=("retention", "window"))
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV per first-order cohort (operators/retention.py
+    cohort_ltv): monthly cohorts, exact decimal revenue accumulation,
+    fixed cohort-size denominators -- the money-weighted companion to
+    cohort_retention_weekly."""
+    from taxi_data_pipeline_pset2_spark.operators.retention import cohort_ltv
+
+    return cohort_ltv(
+        t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
+    )

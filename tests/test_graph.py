@@ -335,3 +335,64 @@ class TestKCore:
         got = {r.node: r.core for r in kcore(df).collect()}
         assert all(got[v] == 3 for v in a)
         assert all(got[v] == 2 for v in b)
+
+
+from taxi_data_pipeline_pset2_spark.operators.graph import degree_assortativity
+
+
+def _ref_assortativity(edges):
+    """Newman's r via numpy over the symmetrized endpoint-degree pairs."""
+    import numpy as np
+
+    adj = {}
+    for s, t_ in edges:
+        if s == t_:
+            continue
+        adj.setdefault(s, set()).add(t_)
+        adj.setdefault(t_, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    xs, ys = [], []
+    seen = set()
+    for s, t_ in edges:
+        if s == t_ or (min(s, t_), max(s, t_)) in seen:
+            continue
+        seen.add((min(s, t_), max(s, t_)))
+        xs += [deg[s], deg[t_]]
+        ys += [deg[t_], deg[s]]
+    c = np.corrcoef(xs, ys)
+    return float(c[0, 1])
+
+
+class TestAssortativity:
+    def test_star_is_maximally_disassortative(self, spark):
+        edges = [("hub", f"leaf{i}") for i in range(6)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        r = degree_assortativity(df).collect()[0]
+        assert r.n_nodes == 7 and r.n_edges == 6
+        assert r.assortativity == -1.0
+
+    def test_matches_numpy_on_random_graphs(self, spark):
+        import random
+        from itertools import combinations
+
+        rng = random.Random(23)
+        for trial in range(3):
+            vs = [f"v{i}" for i in range(12)]
+            edges = [
+                (a, b) for a, b in combinations(vs, 2) if rng.random() < 0.3
+            ]
+            df = spark.createDataFrame(edges, "src string, dst string")
+            r = degree_assortativity(df).collect()[0]
+            ref = _ref_assortativity(edges)
+            import math
+
+            if math.isnan(ref):
+                assert r.assortativity is None
+            else:
+                assert r.assortativity == pytest.approx(ref, abs=1e-6), trial
+
+    def test_regular_graph_undefined(self, spark):
+        # a cycle: every degree 2 -> zero variance -> NULL
+        edges = [(f"c{i}", f"c{(i + 1) % 5}") for i in range(5)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        assert degree_assortativity(df).collect()[0].assortativity is None

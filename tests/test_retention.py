@@ -56,3 +56,62 @@ def test_cohort_retention_validates_period(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="period"):
         cohort_retention(events, period="hour")
+
+
+class TestCohortLtv:
+    def test_hand_built_curve(self, spark):
+        import datetime as dt
+
+        from taxi_data_pipeline_pset2_spark.operators.retention import (
+            cohort_ltv,
+        )
+
+        rows = [
+            # cohort 2024-01: u1 (buys twice), u2 (never returns)
+            (1, dt.datetime(2024, 1, 5), 10.0),
+            (2, dt.datetime(2024, 1, 20), 20.0),
+            (1, dt.datetime(2024, 3, 1), 30.0),
+            # cohort 2024-02: u3
+            (3, dt.datetime(2024, 2, 1), 40.0),
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+        got = {
+            (r.cohort_month, r.age_months): r
+            for r in cohort_ltv(df, "u", "ts", "v").collect()
+        }
+        jan = 12 * 2024 + 1
+        assert got[(jan, 0)].n_customers == 2
+        assert got[(jan, 0)].cum_revenue == 30.0
+        assert got[(jan, 0)].ltv_per_customer == 15.0
+        # age 2: +30 revenue, denominator STAYS 2 (u2 never returned)
+        assert got[(jan, 2)].cum_revenue == 60.0
+        assert got[(jan, 2)].ltv_per_customer == 30.0
+        assert got[(jan + 1, 0)].cum_revenue == 40.0
+
+    def test_curve_is_monotone(self, spark):
+        import datetime as dt
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.retention import (
+            cohort_ltv,
+        )
+
+        rng = random.Random(8)
+        rows = [
+            (
+                rng.randint(1, 20),
+                dt.datetime(2024, rng.randint(1, 6), rng.randint(1, 28)),
+                float(rng.randint(1, 100)),
+            )
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+        out = cohort_ltv(df, "u", "ts", "v").collect()
+        by_cohort = {}
+        for r in out:
+            by_cohort.setdefault(r.cohort_month, []).append(
+                (r.age_months, r.cum_revenue)
+            )
+        for ages in by_cohort.values():
+            vals = [v for _, v in sorted(ages)]
+            assert vals == sorted(vals)  # cumulative never decreases
