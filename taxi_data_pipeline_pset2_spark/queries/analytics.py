@@ -711,7 +711,7 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_ORACLE = """
     WITH src AS (
-      SELECT CAST(l_partkey AS VARCHAR) AS v
+      SELECT CAST(l_partkey AS STRING) AS v
       FROM lineitem WHERE l_partkey IS NOT NULL
     ),
     d(j) AS (VALUES (0), (1), (2), (3)),
@@ -846,7 +846,7 @@ def brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_ORACLE = """
     WITH bi AS (
-      SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS VARCHAR) AS i
+      SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS STRING) AS i
       FROM lineitem
       WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
         AND l_shipdate >= TIMESTAMP '1998-01-01'
@@ -891,8 +891,8 @@ _TRI_ORACLE = """
     SELECT deg.node, degree,
            CAST(coalesce(tcount, 0) AS BIGINT) AS triangles,
            round(CASE WHEN degree >= 2
-                 THEN 2.0 * coalesce(tcount, 0)
-                      / (degree * (degree - 1.0)) END, 6) AS clustering
+                 THEN 2e0 * coalesce(tcount, 0)
+                      / (degree * (degree - 1e0)) END, 6) AS clustering
     FROM deg LEFT JOIN tc USING (node)
     ORDER BY node
 """
@@ -975,7 +975,7 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASSORT_ORACLE = """
     WITH bi AS (
-      SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS VARCHAR) AS i
+      SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS STRING) AS i
       FROM lineitem
       WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
         AND l_shipdate >= TIMESTAMP '1998-01-01'

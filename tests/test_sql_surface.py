@@ -58,6 +58,20 @@ ANSI_PARITY = [
     # Spark 4 runs the recursive CTE bit-identically -- the EWMA
     # recursion is portable ANSI now
     "ewma_user_value",
+    # late-round-7 additions (epoch_ms / quantile_cont / generate_series /
+    # string_split_regex / '0x' hex-casts keep the others DuckDB-only)
+    "k_anonymity_audit",
+    "modal_priority_by_status",
+    "inferred_dim_members",
+    "pareto_parts_price_size",
+    "spearman_qty_price",
+    "brand_item_neighbors",
+    "part_triangle_stats",
+    "part_graph_assortativity",
+    "cohort_ltv_curves",
+    "pseudonymized_customers",
+    "ivm_join_view_maintenance",
+    "multimodal_png_dims",
 ]
 
 
