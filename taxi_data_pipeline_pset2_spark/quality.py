@@ -203,3 +203,43 @@ def expect_implication(
     return df.filter(
         F.coalesce(cond, F.lit(False)) & ~F.coalesce(holds, F.lit(False))
     )
+
+
+def missing_ranges(
+    df: DataFrame, seq_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Gaps in an expected-contiguous integer sequence per group:
+    (group_cols..., gap_start, gap_end, n_missing) for every maximal
+    run of absent values between the observed min and max -- the
+    completeness audit for offset/invoice/version columns where
+    "nothing missing" is the contract (a dropped CDC batch shows up
+    here long before any value-level test fires). Empty result = the
+    sequence is contiguous.
+
+    One distinct + one lead() window over the DISTINCT sequence values
+    (value-vocabulary-sized, the spearman discipline) -- never a
+    generated full-range spine, which would materialize max-min rows
+    to find three gaps. Duplicates are fine (distinct first); NULL
+    sequence values are ignored (not_null is a separate concern)."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window
+
+    keys = list(group_cols or [])
+    s = F2.col(seq_col).cast("bigint")
+    vals = (
+        df.filter(s.isNotNull())
+        .select(*keys, s.alias("_s"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[F2.col(c) for c in keys]).orderBy("_s")
+    out = (
+        vals.withColumn("_next", F2.lead("_s").over(w))
+        .filter(F2.col("_next") > F2.col("_s") + 1)
+        .select(
+            *keys,
+            (F2.col("_s") + 1).alias("gap_start"),
+            (F2.col("_next") - 1).alias("gap_end"),
+            (F2.col("_next") - F2.col("_s") - 1).alias("n_missing"),
+        )
+    )
+    return out.orderBy(*keys, "gap_start")

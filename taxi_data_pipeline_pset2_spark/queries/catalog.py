@@ -121,7 +121,8 @@ def query(
 # cms_join_size_estimate, kmv_customer_overlap, ks_price_by_urgency,
 # seasonal_outlier_days, k_anonymity_audit, pseudonymized_customers,
 # orders_table_checksum, hashed_doc_features, modal_priority_by_status,
-# user_value_twap, part_graph_assortativity, cohort_ltv_curves;
+# user_value_twap, part_graph_assortativity, cohort_ltv_curves,
+# hourly_value_interpolated, order_sequence_gaps;
 # rows-only:
 # part_kcore.
 _WINDOW: tuple[str, ...] = (

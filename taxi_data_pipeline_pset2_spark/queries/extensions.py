@@ -3862,3 +3862,107 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_ltv(
         t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
     )
+
+
+_INTERP_ORACLE = """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS b,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+               AS obs
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS TIMESTAMP) AS b
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.b, obs,
+             CAST(epoch_ms(s.b) // 1000 // 3600 AS BIGINT) AS idx
+      FROM spine s LEFT JOIN obs
+        ON obs.user_id = s.user_id AND obs.b = s.b
+    ),
+    nb AS (
+      SELECT user_id, b, obs, idx,
+             last_value(CASE WHEN obs IS NOT NULL THEN obs END IGNORE NULLS)
+               OVER wp AS pv,
+             last_value(CASE WHEN obs IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wp AS pt,
+             first_value(CASE WHEN obs IS NOT NULL THEN obs END IGNORE NULLS)
+               OVER wn AS nv,
+             first_value(CASE WHEN obs IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wn AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY b
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(round((CASE WHEN obs IS NOT NULL THEN obs
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                 THEN pv + (nv - pv) * (CAST(idx - pt AS DOUBLE)
+                                        / CAST(nt - pt AS DOUBLE))
+                 END) * 1000000) AS BIGINT) / 1000000.0 AS value,
+           obs IS NULL AS is_filled
+    FROM nb ORDER BY user_id, ts
+"""
+
+
+@query("hourly_value_interpolated", oracle=_INTERP_ORACLE, tags=("timeseries", "window"))
+def hourly_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user value grid with LINEAR interpolation across
+    empty buckets (operators/timeseries.py resample_interpolate): the
+    smooth sibling of hourly_value_locf for continuously-varying
+    measurements; leading/trailing gaps stay NULL rather than
+    extrapolate."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    out = resample_interpolate(
+        t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        "is_filled",
+    ).orderBy("user_id", "ts")
+
+
+_MISSING_SEQ_ORACLE = """
+    WITH vals AS (
+      SELECT DISTINCT o_custkey AS k, o_orderkey AS s
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    g AS (
+      SELECT k, s,
+             lead(s) OVER (PARTITION BY k ORDER BY s) AS nxt
+      FROM vals
+    )
+    SELECT k AS o_custkey,
+           CAST(s + 1 AS BIGINT) AS gap_start,
+           CAST(nxt - 1 AS BIGINT) AS gap_end,
+           CAST(nxt - s - 1 AS BIGINT) AS n_missing
+    FROM g WHERE nxt > s + 1 AND k <= 20
+    ORDER BY o_custkey, gap_start
+"""
+
+
+@query("order_sequence_gaps", oracle=_MISSING_SEQ_ORACLE, tags=("quality", "window"))
+def order_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing ranges in each customer's order-key sequence
+    (quality.py missing_ranges, first 20 customers): the completeness
+    audit for offset/invoice/version columns -- gaps from a lead()
+    window over DISTINCT observed values, never a generated full-range
+    spine."""
+    from taxi_data_pipeline_pset2_spark.quality import missing_ranges
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    return missing_ranges(o, "o_orderkey", ["o_custkey"])

@@ -502,3 +502,57 @@ class TestTimeWeightedAvg:
         ]
         df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
         assert time_weighted_avg(df, ["k"], "ts", "v").collect()[0].twa == 42.5
+
+
+class TestResampleInterpolate:
+    def test_linear_fill_between_observations(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+            resample_interpolate,
+        )
+
+        rows = [
+            (1, "2024-01-01 00:30:00", 10.0),
+            (1, "2024-01-01 03:10:00", 40.0),  # 3 buckets later
+            (2, "2024-01-01 05:00:00", 7.0),    # singleton
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string, value double"
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        out = resample_interpolate(df, ["user_id"], "ts", "value", "1 hour")
+        got = {(r.user_id, str(r.ts)): (r.value, r.is_filled) for r in out.collect()}
+        assert got[(1, "2024-01-01 00:00:00")] == (10.0, False)
+        assert got[(1, "2024-01-01 01:00:00")] == (20.0, True)   # 10 + 30/3
+        assert got[(1, "2024-01-01 02:00:00")] == (30.0, True)
+        assert got[(1, "2024-01-01 03:00:00")] == (40.0, False)
+        assert got[(2, "2024-01-01 05:00:00")] == (7.0, False)
+
+    def test_bucket_mean_and_no_extrapolation(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+            resample_interpolate,
+        )
+
+        rows = [
+            (1, "2024-01-01 00:10:00", 10.0),
+            (1, "2024-01-01 00:50:00", 30.0),   # same bucket -> mean 20
+            (1, "2024-01-01 02:00:00", 50.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string, value double"
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        out = resample_interpolate(df, ["user_id"], "ts", "value", "1 hour")
+        got = {str(r.ts): r.value for r in out.collect()}
+        assert got["2024-01-01 00:00:00"] == 20.0
+        assert got["2024-01-01 01:00:00"] == 35.0  # midpoint of 20 and 50
+
+
+def test_missing_ranges_audit(spark):
+    from taxi_data_pipeline_pset2_spark.quality import missing_ranges
+
+    rows = [("a", 1), ("a", 2), ("a", 5), ("a", 9), ("a", 2),  # dup ok
+            ("b", 10), ("b", 11), ("c", None)]
+    df = spark.createDataFrame(rows, "k string, s long")
+    got = [
+        (r.k, r.gap_start, r.gap_end, r.n_missing)
+        for r in missing_ranges(df, "s", ["k"]).collect()
+    ]
+    assert got == [("a", 3, 4, 2), ("a", 6, 8, 3)]  # b contiguous, c NULL-only
