@@ -239,6 +239,13 @@ def ks_statistic(
         F.count(F.when(F.col("_f"), F.lit(1))).cast("bigint").alias("_ca"),
         F.count(F.when(~F.col("_f"), F.lit(1))).cast("bigint").alias("_cb"),
     )
+    return _ks_from_per_value(per_v, keys)
+
+
+def _ks_from_per_value(per_v: DataFrame, keys: list[str]) -> DataFrame:
+    """The KS machinery over a (keys..., _v, _ca, _cb) per-value count
+    frame: cumulative CDF gaps + max, shared by the batch operator and
+    the streaming monitor's ks_from_counts."""
     from pyspark.sql.window import Window
 
     w_cum = (
@@ -279,3 +286,22 @@ def ks_statistic(
         F.round(F.when(ok, lam), 6).alias("ks_lambda"),
     )
     return out.orderBy(*keys) if keys else out
+
+
+def ks_from_counts(counts_a: DataFrame, counts_b: DataFrame) -> DataFrame:
+    """One-row KS from two ungrouped per-value count frames (columns
+    (v, n)): the form the streaming monitor feeds with a batch's counts
+    against PRE-AGGREGATED reference counts -- the reference corpus is
+    never re-scanned per batch, only its value-vocabulary-sized count
+    frame re-windows."""
+    a = counts_a.select(F.col("v").cast("double").alias("_v"), F.col("n").alias("_ca"))
+    b = counts_b.select(F.col("v").cast("double").alias("_v"), F.col("n").alias("_cb"))
+    per_v = (
+        a.join(b, "_v", "full_outer")
+        .select(
+            "_v",
+            F.coalesce(F.col("_ca"), F.lit(0)).cast("bigint").alias("_ca"),
+            F.coalesce(F.col("_cb"), F.lit(0)).cast("bigint").alias("_cb"),
+        )
+    )
+    return _ks_from_per_value(per_v, [])
