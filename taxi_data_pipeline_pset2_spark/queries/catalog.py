@@ -125,6 +125,15 @@ def query(
 # hourly_value_interpolated, order_sequence_gaps;
 # rows-only:
 # part_kcore.
+#
+# r8 rotation EXECUTION ORDER (once CORRECTNESS_r07 proves the current
+# window): swap r7-proven entries out oldest-candidate-first -- (1) the
+# r7-early list above (registered longest without a driver row:
+# asof_next_purchase ... mannwhitney_price_priority), then (2) mid-r7,
+# then (3) late-r7 -- keeping one in-window anchor per SURVEY 2 family
+# exactly as the r6/r7 rotations did (candidates that are themselves
+# the first member of a NEW family -- spatial, privacy, audit, kmv --
+# enter unconditionally; they have no sibling anchor yet).
 _WINDOW: tuple[str, ...] = (
     "term_document_frequency",
     "boolean_and_search",
