@@ -86,3 +86,66 @@ def seasonal_naive_eval(
         ).alias("mase"),
     )
     return out.orderBy(*key_cols) if key_cols else out
+
+
+def pinball_loss(
+    df: DataFrame,
+    actual_col: str,
+    forecast_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Mean pinball (quantile) loss per group and quantile:
+    (group_cols..., q, n, pinball) -- THE proper scoring rule for
+    quantile forecasts (Gneiting & Raftery 2007; the M5-uncertainty
+    metric): loss = q * (y - f) when y >= f else (1 - q) * (f - y),
+    so an under-prediction at q=0.9 costs 9x an equal
+    over-prediction -- MASE (point accuracy) says nothing about
+    calibrated bands; this does.
+
+    Exactness: y, f and every quantile weight are DECIMALS (q enters
+    as an exact decimal literal, never a double), so per-row losses
+    and their sums are exact under any partitioning; the single final
+    mean division rounds to 6 dp. One scan, one hash aggregate with
+    len(quantiles) conditional sums, constant-width explode. Rows
+    with NULL actual or forecast drop."""
+    if not quantiles:
+        raise ValueError("need at least one quantile")
+    if any(not 0 < q < 1 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0,1): {quantiles}")
+    keys = [F.col(c) for c in group_cols]
+    y = F.col(actual_col).cast("decimal(28,6)")
+    f = F.col(forecast_col).cast("decimal(28,6)")
+    base = df.filter(y.isNotNull() & f.isNotNull()).select(
+        *group_cols, y.alias("_y"), f.alias("_f")
+    )
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for i, q in enumerate(quantiles):
+        qd = F.lit(f"{q:.6f}").cast("decimal(8,6)")
+        loss = F.when(
+            F.col("_y") >= F.col("_f"),
+            (qd * (F.col("_y") - F.col("_f"))).cast("decimal(38,12)"),
+        ).otherwise(
+            ((F.lit("1.000000").cast("decimal(8,6)") - qd)
+             * (F.col("_f") - F.col("_y"))).cast("decimal(38,12)")
+        )
+        aggs.append(F.sum(loss).alias(f"_s{i}"))
+    agg = (base.groupBy(*keys) if group_cols else base.groupBy()).agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(f"{q:.6f}").cast("decimal(8,6)").alias("q"),
+            F.round(
+                F.col(f"_s{i}").cast("double") / F.col("n").cast("double"), 6
+            ).alias("pinball"),
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    out = agg.select(
+        *group_cols, "n", F.explode(F.array(*rows)).alias("_r")
+    ).select(
+        *group_cols,
+        F.col("_r.q").cast("double").alias("q"),
+        "n",
+        "_r.pinball",
+    )
+    return out.orderBy(*group_cols, "q")

@@ -1048,3 +1048,75 @@ def part_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
     )
     return degree_assortativity(edges)
+
+
+_PINBALL_ORACLE = """
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS t,
+             sum(CAST(value AS DECIMAL(18,6))) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(a.y AS DECIMAL(28,6)) AS y,
+             CAST(b.y AS DECIMAL(28,6)) AS f
+      FROM s a JOIN s b
+        ON a.event_type = b.event_type
+       AND a.t = b.t + INTERVAL 24 HOUR
+      WHERE a.t >= TIMESTAMP '2024-01-24 00:00:00'
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CASE WHEN y >= f
+                 THEN CAST(CAST(0.500000 AS DECIMAL(8,6)) * (y - f)
+                           AS DECIMAL(38,12))
+                 ELSE CAST((CAST(1.000000 AS DECIMAL(8,6))
+                            - CAST(0.500000 AS DECIMAL(8,6))) * (f - y)
+                           AS DECIMAL(38,12)) END) AS s50,
+             sum(CASE WHEN y >= f
+                 THEN CAST(CAST(0.900000 AS DECIMAL(8,6)) * (y - f)
+                           AS DECIMAL(38,12))
+                 ELSE CAST((CAST(1.000000 AS DECIMAL(8,6))
+                            - CAST(0.900000 AS DECIMAL(8,6))) * (f - y)
+                           AS DECIMAL(38,12)) END) AS s90
+      FROM pairs GROUP BY 1
+    )
+    SELECT event_type, CAST(q AS DOUBLE) AS q, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pinball
+    FROM (
+      SELECT event_type, 0.5 AS q, n, s50 AS s FROM agg
+      UNION ALL
+      SELECT event_type, 0.9 AS q, n, s90 AS s FROM agg
+    )
+    ORDER BY event_type, q
+"""
+
+
+@query("seasonal_naive_pinball", oracle=_PINBALL_ORACLE, tags=("forecast", "agg"))
+def seasonal_naive_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball loss of the seasonal-naive hourly forecast on the test
+    window, q = 0.5 / 0.9 (operators/forecast.py pinball_loss composing
+    seasonal_naive_eval's pair construction): the proper scoring rule
+    for quantile forecasts next to seasonal_naive_mase's point
+    accuracy -- an under-prediction at q=0.9 costs 9x an equal
+    over-prediction. Exact decimal losses end to end."""
+    from taxi_data_pipeline_pset2_spark.operators.forecast import (
+        pinball_loss,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("_t")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("_y"))
+    prev = series.select(
+        F.col("event_type").alias("_pe"),
+        (F.col("_t") + F.expr("INTERVAL 24 HOUR")).alias("_pt"),
+        F.col("_y").alias("_f"),
+    )
+    pairs = series.join(
+        prev,
+        (F.col("event_type") == F.col("_pe")) & (F.col("_t") == F.col("_pt")),
+    ).filter(F.col("_t") >= F.lit("2024-01-24 00:00:00").cast("timestamp"))
+    return pinball_loss(
+        pairs, "_y", "_f", quantiles=(0.5, 0.9), group_cols=["event_type"]
+    )

@@ -348,3 +348,45 @@ def test_isotonic_already_monotone_identity_and_groups(spark):
     assert inc == {1.0: 0.2, 2.0: 0.5, 3.0: 1.0}
     dec = {r["score"]: r["fitted_p"] for r in out if r["g"] == "dec"}
     assert dec == {1.0: 0.5, 2.0: 0.5}  # violators pooled
+
+
+class TestPinballLoss:
+    def test_hand_computed_asymmetry(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.forecast import (
+            pinball_loss,
+        )
+
+        # y=10 f=8 (under-forecast by 2); y=10 f=12 (over by 2)
+        df = spark.createDataFrame(
+            [(10.0, 8.0), (10.0, 12.0)], "y double, f double"
+        )
+        got = {r.q: r.pinball for r in pinball_loss(df, "y", "f", (0.9,)).collect()}
+        # q=0.9: under costs 0.9*2=1.8, over costs 0.1*2=0.2 -> mean 1.0
+        assert got[0.9] == 1.0
+
+    def test_median_quantile_is_half_mae(self, spark):
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.forecast import (
+            pinball_loss,
+        )
+
+        rng = random.Random(12)
+        rows = [
+            (float(rng.randint(0, 100)), float(rng.randint(0, 100)))
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(rows, "y double, f double")
+        r = pinball_loss(df, "y", "f", (0.5,)).collect()[0]
+        mae = sum(abs(y - f) for y, f in rows) / len(rows)
+        assert r.pinball == pytest.approx(mae / 2, abs=1e-6)
+
+    def test_perfect_forecast_zero_and_validation(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.forecast import (
+            pinball_loss,
+        )
+
+        df = spark.createDataFrame([(5.0, 5.0)], "y double, f double")
+        assert pinball_loss(df, "y", "f", (0.5, 0.9)).collect()[0].pinball == 0.0
+        with pytest.raises(ValueError, match="quantiles"):
+            pinball_loss(df, "y", "f", (1.5,))
