@@ -122,7 +122,8 @@ def query(
 # seasonal_outlier_days, k_anonymity_audit, pseudonymized_customers,
 # orders_table_checksum, hashed_doc_features, modal_priority_by_status,
 # user_value_twap, part_graph_assortativity, cohort_ltv_curves,
-# hourly_value_interpolated, order_sequence_gaps, seasonal_naive_pinball;
+# hourly_value_interpolated, order_sequence_gaps, seasonal_naive_pinball,
+# embedding_quantization_audit;
 # rows-only:
 # part_kcore.
 #

@@ -326,3 +326,62 @@ def rrf_fuse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(runs, k=60, top=5, doc_col="neighbor_id").orderBy(
         "query_id", "fused_rank"
     )
+
+
+_QUANT_ORACLE = f"""
+    WITH prep AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {SCALE}) AS BIGINT)) AS iv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    am AS (
+      SELECT vec_id, iv,
+             list_max(list_transform(iv, v -> abs(v))) AS amx
+      FROM prep
+    ),
+    qz AS (
+      SELECT vec_id, iv, amx,
+             CASE WHEN amx > 0
+             THEN list_transform(iv, v -> CAST(round(
+                    CAST(v * 127 AS DOUBLE) / CAST(amx AS DOUBLE))
+                    AS BIGINT))
+             ELSE list_transform(iv, v -> CAST(0 AS BIGINT)) END AS q
+      FROM am
+    ),
+    m AS (
+      SELECT vec_id,
+             CAST(len(iv) AS INTEGER) AS n_dims,
+             CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                  i -> iv[i] * q[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(iv, v -> v * v)) AS BIGINT) AS niv,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq,
+             list_max(list_transform(generate_series(1, len(iv)),
+                  i -> abs(CAST(iv[i] * 127 - q[i] * amx AS DOUBLE))))
+               / {float(127 * SCALE)} AS err
+      FROM qz
+    )
+    SELECT vec_id, n_dims,
+           round(CASE WHEN niv > 0 AND nq > 0
+                 THEN CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(niv AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)))
+                 END, 6) AS cosine_q,
+           round(err, 6) AS max_abs_err
+    FROM m ORDER BY vec_id
+"""
+
+
+@query("embedding_quantization_audit", oracle=_QUANT_ORACLE, tags=("similarity", "ml"))
+def embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 absmax quantization fidelity per embedding
+    (operators/quantize.py): cosine(original, int8 code) and worst
+    per-element reconstruction error -- the audit run before flipping
+    a 100 TB embedding column to 4x-smaller storage. Exact int-scaled
+    dots; the oracle rebuilds code and audit bit-exactly."""
+    from taxi_data_pipeline_pset2_spark.operators.quantize import (
+        quantization_audit,
+    )
+
+    return quantization_audit(
+        t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )

@@ -201,3 +201,46 @@ def test_mine_hard_negatives_excludes_dups_before_ranking(spark):
     assert all(r.query_id == 0 for r in out)
     # both orientations of the dup set were excluded
     assert {r.neighbor_id for r in out}.isdisjoint({0, 1, 2})
+
+
+class TestQuantization:
+    def test_roundtrip_reconstruction(self, spark):
+        import numpy as np
+
+        from taxi_data_pipeline_pset2_spark.operators.quantize import (
+            quantize_embeddings,
+        )
+
+        vecs = [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.001, 0.002, -0.003, 0.004]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ]
+        df = spark.createDataFrame(vecs, "vid long, embedding array<float>")
+        got = {r.vid: r for r in quantize_embeddings(df, "embedding", "vid").collect()}
+        for vid, vec in vecs:
+            q, s = got[vid].qvec, got[vid].scale
+            assert all(-127 <= c <= 127 for c in q)
+            recon = np.array(q, dtype=float) * s
+            err = np.abs(recon - np.array(vec))
+            # absmax scheme: error bounded by half a code step
+            assert err.max() <= s / 2 + 1e-9, vid
+        assert got[3].scale == 0.0 and all(c == 0 for c in got[3].qvec)
+
+    def test_audit_cosine_near_one_and_zero_vector_null(self, spark):
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.quantize import (
+            quantization_audit,
+        )
+
+        rng = random.Random(31)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(40)
+        ] + [(99, [0.0] * 32)]
+        df = spark.createDataFrame(rows, "vid long, embedding array<float>")
+        out = {r.vid: r for r in quantization_audit(df, "embedding", "vid").collect()}
+        for i in range(40):
+            assert out[i].cosine_q is not None and out[i].cosine_q > 0.999
+            assert out[i].max_abs_err < 0.01
+        assert out[99].cosine_q is None
