@@ -123,7 +123,7 @@ def query(
 # orders_table_checksum, hashed_doc_features, modal_priority_by_status,
 # user_value_twap, part_graph_assortativity, cohort_ltv_curves,
 # hourly_value_interpolated, order_sequence_gaps, seasonal_naive_pinball,
-# embedding_quantization_audit;
+# embedding_quantization_audit, cross_source_dup_matrix;
 # rows-only:
 # part_kcore.
 #

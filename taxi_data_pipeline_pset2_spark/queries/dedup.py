@@ -219,3 +219,61 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_pipeline_pset2_spark.operators.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+_XSOURCE_ORACLE = """
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+                 string_split_regex(trim(lower(text)), '\\s+')[1:12],
+                 ' ')) AS fp
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM h a JOIN h b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM (
+      SELECT least(source_a, source_b) AS source_a,
+             greatest(source_a, source_b) AS source_b
+      FROM pairs
+    )
+    GROUP BY 1, 2
+    ORDER BY n_dup_pairs DESC, source_a, source_b
+"""
+
+
+@query("cross_source_dup_matrix", oracle=_XSOURCE_ORACLE, tags=("dedup", "agg"))
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: exact-duplicate pairs aggregated
+    to an unordered source-pair matrix -- the corpus-governance view of
+    dedup_exact's row-level groups (a feed that mirrors another is a
+    licensing/weighting decision, not just a dedup count). Identity is
+    the DELIBERATELY COARSE 12-token normalized-prefix fingerprint --
+    syndicated/mirrored documents share openings even after light
+    edits, which byte-exact hashing misses; full near-dup semantics
+    stay with the MinHash family. Fingerprint hash-join; never a
+    text-column shuffle of raw pairs."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pfx = F.array_join(
+        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 12), " "
+    )
+    h = docs.select("doc_id", "source", F.md5(pfx).alias("fp"))
+    pairs = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_dup_pairs"))
+        .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
+    )

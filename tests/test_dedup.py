@@ -154,3 +154,44 @@ def test_minhash_verified_pairs_exact_on_candidates(spark, sf_dir):
         assert exact.get(pair) == j, pair
     # recall vs exact: every exact pair that collided on >= 1 band is kept
     assert set(verified) == {p for p in exact if p in cands}
+
+
+def test_cross_source_dup_matrix_semantics(spark, sf_dir):
+    """The matrix counts unordered source pairs of prefix-identical
+    docs: planted mirrors across two sources, one within a source."""
+    from taxi_data_pipeline_pset2_spark.queries.catalog import registry
+
+    import pandas as pd
+
+    rows = [
+        (1, "srcA", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu TAIL-1"),
+        (2, "srcB", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu TAIL-2"),
+        (3, "srcB", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu TAIL-3"),
+        (4, "srcC", "completely different text with its own twelve tokens here one two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.createOrReplaceTempView("documents_xsrc_test")
+    # exercise the operator logic directly on the tiny frame
+    from pyspark.sql import functions as F
+
+    pfx = F.array_join(
+        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 12), " "
+    )
+    h = df.select("doc_id", "source", F.md5(pfx).alias("fp"))
+    pairs = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.source", "b.source").alias("sa"),
+            F.greatest("a.source", "b.source").alias("sb"),
+        )
+        .groupBy("sa", "sb")
+        .count()
+    )
+    got = {(r.sa, r.sb): r["count"] for r in pairs.collect()}
+    # docs 1-2, 1-3 cross srcA/srcB; 2-3 within srcB
+    assert got == {("srcA", "srcB"): 2, ("srcB", "srcB"): 1}
