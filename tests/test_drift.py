@@ -161,3 +161,35 @@ class TestKsStatistic:
         got = {r.g: r for r in ks_statistic(df, "v", "f", ["g"]).collect()}
         assert got["g1"].ks_d is None          # no B sample
         assert got["g2"].ks_d == 0.0           # tied single value
+
+
+def test_ks_from_counts_equals_row_form(spark):
+    """The count-frame form (the streaming monitor's input) must equal
+    ks_statistic over the equivalent rows."""
+    import random
+
+    from taxi_data_pipeline_pset2_spark.operators.drift import (
+        ks_from_counts,
+        ks_statistic,
+    )
+
+    rng = random.Random(19)
+    a = [float(rng.randint(0, 20)) for _ in range(120)]
+    b = [float(rng.randint(5, 25)) for _ in range(90)]
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    want = ks_statistic(
+        spark.createDataFrame(rows, "v double, f boolean"), "v", "f"
+    ).collect()[0]
+
+    from collections import Counter
+
+    ca = spark.createDataFrame(
+        [(v, n) for v, n in Counter(a).items()], "v double, n long"
+    )
+    cb = spark.createDataFrame(
+        [(v, n) for v, n in Counter(b).items()], "v double, n long"
+    )
+    got = ks_from_counts(ca, cb).collect()[0]
+    assert (got.n_a, got.n_b, got.ks_d, got.ks_lambda) == (
+        want.n_a, want.n_b, want.ks_d, want.ks_lambda,
+    )
