@@ -123,7 +123,8 @@ def query(
 # orders_table_checksum, hashed_doc_features, modal_priority_by_status,
 # user_value_twap, part_graph_assortativity, cohort_ltv_curves,
 # hourly_value_interpolated, order_sequence_gaps, seasonal_naive_pinball,
-# embedding_quantization_audit, cross_source_dup_matrix;
+# embedding_quantization_audit, cross_source_dup_matrix,
+# variant_assignment_srm, ctr_ratio_delta;
 # rows-only:
 # part_kcore.
 #

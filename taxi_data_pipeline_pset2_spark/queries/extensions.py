@@ -3966,3 +3966,129 @@ def order_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
     return missing_ranges(o, "o_orderkey", ["o_custkey"])
+
+
+_SRM_ORACLE = """
+    WITH units AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
+    assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('exp7:' ||
+                        CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 1000000 < 500000
+             THEN 'control' ELSE 'treatment' END AS variant
+      FROM units
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (variant = 'control') AS BIGINT) AS c0,
+             CAST(count(*) FILTER (variant = 'treatment') AS BIGINT) AS c1
+      FROM assigned
+    )
+    SELECT n,
+           round(CASE WHEN n > 0 THEN
+             (CAST(c0 AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+             * (CAST(c0 AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+             / (CAST(n AS DOUBLE) * 0.5)
+             + (CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+             * (CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+             / (CAST(n AS DOUBLE) * 0.5) END, 6) AS chi2,
+           CAST(1 AS INTEGER) AS df
+    FROM c
+"""
+
+
+@query("variant_assignment_srm", oracle=_SRM_ORACLE, tags=("experiment", "agg"))
+def variant_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50/50 variant assignment of event users + the
+    sample-ratio-mismatch guardrail (operators/experiment.py): the
+    check that must pass before the A/B stats family (Welch, CUPED,
+    Mann-Whitney) reads anything -- chi2 far above the 1-dof critical
+    value means the assignment or logging drops units. Portable hash
+    assignment: the oracle reproduces every unit's variant."""
+    from taxi_data_pipeline_pset2_spark.operators.experiment import (
+        assign_variants,
+        srm_check,
+    )
+
+    units = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    assigned = assign_variants(
+        units, "user_id", {"control": 0.5, "treatment": 0.5}, salt="exp7"
+    )
+    return srm_check(assigned, {"control": 0.5, "treatment": 0.5})
+
+
+_RATIO_ORACLE = """
+    WITH base AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5('exp7:' ||
+                       CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 1000000 < 500000
+             THEN 'control' ELSE 'treatment' END AS variant,
+             event_type
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    per_unit AS (
+      SELECT variant, user_id,
+             CAST(count(*) FILTER (event_type = 'click')
+                  AS DECIMAL(28,6)) AS x,
+             CAST(count(*) FILTER (event_type = 'view')
+                  AS DECIMAL(28,6)) AS y
+      FROM base GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+      FROM per_unit GROUP BY 1
+    )
+    SELECT variant, n_units,
+           round(CASE WHEN sy > 0 THEN sx / sy END, 6) AS ratio,
+           round(CASE WHEN n_units >= 2 AND sy > 0 AND
+                 ((sxx - n_units * (sx / n_units) * (sx / n_units)) / (n_units - 1)
+                  - 2 * (sx / sy) * ((sxy - n_units * (sx / n_units) * (sy / n_units)) / (n_units - 1))
+                  + (sx / sy) * (sx / sy) * ((syy - n_units * (sy / n_units) * (sy / n_units)) / (n_units - 1)))
+                 / (n_units * (sy / n_units) * (sy / n_units)) >= 0
+                 THEN sqrt(
+                 ((sxx - n_units * (sx / n_units) * (sx / n_units)) / (n_units - 1)
+                  - 2 * (sx / sy) * ((sxy - n_units * (sx / n_units) * (sy / n_units)) / (n_units - 1))
+                  + (sx / sy) * (sx / sy) * ((syy - n_units * (sy / n_units) * (sy / n_units)) / (n_units - 1)))
+                 / (n_units * (sy / n_units) * (sy / n_units)))
+                 END, 6) AS se
+    FROM agg ORDER BY variant
+"""
+
+
+@query("ctr_ratio_delta", oracle=_RATIO_ORACLE, tags=("experiment", "agg"))
+def ctr_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks-per-view ratio with delta-method standard errors per
+    assigned variant (operators/experiment.py ratio_metric_delta
+    composing assign_variants): the correct uncertainty for CTR-style
+    metrics -- row-level tests ignore within-user correlation, per-user
+    ratio averages over-weight tiny denominators; the delta method
+    over unit-level sums fixes both (Deng et al. 2017)."""
+    from taxi_data_pipeline_pset2_spark.operators.experiment import (
+        assign_variants,
+        ratio_metric_delta,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    assigned = assign_variants(
+        ev, "user_id", {"control": 0.5, "treatment": 0.5}, salt="exp7"
+    ).select(
+        "variant",
+        "user_id",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        (F.col("event_type") == "view").cast("int").alias("is_view"),
+    )
+    return ratio_metric_delta(
+        assigned, "user_id", "is_click", "is_view", ["variant"]
+    )
