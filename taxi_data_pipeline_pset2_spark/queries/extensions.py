@@ -4092,3 +4092,45 @@ def ctr_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratio_metric_delta(
         assigned, "user_id", "is_click", "is_view", ["variant"]
     )
+
+
+_STORAGE_ORACLE = """
+    SELECT path_in_schema AS column,
+           CAST(count(*) AS BIGINT) AS n_row_groups,
+           CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+           CAST(sum(total_uncompressed_size) AS BIGINT)
+             AS uncompressed_bytes,
+           round(CASE WHEN sum(total_compressed_size) > 0
+                 THEN CAST(sum(total_uncompressed_size) AS DOUBLE)
+                      / CAST(sum(total_compressed_size) AS DOUBLE)
+                 END, 6) AS compression_ratio
+    FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "lineitem_storage_report",
+    oracle=_STORAGE_ORACLE,
+    tags=("profiling", "storage"),
+)
+def lineitem_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column parquet storage audit of the fact table from footers
+    only (operators/storage.py column_storage_report): compressed /
+    uncompressed bytes and compression ratio per column, no data pages
+    read -- the size-side feedback the clustered/Z-order layout
+    machinery doesn't give. Footer reads distribute over the file
+    list via mapInPandas; the oracle is DuckDB's own parquet_metadata
+    parser agreeing on every byte."""
+    from taxi_data_pipeline_pset2_spark.operators.storage import (
+        column_storage_report,
+    )
+
+    # pinned to the sf0.01 file on BOTH sides: oracle strings are static
+    # SQL (no sf_dir templating in the driver contract), and DuckDB's
+    # parquet_metadata needs the literal path -- the one catalog entry
+    # whose subject is a specific physical artifact, not a logical table
+    del sf_dir
+    return column_storage_report(
+        spark, "/root/testdata/sf0.01/lineitem.parquet"
+    )

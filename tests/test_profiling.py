@@ -233,3 +233,56 @@ class TestSkewReport:
         df = spark.createDataFrame(rows, "k string")
         r = skew_report(df, ["k"]).collect()[0]
         assert r.skew_ratio == 1.0 and r.top1_share == 0.1
+
+
+class TestColumnStorageReport:
+    def test_matches_pyarrow_on_written_table(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from taxi_data_pipeline_pset2_spark.operators.storage import (
+            column_storage_report,
+        )
+
+        path = str(tmp_path / "t")
+        spark.range(0, 5000).selectExpr(
+            "id", "cast(id % 7 as string) as cat", "id * 1.5 as val"
+        ).repartition(3).write.parquet(path)
+        got = {
+            r.column: (r.n_row_groups, r.compressed_bytes, r.uncompressed_bytes)
+            for r in column_storage_report(spark, path).collect()
+        }
+        # independent driver-side pyarrow sweep over the same footers
+        import os
+
+        want: dict = {}
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    k = c.path_in_schema
+                    n, cb, ub = want.get(k, (0, 0, 0))
+                    want[k] = (
+                        n + 1,
+                        cb + c.total_compressed_size,
+                        ub + c.total_uncompressed_size,
+                    )
+        assert got == want
+        assert set(got) == {"id", "cat", "val"}
+
+    def test_empty_dir_rejected(self, spark, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from taxi_data_pipeline_pset2_spark.operators.storage import (
+            column_storage_report,
+        )
+
+        d = str(tmp_path / "empty")
+        os.makedirs(d)
+        with _pytest.raises(ValueError, match="no parquet"):
+            column_storage_report(spark, d)
