@@ -855,3 +855,84 @@ def interarrival_stats(
             6,
         ).alias("burstiness"),
     ).orderBy(*key_cols)
+
+
+def mix_decomposition(
+    df_base: DataFrame,
+    df_comp: DataFrame,
+    segment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Why did the average move: per-segment decomposition of the
+    change in a mean metric between a base and a comparison population
+    (Oaxaca-Blinder / price-volume-mix, the Simpson's-paradox guard):
+
+        total change = sum_s [ w_base_s * (m_comp_s - m_base_s)   (within)
+                             + (w_comp_s - w_base_s) * m_base_s   (mix)
+                             + (w_comp_s - w_base_s)
+                               * (m_comp_s - m_base_s) ]          (interaction)
+
+    Returns one row per segment (segment, n_base, n_comp, mean_base,
+    mean_comp, within_effect, mix_effect, interaction) plus the
+    identity that the three effect columns sum EXACTLY to the overall
+    mean change -- an average can fall while every segment improves,
+    and this says so. Segments absent on one side enter with weight 0
+    there (their whole contribution is mix/interaction). NULL values
+    drop; NULL segment is a legitimate segment.
+
+    One hash aggregate per side (segment-sized), a null-safe
+    full-outer join of two segment frames, fixed double expressions
+    rounded to 6 dp -- exact decimal sums underneath, so a DuckDB twin
+    hash-matches."""
+
+    def _seg(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(F.col(segment_col).alias("_seg"))
+            .agg(
+                F.count("*").cast("bigint").alias(f"n_{tag}"),
+                F.sum(v.cast("decimal(28,6)"))
+                .cast("double")
+                .alias(f"_s_{tag}"),
+            )
+        )
+    b = _seg(df_base, "base")
+    c = _seg(df_comp, "comp").withColumnRenamed("_seg", "_seg_c")
+    j = b.join(
+        c, F.col("_seg").eqNullSafe(F.col("_seg_c")), "full_outer"
+    ).select(
+        F.coalesce(F.col("_seg"), F.col("_seg_c")).alias("segment"),
+        F.coalesce(F.col("n_base"), F.lit(0)).cast("bigint").alias("n_base"),
+        F.coalesce(F.col("n_comp"), F.lit(0)).cast("bigint").alias("n_comp"),
+        F.coalesce(F.col("_s_base"), F.lit(0.0)).alias("_sb"),
+        F.coalesce(F.col("_s_comp"), F.lit(0.0)).alias("_sc"),
+    )
+    tot = j.agg(
+        F.sum("n_base").cast("double").alias("_tb"),
+        F.sum("n_comp").cast("double").alias("_tc"),
+    )
+    x = j.crossJoin(F.broadcast(tot))
+    m_b = F.try_divide(F.col("_sb"), F.col("n_base").cast("double"))
+    m_c = F.try_divide(F.col("_sc"), F.col("n_comp").cast("double"))
+    w_b = F.col("n_base").cast("double") / F.col("_tb")
+    w_c = F.col("n_comp").cast("double") / F.col("_tc")
+    # absent-side means contribute only through terms weighted by the
+    # side where they exist: coalesce to the OTHER side's mean so the
+    # w*delta algebra stays exact (standard treatment of entering /
+    # exiting segments)
+    mb = F.coalesce(m_b, m_c)
+    mc = F.coalesce(m_c, m_b)
+    within = w_b * (mc - mb)
+    mix = (w_c - w_b) * mb
+    inter = (w_c - w_b) * (mc - mb)
+    return x.select(
+        "segment",
+        "n_base",
+        "n_comp",
+        F.round(m_b, 6).alias("mean_base"),
+        F.round(m_c, 6).alias("mean_comp"),
+        F.round(within, 6).alias("within_effect"),
+        F.round(mix, 6).alias("mix_effect"),
+        F.round(inter, 6).alias("interaction"),
+    ).orderBy("segment")

@@ -124,7 +124,8 @@ def query(
 # user_value_twap, part_graph_assortativity, cohort_ltv_curves,
 # hourly_value_interpolated, order_sequence_gaps, seasonal_naive_pinball,
 # embedding_quantization_audit, cross_source_dup_matrix,
-# variant_assignment_srm, ctr_ratio_delta, lineitem_storage_report;
+# variant_assignment_srm, ctr_ratio_delta, lineitem_storage_report,
+# aov_mix_decomposition;
 # rows-only:
 # part_kcore.
 #

@@ -4134,3 +4134,81 @@ def lineitem_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_storage_report(
         spark, "/root/testdata/sf0.01/lineitem.parquet"
     )
+
+
+_MIXDEC_ORACLE = """
+    WITH b AS (
+      SELECT o_orderpriority AS seg, CAST(count(*) AS BIGINT) AS n_base,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sb
+      FROM orders
+      WHERE extract(year FROM o_orderdate) = 1997
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT o_orderpriority AS seg, CAST(count(*) AS BIGINT) AS n_comp,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sc
+      FROM orders
+      WHERE extract(year FROM o_orderdate) = 1998
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(b.seg, c.seg) AS segment,
+             CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(n_comp, 0) AS BIGINT) AS n_comp,
+             coalesce(sb, 0.0) AS sb, coalesce(sc, 0.0) AS sc
+      FROM b FULL OUTER JOIN c ON b.seg IS NOT DISTINCT FROM c.seg
+    ),
+    tot AS (
+      SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+             CAST(sum(n_comp) AS DOUBLE) AS tc
+      FROM j
+    ),
+    e AS (
+      SELECT segment, n_base, n_comp,
+             CASE WHEN n_base > 0
+                  THEN sb / CAST(n_base AS DOUBLE) END AS m_b,
+             CASE WHEN n_comp > 0
+                  THEN sc / CAST(n_comp AS DOUBLE) END AS m_c,
+             CAST(n_base AS DOUBLE) / tb AS w_b,
+             CAST(n_comp AS DOUBLE) / tc AS w_c
+      FROM j, tot
+    ),
+    f AS (
+      SELECT segment, n_base, n_comp, m_b, m_c, w_b, w_c,
+             coalesce(m_b, m_c) AS mb, coalesce(m_c, m_b) AS mc
+      FROM e
+    )
+    SELECT segment, n_base, n_comp,
+           round(m_b, 6) AS mean_base,
+           round(m_c, 6) AS mean_comp,
+           round(w_b * (mc - mb), 6) AS within_effect,
+           round((w_c - w_b) * mb, 6) AS mix_effect,
+           round((w_c - w_b) * (mc - mb), 6) AS interaction
+    FROM f ORDER BY segment
+"""
+
+
+@query("aov_mix_decomposition", oracle=_MIXDEC_ORACLE, tags=("stats", "agg"))
+def aov_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why average order value moved 1997 -> 1998, per priority
+    (operators/stats.py mix_decomposition): the Oaxaca-Blinder /
+    price-volume-mix split of the mean change into within-segment,
+    mix-shift and interaction effects -- the Simpson's-paradox guard
+    (an average can fall while every segment improves; this says so).
+    The three effect columns sum exactly to the overall change."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import (
+        mix_decomposition,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    base = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+    )
+    comp = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return mix_decomposition(base, comp, "seg", "v")

@@ -546,3 +546,59 @@ class TestInterarrivalStats:
         assert r.mean_gap == pytest.approx(gaps.mean(), abs=1e-6)
         assert r.sd_gap == pytest.approx(gaps.std(), abs=1e-4)
         assert r.cv == pytest.approx(gaps.std() / gaps.mean(), abs=1e-6)
+
+
+class TestMixDecomposition:
+    def test_effects_sum_to_total_change(self, spark):
+        import random
+
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            mix_decomposition,
+        )
+
+        rng = random.Random(14)
+        base = [(rng.choice("ABC"), float(rng.randint(1, 100))) for _ in range(300)]
+        comp = [(rng.choice("ABCD"), float(rng.randint(1, 120))) for _ in range(260)]
+        db = spark.createDataFrame(base, "seg string, v double")
+        dc = spark.createDataFrame(comp, "seg string, v double")
+        rows = mix_decomposition(db, dc, "seg", "v").collect()
+        total_effects = sum(
+            r.within_effect + r.mix_effect + r.interaction for r in rows
+        )
+        mean_b = sum(v for _, v in base) / len(base)
+        mean_c = sum(v for _, v in comp) / len(comp)
+        assert total_effects == pytest.approx(mean_c - mean_b, abs=1e-4)
+
+    def test_simpsons_paradox_surfaced(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            mix_decomposition,
+        )
+
+        # every segment IMPROVES, but the mix shifts toward the cheap
+        # segment: the overall mean falls -- mix_effect must carry the drop
+        base = [("hi", 100.0)] * 80 + [("lo", 10.0)] * 20
+        comp = [("hi", 110.0)] * 20 + [("lo", 12.0)] * 80
+        db = spark.createDataFrame(base, "seg string, v double")
+        dc = spark.createDataFrame(comp, "seg string, v double")
+        rows = {r.segment: r for r in mix_decomposition(db, dc, "seg", "v").collect()}
+        assert rows["hi"].within_effect > 0 and rows["lo"].within_effect > 0
+        assert rows["hi"].mix_effect < 0  # the real story
+        total = sum(
+            r.within_effect + r.mix_effect + r.interaction
+            for r in rows.values()
+        )
+        assert total < 0  # overall mean fell despite per-segment gains
+
+    def test_entering_segment_is_pure_mix(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            mix_decomposition,
+        )
+
+        db = spark.createDataFrame([("a", 10.0)], "seg string, v double")
+        dc = spark.createDataFrame(
+            [("a", 10.0), ("new", 50.0)], "seg string, v double"
+        )
+        rows = {r.segment: r for r in mix_decomposition(db, dc, "seg", "v").collect()}
+        assert rows["new"].n_base == 0 and rows["new"].mean_base is None
+        assert rows["new"].within_effect == 0.0  # w_base = 0
+        assert rows["new"].mix_effect != 0.0
