@@ -125,7 +125,7 @@ def query(
 # hourly_value_interpolated, order_sequence_gaps, seasonal_naive_pinball,
 # embedding_quantization_audit, cross_source_dup_matrix,
 # variant_assignment_srm, ctr_ratio_delta, lineitem_storage_report,
-# aov_mix_decomposition;
+# aov_mix_decomposition, lsh_recall_audit;
 # rows-only:
 # part_kcore.
 #
