@@ -1,7 +1,21 @@
 """The repo-local version of the driver's correctness gate: every catalog
-query with an oracle must hash-match DuckDB on the same parquet tables."""
+query with an oracle must hash-match DuckDB on the same parquet tables.
+
+The 190 comparisons dominated the suite's wall-clock when run one-per-test
+(24 min by r7). Catalog queries are pure functions of (spark, sf_dir) --
+no temp views, no shared state (grep-verified) -- so a module fixture now
+precomputes every comparison CONCURRENTLY (Spark's scheduler interleaves
+jobs submitted from multiple threads on local[32]; DuckDB gets a cursor
+per task, the documented per-thread pattern), and the parametrized tests
+just assert the memoized outcome. Same 190 pass/fail IDs, same per-entry
+failure attribution, a fraction of the wall time.
+"""
 
 from __future__ import annotations
+
+import os
+import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -10,26 +24,48 @@ from tests.conftest import SF_DIR
 from tests.oracle_utils import compare_frames, duckdb_connection
 
 ENTRIES = sorted(registry().values(), key=lambda e: e.name)
+REPLAY_THREADS = int(os.environ.get("SPARK_GRAFT_REPLAY_THREADS", "8"))
+
+
+def _replay_one(spark, sf_dir, con, entry) -> list[str]:
+    """Run one catalog entry and its oracle; return mismatch descriptions
+    (empty = pass). Exceptions are rendered into the problem list so one
+    bad entry cannot poison the shared executor."""
+    try:
+        spark_pdf = entry.fn(spark, sf_dir).toPandas()
+        if len(spark_pdf.columns) == 0:
+            return ["result has zero columns"]
+        if entry.oracle is None:
+            # rows-only check, mirroring the driver's weaker path -- but
+            # non-vacuous: every rows-only op in the registry (clustering,
+            # ANN top-k, graph, packing, ...) returns >=1 row on the test
+            # tables by construction (VERDICT r7 finding #3).
+            return [] if len(spark_pdf) > 0 else ["rows-only entry returned 0 rows"]
+        # DuckDB connections are not thread-safe; .cursor() is the
+        # documented per-thread handle onto the same catalog.
+        oracle_pdf = con.cursor().execute(entry.oracle).df()
+        return compare_frames(spark_pdf, oracle_pdf)
+    except Exception:
+        return [traceback.format_exc(limit=8)]
 
 
 @pytest.fixture(scope="module")
-def oracle_con():
+def replay_results(spark, sf_dir):
     con = duckdb_connection(SF_DIR)
-    yield con
-    con.close()
+    try:
+        with ThreadPoolExecutor(max_workers=REPLAY_THREADS) as pool:
+            futures = {
+                e.name: pool.submit(_replay_one, spark, sf_dir, con, e)
+                for e in ENTRIES
+            }
+            yield {name: f.result() for name, f in futures.items()}
+    finally:
+        con.close()
 
 
 @pytest.mark.parametrize("entry", ENTRIES, ids=[e.name for e in ENTRIES])
-def test_query_matches_oracle(spark, sf_dir, oracle_con, entry):
-    sdf = entry.fn(spark, sf_dir)
-    spark_pdf = sdf.toPandas()
-    assert len(spark_pdf.columns) > 0
-    if entry.oracle is None:
-        # rows-only check, mirroring the driver's weaker path
-        assert len(spark_pdf) >= 0
-        return
-    oracle_pdf = oracle_con.execute(entry.oracle).df()
-    problems = compare_frames(spark_pdf, oracle_pdf)
+def test_query_matches_oracle(replay_results, entry):
+    problems = replay_results[entry.name]
     assert not problems, f"{entry.name}: " + "; ".join(problems)
 
 
@@ -38,7 +74,8 @@ def test_entry_smoke(spark):
 
     df = mod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    # the driver's actual contract is a non-empty, stably-schemaed result
+    assert len(rows) > 0
     assert len(df.schema) > 0
 
 
@@ -75,7 +112,7 @@ def test_registry_within_driver_budget():
         f"waste a hash-verified slot: {missing_oracle}"
     )
     assert tuple(names[-len(_ROWS_ONLY_TAIL):]) == _ROWS_ONLY_TAIL
-    # every registered entry outside the window is either oracled (an r7
+    # every registered entry outside the window is either oracled (an r8
     # rotation candidate) or in the rows-only tail
     for n in names[MAX_DRIVER_QUERIES:]:
         assert reg[n].oracle is not None or n in _ROWS_ONLY_TAIL, n
