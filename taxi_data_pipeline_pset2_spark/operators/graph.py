@@ -41,6 +41,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     weight_col: str | None = None,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Node ranks after ``n_iter`` power-iteration rounds:
     (node, rank) with sum(rank) == 1, ordered rank desc, node asc.
@@ -94,11 +95,28 @@ def pagerank(
     nodes_deg = nodes.join(
         deg, nodes.node == deg.src, "left"
     ).select("node", "_deg").persist()
+    # Checkpoint CADENCE (VERDICT r7 item #6): a localCheckpoint per
+    # round = one materialization job per round, and at sf0.1 the
+    # ~0.67 s/round was almost all fixed job overhead. Rounds between
+    # checkpoints are instead persist()-marked (lazy, no job) so the
+    # one checkpoint job every `checkpoint_every` rounds evaluates the
+    # whole segment, each intermediate computed ONCE (the dang branch
+    # and the broadcast branch both read the cache) -- lineage depth
+    # stays bounded at `checkpoint_every` join+agg layers. Measured at
+    # sf0.1: cadence 2 ~ -25% wall vs per-round; cadence >= ~8 is a
+    # driver-heap hazard (every un-materialized round holds a PENDING
+    # broadcast of the rank frame -- nested broadcasts OOM'd at 8), so
+    # the cadence is capped well below that.
+    if not 1 <= checkpoint_every <= 4:
+        raise ValueError(
+            f"checkpoint_every must be in [1, 4], got {checkpoint_every}"
+        )
+    segment: list[DataFrame] = []
     try:
         ranks = nodes_deg.withColumn(
             "rank", F.lit(1.0 / n)
         ).localCheckpoint()
-        for _ in range(n_iter):
+        for _round in range(n_iter):
             dang = ranks.filter(F.col("_deg").isNull()).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
             )
@@ -136,12 +154,21 @@ def pagerank(
                         * F.coalesce(F.col("_contrib"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint()
             )
+            if (_round + 1) % checkpoint_every == 0 or _round == n_iter - 1:
+                ranks = ranks.localCheckpoint()
+                for c in segment:
+                    c.unpersist()
+                segment = []
+            else:
+                ranks = ranks.persist()
+                segment.append(ranks)
     finally:
         e.unpersist()
         nodes.unpersist()
         nodes_deg.unpersist()
+        for c in segment:
+            c.unpersist()
     return ranks.select(
         "node", F.round("rank", 8).alias("rank")
     ).orderBy(F.desc("rank"), "node")

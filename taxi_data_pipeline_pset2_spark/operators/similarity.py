@@ -203,6 +203,63 @@ COS_LSH_BANDS = 4
 COS_LSH_ROWS = N_PLANES // COS_LSH_BANDS  # 8-bit band signatures
 
 
+def lsh_banding_recall(threshold: float, bands: int, rows: int) -> float:
+    """Predicted candidate probability of a pair at exactly ``threshold``
+    cosine under a (bands x rows) sign-RP design: 1 - (1 - s^rows)^bands
+    with per-bit collision odds s = 1 - theta/pi (Goemans-Williamson)."""
+    import math
+
+    s = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_params_for(
+    threshold: float, recall: float, max_planes: int = 64
+) -> tuple[int, int]:
+    """Pick (bands, rows) so the banding curve guarantees candidate
+    probability >= ``recall`` for every pair at cosine >= ``threshold``.
+
+    This closes the loop the r7 ``lsh_recall_audit`` opened: it proved
+    (hash-verified) that the fixed 4x8 high-similarity design gets ~0.09
+    recall at cosine 0.4 -- the sketch must be re-derived per threshold,
+    not reused. For each rows-per-band r, the minimum band count is
+    b = ceil(log(1-recall) / log(1 - s^r)); among feasible designs
+    (b*r <= max_planes) the LARGEST r wins: at a fixed recall floor,
+    candidate precision improves monotonically with band selectivity
+    (a random pair collides on an r-row band w.p. ~(1/2)^r), so the
+    plane budget is spent on selectivity, never on excess recall.
+
+    At 100 TB the plane budget is the sketch's storage/compute cost
+    (one int64 matmul column per plane) while b drives shuffle volume
+    (one (band, sig) row per vector per band) -- both scale linearly
+    and stay tiny next to the candidate-pair stage this design exists
+    to keep sparse."""
+    import math
+
+    if not 0.0 < recall < 1.0:
+        raise ValueError(f"recall must be in (0, 1), got {recall}")
+    s = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best: tuple[int, int] | None = None
+    for r in range(1, max_planes + 1):
+        p_band = s**r
+        if p_band <= 0.0:
+            break
+        if p_band >= 1.0:
+            b = 1
+        else:
+            b = math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_band))
+        if b * r > max_planes:
+            continue
+        if best is None or r > best[1]:
+            best = (b, r)
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) design reaches recall {recall} at cosine "
+            f"{threshold} within {max_planes} planes"
+        )
+    return best
+
+
 def hyperplane_signs(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
     """Deterministic +-1 hyperplane matrix for sign-random-projection LSH.
 
@@ -259,6 +316,8 @@ def cosine_sketch_bands(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = COS_LSH_BANDS,
+    rows: int = COS_LSH_ROWS,
 ) -> DataFrame:
     """(id, band, band_sig) sign-sketch LSH bucket keys.
 
@@ -268,29 +327,35 @@ def cosine_sketch_bands(
     ~0.75+ while random pairs almost never do -- the 100 TB candidate
     generator.
 
-    All 32 plane dots are one exact int64 numpy matmul per Arrow batch
+    All plane dots are one exact int64 numpy matmul per Arrow batch
     (the vectorized dense-kernel pattern, cf. knn_topk_vectorized) --
-    same bits as the expression formulation, ~10x cheaper than 32
-    interpreted higher-order aggregates per row."""
+    same bits as the expression formulation, ~10x cheaper than
+    bands*rows interpreted higher-order aggregates per row.
+
+    ``bands``/``rows`` default to the fixed high-similarity 4x8 design;
+    pass ``lsh_params_for(threshold, recall)`` output to tune the sketch
+    to a different operating point (rows <= 62 so the band signature
+    fits an int64)."""
     import numpy as np
     import pandas as pd
 
-    S = np.array(hyperplane_signs(N_PLANES, dim), dtype=np.int64)  # (P, D)
-    weights = (2 ** np.arange(COS_LSH_ROWS)).astype(np.int64)
+    if rows > 62:
+        raise ValueError(f"band signature needs rows <= 62, got {rows}")
+    n_planes = bands * rows
+    S = np.array(hyperplane_signs(n_planes, dim), dtype=np.int64)  # (P, D)
+    weights = (2 ** np.arange(rows)).astype(np.int64)
     prep = _prepared(emb, id_col, vec_col)
 
     def run(batches):
         for pdf in batches:
             X = np.array(list(pdf["iv"]), dtype=np.int64)  # (N, D)
             bits = (X @ S.T) >= 0  # (N, P) exact integer sign
-            sigs = bits.reshape(-1, COS_LSH_BANDS, COS_LSH_ROWS).astype(np.int64) @ weights
+            sigs = bits.reshape(-1, bands, rows).astype(np.int64) @ weights
             n = len(X)
             yield pd.DataFrame(
                 {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), COS_LSH_BANDS),
-                    "band": np.tile(
-                        np.arange(COS_LSH_BANDS, dtype=np.int32), n
-                    ),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
                     "band_sig": sigs.ravel(),
                 }
             )

@@ -128,6 +128,11 @@ def query(
 # aov_mix_decomposition, lsh_recall_audit;
 # rows-only:
 # part_kcore.
+# Added r8 (oracled, no driver row yet -- r9 rotation candidates, in
+# keeping with the r8 new-family freeze only ONE net-new entry):
+# lsh_tuned_recall_audit (the 0.4-tuned design lsh_params_for derives;
+# measured recall 0.915 >= the 0.9 floor it was derived for, closing
+# VERDICT r7 item #3).
 #
 # r8 rotation (EXECUTED, per VERDICT r7 item #1): every SURVEY 2
 # family is now driver-proven through at least one r5-r7 row, so the

@@ -2070,7 +2070,7 @@ _AUC_ORACLE = """
 """
 
 
-@query("auc_order_status", oracle=_AUC_ORACLE, tags=("evalmetrics", "stats"))
+@query("auc_order_status", oracle=_AUC_ORACLE, tags=("evalmetrics", "stats", "bench"))
 def auc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority tie-aware ROC-AUC of o_totalprice ranking the
     finished flag (operators/evalmetrics.py binary_auc): the
@@ -2254,7 +2254,7 @@ _QNORM_ORACLE = """
 
 
 @query(
-    "quantile_normalized_length", oracle=_QNORM_ORACLE, tags=("robust", "window")
+    "quantile_normalized_length", oracle=_QNORM_ORACLE, tags=("robust", "window", "bench")
 )
 def quantile_normalized_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-normalize document length across sources
@@ -2586,7 +2586,7 @@ _SPEARMAN_ORACLE = """
 """
 
 
-@query("spearman_qty_price", oracle=_SPEARMAN_ORACLE, tags=("stats", "window"))
+@query("spearman_qty_price", oracle=_SPEARMAN_ORACLE, tags=("stats", "window", "bench"))
 def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of quantity vs extended price per
     return flag (operators/stats.py spearman_corr): the
@@ -3512,7 +3512,7 @@ _KS_ORACLE = """
 """
 
 
-@query("ks_price_by_urgency", oracle=_KS_ORACLE, tags=("drift", "stats", "window"))
+@query("ks_price_by_urgency", oracle=_KS_ORACLE, tags=("drift", "stats", "window", "bench"))
 def ks_price_by_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov comparison of order value,
     urgent (1-URGENT/2-HIGH) vs standard priorities, per order status

@@ -244,3 +244,68 @@ class TestQuantization:
             assert out[i].cosine_q is not None and out[i].cosine_q > 0.999
             assert out[i].max_abs_err < 0.01
         assert out[99].cosine_q is None
+
+
+class TestLshParamsFor:
+    """The banding-parameter selector (VERDICT r7 item #3)."""
+
+    def test_curve_math_matches_closed_form(self):
+        import math
+
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            lsh_banding_recall,
+        )
+
+        s = 1.0 - math.acos(0.9) / math.pi
+        assert abs(lsh_banding_recall(0.9, 4, 8) - (1 - (1 - s**8) ** 4)) < 1e-12
+
+    def test_selected_design_meets_floor_within_budget(self):
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            lsh_banding_recall,
+            lsh_params_for,
+        )
+
+        for thr in (0.3, 0.4, 0.5, 0.7, 0.9):
+            for floor in (0.8, 0.9, 0.95):
+                b, r = lsh_params_for(thr, floor)
+                assert b * r <= 64
+                assert lsh_banding_recall(thr, b, r) >= floor
+                # b is minimal for this r: one band fewer breaks the floor
+                if b > 1:
+                    assert lsh_banding_recall(thr, b - 1, r) < floor
+
+    def test_prefers_most_selective_feasible_rows(self):
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            lsh_banding_recall,
+            lsh_params_for,
+        )
+
+        b, r = lsh_params_for(0.4, 0.9, max_planes=64)
+        assert (b, r) == (14, 4)
+        # r+1 is infeasible within the budget: its minimal band count
+        # overflows 64 planes (that's WHY r=4 was chosen)
+        import math
+
+        s = 1.0 - math.acos(0.4) / math.pi
+        b5 = math.ceil(math.log(0.1) / math.log(1 - s**5))
+        assert b5 * 5 > 64
+
+    def test_infeasible_raises(self):
+        import pytest
+
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            lsh_params_for,
+        )
+
+        with pytest.raises(ValueError):
+            lsh_params_for(0.05, 0.999, max_planes=8)
+
+    def test_tuned_audit_measured_recall_meets_floor(self, spark, sf_dir):
+        from taxi_data_pipeline_pset2_spark.queries.dedup import (
+            lsh_tuned_recall_audit,
+        )
+
+        row = lsh_tuned_recall_audit(spark, sf_dir).collect()[0]
+        assert row.recall >= row.recall_floor
+        assert row.predicted_recall >= row.recall_floor
+        assert row.n_bands * row.n_rows <= 64
