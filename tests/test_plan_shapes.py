@@ -520,3 +520,44 @@ def test_twap_one_sort_window(spark, sf_dir):
     plan = _plan(registry()["user_value_twap"].fn(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_ks_price_windows_on_distinct_value_frame(spark, sf_dir):
+    """KS works over cumulative windows on the DISTINCT (status, value)
+    frame (an aggregate feeds each window), never a raw-row global sort;
+    both windows are partition-keyed and no join degenerates."""
+    plan = _plan(registry()["ks_price_by_urgency"].fn(spark, sf_dir))
+    assert plan.count("Window") == 2
+    assert "partial_count" in plan  # distinct-value aggregate feeds them
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan  # pure codegen
+
+
+def test_quantile_normalize_no_single_partition_sort(spark, sf_dir):
+    """Global positions come from per-score offsets + a score-partitioned
+    tie-break window -- the single-partition global rank is banned. The
+    one BroadcastNestedLoopJoin is the 1-row total-count scalar
+    crossJoin (scale-free); a second one would mean a real join
+    degenerated."""
+    plan = _plan(registry()["quantile_normalized_length"].fn(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # the unpartitioned window is the per-DISTINCT-SCORE offset pass
+    # (score-count-sized); every row-sized window must carry a
+    # partitionBy. 4 windows total: source rank, source count, offset,
+    # score-partitioned tiebreak.
+    assert plan.count("Window") == 4
+
+
+def test_lsh_tuned_audit_bucket_join_no_allpairs_sketch_side(spark, sf_dir):
+    """The tuned 14x4 sketch side must stay bucket-joined (band,sig
+    equi-join via collect_list buckets) -- only the TRUTH side (the
+    audit's exact baseline, 500-vector test corpus) and the three 1-row
+    scalar crossJoins may be nested-loop shaped."""
+    plan = _plan(registry()["lsh_tuned_recall_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # candidate generation is an aggregate-then-explode, never a
+    # sketch-side theta-join: the explode of bucket pair arrays exists
+    assert "Generate explode" in plan or "Generate" in plan
