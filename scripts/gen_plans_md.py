@@ -102,6 +102,10 @@ AUDITED = [
      "point sets"),
     ("ivm_join_view_maintenance", "both incremental joins broadcast "
      "the delta side; refresh cost tracks the delta, not the view"),
+    ("lsh_tuned_recall_audit", "derived 14x4 sketch stays bucket-joined "
+     "(aggregate-then-explode pair generation); only the 500-vector "
+     "truth baseline and three 1-row scalar crossJoins are nested-loop "
+     "shaped"),
     ("rolling_7day_users", "constant-width window-end explode + dedup "
      "+ hash aggregate; no per-day fact rescans, no window functions"),
 ]

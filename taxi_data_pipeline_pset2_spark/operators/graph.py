@@ -102,8 +102,12 @@ def pagerank(
     # one checkpoint job every `checkpoint_every` rounds evaluates the
     # whole segment, each intermediate computed ONCE (the dang branch
     # and the broadcast branch both read the cache) -- lineage depth
-    # stays bounded at `checkpoint_every` join+agg layers. Measured at
-    # sf0.1: cadence 2 ~ -25% wall vs per-round; cadence >= ~8 is a
+    # stays bounded at `checkpoint_every` join+agg layers. Honest
+    # measurement at sf0.1 (interleaved best-of-3 after JIT warm-up):
+    # cadence 1/2/3 land within ~5% of each other (~5 s; the floor is
+    # 8 rounds of fixed per-job cost, not materialization) -- cadence 2
+    # is kept for the halved job count, which matters more on a busy
+    # cluster scheduler than on an idle local[32]. Cadence >= ~8 is a
     # driver-heap hazard (every un-materialized round holds a PENDING
     # broadcast of the rank frame -- nested broadcasts OOM'd at 8), so
     # the cadence is capped well below that.

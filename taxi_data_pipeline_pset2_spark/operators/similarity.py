@@ -242,12 +242,15 @@ def lsh_params_for(
     best: tuple[int, int] | None = None
     for r in range(1, max_planes + 1):
         p_band = s**r
-        if p_band <= 0.0:
+        # once s^r underflows past ~1e-12, log1p(-p_band) is 0 (or the
+        # minimal band count exceeds any budget by orders of magnitude):
+        # no larger r can be feasible either, stop scanning
+        if p_band < 1e-12:
             break
         if p_band >= 1.0:
             b = 1
         else:
-            b = math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_band))
+            b = math.ceil(math.log(1.0 - recall) / math.log1p(-p_band))
         if b * r > max_planes:
             continue
         if best is None or r > best[1]:

@@ -364,9 +364,9 @@ def _recall_audit_frame(
     )
     from taxi_data_pipeline_pset2_spark.operators.dedup import bucket_pairs
 
-    kw = {}
-    if bands is not None:
-        kw = {"bands": bands, "rows": rows}
+    if (bands is None) != (rows is None):
+        raise ValueError("bands and rows must be given together")
+    kw = {} if bands is None else {"bands": bands, "rows": rows}
     emb = t(spark, sf_dir, "embeddings")
     truth = cosine_pairs_exact(emb, threshold=0.4).select("id_a", "id_b")
     sigs = cosine_sketch_bands(emb, **kw)

@@ -309,3 +309,42 @@ class TestLshParamsFor:
         assert row.recall >= row.recall_floor
         assert row.predicted_recall >= row.recall_floor
         assert row.n_bands * row.n_rows <= 64
+
+    def test_selector_properties_hypothesis(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            lsh_banding_recall,
+            lsh_params_for,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            thr=st.floats(min_value=0.05, max_value=0.95),
+            floor=st.floats(min_value=0.5, max_value=0.99),
+            budget=st.integers(min_value=8, max_value=256),
+        )
+        def check(thr, floor, budget):
+            try:
+                b, r = lsh_params_for(thr, floor, max_planes=budget)
+            except ValueError:
+                # infeasible is a legal outcome; it must then really be
+                # infeasible for EVERY r at its minimal band count
+                import math
+
+                s = 1.0 - math.acos(thr) / math.pi
+                for r in range(1, budget + 1):
+                    p = s**r
+                    if p < 1e-12 or p >= 1.0:
+                        continue  # minimal b is astronomically over budget
+                    bb = math.ceil(math.log(1 - floor) / math.log1p(-p))
+                    assert bb * r > budget
+                return
+            assert b >= 1 and r >= 1 and b * r <= budget
+            assert lsh_banding_recall(thr, b, r) >= floor
+            # minimality: one band fewer misses the floor
+            if b > 1:
+                assert lsh_banding_recall(thr, b - 1, r) < floor
+
+        check()
