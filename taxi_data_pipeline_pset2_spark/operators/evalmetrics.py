@@ -33,6 +33,8 @@ to 6 dp -- so each has a bit-exact DuckDB twin.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -502,7 +504,13 @@ def fit_isotonic(
             blocks.append(cur)
         out_p: list[float] = []
         for pos, cnt, n_rows in blocks:
-            out_p.extend([round(pos / cnt, 6)] * n_rows)
+            # 6-dp via floor(q*1e6 + 0.5)/1e6, NOT python round():
+            # round() is banker's (half-even) while the DuckDB oracle
+            # twin can only express half-up; this exact expression is
+            # reproducible in SQL (floor + identical IEEE ops), which is
+            # what upgraded this operator from rows-only to hash-verified
+            q = pos / cnt
+            out_p.extend([math.floor(q * 1e6 + 0.5) / 1e6] * n_rows)
         res = pdf[[*group_cols, "score", "n"]].copy()
         res["fitted_p"] = out_p
         return res

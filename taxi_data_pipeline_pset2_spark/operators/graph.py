@@ -173,8 +173,14 @@ def pagerank(
         nodes_deg.unpersist()
         for c in segment:
             c.unpersist()
+    # 8-dp rounding via the catalog's scaled-bigint discipline (round the
+    # IEEE product, not the shortest-decimal repr) so a DuckDB oracle can
+    # reproduce the value bit-exactly -- see queries/catalog.py docstring.
     return ranks.select(
-        "node", F.round("rank", 8).alias("rank")
+        "node",
+        (F.round(F.col("rank") * F.lit(1e8)).cast("bigint") / F.lit(1e8)).alias(
+            "rank"
+        ),
     ).orderBy(F.desc("rank"), "node")
 
 

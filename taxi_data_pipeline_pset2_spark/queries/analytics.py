@@ -364,14 +364,74 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_pq(encode_pq(emb, cb), cb, q, top_k=10)
 
 
-@query("pagerank_supplier_customer", oracle=None, tags=("graph", "bench"))
+def _pagerank_oracle(n_iter: int = 8, damping: float = 0.85, limit: int = 25) -> str:
+    """DuckDB twin of the fixed-iteration power iteration: one chained
+    CTE pair (dangling scalar + contribution aggregate) per round,
+    mirroring operators/graph.py's update rule with IDENTICAL double
+    arithmetic -- literals injected via repr() so both engines parse the
+    same IEEE constants (python 1.0-0.85 != decimal 0.15), every
+    expression left-associated exactly as the Spark column expression,
+    and the final 8-dp rounding via the shared scaled-bigint discipline.
+    The only cross-engine difference left is double SUM order, whose
+    ~1e-16 noise is 7 orders of magnitude under the rounding grain."""
+    tele = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        """edges AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   CAST(1 AS DOUBLE) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+               FROM nodes CROSS JOIN nn)"""
+    ]
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""d{k} AS (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dang
+                 FROM {prev} r LEFT JOIN deg ON r.node = deg.src
+                 WHERE deg.src IS NULL),
+        c{k} AS (SELECT e.dst AS node, sum(r.rank * e.w / dg.deg) AS contrib
+                 FROM edges e JOIN {prev} r ON e.src = r.node
+                      JOIN deg dg ON e.src = dg.src
+                 GROUP BY e.dst),
+        r{k} AS (SELECT nd.node,
+                        CAST({tele} AS DOUBLE) / nn.n
+                        + CAST({d} AS DOUBLE) * d{k}.dang / nn.n
+                        + CAST({d} AS DOUBLE)
+                          * coalesce(c{k}.contrib, CAST(0 AS DOUBLE)) AS rank
+                 FROM nodes nd CROSS JOIN nn CROSS JOIN d{k}
+                 LEFT JOIN c{k} ON nd.node = c{k}.node)"""
+        )
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT node, CAST(round(rank * 1e8) AS BIGINT) / 1e8 AS rank
+        FROM {prev}
+        ORDER BY CAST(round(rank * 1e8) AS BIGINT) / 1e8 DESC, node
+        LIMIT {limit}"""
+    )
+
+
+@query(
+    "pagerank_supplier_customer",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "bench"),
+)
 def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier->customer fulfillment graph
     (operators/graph.py): an edge per order line from its supplier to
     the ordering customer; customers are all dangling, exercising the
-    teleport redistribution. Top-25 authorities. Iterative -> no SQL
-    twin; update-rule equality vs a python power iteration is pinned in
-    tests/test_graph.py."""
+    teleport redistribution. Top-25 authorities. Iterative, but the
+    iteration count is FIXED (8), so the power iteration unrolls into a
+    chained-CTE DuckDB oracle (_pagerank_oracle) -- upgrading this from
+    the weaker rows-only check to a full rows+schema+hash twin; the
+    update rule is additionally pinned against a from-scratch python
+    power iteration in tests/test_graph.py."""
     from taxi_data_pipeline_pset2_spark.operators.graph import pagerank
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")

@@ -214,7 +214,6 @@ _WINDOW: tuple[str, ...] = (
 # Rows-only entries kept at the very end of the registry (their driver
 # row would add nothing over the local pytest replay).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
-    "isotonic_calibration",
     "compression_ratio_docs",
     "curation_drop_audit",
     "phonetic_matches",
@@ -226,7 +225,6 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "semdedup_survivors",
     "packing_assignments",
     "pq_ann_topk",
-    "pagerank_supplier_customer",
     "ivfpq_ann_topk",
     "brand_communities",
     "part_kcore",

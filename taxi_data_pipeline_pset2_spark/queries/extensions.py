@@ -2443,14 +2443,65 @@ def mannwhitney_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("isotonic_calibration", oracle=None, tags=("evalmetrics", "iterative"))
+_ISOTONIC_ORACLE = """
+    WITH base AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice / 6000) AS INT) AS score_i,
+             (o_orderstatus = 'F') AS y
+      FROM orders),
+    per AS (
+      SELECT g, score_i,
+             CAST(count(*) FILTER (y) AS BIGINT) AS pos,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY g, score_i),
+    ord_ AS (
+      SELECT g, score_i, pos, n,
+             row_number() OVER (PARTITION BY g ORDER BY score_i) AS k,
+             sum(pos) OVER (PARTITION BY g ORDER BY score_i) AS cpos,
+             sum(n) OVER (PARTITION BY g ORDER BY score_i) AS cn
+      FROM per),
+    -- every contiguous range i..j: block sums via prefix differences
+    rng AS (
+      SELECT a.g, a.k AS i, b.k AS j,
+             (b.cpos - a.cpos + a.pos) AS rpos,
+             (b.cn - a.cn + a.n) AS rn
+      FROM ord_ a JOIN ord_ b ON a.g = b.g AND a.k <= b.k),
+    -- minimax closed form of the L2 isotonic fit:
+    -- fitted[k] = max_{i<=k} min_{j>=k} mean(i..j)
+    innr AS (
+      SELECT t.g, t.k, r.i,
+             min(CAST(r.rpos AS DOUBLE) / r.rn) AS mn
+      FROM ord_ t JOIN rng r ON r.g = t.g AND r.i <= t.k AND t.k <= r.j
+      GROUP BY t.g, t.k, r.i),
+    fit AS (SELECT g, k, max(mn) AS q FROM innr GROUP BY g, k)
+    SELECT o.g AS o_orderpriority,
+           CAST(o.score_i AS DOUBLE) AS score,
+           o.n,
+           floor(f.q * 1e6 + 0.5) / 1e6 AS fitted_p
+    FROM ord_ o JOIN fit f ON o.g = f.g AND o.k = f.k
+    ORDER BY o_orderpriority, score
+"""
+
+
+@query(
+    "isotonic_calibration",
+    oracle=_ISOTONIC_ORACLE,
+    tags=("evalmetrics", "iterative"),
+)
 def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAVA isotonic calibration of the finished-flag rate as a
     function of binned price (operators/evalmetrics.py fit_isotonic).
-    Iterative pooling -> non-SQL-expressible, rows-only driver check;
-    L2-optimality vs a brute-force reference is pinned in
-    tests/test_evalmetrics.py. Scores are pre-binned to 100 levels so
-    the per-group kernel bound (distinct scores) is explicit."""
+    The POOLING is iterative, but the L2 isotonic fit has the minimax
+    closed form fitted[k] = max_{i<=k} min_{j>=k} mean(i..j) (Barlow et
+    al. 1972), which IS SQL-expressible -- O(n^3) over the ~100 distinct
+    price bins, a perfectly good oracle shape (the engine runs
+    linear-time PAVA; the oracle brute-forces the same real numbers:
+    IEEE division is correctly rounded, so equal rationals give
+    bit-identical doubles and the hash matches exactly). Upgraded from
+    rows-only in r8; L2-optimality vs a brute-force reference is also
+    pinned in tests/test_evalmetrics.py. Scores are pre-binned to ~100
+    levels so the per-group kernel bound (distinct scores) is
+    explicit."""
     from taxi_data_pipeline_pset2_spark.operators.evalmetrics import fit_isotonic
 
     o = t(spark, sf_dir, "orders").select(

@@ -320,11 +320,15 @@ def test_isotonic_matches_bruteforce_reference(spark):
     blocks = _pava_ref(pos, cnt)
     # expand: walk blocks over the distinct scores by consumed count
     expanded = []
+    import math
+
     for p, c in blocks:
         took = 0
         while took < c:
             idx = len(expanded)
-            expanded.append(round(p / c, 6))
+            # same 6-dp expression as the kernel (floor half-up, not
+            # python banker's round) so the equality stays bit-exact
+            expanded.append(math.floor((p / c) * 1e6 + 0.5) / 1e6)
             took += cnt[idx]
     got = [r["fitted_p"] for r in rows]
     assert [r["score"] for r in rows] == [float(u) for u in uniq]
