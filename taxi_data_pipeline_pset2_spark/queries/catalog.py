@@ -221,7 +221,6 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "kmeans_clusters",
     "approx_event_profile",
     "sketch_rollup_daily_users",
-    "mmr_rerank_topk",
     "semdedup_survivors",
     "packing_assignments",
     "pq_ann_topk",

@@ -352,12 +352,87 @@ def per_group_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # suite cited in COVERAGE.md)
 
 
-@query("mmr_rerank_topk", oracle=None, tags=("similarity", "rerank"))
+def _mmr_oracle(k: int = 5, lam: float = 0.7, knn_k: int = 10) -> str:
+    """DuckDB twin of the fixed-k greedy MMR: the selection loop unrolls
+    into one (penalty, argmax) CTE pair per round. Literals injected via
+    repr() (python 1.0-0.7 = 0.30000000000000004, not decimal 0.3);
+    in-candidate similarities are the UNROUNDED quotient of the exact
+    int64 dot by the sqrt-norm product, exactly the numpy kernel's
+    arithmetic; argmax tie-break is (mmr desc, neighbor_id) -- numpy's
+    first-max over the id-sorted frame."""
+    from taxi_data_pipeline_pset2_spark.queries.similarity import (
+        _SQL_COS,
+        _SQL_PREP,
+    )
+
+    l_ = repr(lam)
+    om = repr(1.0 - lam)
+    sim = (
+        "CAST(list_sum(list_transform(generate_series(1, len(c.iv)),"
+        " i -> c.iv[i] * sn.iv[i])) AS DOUBLE)"
+        " / (sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(sn.norm2 AS DOUBLE)))"
+    )
+    parts = [
+        f"""{_SQL_PREP},
+        q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                                                      i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+                         q.norm2 AS qn, c.norm2 AS cn
+                  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        cand AS (SELECT query_id, neighbor_id, {_SQL_COS} AS rel
+                 FROM pairs
+                 WINDOW w AS (PARTITION BY query_id ORDER BY {_SQL_COS} DESC, neighbor_id)
+                 QUALIFY row_number() OVER w <= {knn_k}),
+        cv AS (SELECT c.query_id, c.neighbor_id, c.rel, n.iv, n.norm2
+               FROM cand c JOIN n ON n.vec_id = c.neighbor_id),
+        sel1 AS (SELECT query_id, neighbor_id, rel, CAST({l_} AS DOUBLE) * rel AS mmr_score
+                 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST({l_} AS DOUBLE) * rel DESC, neighbor_id) AS rn
+                       FROM cv)
+                 WHERE rn = 1),
+        acc1 AS (SELECT query_id, neighbor_id FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""pen{r} AS (
+          SELECT c.query_id, c.neighbor_id, c.rel, max({sim}) AS pen
+          FROM cv c
+          JOIN acc{r - 1} a ON a.query_id = c.query_id
+          JOIN n sn ON sn.vec_id = a.neighbor_id
+          WHERE NOT EXISTS (SELECT 1 FROM acc{r - 1} x
+                            WHERE x.query_id = c.query_id
+                              AND x.neighbor_id = c.neighbor_id)
+          GROUP BY c.query_id, c.neighbor_id, c.rel),
+        sel{r} AS (SELECT query_id, neighbor_id, rel, mmr AS mmr_score FROM (
+              SELECT *, CAST({l_} AS DOUBLE) * rel - CAST({om} AS DOUBLE) * pen AS mmr,
+                     row_number() OVER (PARTITION BY query_id
+                        ORDER BY CAST({l_} AS DOUBLE) * rel - CAST({om} AS DOUBLE) * pen DESC,
+                                 neighbor_id) AS rn
+              FROM pen{r}) WHERE rn = 1),
+        acc{r} AS (SELECT query_id, neighbor_id FROM acc{r - 1}
+                   UNION ALL SELECT query_id, neighbor_id FROM sel{r})"""
+        )
+    finals = "\n        UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, CAST({r} AS INT) AS mmr_rank,"
+        f" rel AS relevance, mmr_score FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        {finals}\n        ORDER BY query_id, mmr_rank"
+    )
+
+
+@query("mmr_rerank_topk", oracle=_mmr_oracle(), tags=("similarity", "rerank"))
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification (operators/mmr.py): top-10 cosine neighbors
-    per query re-ranked to 5 diverse picks (lambda=0.7). Greedy
-    iterative kernel -> no SQL oracle; brute-force reference equality in
-    tests/test_mmr.py."""
+    per query re-ranked to 5 diverse picks (lambda=0.7). The greedy loop
+    is FIXED at 5 picks, so it unrolls into a chained-CTE DuckDB oracle
+    (_mmr_oracle) with bit-identical arithmetic -- upgraded from the
+    weaker rows-only check in r8; brute-force reference equality is also
+    pinned in tests/test_mmr.py."""
     from taxi_data_pipeline_pset2_spark.operators.mmr import mmr_rerank
     from taxi_data_pipeline_pset2_spark.operators.similarity import (
         knn_topk_vectorized,
