@@ -869,13 +869,50 @@ def props_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("brand_communities", oracle=None, tags=("graph",))
+def _lpa_oracle(n_iter: int = 4, top_edges: int = 40) -> str:
+    """DuckDB twin of the fixed-round synchronous LPA over the top-lift
+    brand edges: the edge set re-derives from _BASKET_ORACLE (whose lift
+    column is already hash-proven 6-dp identical), then each of the
+    n_iter rounds is one (neighbor-label count, argmax) CTE pair --
+    all-integer counts and string labels, so unlike pagerank there is
+    not even summation-order noise to reason about. Tie-break mirrors
+    the operator exactly: most frequent label, then SMALLEST label."""
+    parts = [
+        f"""rules AS (SELECT * FROM ({_BASKET_ORACLE})),
+        top_e AS (SELECT item_a AS src, item_b AS dst FROM rules
+                  ORDER BY lift DESC, item_a, item_b LIMIT {top_edges}),
+        sym AS (SELECT src AS a, dst AS b FROM top_e
+                UNION ALL SELECT dst AS a, src AS b FROM top_e),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""l{k} AS (
+          SELECT node, label FROM (
+            SELECT s.a AS node, l.label, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY s.a
+                        ORDER BY count(*) DESC, l.label) AS r
+            FROM sym s JOIN l{k - 1} l ON l.node = s.b
+            GROUP BY s.a, l.label)
+          WHERE r = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT node, label FROM l{n_iter} ORDER BY node"
+    )
+
+
+@query("brand_communities", oracle=_lpa_oracle(), tags=("graph",))
 def brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the brand co-occurrence graph
     (operators/graph.py label_propagation composing
     operators/basket.py): edges = brand pairs whose order-basket lift
-    exceeds 1 (co-bought more than independence predicts). Iterative ->
-    rows-only; determinism and reference equality pinned in
+    exceeds 1 (co-bought more than independence predicts). The 4
+    synchronous rounds with the deterministic smallest-label tie-break
+    unroll into a chained-CTE DuckDB oracle (_lpa_oracle) -- upgraded
+    from rows-only in r8 (all-integer counts, no float caveats at all);
+    determinism and reference equality also pinned in
     tests/test_graph.py."""
     from taxi_data_pipeline_pset2_spark.operators.basket import (
         association_rules,
@@ -1001,13 +1038,61 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
-@query("part_kcore", oracle=None, tags=("graph",))
+def _kcore_oracle(n_rounds: int = 24) -> str:
+    """DuckDB twin of the H-index k-core iteration, unrolled to a FIXED
+    round count: the update h(v) = max_r min(r, v_r-sorted-desc) is
+    all-integer, non-increasing, and IDEMPOTENT at the fixpoint (Lu et
+    al. 2016 prove it converges to the exact coreness), so any round
+    count >= convergence yields the identical table -- measured 7
+    rounds at sf0.001 and 11 at sf0.01, unrolled to 24 for >2x margin.
+    A divergence would surface as a visible hash mismatch, never a
+    silent wrong answer. Unlike the engine (which stops on a
+    changed-count scalar), the oracle just runs all 24 rounds.
+
+    Every round CTE is AS MATERIALIZED: with default inlining DuckDB's
+    planner blows up on the 24-deep chain (minutes at sf0.001);
+    materialized, the whole thing runs in ~0.15 s."""
+    base = """bi AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS VARCHAR) AS i
+          FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+            AND l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate < TIMESTAMP '1999-01-01'),
+        e0 AS MATERIALIZED (SELECT x.i AS a, y.i AS b
+               FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+               GROUP BY 1, 2),
+        sym AS MATERIALIZED (
+               SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        v0 AS MATERIALIZED (
+               SELECT a AS node, CAST(count(*) AS BIGINT) AS core
+               FROM sym GROUP BY a)"""
+    parts = [base]
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+          SELECT a AS node, max(least(rnk, v)) AS core FROM (
+            SELECT s.a, c.core AS v,
+                   CAST(row_number() OVER (PARTITION BY s.a
+                        ORDER BY c.core DESC, s.b) AS BIGINT) AS rnk
+            FROM sym s JOIN v{k - 1} c ON c.node = s.b)
+          GROUP BY a)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT node, core FROM v{n_rounds} ORDER BY node"
+    )
+
+
+@query("part_kcore", oracle=_kcore_oracle(), tags=("graph",))
 def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core numbers over the 1998 part co-purchase graph
     (operators/graph.py kcore, H-index iteration): the dense-nucleus
-    ladder next to part_triangle_stats' local clustering. Iterative ->
-    rows-only; peeling-reference equality pinned in
-    tests/test_graph.py."""
+    ladder next to part_triangle_stats' local clustering. The iteration
+    is all-integer and idempotent at its unique fixpoint, so a
+    fixed-24-round unrolled DuckDB twin (_kcore_oracle) reproduces it
+    exactly -- upgraded from rows-only in r8; peeling-reference equality
+    also pinned in tests/test_graph.py."""
     from taxi_data_pipeline_pset2_spark.operators.graph import kcore
 
     bi = (

@@ -225,8 +225,6 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "packing_assignments",
     "pq_ann_topk",
     "ivfpq_ann_topk",
-    "brand_communities",
-    "part_kcore",
 )
 MAX_DRIVER_QUERIES = 50
 
