@@ -133,6 +133,20 @@ def query(
 # lsh_tuned_recall_audit (the 0.4-tuned design lsh_params_for derives;
 # measured recall 0.915 >= the 0.9 floor it was derived for, closing
 # VERDICT r7 item #3).
+# Upgraded r8 from rows-only to full oracles (also r9 rotation
+# candidates): pagerank_supplier_customer (8-round power iteration
+# unrolled to chained CTEs, repr()-injected IEEE literals),
+# isotonic_calibration (minimax closed form), mmr_rerank_topk (5 greedy
+# rounds unrolled), brand_communities (4 LPA rounds, all-integer),
+# part_kcore (H-index iteration, idempotent fixpoint, fixed 24-round
+# unroll AS MATERIALIZED). The 11 entries still rows-only all have a
+# genuine blocker: zlib (compression_ratio_docs), Spark-internal
+# HLL/KLL sketches (approx_event_profile, sketch_rollup_daily_users),
+# seeded MLlib RNG (ann_brp_lsh), float k-means argmin boundaries
+# (kmeans_clusters, semdedup_survivors, pq_ann_topk, ivfpq_ann_topk),
+# unbounded sequential loops (packing_assignments), soundex
+# (phonetic_matches), and a 4-pipeline restatement
+# (curation_drop_audit).
 #
 # r8 rotation (EXECUTED, per VERDICT r7 item #1): every SURVEY 2
 # family is now driver-proven through at least one r5-r7 row, so the
