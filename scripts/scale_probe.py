@@ -135,7 +135,32 @@ def main() -> None:
 
         return triangle_counts(df)
 
-    graph_ops = {"triangle_counts": (scaled_edges, triangles)}
+    # the iterative trio (r8 oracle upgrades): disjoint replicas keep
+    # per-replica structure identical, so round counts do not grow with
+    # the factor -- wall time should scale in the EDGE volume only
+    def pr(df):
+        from taxi_data_pipeline_pset2_spark.operators.graph import pagerank
+
+        return pagerank(df, n_iter=8)
+
+    def kc(df):
+        from taxi_data_pipeline_pset2_spark.operators.graph import kcore
+
+        return kcore(df)
+
+    def lpa(df):
+        from taxi_data_pipeline_pset2_spark.operators.graph import (
+            label_propagation,
+        )
+
+        return label_propagation(df, n_iter=4)
+
+    graph_ops = {
+        "triangle_counts": (scaled_edges, triangles),
+        "pagerank": (scaled_edges, pr),
+        "kcore": (scaled_edges, kc),
+        "label_propagation": (scaled_edges, lpa),
+    }
 
     runs = [(name, scaled, fn) for name, fn in ops.items()] + [
         (name, gen, fn) for name, (gen, fn) in graph_ops.items()

@@ -405,7 +405,10 @@ def quantile_normalize(
     it is per-score offsets (window over distinct scores) + a
     score-partitioned row_number, the same machinery as
     evalmetrics.decile_lift; the final lookup is one equi-join on the
-    integer position."""
+    integer position. Ceiling: the offset window is one task sized by
+    the DISTINCT score count; a near-unique continuous score makes it
+    row-sized -- quantize scores first at that scale (document lengths
+    here have a bounded grid)."""
     from pyspark.sql import Window
 
     base = df.filter(

@@ -390,7 +390,12 @@ def mannwhitney_u(
     (every value tied).
 
     Plan shape: one hash aggregate to per-distinct-value counts, one
-    window over distinct values, one final reduce."""
+    window over distinct values, one final reduce. Ceiling: the offset
+    window is unpartitioned, i.e. a single task sized by the DISTINCT
+    value count -- fine for binned/categorical/price-grid values, but a
+    near-unique continuous column makes that frame row-sized; at that
+    scale quantize the value first (the test's price column has a
+    bounded distinct grid, so the frame stays far under it)."""
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("double")
