@@ -1038,16 +1038,17 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
-def _kcore_oracle(n_rounds: int = 24) -> str:
+def _kcore_oracle(n_rounds: int = 64) -> str:
     """DuckDB twin of the H-index k-core iteration, unrolled to a FIXED
     round count: the update h(v) = max_r min(r, v_r-sorted-desc) is
     all-integer, non-increasing, and IDEMPOTENT at the fixpoint (Lu et
     al. 2016 prove it converges to the exact coreness), so any round
     count >= convergence yields the identical table -- measured 7
-    rounds at sf0.001 and 11 at sf0.01, unrolled to 24 for >2x margin.
+    rounds at sf0.001, 11 at sf0.01, 38 at sf0.1; unrolled to 64
+    (rounds are ~6 ms each materialized, so the margin is free).
     A divergence would surface as a visible hash mismatch, never a
     silent wrong answer. Unlike the engine (which stops on a
-    changed-count scalar), the oracle just runs all 24 rounds.
+    changed-count scalar), the oracle just runs all 64 rounds.
 
     Every round CTE is AS MATERIALIZED: with default inlining DuckDB's
     planner blows up on the 24-deep chain (minutes at sf0.001);
@@ -1090,7 +1091,7 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py kcore, H-index iteration): the dense-nucleus
     ladder next to part_triangle_stats' local clustering. The iteration
     is all-integer and idempotent at its unique fixpoint, so a
-    fixed-24-round unrolled DuckDB twin (_kcore_oracle) reproduces it
+    fixed-64-round unrolled DuckDB twin (_kcore_oracle) reproduces it
     exactly -- upgraded from rows-only in r8; peeling-reference equality
     also pinned in tests/test_graph.py."""
     from taxi_data_pipeline_pset2_spark.operators.graph import kcore
