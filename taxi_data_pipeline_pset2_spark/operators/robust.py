@@ -451,3 +451,63 @@ def quantile_normalize(
             F.col("_gval").alias("norm_score"),
         )
     )
+
+
+def global_rank_bucketed(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact global 1-based position of every row under the total order
+    (value asc, id asc) -- WITHOUT any single-task stage: the rank
+    machinery's answer for near-unique continuous columns, where the
+    per-distinct-value offset trick (quantile_normalize above,
+    stats.mannwhitney_u, evalmetrics.binary_auc) degrades to a row-sized
+    one-partition window.
+
+    Shape: (1) one broadcast 1-row (min, max) aggregate derives
+    ``n_buckets`` equi-width value buckets -- any MONOTONE bucketing
+    yields identical positions, so float boundary wobble is harmless by
+    construction; (2) per-bucket counts (bucket-count-sized frame, bound
+    chosen by the caller) feed the cumulative-offset window; (3) a
+    bucket-PARTITIONED row_number orders within buckets in parallel;
+    position = offset + in-bucket rank. Every row-sized stage is
+    hash-partitioned; the only unpartitioned window runs on <=
+    ``n_buckets`` rows no matter the input size. Skewed value
+    distributions concentrate rows in few buckets -- raise n_buckets or
+    pre-transform (log) the value; the result is invariant either way.
+
+    Returns the input columns plus ``pos`` (bigint). NULL values are
+    excluded (no position). The positions equal the naive
+    ``row_number() OVER (ORDER BY value, id)`` bit-for-bit -- that
+    naive form IS the DuckDB oracle of the catalog entry
+    (scalable_rank_positions), so the scale-shaped plan is
+    hash-verified against the single-sort semantics."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    rng = base.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((v - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    b = base.crossJoin(F.broadcast(rng)).withColumn("_bkt", bkt)
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0).cast("bigint")).alias("_off"),
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(v.asc(), F.col(id_col).asc())
+    return (
+        b.join(offs, "_bkt")
+        .withColumn("pos", F.col("_off") + F.row_number().over(w_in))
+        .drop("_bkt", "_lo", "_hi")
+    )

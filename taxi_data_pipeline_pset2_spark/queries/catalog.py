@@ -132,7 +132,10 @@ def query(
 # keeping with the r8 new-family freeze only ONE net-new entry):
 # lsh_tuned_recall_audit (the 0.4-tuned design lsh_params_for derives;
 # measured recall 0.915 >= the 0.9 floor it was derived for, closing
-# VERDICT r7 item #3).
+# VERDICT r7 item #3); scalable_rank_positions (bucketed global rank --
+# the rank-at-scale answer to the distinct-value offset ceiling,
+# oracled against the naive single sort). Two net-new entries total,
+# both in existing families.
 # Upgraded r8 from rows-only to full oracles (also r9 rotation
 # candidates): pagerank_supplier_customer (8-round power iteration
 # unrolled to chained CTEs, repr()-injected IEEE literals),

@@ -215,7 +215,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived hyperplanes, 4 bands x 8 bits) + exact in-candidate cosine
     verify (threshold 0.2). The bucket equi-join is the 100 TB candidate
     generator; the oracle reproduces the identical hyperplanes, so even
-    the approximate stage is hash-verified."""
+    the approximate stage is hash-verified. The 4x8 design is the
+    high-similarity operating point -- for a different threshold/recall
+    target derive (bands, rows) with similarity.lsh_params_for and pass
+    them through cosine_sketch_bands (the derived-design path is
+    hash-audited end-to-end by lsh_tuned_recall_audit)."""
     from taxi_data_pipeline_pset2_spark.operators.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.2)

@@ -2346,6 +2346,45 @@ def quantile_normalized_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "scalable_rank_positions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               row_number() OVER (ORDER BY CAST(o_totalprice AS DOUBLE),
+                                  o_orderkey) AS pos
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+        ORDER BY pos
+    """,
+    tags=("robust", "window"),
+)
+def scalable_rank_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row positions by (price, key) via the BUCKETED rank
+    plan (operators/robust.py global_rank_bucketed): 1024 equi-width
+    value buckets from one broadcast (min,max) row, cumulative offsets
+    over the bucket-count-sized frame, bucket-partitioned in-bucket
+    row_number -- the rank-at-scale pattern for near-unique continuous
+    columns, where the per-distinct-value offset trick would degrade to
+    a row-sized single-task window. The oracle is the NAIVE single sort
+    (row_number over the full order), so the hash match proves the
+    scale-shaped plan computes the identical total order. Any monotone
+    bucketing yields the same positions, which is why the float bucket
+    boundaries carry no cross-engine risk."""
+    from taxi_data_pipeline_pset2_spark.operators.robust import (
+        global_rank_bucketed,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    return (
+        global_rank_bucketed(o, "price", "o_orderkey")
+        .select("o_orderkey", "price", "pos")
+        .orderBy("pos")
+    )
+
+
 # ---- deterministic Poisson-bootstrap CI ----------------------------------
 
 def _boot_sql(n_boot: int = 40) -> str:

@@ -396,3 +396,26 @@ class TestAssortativity:
         edges = [(f"c{i}", f"c{(i + 1) % 5}") for i in range(5)]
         df = spark.createDataFrame(edges, "src string, dst string")
         assert degree_assortativity(df).collect()[0].assortativity is None
+
+
+def test_pagerank_checkpoint_cadence_equivalence(spark):
+    """The checkpoint cadence is an execution knob, never a semantics
+    knob: every cadence in the legal range returns the identical table
+    (same update rule, same rounding)."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    base = sorted(
+        (r.node, r.rank) for r in pagerank(df, n_iter=7, checkpoint_every=1).collect()
+    )
+    for ce in (2, 3, 4):
+        got = sorted(
+            (r.node, r.rank)
+            for r in pagerank(df, n_iter=7, checkpoint_every=ce).collect()
+        )
+        assert got == base, f"cadence {ce} diverged"
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(df, checkpoint_every=9)

@@ -561,3 +561,19 @@ def test_lsh_tuned_audit_bucket_join_no_allpairs_sketch_side(spark, sf_dir):
     # candidate generation is an aggregate-then-explode, never a
     # sketch-side theta-join: the explode of bucket pair arrays exists
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_scalable_rank_in_bucket_window_is_partitioned(spark, sf_dir):
+    """The row-sized window MUST be bucket-partitioned (parallel); the
+    only unpartitioned window is the offset pass over the <=1024-row
+    bucket-count frame (its input subtree is the per-bucket aggregate).
+    The two BroadcastNestedLoopJoins are the 1-row (min,max) scalar
+    crossJoins -- scale-free by construction."""
+    plan = _plan(registry()["scalable_rank_positions"].fn(spark, sf_dir))
+    assert plan.count("Window") == 2
+    # the row_number window carries the bucket partition key
+    assert "row_number() windowspecdefinition(_bkt" in plan
+    assert "partial_count" in plan  # bucket counts aggregate feeds offsets
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

@@ -286,3 +286,44 @@ class TestQuantileNormalize:
         solo = [r for r in out.collect() if r["source"] == "solo"][0]
         # pr = 0.5, N = 10 -> j = round(4.5)+1 = 6 -> 6th smallest global value
         assert solo["norm_score"] == 5.0
+
+
+class TestGlobalRankBucketed:
+    def test_matches_naive_rank_and_handles_ties(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.robust import (
+            global_rank_bucketed,
+        )
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.choice([1.5, 2.5, 2.5, 9.0, rng.uniform(0, 100)]))
+                for i in range(400)] + [(999, None)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {r.id: r.pos for r in global_rank_bucketed(df, "v", "id").collect()}
+        ref = sorted(((v, i) for i, v in rows if v is not None))
+        for pos, (_, i) in enumerate(ref, 1):
+            assert got[i] == pos
+        assert 999 not in got  # NULL excluded
+
+    def test_constant_column_single_bucket(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.robust import (
+            global_rank_bucketed,
+        )
+
+        df = spark.createDataFrame([(i, 5.0) for i in range(20)], "id long, v double")
+        got = {r.id: r.pos for r in global_rank_bucketed(df, "v", "id").collect()}
+        assert got == {i: i + 1 for i in range(20)}  # ties -> id order
+
+    def test_bucket_count_invariance(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.robust import (
+            global_rank_bucketed,
+        )
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, rng.gauss(0, 1)) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        base = sorted((r.id, r.pos) for r in global_rank_bucketed(df, "v", "id", 1024).collect())
+        for nb in (1, 7, 64):
+            got = sorted((r.id, r.pos) for r in global_rank_bucketed(df, "v", "id", nb).collect())
+            assert got == base, f"n_buckets={nb} diverged"
