@@ -106,6 +106,9 @@ AUDITED = [
      "(aggregate-then-explode pair generation); only the 500-vector "
      "truth baseline and three 1-row scalar crossJoins are nested-loop "
      "shaped"),
+    ("scalable_rank_positions", "bucketed global rank: the row-sized "
+     "window is bucket-PARTITIONED; the only unpartitioned window runs "
+     "on the <=1024-row bucket-count frame; 1-row (min,max) broadcast"),
     ("rolling_7day_users", "constant-width window-end explode + dedup "
      "+ hash aggregate; no per-day fact rescans, no window functions"),
 ]
