@@ -136,6 +136,25 @@ def query(
 # the rank-at-scale answer to the distinct-value offset ceiling,
 # oracled against the naive single sort). Two net-new entries total,
 # both in existing families.
+# r9 rotation EXECUTION ORDER (once CORRECTNESS_r08 proves the current
+# window): keep the same 7 minimum anchors, swap the 43 r8-proven rows
+# out, and fill oldest-candidate-first -- (1) props_payload_stats (the
+# one mid-r7 candidate that missed the r8 cut), (2) the late-r7 list
+# above in its written order (part_triangle_stats ... lsh_recall_audit,
+# incl. the new-family firsts: spatial customers_near_suppliers,
+# privacy pseudonymized_customers / k_anonymity_audit, audit
+# orders_table_checksum, kmv kmv_customer_overlap), which fills the
+# window at 43; then r10 takes (3) the r8 additions/upgrades
+# (lsh_tuned_recall_audit, scalable_rank_positions,
+# pagerank_supplier_customer, isotonic_calibration, mmr_rerank_topk,
+# brand_communities, part_kcore) and (4) the r1-r4-era rows whose
+# driver records predate the kept CORRECTNESS_r05+ files (values_dim,
+# string_functions, datetime_functions, hash_surrogate_ids,
+# dim_with_default_member, distinct_segments, rolling_avg_value,
+# load_manifest_months, recent_clicks_before_error, text_quality,
+# lang_id, token_fingerprints, multimodal_metadata) -- after r10 every
+# oracled entry has a driver row in the kept record window.
+#
 # Upgraded r8 from rows-only to full oracles (also r9 rotation
 # candidates): pagerank_supplier_customer (8-round power iteration
 # unrolled to chained CTEs, repr()-injected IEEE literals),
