@@ -160,15 +160,16 @@ def query(
 # unrolled to chained CTEs, repr()-injected IEEE literals),
 # isotonic_calibration (minimax closed form), mmr_rerank_topk (5 greedy
 # rounds unrolled), brand_communities (4 LPA rounds, all-integer),
-# part_kcore (H-index iteration, idempotent fixpoint, fixed 24-round
-# unroll AS MATERIALIZED). The 11 entries still rows-only all have a
-# genuine blocker: zlib (compression_ratio_docs), Spark-internal
-# HLL/KLL sketches (approx_event_profile, sketch_rollup_daily_users),
-# seeded MLlib RNG (ann_brp_lsh), float k-means argmin boundaries
+# part_kcore (H-index iteration, idempotent fixpoint, fixed 64-round
+# unroll AS MATERIALIZED); curation_drop_audit (the first-drop-gate
+# CASE chain, each gate re-stated with its standalone oracle's proven
+# fragment). The 10 entries still rows-only all have a genuine
+# blocker: zlib (compression_ratio_docs), Spark-internal HLL/KLL
+# sketches (approx_event_profile, sketch_rollup_daily_users), seeded
+# MLlib RNG (ann_brp_lsh), float k-means argmin boundaries
 # (kmeans_clusters, semdedup_survivors, pq_ann_topk, ivfpq_ann_topk),
-# unbounded sequential loops (packing_assignments), soundex
-# (phonetic_matches), and a 4-pipeline restatement
-# (curation_drop_audit).
+# unbounded sequential loops (packing_assignments), and soundex
+# (phonetic_matches).
 #
 # r8 rotation (EXECUTED, per VERDICT r7 item #1): every SURVEY 2
 # family is now driver-proven through at least one r5-r7 row, so the
@@ -251,7 +252,6 @@ _WINDOW: tuple[str, ...] = (
 # row would add nothing over the local pytest replay).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
-    "curation_drop_audit",
     "phonetic_matches",
     "ann_brp_lsh",
     "kmeans_clusters",

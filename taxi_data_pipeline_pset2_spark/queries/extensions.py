@@ -1898,13 +1898,93 @@ def blocklist_safety_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("curation_drop_audit", oracle=None, tags=("curation", "quality"))
+def _curation_audit_oracle() -> str:
+    """SQL twin of the first-drop-gate CASE chain: each stage re-states
+    the SAME fragment its standalone oracle already hash-proves --
+    exact-dup fingerprints (dedup_exact), k=8 shingle collisions vs the
+    %20 bench split (decontamination_scores), the quality-score formula
+    (text_quality), and the dup-line ratio (gopher line split). The
+    near-dup stage is off in this entry (no near_dup_pairs), and
+    allowed_langs is unset, so the chain is exact_dup ->
+    decontaminated -> low_quality -> repetitive. Contamination is
+    per-doc-independent, so scoring ALL train docs equals scoring the
+    exact-dedup survivors for every doc the chain reaches."""
+    from taxi_data_pipeline_pset2_spark.operators.text import LANG_MARKERS
+
+    k = 8
+    shingle = " || ' ' || ".join(
+        f"toks[i+{j}]" for j in range(k)
+    ).replace("toks[i+0]", "toks[i]")
+    stop = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
+    return f"""
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 != 0),
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+           FROM train),
+    keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+             FROM documents),
+    sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= {k} THEN
+             list_transform(generate_series(1, len(toks) - {k - 1}),
+                            i -> {shingle})
+           ELSE CAST([] AS VARCHAR[]) END) AS sh FROM toks),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    hs AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+           FROM e),
+    bench_sh AS (SELECT DISTINCT h FROM hs WHERE doc_id % 20 = 0),
+    dirty AS (SELECT DISTINCT tr.doc_id FROM hs tr
+              JOIN bench_sh b ON tr.h = b.h
+              WHERE tr.doc_id % 20 != 0),
+    sig AS (SELECT t.doc_id,
+                   CAST(4 * CAST(round(CAST(len(list_filter(tk.toks,
+                          x -> list_contains({{STOP}}, x))) AS DOUBLE)
+                          * 1000000 / len(tk.toks)) AS BIGINT)
+                        + 3 * least(CAST(1000000 AS BIGINT),
+                                    CAST(len(tk.toks) * 10000 AS BIGINT))
+                        + 3 * CAST(round(CAST(length(regexp_replace(lower(t.text),
+                              '[^a-z]', '', 'g')) AS DOUBLE)
+                              * 1000000 / length(t.text)) AS BIGINT)
+                        AS DOUBLE) / 10000000 AS quality_score,
+                   CASE WHEN len(list_filter(list_transform(
+                             string_split(t.text, chr(10)), x -> trim(x)),
+                             x -> x != '')) > 0
+                        THEN round(1 - CAST(len(list_distinct(list_filter(
+                             list_transform(string_split(t.text, chr(10)),
+                                            x -> trim(x)), x -> x != ''))) AS DOUBLE)
+                             / len(list_filter(list_transform(
+                                  string_split(t.text, chr(10)), x -> trim(x)),
+                                  x -> x != '')), 6)
+                        ELSE 0.0 END AS dup_line_ratio
+            FROM train t JOIN toks tk ON tk.doc_id = t.doc_id)
+    SELECT t.doc_id,
+           CASE WHEN k1.doc_id IS NULL THEN 'exact_dup'
+                WHEN d.doc_id IS NOT NULL THEN 'decontaminated'
+                WHEN NOT coalesce(s.quality_score >= 0.3, FALSE)
+                     THEN 'low_quality'
+                WHEN NOT coalesce(s.dup_line_ratio <= 0.5, FALSE)
+                     THEN 'repetitive'
+           END AS drop_stage
+    FROM train t
+    LEFT JOIN keep1 k1 ON k1.doc_id = t.doc_id
+    LEFT JOIN dirty d ON d.doc_id = t.doc_id
+    LEFT JOIN sig s ON s.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """.replace("{STOP}", stop)
+
+
+@query(
+    "curation_drop_audit",
+    oracle=_curation_audit_oracle(),
+    tags=("curation", "quality"),
+)
 def curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop-reason audit for the curation pipeline
     (operators/curation.py curation_audit): one row per input doc with
-    the first gate that removed it (NULL = survivor). Deterministic but
-    its SQL twin would re-state four whole pipelines -> rows-only;
-    audit == pipeline agreement is pinned in tests/test_curation.py."""
+    the first gate that removed it (NULL = survivor). Upgraded from
+    rows-only in r8: the SQL twin (_curation_audit_oracle) re-states
+    each gate with the SAME fragment its standalone oracle hash-proves;
+    audit == pipeline agreement is also pinned in
+    tests/test_curation.py."""
     from taxi_data_pipeline_pset2_spark.operators.curation import curation_audit
 
     docs = t(spark, sf_dir, "documents")
