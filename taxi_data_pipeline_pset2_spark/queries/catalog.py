@@ -163,13 +163,14 @@ def query(
 # part_kcore (H-index iteration, idempotent fixpoint, fixed 64-round
 # unroll AS MATERIALIZED); curation_drop_audit (the first-drop-gate
 # CASE chain, each gate re-stated with its standalone oracle's proven
-# fragment). The 10 entries still rows-only all have a genuine
-# blocker: zlib (compression_ratio_docs), Spark-internal HLL/KLL
-# sketches (approx_event_profile, sketch_rollup_daily_users), seeded
-# MLlib RNG (ann_brp_lsh), float k-means argmin boundaries
-# (kmeans_clusters, semdedup_survivors, pq_ann_topk, ivfpq_ann_topk),
-# unbounded sequential loops (packing_assignments), and soundex
-# (phonetic_matches).
+# fragment); phonetic_matches (soundex re-implemented in DuckDB list
+# ops, vector-battery-pinned against F.soundex incl. the H/W rule).
+# The 9 entries still rows-only all have a genuine blocker: zlib
+# (compression_ratio_docs), Spark-internal HLL/KLL sketches
+# (approx_event_profile, sketch_rollup_daily_users), seeded MLlib RNG
+# (ann_brp_lsh), float k-means argmin boundaries (kmeans_clusters,
+# semdedup_survivors, pq_ann_topk, ivfpq_ann_topk), and unbounded
+# sequential loops (packing_assignments).
 #
 # r8 rotation (EXECUTED, per VERDICT r7 item #1): every SURVEY 2
 # family is now driver-proven through at least one r5-r7 row, so the
@@ -252,7 +253,6 @@ _WINDOW: tuple[str, ...] = (
 # row would add nothing over the local pytest replay).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
-    "phonetic_matches",
     "ann_brp_lsh",
     "kmeans_clusters",
     "approx_event_profile",

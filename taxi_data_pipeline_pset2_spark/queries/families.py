@@ -598,14 +598,59 @@ def jaro_winkler_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("phonetic_matches", oracle=None, tags=("fuzzy", "dedup"))
+def _phonetic_oracle() -> str:
+    """Soundex re-implemented in DuckDB list ops (DuckDB ships none):
+    Spark's algorithm, pinned empirically against F.soundex on a vector
+    battery (smith/S530, ashcraft/A261 -- the H/W rule --, boshw/B200,
+    ab#b/A110 -- non-letters break duplicate runs like vowels --,
+    pfister/P236, schmidt/S530, 9lives unchanged): delete H/W after the
+    first char, code via the US mapping with every non-1-6 char as '0',
+    keep codes that differ from their predecessor and are nonzero, take
+    3 and zero-pad. Non-letter-initial strings pass through unchanged,
+    exactly as Spark returns them."""
+    sdx = (
+        "substr(upper(s), 1, 1) || rpad(array_to_string("
+        "list_filter(list_transform(generate_series(2, len(cl)),"
+        " i -> CASE WHEN cl[i] != cl[i-1] AND cl[i] != '0' THEN cl[i] END),"
+        " x -> x IS NOT NULL)[1:3], ''), 3, '0')"
+    )
+    return f"""
+    WITH n AS (SELECT c_custkey AS id,
+                      regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS s
+               FROM customer),
+    cs AS (SELECT id, s,
+                  list_transform(
+                    string_split(translate(
+                      substr(upper(s), 1, 1) ||
+                      regexp_replace(substr(upper(s), 2), '[HW]', '', 'g'),
+                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                      '01230120022455012623010202'), ''),
+                    c -> CASE WHEN c IN ('1','2','3','4','5','6')
+                              THEN c ELSE '0' END) AS cl
+           FROM n),
+    k AS (SELECT id, s,
+                 CASE WHEN NOT regexp_matches(substr(upper(s), 1, 1), '[A-Z]')
+                      THEN s ELSE {sdx} END AS blk
+          FROM cs),
+    p AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+          FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+          WHERE abs(len(a.s) - len(b.s)) <= 2)
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+    FROM p WHERE levenshtein(sa, sb) <= 2
+    ORDER BY id_a, id_b
+    """
+
+
+@query("phonetic_matches", oracle=_phonetic_oracle(), tags=("fuzzy", "dedup"))
 def phonetic_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soundex-blocked fuzzy matching (operators/fuzzy.py
     phonetic_pairs): the phonetic pass record linkage runs next to
     prefix blocking -- Spark's built-in soundex is the block key
-    (codegen, no UDF). DuckDB ships no soundex -> rows-only; Spark's
-    encoding is pinned against a python reference in
-    tests/test_fuzzy.py."""
+    (codegen, no UDF). Upgraded from rows-only in r8: the oracle
+    re-implements Spark's soundex in DuckDB list ops
+    (_phonetic_oracle, vector-battery-pinned) and verifies with
+    DuckDB's native levenshtein; Spark's encoding is additionally
+    pinned against a python reference in tests/test_fuzzy.py."""
     from taxi_data_pipeline_pset2_spark.operators.fuzzy import phonetic_pairs
 
     cust = t(spark, sf_dir, "customer")
