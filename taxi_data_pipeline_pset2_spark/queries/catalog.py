@@ -172,28 +172,38 @@ def query(
 # semdedup_survivors, pq_ann_topk, ivfpq_ann_topk), and unbounded
 # sequential loops (packing_assignments).
 #
-# r8 rotation (EXECUTED, per VERDICT r7 item #1): every SURVEY 2
-# family is now driver-proven through at least one r5-r7 row, so the
-# one-anchor-per-family rule is relaxed to the MINIMUM anchors -- the
-# six golden taxi queries (demand_by_zone, pricing_summary,
-# coverage_matrix, price_percentiles, value_by_daypart, demand_grid;
-# reference evidencias/*.csv) plus integrity_checks -- and the other
-# 43 slots are filled oldest-candidate-first from the never-rowed
-# oracles: all 29 of the r7-early list (asof_next_purchase ...
-# mannwhitney_price_priority), then the first 14 of mid-r7
-# (cuped_price_linestatus ... cms_partkey_counts).
-# props_payload_stats plus the late-r7 list (part_triangle_stats ...
-# lsh_recall_audit, incl. the new-family firsts: spatial
-# customers_near_suppliers, privacy pseudonymized_customers /
+# r8 rotation (EXECUTED, per VERDICT r7 item #1): minimum anchors =
+# the six golden taxi queries + integrity_checks; the other 43 slots
+# went to the never-rowed oracles, oldest first: all 29 of the
+# r7-early list (asof_next_purchase ... mannwhitney_price_priority),
+# then the first 14 of mid-r7 (cuped_price_linestatus ...
+# cms_partkey_counts). CORRECTNESS_r08: 50/50 green, 43 first-time.
+#
+# r9 rotation (EXECUTED, per VERDICT r8 item #1): same 7 anchors; the
+# 43 r8-proven rows yield their slots oldest-candidate-first --
+# props_payload_stats (the one mid-r7 candidate that missed the r8
+# cut), then the late-r7 list in its written order (part_triangle_stats
+# ... lsh_recall_audit, 39 entries, incl. the new-family firsts:
+# spatial customers_near_suppliers, privacy pseudonymized_customers /
 # k_anonymity_audit, audit orders_table_checksum, kmv
-# kmv_customer_overlap) are the r9 rotation candidates; after them
-# the r1-r4-era rows (values_dim, string_functions, ...) that predate
-# the kept CORRECTNESS_r05+ records. Entries rotated OUT this round
-# (monthly_trend, date_dim, union_unify_schemas, quality_filter,
-# ranked_in_group, asof_last_purchase, events_hourly, and the 36 other
-# r5-r7-proven rows) all keep their green driver rows on file and the
-# local hash-replay in tests/test_catalog_oracle.py; monthly_trend
-# additionally stays smoke-checked every round via entry().
+# kmv_customer_overlap), then the first 3 of the r8
+# additions/upgrades (lsh_tuned_recall_audit, scalable_rank_positions,
+# pagerank_supplier_customer -- the graph upgrade first because an
+# iterative op hash-matching its unrolled-CTE twin on the driver is
+# the strongest evidence the rotation can buy). r10 takes the
+# remaining r8 upgrades (isotonic_calibration, mmr_rerank_topk,
+# brand_communities, part_kcore) plus any r9 upgrades, then the
+# r1-r4-era rows whose driver records predate the kept
+# CORRECTNESS_r05+ files (values_dim, string_functions,
+# datetime_functions, hash_surrogate_ids, dim_with_default_member,
+# distinct_segments, rolling_avg_value, load_manifest_months,
+# recent_clicks_before_error, text_quality, lang_id,
+# token_fingerprints, multimodal_metadata) -- after r10 every oracled
+# entry has a driver row in the kept record window. Entries rotated
+# OUT this round (the 43 r8 first-timers) keep their green driver
+# rows on file and the local hash-replay in
+# tests/test_catalog_oracle.py; monthly_trend additionally stays
+# smoke-checked every round via entry().
 _WINDOW: tuple[str, ...] = (
     # -- minimum anchors (7) --
     "demand_by_zone",
@@ -203,51 +213,52 @@ _WINDOW: tuple[str, ...] = (
     "value_by_daypart",
     "demand_grid",
     "integrity_checks",
-    # -- r7-early candidates (29), oldest first --
-    "asof_next_purchase",
-    "asof_nearest_purchase",
-    "ewma_user_value",
-    "tfidf_cosine_docs",
-    "leakage_safe_split_docs",
-    "group_kfold_docs",
-    "temporal_split_events",
-    "rolling_features_user_value",
-    "hard_negatives_topk",
-    "oov_rate_docs",
-    "jaro_winkler_matches",
-    "blocklist_safety_flags",
-    "source_quality_profile",
-    "bigram_doc_logprob",
-    "class_weights_events",
-    "rolling_origin_backtest",
-    "metric_corr_matrix",
-    "status_priority_mi",
-    "sft_loss_masks",
-    "auc_order_status",
-    "calibration_price_prob",
-    "kappa_price_status",
-    "decile_lift_orders",
-    "retrieval_eval_knn",
-    "quantile_normalized_length",
-    "bootstrap_ci_price",
-    "rrf_fuse_knn",
-    "welch_price_priority",
-    "mannwhitney_price_priority",
-    # -- mid-r7 candidates (14) --
-    "cuped_price_linestatus",
-    "brand_association_rules",
-    "fulfillment_survival_km",
-    "user_value_changepoint",
-    "benford_price_audit",
-    "pmi_collocations_docs",
-    "customer_rfm_segments",
-    "gini_customer_spend",
-    "event_type_entropy",
-    "abc_brand_revenue",
-    "purchase_attribution",
-    "top_user_paths",
-    "seasonal_naive_mase",
-    "cms_partkey_counts",
+    # -- mid-r7 leftover (1) --
+    "props_payload_stats",
+    # -- late-r7 candidates (39), written order --
+    "part_triangle_stats",
+    "spearman_qty_price",
+    "acf_daily_orders",
+    "seasonal_daily_orders",
+    "user_event_coverage",
+    "pareto_parts_price_size",
+    "brand_item_neighbors",
+    "theilsen_monthly_revenue",
+    "user_interarrival_stats",
+    "customers_near_suppliers",
+    "ivm_join_view_maintenance",
+    "brand_target_encoding",
+    "user_key_skew",
+    "rolling_7day_users",
+    "multimodal_png_dims",
+    "funnel_step_timings",
+    "inferred_dim_members",
+    "cms_join_size_estimate",
+    "kmv_customer_overlap",
+    "ks_price_by_urgency",
+    "seasonal_outlier_days",
+    "k_anonymity_audit",
+    "pseudonymized_customers",
+    "orders_table_checksum",
+    "hashed_doc_features",
+    "modal_priority_by_status",
+    "user_value_twap",
+    "part_graph_assortativity",
+    "cohort_ltv_curves",
+    "hourly_value_interpolated",
+    "order_sequence_gaps",
+    "seasonal_naive_pinball",
+    "embedding_quantization_audit",
+    "cross_source_dup_matrix",
+    "variant_assignment_srm",
+    "ctr_ratio_delta",
+    "lineitem_storage_report",
+    "aov_mix_decomposition",
+    "lsh_recall_audit",
+    # -- first 3 of the r8 additions/upgrades --
+    "lsh_tuned_recall_audit",
+    "scalable_rank_positions",
+    "pagerank_supplier_customer",
 )
 # Rows-only entries kept at the very end of the registry (their driver
 # row would add nothing over the local pytest replay).

@@ -50,13 +50,25 @@ def _replay_one(spark, sf_dir, con, entry) -> list[str]:
 
 
 @pytest.fixture(scope="module")
-def replay_results(spark, sf_dir):
+def replay_results(spark, sf_dir, request):
+    """Concurrent, LAZILY-submitted replay memo. Only the entries whose
+    parametrized test actually got collected are submitted, so a -k /
+    single-id run replays just those entries instead of all ~190
+    (ADVICE r8 item #5); a full run still interleaves every comparison
+    across REPLAY_THREADS exactly as before."""
+    collected = {
+        item.callspec.params["entry"].name
+        for item in request.session.items
+        if getattr(item, "callspec", None) is not None
+        and "entry" in item.callspec.params
+    }
+    wanted = [e for e in ENTRIES if e.name in collected] or ENTRIES
     con = duckdb_connection(SF_DIR)
     try:
         with ThreadPoolExecutor(max_workers=REPLAY_THREADS) as pool:
             futures = {
                 e.name: pool.submit(_replay_one, spark, sf_dir, con, e)
-                for e in ENTRIES
+                for e in wanted
             }
             yield {name: f.result() for name, f in futures.items()}
     finally:
