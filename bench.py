@@ -90,9 +90,15 @@ def clustering_demo(
       files; the extra file-commit overhead put 167.8 s of one-off write
       cost into every bench round for the same pruning ratio (VERDICT r5
       item 6). The write amplification that remains is the honest
-      price of a write-once/read-many layout: at the measured 9.8x cold
-      read win the clustered write has paid for itself after ~15 reads
-      of the demo quarter, i.e. minutes of a real cluster's day.
+      price of a write-once/read-many layout -- concretely, the
+      clustered write costs ~6x the flat write (measured 96.2 s vs
+      15.8 s at scale 1792; the range-repartition planning pass reads
+      the input once to sample range bounds, then the sorted write
+      reads it again) -- and it is pay-ONCE, amortized by the 28x
+      bytes-pruned ratio on every subsequent read: at the measured
+      9.8x cold read win the clustered write has paid for itself after
+      ~15 reads of the demo quarter, i.e. minutes of a real cluster's
+      day. Layout is not free; it is cheap relative to what it buys.
 
     The identical demo aggregate (the reference's own query shape:
     GROUP BY month, COUNT + plain AVG -- README.md:90-96; NOT the
@@ -389,7 +395,10 @@ def clustering_demo(
             "serves them (see flat_read_gbps and cold_wall_is_io_bound) "
             "so they are overhead-compressed lower bounds, not the "
             "layout claim; warm_* is interleaved best-of-3, fully "
-            "page-cached."
+            "page-cached. The layout is NOT free: clustered_write_sec "
+            "is ~6x flat_write_sec (range-repartition sampling pass + "
+            "sorted write) -- a pay-once cost amortized by the "
+            "bytes_pruned_ratio on every subsequent read."
         )
         return out
     finally:

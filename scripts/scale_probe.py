@@ -165,6 +165,7 @@ def main() -> None:
     runs = [(name, scaled, fn) for name, fn in ops.items()] + [
         (name, gen, fn) for name, (gen, fn) in graph_ops.items()
     ]
+    results = []
     for name, gen, fn in runs:
         times: dict[int, float] = {}
         for factor in FACTORS:
@@ -178,11 +179,35 @@ def main() -> None:
             df.unpersist()
         r4 = round(times[4] / times[1], 2)
         r16 = round(times[16] / times[1], 2)
-        print(json.dumps({
+        rec = {
             "op": name, "sec": {str(k): v for k, v in times.items()},
             "ratio_4x": r4, "ratio_16x": r16,
             "verdict": "near-linear" if r16 <= 24 else "SUPERLINEAR",
-        }))
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+    # Persist the measured ratios as a tracked artifact (VERDICT r8 item
+    # #2) so the next round can diff them instead of re-deriving from
+    # commit messages. Written next to the script's repo root.
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALEPROBE.json",
+    )
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "factors": list(FACTORS),
+                "method": "best-of-2 wall over localCheckpointed input, "
+                          "noop sink; replicas suffix-tokenized (no "
+                          "near-dup inflation)",
+                "ops": results,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -29,7 +29,13 @@ for i in "${!FILES[@]}"; do
 done
 
 pids=()
+live=()
 for s in $(seq 0 $(( SHARDS - 1 ))); do
+  # A shard with no assigned files (SHARDS > number of test files) must
+  # be skipped: bare `python -m pytest` would collect the entire default
+  # test path and duplicate every other shard's work (ADVICE r8 item #4).
+  [ -z "${GROUPS_ARR[$s]:-}" ] && continue
+  live+=("$s")
   # shellcheck disable=SC2086
   SPARK_GRAFT_CPUS=$CORES python -m pytest ${GROUPS_ARR[$s]} -q \
     --basetemp="/tmp/pytest-shard-$s" -p no:cacheprovider "$@" \
@@ -38,8 +44,9 @@ for s in $(seq 0 $(( SHARDS - 1 ))); do
 done
 
 rc=0
-for s in $(seq 0 $(( SHARDS - 1 ))); do
-  if ! wait "${pids[$s]}"; then
+for i in "${!live[@]}"; do
+  s=${live[$i]}
+  if ! wait "${pids[$i]}"; then
     rc=1
     echo "=== shard $s FAILED (tail of /tmp/test_shard_$s.log):"
     tail -n 25 "/tmp/test_shard_$s.log"
@@ -47,7 +54,7 @@ for s in $(seq 0 $(( SHARDS - 1 ))); do
 done
 
 echo "=== shard summaries:"
-for s in $(seq 0 $(( SHARDS - 1 ))); do
+for s in "${live[@]}"; do
   printf 'shard %d: %s\n' "$s" "$(tail -n 1 "/tmp/test_shard_$s.log")"
 done
 exit $rc

@@ -54,6 +54,14 @@ def pagerank(
     and must not make its source non-dangling)."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    # Validated BEFORE any persist()/count() so a bad argument cannot
+    # leave e/nodes/nodes_deg cache-marked or waste a count job
+    # (ADVICE r8 item #1). Range rationale: see the cadence comment
+    # below.
+    if not 1 <= checkpoint_every <= 4:
+        raise ValueError(
+            f"checkpoint_every must be in [1, 4], got {checkpoint_every}"
+        )
     w_expr = (
         F.col(weight_col).cast("double")
         if weight_col
@@ -110,11 +118,7 @@ def pagerank(
     # cluster scheduler than on an idle local[32]. Cadence >= ~8 is a
     # driver-heap hazard (every un-materialized round holds a PENDING
     # broadcast of the rank frame -- nested broadcasts OOM'd at 8), so
-    # the cadence is capped well below that.
-    if not 1 <= checkpoint_every <= 4:
-        raise ValueError(
-            f"checkpoint_every must be in [1, 4], got {checkpoint_every}"
-        )
+    # the cadence is capped well below that (validated at the top).
     segment: list[DataFrame] = []
     try:
         ranks = nodes_deg.withColumn(

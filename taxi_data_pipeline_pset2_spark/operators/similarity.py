@@ -263,20 +263,30 @@ def lsh_params_for(
     return best
 
 
-def hyperplane_signs(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+def hyperplane_signs(
+    n_planes: int = N_PLANES, dim: int = 64, salt: str = ""
+) -> list[list[int]]:
     """Deterministic +-1 hyperplane matrix for sign-random-projection LSH.
 
-    Component (j, i) is the parity of the md5-prefix hash of "j_i" -- the
-    same engine-portable stable hash used for shingles (operators/dedup.py
-    ``stable_hash64``), computed driver-side once. Both the Spark plan
-    (literal arrays) and the DuckDB oracle (md5 in a CTE) reproduce the
-    identical matrix, which is what makes an approximate LSH operator
-    hash-verifiable."""
+    Component (j, i) is the parity of the md5-prefix hash of "{salt}j_i"
+    -- the same engine-portable stable hash used for shingles
+    (operators/dedup.py ``stable_hash64``), computed driver-side once.
+    Both the Spark plan (literal arrays) and the DuckDB oracle (md5 in a
+    CTE) reproduce the identical matrix, which is what makes an
+    approximate LSH operator hash-verifiable. ``salt`` decorrelates
+    independent plane families (the euclidean BRP tables use "brp")."""
     import hashlib
 
     return [
         [
-            1 - 2 * (int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8], 16) % 2)
+            1
+            - 2
+            * (
+                int(
+                    hashlib.md5(f"{salt}{j}_{i}".encode()).hexdigest()[:8], 16
+                )
+                % 2
+            )
             for i in range(dim)
         ]
         for j in range(n_planes)
@@ -518,6 +528,138 @@ def brp_lsh_neighbors(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+def brp_buckets(
+    emb: DataFrame,
+    bucket_length: float = 2.0,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) euclidean BRP-LSH keys with DETERMINISTIC
+    md5-derived +-1 projection vectors (Rademacher entries satisfy the
+    same JL/p-stable contract as MLlib's gaussians): bucket =
+    floor(dot(iv, s_j) / round(bucket_length * SCALE)), all-integer, so
+    a DuckDB oracle reproduces every bucket id bit-exactly -- the same
+    construction that made the cosine sign-sketch (cosine_sketch_bands)
+    hash-verifiable. One exact int64 matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(
+        hyperplane_signs(n_tables, dim, salt="brp"), dtype=np.int64
+    )  # (T, D)
+    L = int(round(bucket_length * SCALE))
+    if L <= 0:
+        raise ValueError(f"bucket_length too small: {bucket_length}")
+    prep = _prepared(emb, id_col, vec_col)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["iv"]), dtype=np.int64)  # (N, D)
+            proj = X @ S.T  # (N, T) exact int64
+            bkt = np.floor_divide(proj, L)  # exact floor semantics
+            n = len(X)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": bkt.ravel(),
+                }
+            )
+
+    return prep.select(id_col, "iv").mapInPandas(
+        run, schema=f"{id_col} long, table int, bucket long"
+    )
+
+
+def verify_euclidean_pairs(
+    emb: DataFrame,
+    cands: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact euclidean-distance verification of a candidate-pair frame
+    (id_a, id_b): d2 = norm2_a + norm2_b - 2*dot is EXACT int64, so the
+    threshold test is an integer comparison (d2 <= round(t*SCALE)^2 --
+    no float boundary can flip membership across engines); only the
+    reported dist = round(sqrt(d2)/SCALE, 6) touches doubles, via the
+    shared correctly-rounded sqrt + HALF_UP discipline."""
+    import numpy as np
+    import pandas as pd
+
+    t2 = int(round(threshold * SCALE)) ** 2
+    prep = _prepared(emb, id_col, vec_col)
+    a = prep.select(
+        F.col(id_col).alias("id_a"), F.col("iv").alias("iv_a"), F.col("norm2").alias("n2_a")
+    )
+    b = prep.select(
+        F.col(id_col).alias("id_b"), F.col("iv").alias("iv_b"), F.col("norm2").alias("n2_b")
+    )
+    joined = cands.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", "iv_a", "iv_b", "n2_a", "n2_b"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["iv_a"]), dtype=np.int64)
+            B = np.array(list(pdf["iv_b"]), dtype=np.int64)
+            dots = np.einsum("ij,ij->i", A, B)  # exact int64
+            d2 = (
+                pdf["n2_a"].to_numpy(dtype=np.int64)
+                + pdf["n2_b"].to_numpy(dtype=np.int64)
+                - 2 * dots
+            )
+            keep = d2 <= t2
+            dist = _round_half_up_6(np.sqrt(d2[keep].astype(np.float64)) / SCALE)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"][keep],
+                    "id_b": pdf["id_b"][keep],
+                    "dist": dist,
+                }
+            )
+
+    return joined.mapInPandas(run, schema="id_a long, id_b long, dist double")
+
+
+def brp_lsh_neighbors_det(
+    emb: DataFrame,
+    threshold: float = 1.2,
+    bucket_length: float = 2.0,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate euclidean self-join, deterministic end to end: BRP
+    bucket keys (brp_buckets) OR-ed across n_tables hash tables generate
+    candidates via a bounded bucket equi-join, then the exact integer
+    verify (verify_euclidean_pairs) keeps true pairs at dist <=
+    threshold. Same two-phase scale shape as cosine_near_dup_pairs --
+    candidate volume driven by the sketch, verify cost by true-pair
+    density, never n^2 -- but unlike the seeded-MLlib
+    ``brp_lsh_neighbors`` every stage is reproducible in SQL, so the
+    whole operator carries a full DuckDB oracle (VERDICT r8 item #8).
+    Returns (id_a, id_b, dist), id_a < id_b."""
+    sigs = brp_buckets(emb, bucket_length, n_tables, 64, id_col, vec_col)
+    buckets = (
+        sigs.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cands = (
+        bucket_pairs(buckets, "ids")
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    return verify_euclidean_pairs(emb, cands, threshold, id_col, vec_col)
 
 
 def knn_ivf_kmeans(

@@ -1038,7 +1038,16 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
-def _kcore_oracle(n_rounds: int = 64) -> str:
+# Single source of truth for the k-core oracle's unroll depth, cited by
+# COVERAGE.md and asserted against the MEASURED convergence round count
+# in tests/test_graph.py (ADVICE r8 item #3): the engine runs to
+# convergence (max_iter=100) while the oracle runs a fixed unroll, so
+# the unroll must dominate convergence at every tested scale factor
+# (measured 7 @ sf0.001, 11 @ sf0.01, 38 @ sf0.1).
+KCORE_ORACLE_ROUNDS = 64
+
+
+def _kcore_oracle(n_rounds: int = KCORE_ORACLE_ROUNDS) -> str:
     """DuckDB twin of the H-index k-core iteration, unrolled to a FIXED
     round count: the update h(v) = max_r min(r, v_r-sorted-desc) is
     all-integer, non-increasing, and IDEMPOTENT at the fixpoint (Lu et

@@ -261,10 +261,12 @@ _WINDOW: tuple[str, ...] = (
     "pagerank_supplier_customer",
 )
 # Rows-only entries kept at the very end of the registry (their driver
-# row would add nothing over the local pytest replay).
+# row would add nothing over the local pytest replay). ann_brp_lsh left
+# this list in r9: rebuilt on deterministic md5 projections + integer
+# bucket/verify arithmetic, it now carries a full oracle (an r10
+# rotation candidate).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
-    "ann_brp_lsh",
     "kmeans_clusters",
     "approx_event_profile",
     "sketch_rollup_daily_users",

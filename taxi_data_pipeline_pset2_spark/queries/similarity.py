@@ -80,13 +80,63 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_topk(emb, F.col("vec_id") % 50 == 0, k=5, bucket_col="label")
 
 
-@query("ann_brp_lsh", oracle=None, tags=("similarity",))
+_BRP_TABLES = 8
+_BRP_BUCKET_LEN_INT = 2_000_000  # round(2.0 * SCALE)
+_BRP_T2 = 1_200_000**2  # round(1.2 * SCALE)^2 -- integer threshold test
+
+_BRP_ORACLE = f"""
+    WITH {_SQL_PREP},
+    planes AS (
+        SELECT j, i,
+               1 - 2 * (CAST(('0x' || substr(md5('brp' || j::VARCHAR || '_' || i::VARCHAR), 1, 8))
+                             AS BIGINT) % 2) AS s
+        FROM (SELECT unnest(generate_series(0, {_BRP_TABLES - 1})) AS j),
+             (SELECT unnest(generate_series(0, 63)) AS i)),
+    proj AS (
+        SELECT n.vec_id, p.j, CAST(sum(n.iv[p.i + 1] * p.s) AS BIGINT) AS pr
+        FROM n CROSS JOIN planes p GROUP BY 1, 2),
+    bkt AS (
+        SELECT vec_id, j,
+               (pr - ((pr % {_BRP_BUCKET_LEN_INT} + {_BRP_BUCKET_LEN_INT})
+                      % {_BRP_BUCKET_LEN_INT})) // {_BRP_BUCKET_LEN_INT} AS bucket
+        FROM proj),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bkt a JOIN bkt b
+          ON a.j = b.j AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    d AS (
+        SELECT c.id_a, c.id_b,
+               (a.norm2 + b.norm2
+                - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                                                   i -> a.iv[i] * b.iv[i])) AS BIGINT)) AS d2
+        FROM cands c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
+    SELECT id_a, id_b,
+           round(sqrt(CAST(d2 AS DOUBLE)) / 1000000.0, 6) AS dist
+    FROM d WHERE d2 <= {_BRP_T2}
+    ORDER BY id_a, id_b
+"""
+
+
+@query("ann_brp_lsh", oracle=_BRP_ORACLE, tags=("similarity",))
 def ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate euclidean self-join via pyspark.ml
-    BucketedRandomProjectionLSH (seeded). Approximate by design -> no SQL
-    oracle; recall vs brute force asserted in tests/test_similarity.py."""
+    """Approximate euclidean self-join via deterministic bucketed
+    random projection (operators/similarity.py brp_lsh_neighbors_det):
+    md5-derived +-1 projections, integer floor-div buckets OR-ed across
+    8 tables, exact all-integer distance verify at threshold 1.2 (the
+    ~1% tail of this unit-norm corpus's [0.99, 1.76] pair-distance
+    range -- the old seeded-MLlib entry's threshold 6.0 accepted every
+    pair). Deterministic end to end, so the full bucket->verify
+    pipeline carries a DuckDB oracle (upgraded from rows-only, VERDICT
+    r8 item #8); the seeded-MLlib wrapper brp_lsh_neighbors stays
+    recall-tested in tests/test_similarity.py."""
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        brp_lsh_neighbors_det,
+    )
+
     emb = t(spark, sf_dir, "embeddings")
-    return brp_lsh_neighbors(emb, threshold=6.0, bucket_length=2.0)
+    return brp_lsh_neighbors_det(
+        emb, threshold=1.2, bucket_length=2.0, n_tables=_BRP_TABLES
+    ).orderBy("id_a", "id_b")
 
 
 @query(

@@ -419,3 +419,94 @@ def test_pagerank_checkpoint_cadence_equivalence(spark):
 
     with pytest.raises(ValueError):
         pagerank(df, checkpoint_every=9)
+
+
+def test_pagerank_oracle_ranks_clear_rounding_boundaries():
+    """The driver gate hash-compares the pagerank_supplier_customer
+    entry 8-dp rounded on BOTH engines; the only cross-engine
+    difference is double SUM order (~1e-16). That is safe only while no
+    rank sits within noise of a 0.5e-8 rounding boundary -- a
+    boundary-adjacent rank would make the hash an intermittent flake
+    rather than a deterministic pass/fail (ADVICE r8 item #2). This
+    pins the margin: every rank on the real catalog graph (both test
+    scale factors) clears its nearest boundary by >= 1e-13. Measured
+    closest approach is 9.8e-13 (sf0.01); the sum-order noise on a
+    single rank is bounded by in_degree * eps * term ~ 50 * 2.2e-16 *
+    1e-5 ~ 1e-19 per round (1e-18 over 8 rounds), so the pinned margin
+    still exceeds the noise floor by >= 4 orders of magnitude."""
+    import duckdb
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        edges = con.execute(
+            f"""
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+            FROM read_parquet('{sf_dir}/lineitem.parquet') li
+            JOIN read_parquet('{sf_dir}/orders.parquet') o
+              ON l_orderkey = o_orderkey
+            """
+        ).fetchall()
+        con.close()
+        ranks = _reference_pagerank(edges, n_iter=8)
+        worst = min(
+            abs((r * 1e8) % 1.0 - 0.5) * 1e-8 for r in ranks.values()
+        )
+        assert worst > 1e-13, (
+            f"{sf_dir}: a rank sits {worst:.2e} from a 0.5e-8 rounding "
+            f"boundary -- inside double SUM-order noise; the driver hash "
+            f"would flake. Bump the rounding grain or re-seed the graph."
+        )
+
+
+def test_kcore_oracle_unroll_dominates_convergence():
+    """The part_kcore engine runs the H-index iteration to CONVERGENCE
+    (max_iter=100) while its DuckDB oracle unrolls a fixed
+    KCORE_ORACLE_ROUNDS; a scale factor needing more rounds than the
+    unroll would mismatch persistently (ADVICE r8 item #3). Measure the
+    actual convergence round count on the real catalog graph at both
+    test scale factors and pin unroll >= 2x measured, so drift toward
+    the ceiling fails loudly before the driver gate ever could."""
+    import duckdb
+
+    from taxi_data_pipeline_pset2_spark.queries.analytics import (
+        KCORE_ORACLE_ROUNDS,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        sym = con.execute(
+            f"""
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+              FROM read_parquet('{sf_dir}/lineitem.parquet')
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+                AND l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l_shipdate < TIMESTAMP '1999-01-01'),
+            e0 AS (SELECT x.i AS a, y.i AS b
+                   FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+                   GROUP BY 1, 2)
+            SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+            """
+        ).fetchall()
+        con.close()
+        nbrs: dict = {}
+        for a, b in sym:
+            nbrs.setdefault(a, []).append(b)
+        core = {v: len(ns) for v, ns in nbrs.items()}
+        rounds = 0
+        while True:
+            new = {}
+            for v, ns in nbrs.items():
+                vals = sorted((core[u] for u in ns), reverse=True)
+                new[v] = max(
+                    min(r, x) for r, x in enumerate(vals, start=1)
+                )
+            rounds += 1
+            if new == core:
+                break
+            core = new
+        assert rounds * 2 <= KCORE_ORACLE_ROUNDS, (
+            f"{sf_dir}: H-index converged in {rounds} rounds; the "
+            f"{KCORE_ORACLE_ROUNDS}-round oracle unroll no longer has "
+            f"2x headroom -- widen it."
+        )

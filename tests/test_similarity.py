@@ -3,6 +3,7 @@ bucket restriction, kNN shape invariants."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from taxi_data_pipeline_pset2_spark.operators.similarity import (
@@ -348,3 +349,75 @@ class TestLshParamsFor:
                 assert lsh_banding_recall(thr, b - 1, r) < floor
 
         check()
+
+
+class TestDeterministicBRP:
+    """brp_lsh_neighbors_det: the oracle-able euclidean LSH (r9 upgrade
+    of the ann_brp_lsh catalog entry from rows-only)."""
+
+    def test_subset_of_exact_and_threshold(self, spark, sf_dir):
+        """Every reported pair is a TRUE pair: dist <= threshold against
+        a brute-force integer-exact distance, ids ordered, no dups."""
+        import itertools
+        import math
+
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            SCALE,
+            brp_lsh_neighbors_det,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(200)
+        vecs = {
+            r.vec_id: [round(float(x) * SCALE) for x in r.embedding]
+            for r in emb.collect()
+        }
+        t2 = round(1.2 * SCALE) ** 2
+        truth = {}
+        for ia, ib in itertools.combinations(sorted(vecs), 2):
+            a, b = vecs[ia], vecs[ib]
+            d2 = sum((x - y) * (x - y) for x, y in zip(a, b))
+            if d2 <= t2:
+                truth[(ia, ib)] = d2
+        got = brp_lsh_neighbors_det(emb, threshold=1.2).collect()
+        assert got, "planted corpus tail must produce pairs"
+        seen = set()
+        for r in got:
+            assert r.id_a < r.id_b
+            assert (r.id_a, r.id_b) not in seen
+            seen.add((r.id_a, r.id_b))
+            assert (r.id_a, r.id_b) in truth, "reported pair not within threshold"
+            want = round(math.sqrt(truth[(r.id_a, r.id_b)]) / SCALE, 6)
+            assert r.dist == pytest.approx(want, abs=2e-6)
+
+    def test_recall_on_planted_neardups(self, spark):
+        """Planted near-identical copies sit at dist ~0.01 -- far inside
+        one bucket width -- so the 8-table OR must recover essentially
+        all of them."""
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            brp_lsh_neighbors_det,
+        )
+
+        corpus = _planted_neardup_corpus(spark)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in brp_lsh_neighbors_det(corpus, threshold=0.05).collect()
+        }
+        base_ids = [r.vec_id for r in corpus.filter(F.col("vec_id") < 100000).collect()]
+        planted = {(v, v + 100000) for v in base_ids}
+        recall = len(pairs & planted) / len(planted)
+        assert recall >= 0.95, f"recall {recall:.2f} too low for dist~0.01 pairs"
+
+    def test_partitioning_invariant(self, spark, sf_dir):
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            brp_lsh_neighbors_det,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(150)
+        a = sorted(map(tuple, brp_lsh_neighbors_det(emb, threshold=1.2).collect()))
+        b = sorted(
+            map(
+                tuple,
+                brp_lsh_neighbors_det(emb.repartition(13), threshold=1.2).collect(),
+            )
+        )
+        assert a == b
