@@ -42,6 +42,7 @@ def pagerank(
     n_iter: int = 10,
     weight_col: str | None = None,
     checkpoint_every: int = 2,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Node ranks after ``n_iter`` power-iteration rounds:
     (node, rank) with sum(rank) == 1, ordered rank desc, node asc.
@@ -51,7 +52,22 @@ def pagerank(
     parallel weighted edges are equivalent to one summed edge).
     Self-loops are legitimate edges. NULL endpoints, NULL weights and
     weight <= 0 edges are dropped (a zero-weight edge carries nothing
-    and must not make its source non-dangling)."""
+    and must not make its source non-dangling).
+
+    ``shuffle_partitions``: plan THIS call's internal shuffles (edge
+    repartition, per-round contribution aggregate, rank joins) with the
+    given partition count instead of the session default. Iteration
+    wall-clock is dominated by per-task scheduling once partitions
+    outnumber what the graph needs -- at bench scale (600k edges / 16k
+    nodes) 32-way stages cost 5.5 s where 8-way cost 3.7 s for the
+    identical result (VERDICT r8 item #4 profile) -- so callers that
+    know the graph is small pass a small count; None leaves the
+    cluster-tuned default in charge (the right call at real scale).
+    The conf is set session-wide for the duration of the call and
+    restored in a finally: a concurrently-planned query on the same
+    session may pick up the temporary value, which can change its task
+    counts but never its results (every operator here is
+    partitioning-independent by construction)."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     # Validated BEFORE any persist()/count() so a bad argument cannot
@@ -62,6 +78,33 @@ def pagerank(
         raise ValueError(
             f"checkpoint_every must be in [1, 4], got {checkpoint_every}"
         )
+    if shuffle_partitions is not None and shuffle_partitions < 1:
+        raise ValueError(
+            f"shuffle_partitions must be >= 1, got {shuffle_partitions}"
+        )
+    conf = edges.sparkSession.conf
+    _old_sp = conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _pagerank_impl(
+            edges, src_col, dst_col, damping, n_iter, weight_col,
+            checkpoint_every,
+        )
+    finally:
+        if shuffle_partitions is not None:
+            conf.set("spark.sql.shuffle.partitions", _old_sp)
+
+
+def _pagerank_impl(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    damping: float,
+    n_iter: int,
+    weight_col: str | None,
+    checkpoint_every: int,
+) -> DataFrame:
     w_expr = (
         F.col(weight_col).cast("double")
         if weight_col

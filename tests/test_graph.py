@@ -510,3 +510,23 @@ def test_kcore_oracle_unroll_dominates_convergence():
             f"{KCORE_ORACLE_ROUNDS}-round oracle unroll no longer has "
             f"2x headroom -- widen it."
         )
+
+
+def test_pagerank_shuffle_partitions_equivalence(spark):
+    """shuffle_partitions is an execution knob, never a semantics knob:
+    any value returns the identical table, and the session conf is
+    restored afterwards (including on the invalid-argument path)."""
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    base = sorted((r.node, r.rank) for r in pagerank(df, n_iter=6).collect())
+    for sp in (1, 3, 8):
+        got = sorted(
+            (r.node, r.rank)
+            for r in pagerank(df, n_iter=6, shuffle_partitions=sp).collect()
+        )
+        assert got == base, f"shuffle_partitions={sp} diverged"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    with pytest.raises(ValueError):
+        pagerank(df, shuffle_partitions=0)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
