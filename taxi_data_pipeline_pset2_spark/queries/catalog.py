@@ -165,12 +165,13 @@ def query(
 # CASE chain, each gate re-stated with its standalone oracle's proven
 # fragment); phonetic_matches (soundex re-implemented in DuckDB list
 # ops, vector-battery-pinned against F.soundex incl. the H/W rule).
-# The 9 entries still rows-only all have a genuine blocker: zlib
+# The 7 entries still rows-only all have a genuine blocker: zlib
 # (compression_ratio_docs), Spark-internal HLL/KLL sketches
-# (approx_event_profile, sketch_rollup_daily_users), seeded MLlib RNG
-# (ann_brp_lsh), float k-means argmin boundaries (kmeans_clusters,
-# semdedup_survivors, pq_ann_topk, ivfpq_ann_topk), and unbounded
-# sequential loops (packing_assignments).
+# (approx_event_profile, sketch_rollup_daily_users), and float k-means
+# argmin boundaries (kmeans_clusters, semdedup_survivors, pq_ann_topk,
+# ivfpq_ann_topk). r9 cleared the other two: ann_brp_lsh (seeded MLlib
+# RNG replaced by deterministic md5 projections) and
+# packing_assignments (BFD unrolled into an ordered recursive CTE).
 #
 # r8 rotation (EXECUTED, per VERDICT r7 item #1): minimum anchors =
 # the six golden taxi queries + integrity_checks; the other 43 slots
@@ -261,17 +262,18 @@ _WINDOW: tuple[str, ...] = (
     "pagerank_supplier_customer",
 )
 # Rows-only entries kept at the very end of the registry (their driver
-# row would add nothing over the local pytest replay). ann_brp_lsh left
-# this list in r9: rebuilt on deterministic md5 projections + integer
-# bucket/verify arithmetic, it now carries a full oracle (an r10
-# rotation candidate).
+# row would add nothing over the local pytest replay). Two left this
+# list in r9 (VERDICT r8 item #8): ann_brp_lsh (rebuilt on
+# deterministic md5 projections + integer bucket/verify arithmetic)
+# and packing_assignments (the sequential BFD placement unrolled into
+# an ordered recursive CTE over an encoded-bigint open-bin list) --
+# both now carry full oracles (r10 rotation candidates).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
     "kmeans_clusters",
     "approx_event_profile",
     "sketch_rollup_daily_users",
     "semdedup_survivors",
-    "packing_assignments",
     "pq_ann_topk",
     "ivfpq_ann_topk",
 )

@@ -457,19 +457,97 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("packing_assignments", oracle=None, tags=("packing",))
+def _packing_oracle(budget: int = 64) -> str:
+    """DuckDB twin of the per-shard best-fit-decreasing placement,
+    unrolled as an ordered RECURSIVE CTE (VERDICT r8 item #8): the
+    sequential state -- python's bisect-sorted (room, bin) open-bin
+    list -- encodes losslessly as one BIGINT list, room * 2^32 + bin
+    (room <= budget < 2^32, bin ids dense), so BFD's
+    bisect_left((ln, -1)) pop is EXACTLY
+    list_min(list_filter(enc, e -> e >= ln * 2^32)): encoded order is
+    (room, bin) lexicographic order and bins are non-negative. Each
+    recursion step places one doc per shard (all 64 shards advance in
+    lockstep; depth = max shard size), and seq_pos falls out AFTER the
+    recursion as row_number over placement order, so the state never
+    carries per-bin fill counts. Oversize docs (ln > budget) open a
+    dedicated bin that is never inserted into the open list -- same
+    contract as the engine."""
+    return f"""
+    WITH RECURSIVE docs0 AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 64 AS shard
+        FROM documents),
+    ordered AS (
+        SELECT doc_id, n_tokens, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+        FROM docs0),
+    steps AS (
+        SELECT shard, CAST(0 AS BIGINT) AS rn,
+               CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+               CAST([] AS BIGINT[]) AS enc, CAST(0 AS BIGINT) AS n_bins,
+               CAST(NULL AS BIGINT) AS seq_local, CAST(NULL AS BOOLEAN) AS oversize
+        FROM (SELECT DISTINCT shard FROM ordered)
+        UNION ALL
+        SELECT shard, rn, doc_id, n_tokens,
+               CASE WHEN is_over THEN enc
+                    WHEN best IS NULL THEN
+                         CASE WHEN {budget} - n_tokens > 0
+                              THEN list_append(enc, ({budget} - n_tokens) * 4294967296 + n_bins)
+                              ELSE enc END
+                    ELSE
+                         CASE WHEN (best // 4294967296) - n_tokens > 0
+                              THEN list_append(
+                                     list_concat(enc[1:list_position(enc, best) - 1],
+                                                 enc[list_position(enc, best) + 1:len(enc)]),
+                                     ((best // 4294967296) - n_tokens) * 4294967296
+                                     + (best % 4294967296))
+                              ELSE list_concat(enc[1:list_position(enc, best) - 1],
+                                               enc[list_position(enc, best) + 1:len(enc)])
+                         END
+               END AS enc,
+               CASE WHEN is_over OR best IS NULL THEN n_bins + 1 ELSE n_bins END AS n_bins,
+               CASE WHEN is_over OR best IS NULL THEN n_bins
+                    ELSE best % 4294967296 END AS seq_local,
+               is_over AS oversize
+        FROM (
+            SELECT s.enc, s.n_bins, o.shard, o.rn, o.doc_id, o.n_tokens,
+                   o.n_tokens > {budget} AS is_over,
+                   list_min(list_filter(s.enc,
+                            e -> e >= o.n_tokens * 4294967296)) AS best
+            FROM steps s JOIN ordered o
+              ON o.shard = s.shard AND o.rn = s.rn + 1))
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           shard * 4294967296 + seq_local AS seq_id,
+           CAST(row_number() OVER (PARTITION BY shard, seq_local ORDER BY rn) - 1
+                AS INTEGER) AS seq_pos,
+           n_tokens, oversize
+    FROM steps WHERE rn > 0
+    ORDER BY doc_id
+    """
+
+
+@query("packing_assignments", oracle=_packing_oracle(), tags=("packing",))
 def packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.py): hash-sharded best-fit-
-    decreasing assignment of docs into 2048-token training sequences.
-    Per-shard iterative bin packing -> no SQL oracle; budget/lossless/
-    determinism invariants in tests/test_packing.py + hypothesis sweep
-    in tests/test_properties.py."""
+    decreasing assignment of docs into fixed token-budget training
+    sequences. FULL oracle since r9 (_packing_oracle): the sequential
+    per-shard placement unrolls into an ordered recursive CTE whose
+    encoded-bigint open-bin list reproduces BFD's bisect pop exactly.
+    Budget 64 here, NOT the operator's realistic 2048 default: the
+    synthetic corpus' docs run 1-99 tokens, so 64 is the operating
+    point that exercises bin fill, best-fit ties AND the
+    oversize-dedicated-bin path on this data (2048 would pack each
+    shard into one bin and verify almost nothing). Budget/lossless/
+    determinism invariants stay in tests/test_packing.py + the
+    hypothesis sweep in tests/test_properties.py."""
     from taxi_data_pipeline_pset2_spark.operators.packing import pack_sequences
 
     docs = t(spark, sf_dir, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+")).cast("long")
     )
-    return pack_sequences(docs, token_budget=2048)
+    return pack_sequences(docs, token_budget=64)
 
 
 # ---- CDC snapshot diff ---------------------------------------------------
