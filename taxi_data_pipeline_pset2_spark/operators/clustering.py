@@ -1,19 +1,36 @@
-"""Iterative k-means over embedding columns (SURVEY.md 2b; the
-"iterative algorithm" class the driver's oracle cannot express in SQL).
+"""Iterative k-means over embedding columns (SURVEY.md 2b).
 
 Lloyd's algorithm with deterministic initialization (the k lowest
 vec_ids), expressed Spark-first:
 
 - assignment + update in ONE ``mapInPandas`` pass per round: distances
-  to all k centroids are a single numpy matmul per Arrow batch (same
-  vectorized-kernel pattern as knn_topk_vectorized), and the same kernel
-  emits per-batch partial centroid sums -- (cluster, dim, sum, count)
-  rows, k*D per batch -- so the update needs no join back to the corpus
-  and no corpus-sized posexplode, just one tiny hash aggregate whose
-  k*D result collects to the driver and becomes the next broadcast
+  to all k centroids are a single numpy int64 matmul per Arrow batch
+  (same vectorized-kernel pattern as knn_topk_vectorized), and the same
+  kernel emits per-batch partial centroid sums -- (cluster, dim, sum,
+  count) rows, k*D per batch -- so the update needs no join back to the
+  corpus and no corpus-sized posexplode, just one tiny hash aggregate
+  whose k*D result collects to the driver and becomes the next broadcast
 - the projected corpus is persisted across rounds (it is scanned once
   per Lloyd round plus the final assignment; without the persist each
   round would re-read and re-project the source)
+
+EXACT INTEGER LLOYD'S (r9, the upgrade that cleared the float-argmin
+oracle blocker): vectors quantize once to the repo-standard 1e-6 grid
+(``int_embedding``), and centroids are kept ON that grid -- the update
+is round_half_up(S/n) per component, computed as the pure-integer
+floor((2S + n) / (2n)) from the EXACT integer component sums S. Every
+distance is then an exact int64 quantity and every argmin an exact
+integer comparison (ties to the lowest cluster id), so assignments and
+centroids are bit-identical under ANY partitioning, Arrow batch size,
+or aggregation order -- and reproducible in DuckDB, which is what makes
+the ``kmeans_clusters`` catalog entry a full rows+schema+hash oracle
+(an unrolled per-round CTE chain) instead of the rows-only check every
+float formulation was stuck with: float centroid means depend on
+shuffle-merge summation order, and a boundary-adjacent point can flip
+its argmin on ~1e-16 noise. Centroid quantization costs <= 0.5e-6 per
+component per round -- three orders of magnitude under the data grid --
+and k-means is a heuristic partitioner; determinism is worth more than
+the sixth decimal of a centroid.
 
 At 100 TB the per-round cost is one cached-corpus scan + a k*D-sized
 aggregate; the driver never holds more than the centroid matrix.
@@ -27,6 +44,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# int64 headroom guard: with |iv| < 2^25 (raw values < ~33.5 after the
+# 1e-6 quantization) a 4096-dim dot product stays under 2^62.
+_MAX_ABS_IV = 1 << 25
+
 
 def kmeans_fit_assign(
     emb: DataFrame,
@@ -36,43 +57,70 @@ def kmeans_fit_assign(
     vec_col: str = "embedding",
     return_centroids: bool = False,
 ) -> DataFrame:
-    """Returns (id, cluster, dist) after ``n_iter`` Lloyd rounds; with
-    ``return_centroids`` also the final (k, D) centroid array -- the
-    model consumers like IVF need, without re-deriving it with another
-    corpus pass (and the re-derived means would be one Lloyd step ahead
-    of the centroids that produced the assignment)."""
+    """Returns (id, cluster, dist) after ``n_iter`` exact-integer Lloyd
+    rounds -- dist is the euclidean distance to the winning centroid in
+    the original units, 6-dp rounded via the shared HALF_UP discipline;
+    with ``return_centroids`` also the final (k, D) float centroid
+    array in original units (the model consumers like IVF need, without
+    re-deriving it with another corpus pass -- and the re-derived means
+    would be one Lloyd step ahead of the centroids that produced the
+    assignment)."""
     import numpy as np
     import pandas as pd
 
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        SCALE,
+        _round_half_up_6,
+        int_embedding,
+    )
+
     spark = emb.sparkSession
-    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    base = emb.select(
+        F.col(id_col), int_embedding(F.col(vec_col)).alias("iv")
+    )
     # One cached materialization feeds every Lloyd round AND the final
     # assignment; without it each round re-reads and re-projects the
     # source (n_iter extra corpus scans -- the r4 'wasteful' finding).
     base = base.persist()
     try:
         init_rows = base.orderBy(id_col).limit(k).collect()
-        centroids = np.array([r["v"] for r in init_rows], dtype=np.float64)  # (k, D)
+        centroids = np.array([r["iv"] for r in init_rows], dtype=np.int64)  # (k, D)
 
         out_schema = f"{id_col} long, cluster int, dist double"
+
+        def _exact_d2(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+            if np.abs(X).max(initial=0) >= _MAX_ABS_IV:
+                raise ValueError(
+                    f"quantized component magnitude >= {_MAX_ABS_IV}: "
+                    "int64 distance arithmetic would overflow"
+                )
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all exact int64
+            return (
+                (X * X).sum(axis=1)[:, None]
+                - 2 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
 
         def make_assign(cent: "np.ndarray"):
             b = spark.sparkContext.broadcast(cent)
 
             def run(batches):
-                C = b.value  # (k, D)
-                c_sq = (C * C).sum(axis=1)  # (k,)
+                C = b.value  # (k, D) int64
                 for pdf in batches:
-                    X = np.array(list(pdf["v"]), dtype=np.float64)  # (N, D)
-                    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
-                    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
-                    np.maximum(d2, 0.0, out=d2)
-                    idx = d2.argmin(axis=1)
+                    X = np.array(list(pdf["iv"]), dtype=np.int64)  # (N, D)
+                    d2 = _exact_d2(X, C)
+                    idx = d2.argmin(axis=1)  # first min = lowest cluster id
+                    dist = _round_half_up_6(
+                        np.sqrt(
+                            d2[np.arange(len(idx)), idx].astype(np.float64)
+                        )
+                        / SCALE
+                    )
                     yield pd.DataFrame(
                         {
                             id_col: pdf[id_col],
                             "cluster": idx.astype(np.int32),
-                            "dist": np.sqrt(d2[np.arange(len(idx)), idx]),
+                            "dist": dist,
                         }
                     )
 
@@ -81,16 +129,16 @@ def kmeans_fit_assign(
         def make_partial_sums(cent: "np.ndarray"):
             """Assignment + per-batch partial centroid sums in one kernel:
             emits (cluster, dim, sx, n) -- k*D rows per Arrow batch -- so
-            the centroid update is a tiny aggregate over batch partials
-            instead of a corpus-sized posexplode plus an id-join."""
+            the centroid update is a tiny EXACT-integer aggregate over
+            batch partials instead of a corpus-sized posexplode plus an
+            id-join."""
             b = spark.sparkContext.broadcast(cent)
 
             def run(batches):
                 C = b.value
-                c_sq = (C * C).sum(axis=1)
                 for pdf in batches:
-                    X = np.array(list(pdf["v"]), dtype=np.float64)  # (N, D)
-                    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+                    X = np.array(list(pdf["iv"]), dtype=np.int64)  # (N, D)
+                    d2 = _exact_d2(X, C)
                     idx = d2.argmin(axis=1)  # (N,)
                     kk, D = C.shape
                     if X.shape[1] != D:
@@ -98,7 +146,7 @@ def kmeans_fit_assign(
                             f"embedding dim {X.shape[1]} != centroid dim {D}; "
                             "embedding column has inconsistent dimensions"
                         )
-                    sums = np.zeros((kk, D), dtype=np.float64)
+                    sums = np.zeros((kk, D), dtype=np.int64)
                     np.add.at(sums, idx, X)
                     counts = np.bincount(idx, minlength=kk).astype(np.int64)
                     live = np.flatnonzero(counts)
@@ -114,27 +162,31 @@ def kmeans_fit_assign(
             return run
 
         for _ in range(n_iter):
-            # update: exact mean per (cluster, dim) from batch partials --
-            # k*D rows back to the driver, no corpus shuffle at all
-            means = (
+            # update: exact integer component sums per (cluster, dim)
+            # from batch partials -- k*D rows back to the driver, no
+            # corpus shuffle at all; the mean lands back on the 1e-6
+            # grid via round_half_up(S/n) = floor((2S+n)/(2n))
+            sums = (
                 base.mapInPandas(
                     make_partial_sums(centroids),
-                    schema="cluster int, dim int, sx double, n long",
+                    schema="cluster int, dim int, sx long, n long",
                 )
                 .groupBy("cluster", "dim")
-                .agg((F.sum("sx") / F.sum("n")).alias("m"))
+                .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
                 .collect()
             )
             # Contract check: the driver-side traffic is k*D rows BY
             # CONSTRUCTION (cluster in [0,k) from argmin, dim in [0,D)).
-            if len(means) > k * centroids.shape[1]:
+            if len(sums) > k * centroids.shape[1]:
                 raise ValueError(
-                    f"centroid update returned {len(means)} rows > k*D = "
+                    f"centroid update returned {len(sums)} rows > k*D = "
                     f"{k * centroids.shape[1]}"
                 )
             new_c = centroids.copy()
-            for r in means:
-                new_c[r["cluster"], r["dim"]] = r["m"]
+            for r in sums:
+                new_c[r["cluster"], r["dim"]] = (2 * r["sx"] + r["n"]) // (
+                    2 * r["n"]
+                )
             centroids = new_c
 
         # The final assignment runs against the still-cached corpus and is
@@ -146,7 +198,7 @@ def kmeans_fit_assign(
             make_assign(centroids), schema=out_schema
         ).localCheckpoint(eager=True)
         if return_centroids:
-            return assigned, centroids
+            return assigned, centroids.astype(np.float64) / SCALE
         return assigned
     finally:
         base.unpersist(blocking=False)
@@ -154,7 +206,7 @@ def kmeans_fit_assign(
 
 def kmeans_inertia(assigned: DataFrame) -> float:
     """Sum of squared distances -- the quantity Lloyd's monotonically
-    non-increases (up to float-sum order noise)."""
+    non-increases (up to centroid-quantization and rounding noise)."""
     row = assigned.agg(
         F.sum(F.col("dist") * F.col("dist")).alias("inertia")
     ).collect()[0]

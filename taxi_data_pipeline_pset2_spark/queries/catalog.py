@@ -165,13 +165,13 @@ def query(
 # CASE chain, each gate re-stated with its standalone oracle's proven
 # fragment); phonetic_matches (soundex re-implemented in DuckDB list
 # ops, vector-battery-pinned against F.soundex incl. the H/W rule).
-# The 7 entries still rows-only all have a genuine blocker: zlib
+# The 6 entries still rows-only all have a genuine blocker: zlib
 # (compression_ratio_docs), Spark-internal HLL/KLL sketches
-# (approx_event_profile, sketch_rollup_daily_users), and float k-means
-# argmin boundaries (kmeans_clusters, semdedup_survivors, pq_ann_topk,
-# ivfpq_ann_topk). r9 cleared the other two: ann_brp_lsh (seeded MLlib
-# RNG replaced by deterministic md5 projections) and
-# packing_assignments (BFD unrolled into an ordered recursive CTE).
+# (approx_event_profile, sketch_rollup_daily_users), and float PCA/LUT
+# stages (semdedup_survivors, pq_ann_topk, ivfpq_ann_topk). r9 cleared
+# three: ann_brp_lsh (seeded MLlib RNG replaced by deterministic md5
+# projections), packing_assignments (BFD unrolled into an ordered
+# recursive CTE), and kmeans_clusters (exact-integer Lloyd's).
 #
 # r8 rotation (EXECUTED, per VERDICT r7 item #1): minimum anchors =
 # the six golden taxi queries + integrity_checks; the other 43 slots
@@ -262,15 +262,22 @@ _WINDOW: tuple[str, ...] = (
     "pagerank_supplier_customer",
 )
 # Rows-only entries kept at the very end of the registry (their driver
-# row would add nothing over the local pytest replay). Two left this
-# list in r9 (VERDICT r8 item #8): ann_brp_lsh (rebuilt on
-# deterministic md5 projections + integer bucket/verify arithmetic)
-# and packing_assignments (the sequential BFD placement unrolled into
-# an ordered recursive CTE over an encoded-bigint open-bin list) --
-# both now carry full oracles (r10 rotation candidates).
+# row would add nothing over the local pytest replay). THREE left this
+# list in r9: ann_brp_lsh (VERDICT r8 item #8: seeded MLlib RNG
+# replaced by deterministic md5 projections + integer bucket/verify
+# arithmetic), packing_assignments (item #8: the sequential BFD
+# placement unrolled into an ordered recursive CTE over an
+# encoded-bigint open-bin list), and kmeans_clusters (beyond the
+# brief: the engine moved to EXACT-INTEGER Lloyd's -- grid-quantized
+# centroids via integer round_half_up(S/n) -- which dissolves the
+# float-argmin blocker entirely; unrolled 5-round CTE twin). All three
+# now carry full oracles (r10 rotation candidates). The 6 that remain:
+# zlib (compression_ratio_docs), Spark-internal HLL/KLL sketches
+# (approx_event_profile, sketch_rollup_daily_users), and float
+# PCA/LUT stages upstream of the now-exact k-means
+# (semdedup_survivors, pq_ann_topk, ivfpq_ann_topk).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
-    "kmeans_clusters",
     "approx_event_profile",
     "sketch_rollup_daily_users",
     "semdedup_survivors",

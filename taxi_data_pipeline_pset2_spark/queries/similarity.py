@@ -156,16 +156,97 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_topk_vectorized(emb, F.col("vec_id") % 50 == 0, k=5)
 
 
-@query("kmeans_clusters", oracle=None, tags=("similarity", "iterative"))
+def _kmeans_oracle(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
+    """DuckDB twin of the EXACT-INTEGER Lloyd iteration, unrolled one
+    CTE pair (assign + centroid update) per round. Possible since the
+    r9 engine upgrade: vectors live on the 1e-6 integer grid and
+    centroids stay on it via round_half_up(S/n) = floor((2S+n)/(2n))
+    from exact integer component sums, so every distance comparison is
+    an integer comparison (ties to the lowest cluster id) and the whole
+    trajectory -- assignments AND centroids -- is order-independent and
+    engine-portable. DuckDB's // truncates toward zero (numpy floors),
+    so the floor is spelled out mod-adjusted. Only the final reported
+    dist touches doubles, via the shared sqrt + HALF_UP discipline."""
+
+    def d2(c_ref: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> (n.iv[i] - {c_ref}.c[i]) * (n.iv[i] - {c_ref}.c[i])))"
+        )
+
+    parts = [
+        f"""init AS (SELECT vec_id, iv FROM n ORDER BY vec_id LIMIT {k}),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                      AS cluster, iv AS c
+               FROM init),
+        dims AS (SELECT unnest(generate_series(1, {dim})) AS dim)"""
+    ]
+    for r in range(1, n_iter + 1):
+        p = f"c{r - 1}"
+        parts.append(
+            f"""a{r} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rk
+            FROM (SELECT n.vec_id, {p}.cluster, {d2(p)} AS d2
+                  FROM n CROSS JOIN {p}))
+          WHERE rk = 1),
+        s{r} AS (
+          SELECT a.cluster, d.dim,
+                 CAST(sum(n.iv[d.dim]) AS BIGINT) AS sx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM a{r} a JOIN n ON n.vec_id = a.vec_id CROSS JOIN dims d
+          GROUP BY 1, 2),
+        c{r} AS (
+          SELECT p.cluster,
+                 list(CASE WHEN s.sx IS NULL THEN p.c[d.dim]
+                           ELSE ((2 * s.sx + s.cnt)
+                                 - (((2 * s.sx + s.cnt) % (2 * s.cnt)
+                                     + (2 * s.cnt)) % (2 * s.cnt)))
+                                // (2 * s.cnt)
+                      END ORDER BY d.dim) AS c
+          FROM {p} p CROSS JOIN dims d
+          LEFT JOIN s{r} s ON s.cluster = p.cluster AND s.dim = d.dim
+          GROUP BY p.cluster)"""
+        )
+    last = f"c{n_iter}"
+    return (
+        f"WITH {_SQL_PREP},\n        "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+               round(sqrt(CAST(d2 AS DOUBLE)) / 1000000.0, 6) AS dist
+        FROM (
+          SELECT vec_id, cluster, d2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cluster) AS rk
+          FROM (SELECT n.vec_id, {last}.cluster, {d2(last)} AS d2
+                FROM n CROSS JOIN {last}))
+        WHERE rk = 1
+        ORDER BY vec_id"""
+    )
+
+
+@query(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "iterative"),
+)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means (k=8, 5 rounds, deterministic init) over
-    the embeddings (operators/clustering.py). Non-SQL-expressible
-    (iterative) -> rows-only driver check; convergence and determinism
-    pinned in tests/test_clustering.py."""
+    the embeddings (operators/clustering.py). FULL oracle since r9: the
+    engine's exact-integer formulation (1e-6-grid vectors, centroids
+    held on the grid via integer round_half_up(S/n), int64 argmin with
+    lowest-cluster ties) makes the fixed 5-round trajectory
+    bit-reproducible in an unrolled DuckDB CTE chain (_kmeans_oracle) --
+    the float-argmin boundary that kept every float k-means rows-only
+    no longer exists. Convergence and determinism stay pinned in
+    tests/test_clustering.py."""
     from taxi_data_pipeline_pset2_spark.operators.clustering import kmeans_fit_assign
 
     emb = t(spark, sf_dir, "embeddings")
-    return kmeans_fit_assign(emb, k=8, n_iter=5)
+    return kmeans_fit_assign(emb, k=8, n_iter=5).orderBy("vec_id")
 
 
 _PAIR_COS = (

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from taxi_data_pipeline_pset2_spark.operators.clustering import (
     kmeans_fit_assign,
     kmeans_inertia,
@@ -65,4 +67,74 @@ def test_kmeans_iteration_uses_cached_corpus(spark, sf_dir, monkeypatch):
     # and the rewrite stays deterministic across reruns
     a = {r.vec_id: r.cluster for r in out.collect()}
     b = {r.vec_id: r.cluster for r in kmeans_fit_assign(emb, k=4, n_iter=2).collect()}
+    assert a == b
+
+
+def test_kmeans_exact_integer_reference(spark):
+    """r9 exact-integer Lloyd's: the full trajectory (assignments AND
+    quantized centroids) must equal a from-scratch python integer
+    implementation -- the property that makes the unrolled DuckDB
+    oracle possible. Planted points include exact argmin TIES (same
+    distance to two centroids) to pin the lowest-cluster tie-break."""
+    import math
+
+    SCALE = 1_000_000
+    # 1-D points embedded in 2-D; ids fix the init (two lowest = a, b)
+    pts = {
+        1: [0.0, 0.0],     # init c0
+        2: [10.0, 0.0],    # init c1
+        3: [5.0, 0.0],     # exactly equidistant -> tie -> cluster 0
+        4: [1.0, 0.0],
+        5: [9.0, 0.0],
+        6: [4.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_fit_assign(df, k=2, n_iter=3).collect()
+    }
+
+    iv = {i: [round(x * SCALE) for x in v] for i, v in pts.items()}
+    cents = [iv[1][:], iv[2][:]]
+    for _ in range(3):
+        assign = {}
+        for i, v in iv.items():
+            d2s = [
+                sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents
+            ]
+            assign[i] = d2s.index(min(d2s))  # first min = lowest cluster
+        for c_idx in range(2):
+            members = [iv[i] for i, a in assign.items() if a == c_idx]
+            if not members:
+                continue
+            n = len(members)
+            cents[c_idx] = [
+                (2 * sum(col) + n) // (2 * n) for col in zip(*members)
+            ]
+    for i, v in iv.items():
+        d2s = [sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents]
+        c_ref = d2s.index(min(d2s))
+        dist_ref = round(math.sqrt(min(d2s)) / SCALE, 6)
+        assert got[i][0] == c_ref, f"vec {i}: cluster {got[i][0]} != {c_ref}"
+        assert got[i][1] == pytest.approx(dist_ref, abs=2e-6)
+    # the planted tie really is a tie and broke low
+    assert got[3][0] == 0
+
+
+def test_kmeans_partitioning_invariant(spark, sf_dir):
+    """Integer sums + integer argmin: the fitted assignment is
+    bit-identical under any input partitioning (float centroid means
+    were only 'equal up to shuffle order')."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        (r.vec_id, r.cluster, r.dist)
+        for r in kmeans_fit_assign(emb, k=4, n_iter=3).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.dist)
+        for r in kmeans_fit_assign(emb.repartition(17), k=4, n_iter=3).collect()
+    )
     assert a == b
