@@ -577,3 +577,25 @@ def test_scalable_rank_in_bucket_window_is_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_brp_lsh_bucket_join_no_cartesian(spark, sf_dir):
+    """The r9 deterministic euclidean BRP (ann_brp_lsh): candidates come
+    from the bounded (table, bucket) equi-join + verify kernel -- never
+    an all-pairs stage; the sketch and verify both ride Arrow
+    (MapInPandas), no row-at-a-time Python."""
+    plan = _plan(registry()["ann_brp_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDF
+
+
+def test_packing_single_shuffle_scan_shaped(spark, sf_dir):
+    """packing_assignments: ONE shuffle total (the shard groupBy feeding
+    applyInPandas); shard count, not corpus size, bounds per-task state."""
+    plan = _plan(registry()["packing_assignments"].fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # shard hash + AQE read
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
