@@ -228,6 +228,52 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
     )
 
 
+def _kmeans_centroid_oracle(k: int = 8, n_iter: int = 5, dim: int = 64) -> str:
+    """The fitted centroid table from the same unrolled chain as
+    _kmeans_oracle, long-form (cluster, dim, value) on the integer grid
+    -- driver-verifiable evidence for the return_centroids surface that
+    IVF/SemDeDup/PQ consume."""
+    body = _kmeans_oracle(k, n_iter, dim)
+    # reuse the shared prefix up to the final assignment select
+    prefix = body[: body.rindex("SELECT vec_id, CAST(cluster AS INTEGER)")]
+    return (
+        prefix
+        + f"""SELECT cluster, d.dim - 1 AS dim, c[d.dim] AS value
+        FROM c{n_iter} CROSS JOIN dims d
+        ORDER BY cluster, dim"""
+    )
+
+
+@query(
+    "kmeans_centroids",
+    oracle=_kmeans_centroid_oracle(),
+    tags=("similarity", "iterative"),
+)
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted k-means model itself (r9, net-new in the similarity
+    family): long-form (cluster, dim, value) centroid table on the 1e-6
+    integer grid after the same 5 exact-integer Lloyd rounds as
+    kmeans_clusters -- the return_centroids surface IVF kNN, SemDeDup
+    and PQ consume, now hash-verified end to end rather than only
+    exercised through consumers. k*D = 512 rows by construction (the
+    same driver-bounded contract the fit enforces)."""
+    from taxi_data_pipeline_pset2_spark.operators.clustering import (
+        kmeans_fit_assign,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.similarity import SCALE
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, cents = kmeans_fit_assign(emb, k=8, n_iter=5, return_centroids=True)
+    rows = [
+        (c, d, int(round(cents[c, d] * SCALE)))
+        for c in range(cents.shape[0])
+        for d in range(cents.shape[1])
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, dim int, value long"
+    ).orderBy("cluster", "dim")
+
+
 @query(
     "kmeans_clusters",
     oracle=_kmeans_oracle(),
