@@ -11,13 +11,20 @@ centroid traffic) and operators/bpe.py (vocab-sized merge loop).
 
 Sign convention: eigenvectors are sign-ambiguous, so each component is
 flipped to make its largest-|coefficient| entry positive -- projections
-are then deterministic given the fitted model. Run-to-run the model
-itself is stable to float addition order only (partials combine in
-driver-sorted order, but upstream task scheduling can still reorder
-rows within a partition after a repartition) -- tests pin agreement
-with numpy to 1e-9, not bit equality; pin the MODEL artifact (not the
-fit) for strict reproducibility, the same contract as k-means
-centroids.
+are then deterministic given the fitted model.
+
+EXACT INTEGER MOMENTS (r9, the same hardening as the exact-integer
+k-means): inputs quantize once to the repo-standard 1e-6 grid and the
+(n, sum x, sum x x^T) accumulation is pure integer -- int64 inside each
+Arrow partial with an overflow-guarded flush, arbitrary-precision
+python int across partials (shipped as decimal strings; driver traffic
+is still O(D^2)). The covariance matrix handed to ``eigh`` is therefore
+a pure function of the data CONTENT -- identical under any
+partitioning, task order, or batch size -- where the old float partials
+drifted with addition order. What remains float is the driver-side
+eigendecomposition itself: deterministic given the (now deterministic)
+moment matrix on a given LAPACK build, but not expressible in SQL,
+which is why semdedup_survivors stays a rows-only catalog entry.
 """
 
 from __future__ import annotations
@@ -47,8 +54,12 @@ _COMBINE_PARTITIONS = 32
 
 
 def _moments(emb: DataFrame, vec_col: str) -> DataFrame:
-    """(n, sum x, sum x x^T) partials: one row per input partition,
-    tree-combined down to <= _COMBINE_PARTITIONS rows before collect.
+    """(n, sum iv, sum iv iv^T) EXACT integer partials on the 1e-6 grid:
+    one row per input partition (more only if the int64 overflow guard
+    flushes), tree-combined down to <= _COMBINE_PARTITIONS rows before
+    collect. Sums travel as decimal strings so the combine stage can
+    accumulate in arbitrary-precision python int -- no float addition
+    anywhere, so the moment set is a pure function of the data content.
 
     Validation (no NULL vectors, uniform dimension) happens INSIDE the
     partials kernel, so the fit stays a single corpus scan -- a NULL or
@@ -56,12 +67,27 @@ def _moments(emb: DataFrame, vec_col: str) -> DataFrame:
     opaque numpy shape/object-dtype error (fit_pca re-surfaces it
     driver-side). Dimension agreement ACROSS partitions is checked on
     the collected partials."""
-    schema = "n long, s array<double>, ss array<double>"
+    from taxi_data_pipeline_pset2_spark.operators.similarity import SCALE
+
+    schema = "n long, s array<string>, ss array<string>"
+    # flush a partial before its |ss| entries could cross this; the
+    # next batch's worst-case increment is checked against the headroom
+    _SS_CAP = 1 << 61
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
         d = None
         s = ss = None
+
+        def emit():
+            return pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [[str(int(v)) for v in s]],
+                    "ss": [[str(int(v)) for v in ss.ravel()]],
+                }
+            )
+
         for pdf in batches:
             col = pdf[vec_col]
             if col.isna().any():
@@ -73,38 +99,55 @@ def _moments(emb: DataFrame, vec_col: str) -> DataFrame:
             lens = col.map(len)
             if d is None:
                 d = int(lens.iloc[0])
-                s = np.zeros(d)
-                ss = np.zeros((d, d))
+                s = np.zeros(d, dtype=np.int64)
+                ss = np.zeros((d, d), dtype=np.int64)
             if (lens != d).any():
                 raise ValueError(
                     f"{vec_col} dimensions vary within a partition"
                 )
-            X = np.array(list(col), dtype=np.float64)
+            X = np.round(
+                np.array(list(col), dtype=np.float64) * SCALE
+            ).astype(np.int64)
+            # overflow guard: flush the running partial if adding this
+            # batch could push any |ss| entry past the cap (python-int
+            # arithmetic on the bound itself, so the check cannot wrap)
+            peak = int(np.abs(X).max(initial=0))
+            if n and int(np.abs(ss).max()) + len(X) * peak * peak > _SS_CAP:
+                yield emit()
+                n, s, ss = 0, np.zeros(d, np.int64), np.zeros((d, d), np.int64)
+            if len(X) * peak * peak > _SS_CAP:
+                raise ValueError(
+                    f"{vec_col} magnitudes too large for exact int64 "
+                    f"moment accumulation (|x| ~ {peak / SCALE:.1f})"
+                )
             n += len(X)
             s += X.sum(axis=0)
             ss += X.T @ X
         if n:
-            yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
-            )
+            yield emit()
 
     def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
-        s = ss = None
+        s: list[int] | None = None
+        ss: list[int] | None = None
         for pdf in batches:
             for _, r in pdf.iterrows():
-                rs = np.asarray(r["s"], dtype=np.float64)
-                rss = np.asarray(r["ss"], dtype=np.float64)
+                rs = [int(v) for v in r["s"]]
+                rss = [int(v) for v in r["ss"]]
                 if s is None:
-                    s, ss = np.zeros(len(rs)), np.zeros(len(rss))
+                    s, ss = [0] * len(rs), [0] * len(rss)
                 if len(rs) != len(s):
                     raise ValueError("dimensions vary across partitions")
                 n += int(r["n"])
-                s += rs
-                ss += rss
+                s = [a + b for a, b in zip(s, rs)]
+                ss = [a + b for a, b in zip(ss, rss)]
         if n:
             yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]}
+                {
+                    "n": [n],
+                    "s": [[str(v) for v in s]],
+                    "ss": [[str(v) for v in ss]],
+                }
             )
 
     part = emb.select(vec_col).mapInPandas(partials, schema=schema)
@@ -148,14 +191,23 @@ def fit_pca(
     d = dims.pop()
     if k > d:
         raise ValueError(f"k={k} exceeds dimension {d}")
-    # combine in a fixed (sorted) order so the driver-side sum is
-    # deterministic given the same partial set
-    rows = sorted(rows, key=lambda r: (r["n"], r["s"]))
-    n = sum(r["n"] for r in rows)
-    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
-    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    # exact python-int sums: order-free, so no sort is needed for
+    # determinism anymore -- the float world only starts below, from a
+    # moment set that is a pure function of the data content
+    from taxi_data_pipeline_pset2_spark.operators.similarity import SCALE
+
+    n = sum(int(r["n"]) for r in rows)
+    s_int = [0] * d
+    ss_int = [0] * (d * d)
+    for r in rows:
+        for i, v in enumerate(r["s"]):
+            s_int[i] += int(v)
+        for i, v in enumerate(r["ss"]):
+            ss_int[i] += int(v)
     if n < 2:
         raise ValueError("need at least 2 vectors")
+    s = np.array([float(v) for v in s_int]) / SCALE
+    ss = np.array([float(v) for v in ss_int]).reshape(d, d) / (SCALE * SCALE)
     mean = s / n
     cov = (ss - n * np.outer(mean, mean)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending

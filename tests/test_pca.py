@@ -18,12 +18,19 @@ from taxi_data_pipeline_pset2_spark.sources.readers import load_table
 def test_fit_matches_numpy(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     model = fit_pca(emb, k=4)
-    X = np.array([r["embedding"] for r in emb.select("embedding").collect()])
+    # the r9 exact-integer fit quantizes inputs to the 1e-6 grid; the
+    # numpy reference applies the same definition, which lets the mean
+    # check TIGHTEN to near-bit equality (both sides divide the same
+    # exact integer sum)
+    X = np.round(
+        np.array([r["embedding"] for r in emb.select("embedding").collect()])
+        * 1e6
+    ) / 1e6
     mean = X.mean(axis=0)
     cov = np.cov(X, rowvar=False)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:4]
-    assert np.allclose(model.mean, mean, atol=1e-9)
+    assert np.allclose(model.mean, mean, atol=1e-12)
     for i, j in enumerate(order):
         v = evecs[:, j]
         jj = int(np.argmax(np.abs(v)))
@@ -90,8 +97,11 @@ def test_moment_reduce_is_tree_combined(spark, sf_dir):
     assert mom.rdd.getNumPartitions() <= _COMBINE_PARTITIONS
     assert mom.count() <= _COMBINE_PARTITIONS
     model = fit_pca(emb, k=2)
-    X = np.array([r["embedding"] for r in emb.select("embedding").collect()])
-    assert np.allclose(model.mean, X.mean(axis=0), atol=1e-9)
+    X = np.round(
+        np.array([r["embedding"] for r in emb.select("embedding").collect()])
+        * 1e6
+    ) / 1e6
+    assert np.allclose(model.mean, X.mean(axis=0), atol=1e-12)
     assert model.n == len(X)
 
 
@@ -163,3 +173,30 @@ def test_pca_semdedup_survivors_match_full_dimension(spark, sf_dir):
     assert full == red
     n_base = base.count()
     assert len(full) == n_base  # every planted pair lost exactly one side
+
+
+def test_fit_is_partitioning_invariant_bit_exact(spark, sf_dir):
+    """r9 exact integer moments: the fitted model is BIT-identical under
+    any input partitioning -- the old float partials were only equal up
+    to addition order, which leaked nondeterminism into every
+    PCA-downstream pipeline (SemDeDup's coarse clusters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = fit_pca(emb, k=4)
+    b = fit_pca(emb.repartition(37), k=4)
+    assert a.mean == b.mean
+    assert a.components == b.components
+    assert a.explained_variance_ratio == b.explained_variance_ratio
+    assert a.n == b.n
+
+
+def test_moment_overflow_guard_rejects_huge_magnitudes(spark):
+    """A column whose quantized magnitudes would overflow exact int64
+    accumulation must fail loudly, never wrap silently."""
+    import pytest
+
+    big = spark.createDataFrame(
+        [(i, [3.0e12, 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="too large|overflow"):
+        fit_pca(big, k=1)
