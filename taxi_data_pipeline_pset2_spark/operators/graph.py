@@ -30,8 +30,39 @@ python power iteration and closed-form graphs in tests/test_graph.py.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _shuffle_override(spark, shuffle_partitions: int | None):
+    """Plan the enclosed (eagerly-materialized) work with a
+    graph-sized shuffle partition count. Iterative graph ops pay one
+    fixed scheduling cost per task per round, so on a small graph
+    32-way stages are pure overhead (pagerank measured 5.5 s -> 3.7 s
+    at 8-way for the identical result -- VERDICT r8 item #4 profile);
+    None leaves the cluster-tuned default in charge, the right call at
+    real scale. The conf is session-wide for the duration and restored
+    in a finally: a concurrently-planned query may pick up the
+    temporary value, which can change its task counts but never its
+    results (every operator here is partitioning-independent by
+    construction)."""
+    if shuffle_partitions is None:
+        yield
+        return
+    if shuffle_partitions < 1:
+        raise ValueError(
+            f"shuffle_partitions must be >= 1, got {shuffle_partitions}"
+        )
+    conf = spark.conf
+    old = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old)
 
 
 def pagerank(
@@ -78,22 +109,11 @@ def pagerank(
         raise ValueError(
             f"checkpoint_every must be in [1, 4], got {checkpoint_every}"
         )
-    if shuffle_partitions is not None and shuffle_partitions < 1:
-        raise ValueError(
-            f"shuffle_partitions must be >= 1, got {shuffle_partitions}"
-        )
-    conf = edges.sparkSession.conf
-    _old_sp = conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with _shuffle_override(edges.sparkSession, shuffle_partitions):
         return _pagerank_impl(
             edges, src_col, dst_col, damping, n_iter, weight_col,
             checkpoint_every,
         )
-    finally:
-        if shuffle_partitions is not None:
-            conf.set("spark.sql.shuffle.partitions", _old_sp)
 
 
 def _pagerank_impl(
@@ -351,6 +371,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     n_iter: int = 5,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007), made DETERMINISTIC: each round every node
@@ -367,7 +388,16 @@ def label_propagation(
     symmetrized edges + one (node, label) count aggregate + one
     per-node argmax window -- node/edge-shaped work only, ranks frame
     localCheckpoint'ed per round (same lineage discipline as
-    pagerank)."""
+    pagerank). ``shuffle_partitions``: see _shuffle_override (the
+    small-graph execution knob shared with pagerank/kcore; never a
+    semantics knob)."""
+    with _shuffle_override(edges.sparkSession, shuffle_partitions):
+        return _lpa_impl(edges, src_col, dst_col, n_iter)
+
+
+def _lpa_impl(
+    edges: DataFrame, src_col: str, dst_col: str, n_iter: int
+) -> DataFrame:
     from pyspark.sql import Window
 
     e = (
@@ -409,6 +439,7 @@ def kcore(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 100,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Core number per node -- the largest k such that the node sits in
     a subgraph where everyone keeps >= k neighbors: (node, core)
@@ -433,8 +464,20 @@ def kcore(
     aggregate; ONE scalar (changed-node count) reaches the driver --
     edge-shaped shuffles only, localCheckpoint lineage truncation, the
     pagerank/LPA discipline. Self-loops and NULL endpoints drop;
-    parallel edges collapse (simple-graph coreness). Iterative -> no
-    SQL twin; peeling-reference equality in tests/test_graph.py."""
+    parallel edges collapse (simple-graph coreness). All-integer and
+    idempotent at the unique fixpoint, so despite being iterative it
+    carries a full unrolled-CTE DuckDB twin (queries/analytics.py
+    _kcore_oracle, KCORE_ORACLE_ROUNDS=64); peeling-reference equality
+    in tests/test_graph.py. ``shuffle_partitions``: see
+    _shuffle_override (the small-graph execution knob shared with
+    pagerank/LPA; never a semantics knob)."""
+    with _shuffle_override(edges.sparkSession, shuffle_partitions):
+        return _kcore_impl(edges, src_col, dst_col, max_iter)
+
+
+def _kcore_impl(
+    edges: DataFrame, src_col: str, dst_col: str, max_iter: int
+) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = (

@@ -943,7 +943,10 @@ def brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     )
-    return label_propagation(edges, n_iter=4)
+    # 8-way internal shuffles: a 40-edge brand graph planned 32-wide
+    # is pure task overhead (see pagerank's r9 profile; equivalence
+    # pinned in tests)
+    return label_propagation(edges, n_iter=4, shuffle_partitions=8)
 
 
 _TRI_ORACLE = """
@@ -1130,7 +1133,10 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
     )
-    return kcore(edges)
+    # 8-way internal shuffles: the 1998 co-purchase graph is small at
+    # bench scale and kcore runs tens of H-index rounds, so per-round
+    # task overhead dominates at 32-way (see pagerank's r9 profile)
+    return kcore(edges, shuffle_partitions=8)
 
 
 _ASSORT_ORACLE = """

@@ -530,3 +530,36 @@ def test_pagerank_shuffle_partitions_equivalence(spark):
     with pytest.raises(ValueError):
         pagerank(df, shuffle_partitions=0)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_kcore_lpa_shuffle_partitions_equivalence(spark):
+    """The shared _shuffle_override knob on kcore/LPA is an execution
+    knob, never a semantics knob; the session conf is restored even on
+    the invalid-argument path."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import (
+        kcore,
+        label_propagation,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    kc_base = sorted(map(tuple, kcore(df).collect()))
+    lpa_base = sorted(map(tuple, label_propagation(df, n_iter=4).collect()))
+    for sp in (1, 8):
+        assert sorted(map(tuple, kcore(df, shuffle_partitions=sp).collect())) == kc_base
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    label_propagation(df, n_iter=4, shuffle_partitions=sp).collect(),
+                )
+            )
+            == lpa_base
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    with pytest.raises(ValueError):
+        kcore(df, shuffle_partitions=0)
+    with pytest.raises(ValueError):
+        label_propagation(df, shuffle_partitions=-2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
