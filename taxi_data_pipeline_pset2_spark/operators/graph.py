@@ -30,10 +30,23 @@ python power iteration and closed-form graphs in tests/test_graph.py.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# _shuffle_override bookkeeping: (depth, original value) per session,
+# guarded by a lock -- two OVERLAPPING overrides on the same session
+# (the threaded catalog replay runs several graph entries concurrently)
+# would otherwise restore in the wrong order and leave the temporary
+# value behind permanently (A saves 32 and sets 8; B saves 8; A
+# restores 32; B "restores" 8). Depth counting restores the TRUE
+# original exactly when the last override exits; while overrides
+# overlap, whichever value was set last wins -- an execution knob, so
+# results are unaffected either way.
+_OVERRIDE_LOCK = threading.Lock()
+_OVERRIDE_STATE: dict[int, list] = {}  # id(session) -> [depth, original]
 
 
 @contextmanager
@@ -45,10 +58,10 @@ def _shuffle_override(spark, shuffle_partitions: int | None):
     at 8-way for the identical result -- VERDICT r8 item #4 profile);
     None leaves the cluster-tuned default in charge, the right call at
     real scale. The conf is session-wide for the duration and restored
-    in a finally: a concurrently-planned query may pick up the
-    temporary value, which can change its task counts but never its
-    results (every operator here is partitioning-independent by
-    construction)."""
+    when the outermost override exits (see _OVERRIDE_STATE): a
+    concurrently-planned query may pick up the temporary value, which
+    can change its task counts but never its results (every operator
+    here is partitioning-independent by construction)."""
     if shuffle_partitions is None:
         yield
         return
@@ -57,12 +70,24 @@ def _shuffle_override(spark, shuffle_partitions: int | None):
             f"shuffle_partitions must be >= 1, got {shuffle_partitions}"
         )
     conf = spark.conf
-    old = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    key = id(spark)
+    with _OVERRIDE_LOCK:
+        state = _OVERRIDE_STATE.get(key)
+        if state is None:
+            state = _OVERRIDE_STATE[key] = [
+                0,
+                conf.get("spark.sql.shuffle.partitions"),
+            ]
+        state[0] += 1
+        conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         yield
     finally:
-        conf.set("spark.sql.shuffle.partitions", old)
+        with _OVERRIDE_LOCK:
+            state[0] -= 1
+            if state[0] == 0:
+                conf.set("spark.sql.shuffle.partitions", state[1])
+                del _OVERRIDE_STATE[key]
 
 
 def pagerank(

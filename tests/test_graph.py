@@ -563,3 +563,33 @@ def test_kcore_lpa_shuffle_partitions_equivalence(spark):
     with pytest.raises(ValueError):
         label_propagation(df, shuffle_partitions=-2)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_shuffle_override_overlapping_restores_original(spark):
+    """Two OVERLAPPING overrides (the threaded catalog replay runs
+    graph entries concurrently) must leave the session conf at its TRUE
+    original -- naive save/restore would resurrect the inner temporary
+    value (A saves 32, sets 8; B saves 8; A restores 32; B 'restores'
+    8)."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import (
+        _shuffle_override,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with _shuffle_override(spark, 8):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        with _shuffle_override(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        # inner exit must NOT restore while the outer is active
+        assert spark.conf.get("spark.sql.shuffle.partitions") != before
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # interleaved (non-nested) exit order: A enters, B enters, A exits,
+    # B exits -- the original must still come back at the END
+    a = _shuffle_override(spark, 8)
+    b = _shuffle_override(spark, 4)
+    a.__enter__()
+    b.__enter__()
+    a.__exit__(None, None, None)
+    assert spark.conf.get("spark.sql.shuffle.partitions") != before
+    b.__exit__(None, None, None)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
