@@ -527,7 +527,27 @@ def _kcore_impl(
             .agg(F.count("*").cast("bigint").alias("core"))
             .localCheckpoint()
         )
-        w = Window.partitionBy("a").orderBy(F.desc("_v"), "b")
+        # The H-index update uses the tied-group closed form
+        # H = max over distinct values v of min(v, count(neighbors with
+        # value >= v)) -- identical integers to the rank formulation
+        # max_r min(r, v_r-desc) (if the max is attained at rank r with
+        # value v_r, it is attained at distinct value v = v_r with
+        # cumulative count >= r, and vice versa), but the sort window
+        # runs over the (node, DISTINCT value) frame instead of the
+        # full edge-shaped neighbor list. Locally this is a wash (r9
+        # A/B at sf0.1: 14.5 s vs 13.8 s -- the extra map-side-combined
+        # aggregate costs what the smaller window saves on a
+        # modest-degree graph); it is kept for the SKEW property: a
+        # degree-10^6 hub makes the rank form sort 10^6 rows inside one
+        # window partition, while this form's window input is bounded
+        # by the hub's DISTINCT neighbor core values (<= max core, and
+        # collapsing every round) with the heavy lifting in a combining
+        # aggregate. The DuckDB oracle keeps the rank formulation --
+        # hash equality of the two forms is itself evidence of the
+        # identity.
+        w = Window.partitionBy("a").orderBy(F.desc("_v")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
         # Convergence is checked every `check_every` rounds, not every
         # round: the changed-count join is a full extra job per round,
         # and because the iteration is IDEMPOTENT at the fixpoint, any
@@ -543,10 +563,12 @@ def _kcore_impl(
                 "b",
             )
             new = (
-                neigh.select(
+                neigh.groupBy("a", "_v")
+                .agg(F.count("*").cast("bigint").alias("_c"))
+                .select(
                     "a",
                     F.least(
-                        F.row_number().over(w).cast("bigint"), F.col("_v")
+                        F.col("_v"), F.sum("_c").over(w)
                     ).alias("_h"),
                 )
                 .groupBy(F.col("a").alias("node"))
