@@ -115,3 +115,76 @@ def kmv_set_estimates(
             ).alias("est_intersection"),
         )
     )
+
+
+def kmv_grouped_sketch(
+    df: DataFrame, col: str, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Per-group KMV partial: the k smallest distinct hashes of ``col``
+    within each group -- (group_cols..., h), <= k rows per group.
+
+    Aggregate-first shape: the rank window runs over the DISTINCT
+    (group, h) frame, never raw rows, so a group's window input is its
+    distinct cardinality (and the sketches themselves are what a 100 TB
+    rollup stores -- k rows per group, mergeable upward with
+    ``kmv_rollup`` by the exact k-smallest-of-union rule)."""
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, _h(F.col(col)).alias("h"))
+        .distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def kmv_rollup(
+    sketches: DataFrame, to_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Merge fine-grain KMV partials up to ``to_cols`` grain WITHOUT
+    touching raw data: k smallest of the union of each coarse group's
+    fine sketches -- the EXACT same sketch a from-scratch build over the
+    coarse group produces (KMV's defining mergeability identity; the
+    kmv_rollup_weekly_users oracle hash-proves merged == direct).
+    Input = (to_cols..., h, ...), output = (to_cols..., h)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*to_cols).orderBy("h")
+    return (
+        sketches.select(*to_cols, "h")
+        .distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def kmv_grouped_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """(group_cols..., n_kept, est_distinct) per group: (k-1) * M /
+    h_(k) when the group's sketch is full, EXACT count otherwise."""
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.max("h").alias("_hk"),
+        )
+        .select(
+            *group_cols,
+            "n_kept",
+            F.round(
+                F.when(
+                    F.col("n_kept") >= k,
+                    (F.lit(float(k - 1)) * F.lit(_M))
+                    / F.col("_hk").cast("double"),
+                ).otherwise(F.col("n_kept").cast("double")),
+                6,
+            ).alias("est_distinct"),
+        )
+    )

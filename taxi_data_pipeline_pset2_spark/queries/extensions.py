@@ -3772,6 +3772,117 @@ _KMV_ORACLE = f"""
 """
 
 
+# Rollup sketch size: small enough that BOTH grains fill on the test
+# corpus (~150 weekly / ~100 daily distinct users), so the (k-1)*M/h_k
+# estimator path is exercised, not just the exact-count fallback.
+_KMV_ROLLUP_K = 32
+
+_KMV_ROLLUP_ORACLE = f"""
+    WITH ev AS (
+      SELECT DISTINCT
+             strftime(CAST(ts AS DATE)
+                      - CAST(((CAST(ts AS DATE) - DATE '1970-01-05') % 7 + 7)
+                             % 7 AS INTEGER), '%Y-%m-%d') AS week,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    daily AS (
+      SELECT week, day, h FROM (
+        SELECT week, day, h,
+               row_number() OVER (PARTITION BY week, day ORDER BY h) AS r
+        FROM ev) WHERE r <= {_KMV_ROLLUP_K}
+    ),
+    merged AS (
+      SELECT week, h FROM (
+        SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS r
+        FROM (SELECT DISTINCT week, h FROM daily)) WHERE r <= {_KMV_ROLLUP_K}
+    ),
+    direct AS (
+      SELECT week, h FROM (
+        SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS r
+        FROM (SELECT DISTINCT week, h FROM ev)) WHERE r <= {_KMV_ROLLUP_K}
+    ),
+    em AS (SELECT week, count(*) AS nk, max(h) AS hk FROM merged GROUP BY week),
+    ed AS (SELECT week, count(*) AS nk, max(h) AS hk FROM direct GROUP BY week),
+    nd AS (SELECT week, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+           FROM ev GROUP BY week)
+    SELECT nd.week, nd.n_days,
+           round(CASE WHEN ed.nk >= {_KMV_ROLLUP_K}
+                 THEN ({_KMV_ROLLUP_K - 1}.0 * 4294967296.0)
+                      / CAST(ed.hk AS DOUBLE)
+                 ELSE CAST(ed.nk AS DOUBLE) END, 6) AS est_direct,
+           round(CASE WHEN em.nk >= {_KMV_ROLLUP_K}
+                 THEN ({_KMV_ROLLUP_K - 1}.0 * 4294967296.0)
+                      / CAST(em.hk AS DOUBLE)
+                 ELSE CAST(em.nk AS DOUBLE) END, 6) AS est_merged
+    FROM nd JOIN em ON em.week = nd.week JOIN ed ON ed.week = nd.week
+    ORDER BY nd.week
+"""
+
+
+@query(
+    "kmv_rollup_weekly_users",
+    oracle=_KMV_ROLLUP_ORACLE,
+    tags=("sketch", "agg", "timeseries"),
+)
+def kmv_rollup_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-user sketch rollup on a PORTABLE sketch
+    (r9, net-new #3): per-day KMV partials of user_id merge up to
+    weekly estimates by the exact k-smallest-of-union rule
+    (operators/kmv.py kmv_grouped_sketch / kmv_rollup) -- the same
+    merge-partials-never-rescan-raw pattern as the HLL-based
+    sketch_rollup_daily_users, but with a deterministic md5 sketch, so
+    the ENTIRE rollup is hash-verified: each week's row carries BOTH
+    the merged-from-daily estimate and the direct-build estimate, and
+    the oracle reproduces both -- merged == direct is KMV's
+    mergeability identity, proven inside both engines on every driver
+    run rather than asserted in a unit test. k=32 so both grains fill
+    on the test corpus and the (k-1)*M/h_k estimator path is the one
+    under test."""
+    from taxi_data_pipeline_pset2_spark.operators.kmv import (
+        kmv_grouped_estimate,
+        kmv_grouped_sketch,
+        kmv_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    day = F.to_date("ts")
+    monday = F.date_sub(
+        day,
+        (
+            (F.datediff(day, F.lit("1970-01-05").cast("date")) % 7) + 7
+        )
+        % 7,
+    )
+    base = ev.select(
+        F.date_format(monday, "yyyy-MM-dd").alias("week"),
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = kmv_grouped_sketch(base, "user_id", ["week", "day"], _KMV_ROLLUP_K)
+    est_m = kmv_grouped_estimate(
+        kmv_rollup(daily, ["week"], _KMV_ROLLUP_K), ["week"], _KMV_ROLLUP_K
+    ).select("week", F.col("est_distinct").alias("est_merged"))
+    est_d = kmv_grouped_estimate(
+        kmv_grouped_sketch(base, "user_id", ["week"], _KMV_ROLLUP_K),
+        ["week"],
+        _KMV_ROLLUP_K,
+    ).select("week", F.col("est_distinct").alias("est_direct"))
+    n_days = base.select("week", "day").distinct().groupBy("week").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    return (
+        n_days.join(est_d, "week")
+        .join(est_m, "week")
+        .select("week", "n_days", "est_direct", "est_merged")
+        .orderBy("week")
+    )
+
+
 @query("kmv_customer_overlap", oracle=_KMV_ORACLE, tags=("sketch", "agg"))
 def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-customer overlap between the 1997 and 1998 order

@@ -57,3 +57,64 @@ class TestKmv:
     def test_k_validation(self, spark):
         with pytest.raises(ValueError, match="k must be"):
             kmv_sketch(_vals(spark, ["a"]), "v", k=1)
+
+
+class TestGroupedRollup:
+    def test_merge_equals_direct_exactly(self, spark):
+        """KMV's defining identity: k-smallest of the union of fine
+        partials == k-smallest of a from-scratch coarse build -- exact
+        sketch equality, not just estimate agreement."""
+        from taxi_data_pipeline_pset2_spark.operators.kmv import (
+            kmv_grouped_sketch,
+            kmv_rollup,
+        )
+
+        rows = [
+            ("g1", f"d{i % 5}", v) for i, v in enumerate(range(200))
+        ] + [("g2", f"d{i % 3}", v) for i, v in enumerate(range(150, 300))]
+        df = spark.createDataFrame(rows, "g string, d string, v long")
+        k = 16
+        fine = kmv_grouped_sketch(df, "v", ["g", "d"], k)
+        merged = sorted(
+            map(tuple, kmv_rollup(fine, ["g"], k).collect())
+        )
+        direct = sorted(
+            map(tuple, kmv_grouped_sketch(df, "v", ["g"], k).collect())
+        )
+        assert merged == direct
+
+    def test_grouped_estimate_exact_below_k(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.kmv import (
+            kmv_grouped_estimate,
+            kmv_grouped_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(5)] + [("b", i) for i in range(900)],
+            "g string, v long",
+        )
+        sk = kmv_grouped_sketch(df, "v", ["g"], 64)
+        est = {
+            r.g: (r.n_kept, r.est_distinct)
+            for r in kmv_grouped_estimate(sk, ["g"], 64).collect()
+        }
+        assert est["a"] == (5, 5.0)  # below k -> exact
+        nk, e = est["b"]
+        assert nk == 64 and abs(e - 900) / 900 < 0.35  # estimator path
+
+    def test_grouped_sketch_partitioning_invariant(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.kmv import (
+            kmv_grouped_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i) for i in range(300)], "g string, v long"
+        )
+        a = sorted(map(tuple, kmv_grouped_sketch(df, "v", ["g"], 8).collect()))
+        b = sorted(
+            map(
+                tuple,
+                kmv_grouped_sketch(df.repartition(11), "v", ["g"], 8).collect(),
+            )
+        )
+        assert a == b
