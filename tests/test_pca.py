@@ -200,3 +200,38 @@ def test_moment_overflow_guard_rejects_huge_magnitudes(spark):
     )
     with pytest.raises(Exception, match="too large|overflow"):
         fit_pca(big, k=1)
+
+
+def test_moment_overflow_flush_keeps_sums_exact(spark):
+    """Magnitudes large enough that int64 ss cannot hold two Arrow
+    batches -- but small enough that ONE batch fits -- must take the
+    flush path (multiple partial rows per partition), and the combined
+    fit must still equal the quantized numpy reference exactly."""
+    import numpy as np
+
+    # |x| ~ 800 -> iv ~ 8e8, peak^2 ~ 6.4e17: three 2-row batches each
+    # fit under the 2^61 cap alone but not accumulated -> flush fires
+    vals = [800.0, -799.5, 798.25, -801.125, 800.5, -797.75]
+    rows = [(i, [v, v / 2]) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        from taxi_data_pipeline_pset2_spark.operators.pca import _moments
+
+        parts = _moments(df, "embedding").collect()
+        # the flush path must have produced MORE than one partial row
+        assert len(parts) > 1
+        n = sum(int(r["n"]) for r in parts)
+        s0 = sum(int(r["s"][0]) for r in parts)
+        assert n == len(vals)
+        assert s0 == sum(round(v * 1e6) for v in vals)  # exact, no wrap
+        model = fit_pca(df, k=1)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    X = np.round(np.array([r[1] for r in rows]) * 1e6) / 1e6
+    assert np.allclose(model.mean, X.mean(axis=0), atol=1e-9)
