@@ -111,6 +111,18 @@ AUDITED = [
      "on the <=1024-row bucket-count frame; 1-row (min,max) broadcast"),
     ("rolling_7day_users", "constant-width window-end explode + dedup "
      "+ hash aggregate; no per-day fact rescans, no window functions"),
+    ("ann_brp_lsh", "deterministic BRP: Arrow bucket kernel -> bounded "
+     "(table,bucket) equi-join pair generation -> Arrow integer "
+     "verify; no cartesian, no row-at-a-time Python"),
+    ("packing_assignments", "ONE shuffle total (the shard groupBy "
+     "feeding the Arrow BFD kernel); shard count bounds per-task "
+     "state, never corpus size"),
+    ("kmeans_clusters", "per-round: one cached-corpus Arrow scan + a "
+     "k*D-sized exact-integer aggregate to the driver; no corpus "
+     "shuffle in any round"),
+    ("kmv_rollup_weekly_users", "sketches are aggregate-first: rank "
+     "windows run over DISTINCT (group, hash) frames; weekly merge "
+     "touches k-row partials, never raw events"),
 ]
 
 
