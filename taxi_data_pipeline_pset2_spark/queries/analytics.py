@@ -1051,8 +1051,11 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in tests/test_graph.py (ADVICE r8 item #3): the engine runs to
 # convergence (max_iter=100) while the oracle runs a fixed unroll, so
 # the unroll must dominate convergence at every tested scale factor
-# (measured 7 @ sf0.001, 11 @ sf0.01, 38 @ sf0.1).
-KCORE_ORACLE_ROUNDS = 64
+# (measured 7 @ sf0.001, 11 @ sf0.01, 38 @ sf0.1 -- 96 keeps >= 2x
+# headroom even at the sf0.1 gate a future driver might run; past-
+# convergence rounds are exact no-ops at ~6 ms each, so the margin is
+# free).
+KCORE_ORACLE_ROUNDS = 96
 
 
 def _kcore_oracle(n_rounds: int = KCORE_ORACLE_ROUNDS) -> str:
@@ -1108,7 +1111,7 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py kcore, H-index iteration): the dense-nucleus
     ladder next to part_triangle_stats' local clustering. The iteration
     is all-integer and idempotent at its unique fixpoint, so a
-    fixed-64-round unrolled DuckDB twin (_kcore_oracle) reproduces it
+    fixed-96-round unrolled DuckDB twin (_kcore_oracle) reproduces it
     exactly -- upgraded from rows-only in r8; peeling-reference equality
     also pinned in tests/test_graph.py."""
     from taxi_data_pipeline_pset2_spark.operators.graph import kcore

@@ -160,7 +160,7 @@ def query(
 # unrolled to chained CTEs, repr()-injected IEEE literals),
 # isotonic_calibration (minimax closed form), mmr_rerank_topk (5 greedy
 # rounds unrolled), brand_communities (4 LPA rounds, all-integer),
-# part_kcore (H-index iteration, idempotent fixpoint, fixed 64-round
+# part_kcore (H-index iteration, idempotent fixpoint, fixed-round
 # unroll AS MATERIALIZED); curation_drop_audit (the first-drop-gate
 # CASE chain, each gate re-stated with its standalone oracle's proven
 # fragment); phonetic_matches (soundex re-implemented in DuckDB list
