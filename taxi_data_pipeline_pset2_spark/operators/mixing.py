@@ -140,12 +140,48 @@ def sample_mixture(
         take = F.create_map(
             *[x for d, n in takes.items() for x in (F.lit(d), F.lit(n))]
         )
+        # Per-domain rank by (hash, id) via the BUCKETED exact-rank plan
+        # (robust.global_rank_bucketed's construction, inlined per
+        # domain; r9): a plain per-domain row_number window sorts an
+        # entire domain inside one task -- a 10^9-doc domain is a
+        # single-task scale ceiling. Hash-prefix buckets are a PREFIX of
+        # the (hash, id) total order, so rank = (running count of the
+        # domain's earlier buckets) + (row_number inside the (domain,
+        # bucket) partition): the offset window runs over the <=
+        # domains x n_buckets COUNT frame and the row window over
+        # domain/n_buckets-sized partitions. Same total order, same
+        # selected rows as the naive window (pinned in
+        # tests/test_mixing.py).
+        n_buckets = 1024
+        width = HASH_SPACE // n_buckets
         h = salted_hash(F.col(id_col), salt)
-        w = Window.partitionBy(dom).orderBy(h, F.col(id_col))
+        with_b = in_mix.withColumn("__h", h).withColumn(
+            "__b", F.floor(F.col("__h") / F.lit(width)).cast("int")
+        )
+        bkt_counts = with_b.groupBy(dom.alias("__d"), "__b").agg(
+            F.count("*").alias("__c")
+        )
+        w_off = (
+            Window.partitionBy("__d")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # no broadcast hint: the offset frame is domains x n_buckets
+        # rows (up to MAX_DOMAINS x 1024); AQE broadcasts it when small
+        offsets = bkt_counts.select(
+            "__d",
+            F.col("__b").alias("__ob"),
+            F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        )
+        w_in = Window.partitionBy(dom, "__b").orderBy("__h", F.col(id_col))
         return (
-            in_mix.withColumn("__rk", F.row_number().over(w))
+            with_b.join(
+                offsets,
+                (dom == F.col("__d")) & (F.col("__b") == F.col("__ob")),
+            )
+            .withColumn("__rk", F.col("__off") + F.row_number().over(w_in))
             .filter(F.col("__rk") <= take[dom])
-            .drop("__rk")
+            .drop("__rk", "__h", "__b", "__d", "__ob", "__off")
         )
 
     if all(r <= 1 for r in plan.values()):

@@ -134,3 +134,52 @@ def test_weight_validation(spark):
         sample_mixture(docs, {"nope": 1.0})
     with pytest.raises(ValueError, match="positive"):
         sample_mixture(docs, {"a": 0.0})
+
+
+def test_exact_sampler_bucketed_rank_equals_naive_window(spark):
+    """The r9 bucketed per-domain rank must select the IDENTICAL rows
+    as the naive single-window rank it replaced (hash-prefix buckets
+    are a prefix of the (hash, id) total order)."""
+    from pyspark.sql import Window
+
+    from taxi_data_pipeline_pset2_spark.operators.mixing import (
+        sample_mixture,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        salted_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    got = sorted(
+        r.doc_id
+        for r in sample_mixture(
+            docs, {"a": 1.0, "b": 1.0}, total=100, exact=True
+        ).collect()
+    )
+    # naive reference: one window per domain over the raw rows
+    h = salted_hash(F.col("doc_id"), "mixture")
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    ranked = docs.withColumn("__rk", F.row_number().over(w))
+    per_dom = {
+        r.source: r.cnt
+        for r in sample_mixture(
+            docs, {"a": 1.0, "b": 1.0}, total=100, exact=True
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    ref = sorted(
+        r.doc_id
+        for r in ranked.filter(
+            F.col("__rk")
+            <= F.when(F.col("source") == "a", per_dom.get("a", 0)).otherwise(
+                per_dom.get("b", 0)
+            )
+        ).collect()
+    )
+    assert got == ref
+    assert len(got) == 100
