@@ -50,26 +50,35 @@ DRIVER_CC_EDGE_CAP = 200_000
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the
-    minimum of u's closed neighborhood. Emits (v, m) for v > u."""
+    minimum of u's closed neighborhood. Emits (v, m) for v > u.
+
+    The per-node minimum is a map-side-combined AGGREGATE joined back,
+    not a window (r9 skew fix, the k-core pattern): an unbounded-frame
+    window buffers a hub's entire neighbor list inside one task, while
+    the aggregate reduces it map-side and the join streams -- same
+    shuffle key, no per-key buffer."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    w = Window.partitionBy("u")
-    m = F.least(F.col("u"), F.min("v").over(w))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
     return (
-        sym.withColumn("m", m)
+        sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("u"), F.col("_mn")).alias("v"),
+        )
         .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Direct every edge high->low, then for each node u connect u and
-    all of its smaller neighbors to the minimum neighbor."""
+    all of its smaller neighbors to the minimum neighbor. Same
+    aggregate-join shape as _large_star (never a per-node window)."""
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    w = Window.partitionBy("u")
-    star = directed.withColumn("m", F.min("v").over(w))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    star = directed.join(mins, "u")
     out = star.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
         star.select("u", "m")
     )
