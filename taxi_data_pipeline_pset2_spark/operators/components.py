@@ -35,7 +35,7 @@ unchanged, so the operator never depends on the graph fitting anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # O(log^2 n) expected; 50 rounds covers any conceivable corpus. Hitting
@@ -219,12 +219,24 @@ def resolve_duplicate_clusters(
     ).join(
         F.broadcast(comp.withColumnRenamed("node", id_col)), id_col
     )
-    w = Window.partitionBy("component").orderBy(
-        F.desc_nulls_last("_score"), F.asc(id_col)
+    # survivor = (max score, then min id) via map-side-combined
+    # aggregates + joins, NOT a per-component row_number window (r9
+    # skew fix): a pathological corpus that chains into one giant
+    # cluster would sort the whole membership inside one window task,
+    # while aggregates combine map-side. eqNullSafe keeps the
+    # all-scores-NULL cluster on the old desc_nulls_last semantics
+    # (everyone ties -> min id survives), and max() is type-generic
+    # (scores may be timestamps, not just doubles).
+    best = members.groupBy("component").agg(F.max("_score").alias("_mx"))
+    surv = (
+        members.join(best, "component")
+        .filter(F.col("_score").eqNullSafe(F.col("_mx")))
+        .groupBy("component")
+        .agg(F.min(id_col).alias("_sid"))
     )
     losers = (
-        members.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") > 1)
+        members.join(surv, "component")
+        .filter(F.col(id_col) != F.col("_sid"))
         .select(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
