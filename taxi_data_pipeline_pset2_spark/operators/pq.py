@@ -38,21 +38,44 @@ from pyspark.sql import functions as F
 
 
 def _lloyd(X: "np.ndarray", k: int, n_iter: int) -> "np.ndarray":
-    """Deterministic numpy Lloyd: init = first k rows, empty clusters
-    keep their previous centroid. Returns (k, d) float64."""
+    """Deterministic EXACT-INTEGER numpy Lloyd (r9, the same update
+    rule as the distributed operators/clustering.py): X int64 on the
+    1e-6 grid, init = first k rows, centroids stay on the grid via
+    round_half_up(S/n) = floor((2S+n)/(2n)) from exact component sums,
+    argmin ties to the lowest code, empty clusters keep their previous
+    centroid. Returns (k, d) int64 -- every distance comparison
+    downstream is an exact integer comparison, which is what lets the
+    pq_ann_topk catalog entry carry a full unrolled DuckDB oracle."""
     cent = X[:k].copy()
     for _ in range(n_iter):
         d2 = (
             (X * X).sum(axis=1)[:, None]
-            - 2.0 * (X @ cent.T)
+            - 2 * (X @ cent.T)
             + (cent * cent).sum(axis=1)[None, :]
         )
         idx = d2.argmin(axis=1)
         for j in range(k):
             mask = idx == j
             if mask.any():
-                cent[j] = X[mask].mean(axis=0)
+                S = X[mask].sum(axis=0)
+                n = int(mask.sum())
+                cent[j] = np.floor_divide(2 * S + n, 2 * n)
     return cent
+
+
+# the repo-standard quantization grid (operators/similarity.py SCALE)
+_SCALE = 1_000_000
+# int64 headroom: |iv| < 2^25 keeps every subspace dot exact
+_MAX_ABS = 1 << 25
+
+
+def _to_grid(X: "np.ndarray") -> "np.ndarray":
+    iv = np.round(np.asarray(X, dtype=np.float64) * _SCALE).astype(np.int64)
+    if iv.size and np.abs(iv).max() >= _MAX_ABS:
+        raise ValueError(
+            "component magnitudes too large for exact int64 PQ arithmetic"
+        )
+    return iv
 
 
 def train_pq(
@@ -79,13 +102,22 @@ def train_pq(
     dims = {len(r["v"]) for r in rows}
     if len(dims) != 1:  # fail here, not as an opaque numpy shape error
         raise ValueError(f"mixed embedding dimensions in sample: {sorted(dims)}")
-    X = np.array([r["v"] for r in rows], dtype=np.float64)  # (N, D)
+    X = _to_grid(np.array([r["v"] for r in rows], dtype=np.float64))  # (N, D)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    return np.stack(
-        [_lloyd(X[:, s * dsub : (s + 1) * dsub], k, n_iter) for s in range(m)]
+    # public contract stays float64 centroids in ORIGINAL units; the
+    # values sit on the 1e-6 grid, so every consumer kernel recovers
+    # the exact integers with one round(x * SCALE)
+    return (
+        np.stack(
+            [
+                _lloyd(X[:, s * dsub : (s + 1) * dsub], k, n_iter)
+                for s in range(m)
+            ]
+        ).astype(np.float64)
+        / _SCALE
     )
 
 
@@ -104,10 +136,12 @@ def encode_pq(
     b = spark.sparkContext.broadcast(codebooks)
 
     def run(batches):
-        C = b.value
-        c_sq = (C * C).sum(axis=2)  # (m, k)
+        # re-quantize the float codebooks: their values sit on the grid
+        # by construction, so this recovers the fit's exact integers
+        C = _to_grid(b.value)
+        c_sq = (C * C).sum(axis=2)  # (m, k) exact int64
         for pdf in batches:
-            X = np.array(list(pdf["v"]), dtype=np.float64)  # (N, D)
+            X = _to_grid(np.array(list(pdf["v"]), dtype=np.float64))
             if X.shape[1] != m * dsub:
                 raise ValueError(
                     f"embedding dim {X.shape[1]} != m*dsub {m * dsub}"
@@ -115,7 +149,8 @@ def encode_pq(
             codes = np.empty((len(X), m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * dsub : (s + 1) * dsub]
-                d2 = -2.0 * (Xs @ C[s].T) + c_sq[s][None, :]
+                # exact integer argmin; first min = lowest code id
+                d2 = -2 * (Xs @ C[s].T) + c_sq[s][None, :]
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
 
@@ -142,9 +177,13 @@ def search_pq(
     q = np.asarray(query, dtype=np.float64)
     if q.shape[0] != m * dsub:
         raise ValueError(f"query dim {q.shape[0]} != {m * dsub}")
-    lut = np.empty((m, k), dtype=np.float64)
+    qi = _to_grid(q)
+    Ci = _to_grid(codebooks)
+    # exact int64 LUT (grid^2 units): per-code ADC sums are then exact
+    # integers -- cross-engine reproducible, ties deterministic
+    lut = np.empty((m, k), dtype=np.int64)
     for s in range(m):
-        diff = codebooks[s] - q[s * dsub : (s + 1) * dsub][None, :]
+        diff = Ci[s] - qi[s * dsub : (s + 1) * dsub][None, :]
         lut[s] = (diff * diff).sum(axis=1)
     b = spark.sparkContext.broadcast(lut)
 
@@ -153,7 +192,11 @@ def search_pq(
         rows = np.arange(m)
         for pdf in batches:
             codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (N, m)
-            dist = L[rows[None, :], codes].sum(axis=1)
+            # exact integer sum, reported in original squared units
+            # (int < 2^53, so the double conversion is exact)
+            dist = L[rows[None, :], codes].sum(axis=1) / (
+                float(_SCALE) * float(_SCALE)
+            )
             yield pd.DataFrame({id_col: pdf[id_col], "adc_dist": dist})
 
     scored = codes_df.mapInPandas(

@@ -339,14 +339,129 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_ann_topk", oracle=None, tags=("similarity", "ann", "bench"))
+def _pq_oracle(
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    dim: int = 64,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of the ENTIRE PQ pipeline -- train, encode, ADC
+    search -- unrolled: m independent subspace Lloyd chains (the
+    exact-integer update of _kmeans_oracle, n_iter rounds each), then
+    per-subspace argmin encode over the corpus, then the query LUT and
+    the integer ADC sum. Possible since r9's exact-integer _lloyd:
+    codebooks live on the 1e-6 grid via floor((2S+n)/(2n)) updates, so
+    every argmin/LUT/sum is integer arithmetic both engines reproduce
+    bit-exactly; only the final reported adc_dist divides by SCALE^2
+    (an exact-int-to-double conversion) and 6-dp rounds. ~{m * n_iter
+    * 3} CTEs, every one AS MATERIALIZED (the _kcore_oracle lesson:
+    DuckDB's planner blows up inlining deep chains)."""
+    dsub = dim // m
+
+    def d2(vec: str, cte: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dsub}),"
+            f" i -> ({vec} - {cte}.c[i]) * ({vec} - {cte}.c[i])))"
+        )
+
+    parts = [
+        f"""smp AS MATERIALIZED (SELECT vec_id, iv FROM n ORDER BY vec_id),
+        qv AS MATERIALIZED (SELECT iv AS qiv FROM n ORDER BY vec_id LIMIT 1),
+        dims AS MATERIALIZED (SELECT unnest(generate_series(1, {dsub})) AS dim)"""
+    ]
+    for s in range(m):
+        off = s * dsub
+        sub = f"smp.iv[{off} + i]"
+        parts.append(
+            f"""cs{s}_0 AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS code,
+                 list_transform(generate_series(1, {dsub}),
+                                i -> iv[{off} + i]) AS c
+          FROM (SELECT vec_id, iv FROM n ORDER BY vec_id LIMIT {k}))"""
+        )
+        for r in range(1, n_iter + 1):
+            p = f"cs{s}_{r - 1}"
+            parts.append(
+                f"""as{s}_{r} AS MATERIALIZED (
+          SELECT vec_id, code FROM (
+            SELECT vec_id, code,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, code) AS rk
+            FROM (SELECT smp.vec_id, {p}.code, {d2(sub, p)} AS d2
+                  FROM smp CROSS JOIN {p}))
+          WHERE rk = 1),
+        ss{s}_{r} AS MATERIALIZED (
+          SELECT a.code, d.dim,
+                 CAST(sum(smp.iv[{off} + d.dim]) AS BIGINT) AS sx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM as{s}_{r} a JOIN smp ON smp.vec_id = a.vec_id
+          CROSS JOIN dims d GROUP BY 1, 2),
+        cs{s}_{r} AS MATERIALIZED (
+          SELECT p.code,
+                 list(CASE WHEN s.sx IS NULL THEN p.c[d.dim]
+                           ELSE ((2 * s.sx + s.cnt)
+                                 - (((2 * s.sx + s.cnt) % (2 * s.cnt)
+                                     + (2 * s.cnt)) % (2 * s.cnt)))
+                                // (2 * s.cnt)
+                      END ORDER BY d.dim) AS c
+          FROM {p} p CROSS JOIN dims d
+          LEFT JOIN ss{s}_{r} s ON s.code = p.code AND s.dim = d.dim
+          GROUP BY p.code)"""
+            )
+        last = f"cs{s}_{n_iter}"
+        nsub = f"n.iv[{off} + i]"
+        parts.append(
+            f"""enc{s} AS MATERIALIZED (
+          SELECT vec_id, code FROM (
+            SELECT vec_id, code,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, code) AS rk
+            FROM (SELECT n.vec_id, {last}.code, {d2(nsub, last)} AS d2
+                  FROM n CROSS JOIN {last}))
+          WHERE rk = 1),
+        lut{s} AS MATERIALIZED (
+          SELECT c.code,
+                 CAST({d2(f"qv.qiv[{off} + i]", "c")} AS BIGINT) AS d
+          FROM {last} c CROSS JOIN qv)"""
+        )
+    joins = " ".join(
+        (
+            f"JOIN enc{s} e{s} ON e{s}.vec_id = e0.vec_id "
+            if s
+            else "FROM enc0 e0 "
+        )
+        + f"JOIN lut{s} l{s} ON l{s}.code = e{s}.code"
+        for s in range(m)
+    )
+    total = " + ".join(f"l{s}.d" for s in range(m))
+    return (
+        "WITH prep AS (SELECT vec_id, list_transform(embedding::DOUBLE[],"
+        " x -> CAST(round(x * 1000000) AS BIGINT)) AS iv FROM embeddings),\n"
+        "        n AS MATERIALIZED (SELECT vec_id, iv FROM prep),\n        "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT e0.vec_id,
+               round(CAST(({total}) AS DOUBLE) / 1000000000000.0, 6)
+                 AS adc_dist
+        {joins}
+        ORDER BY CAST(({total}) AS DOUBLE) / 1000000000000.0 ASC, e0.vec_id
+        LIMIT {top_k}"""
+    )
+
+
+@query("pq_ann_topk", oracle=_pq_oracle(), tags=("similarity", "ann", "bench"))
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): train m=8/k=16
     codebooks on the embedding corpus, encode to 8 codes/vector (32x
     compression of the 64-d float vectors), ADC top-10 for the lowest
-    vec_id's embedding. Iterative k-means training -> no SQL twin;
-    determinism + recall pinned in tests/test_pq.py. The compressed
-    search path never touches a stored float vector."""
+    vec_id's embedding. FULL oracle since r9 (_pq_oracle): the
+    exact-integer _lloyd upgrade puts codebooks on the 1e-6 grid, so
+    train -> encode -> LUT -> ADC unrolls into a DuckDB CTE chain and
+    even the APPROXIMATE index's answer is hash-verified end to end.
+    Determinism + recall stay pinned in tests/test_pq.py. The
+    compressed search path never touches a stored float vector."""
     from taxi_data_pipeline_pset2_spark.operators.pq import (
         encode_pq,
         search_pq,
