@@ -263,11 +263,16 @@ def ivfpq_search(
     b_cents = spark.sparkContext.broadcast(cents)
 
     def make_residuals(batches):
-        C = b_cents.value
+        # residuals on the 1e-6 grid EXACTLY (r9): riv = iv_x - c_q as
+        # integers, reported in original units. Float X - C would leave
+        # the downstream re-quantization one ulp from a rounding
+        # boundary; this form makes the residual grid value a pure
+        # integer subtraction both engines reproduce.
+        C = _to_grid(b_cents.value)
         for pdf in batches:
-            X = np.array(list(pdf["v"]), dtype=np.float64)
+            Xi = _to_grid(np.array(list(pdf["v"]), dtype=np.float64))
             cells = pdf["cell"].to_numpy()
-            R = X - C[cells]
+            R = (Xi - C[cells]).astype(np.float64) / _SCALE
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -299,16 +304,25 @@ def ivfpq_search(
         populated = sorted(
             r.cell for r in residuals.select("cell").distinct().collect()
         )
-        d2cells = ((cents[populated] - q[None, :]) ** 2).sum(axis=1)
-        probe = [populated[i] for i in np.argsort(d2cells)[:n_probe]]
+        # exact integer cell ranking (r9): d2 in grid^2 units; stable
+        # argsort ties to the lower populated cell id -- no float sum
+        # order anywhere in the probe decision
+        qi = _to_grid(q)
+        Ci = _to_grid(cents)
+        d2cells = ((Ci[populated] - qi[None, :]) ** 2).sum(axis=1)
+        probe = [populated[i] for i in np.argsort(d2cells, kind="stable")[:n_probe]]
         dsub = cb.shape[2]
+        cbi = _to_grid(cb)
         luts = {}
         for c in probe:
-            r = q - cents[c]
-            lut = np.empty((m, k), dtype=np.float64)
+            r = qi - Ci[c]  # exact integer query residual
+            lut = np.empty((m, k), dtype=np.int64)
             for s in range(m):
-                diff = cb[s] - r[s * dsub : (s + 1) * dsub][None, :]
+                diff = cbi[s] - r[s * dsub : (s + 1) * dsub][None, :]
                 lut[s] = (diff * diff).sum(axis=1)
+            # kept int64: the ADC sum must be exact BEFORE the single
+            # division to original units (per-entry division would
+            # accumulate float error across the m gathers)
             luts[c] = lut
         b_luts = spark.sparkContext.broadcast(luts)
 
@@ -324,7 +338,11 @@ def ivfpq_search(
                 for c, lut in L.items():
                     mask = cells == c
                     if mask.any():
-                        dist[mask] = lut[rows[None, :], cds[mask]].sum(axis=1)
+                        # exact int64 sum, ONE division to original
+                        # units (int < 2^53 -> exact double)
+                        dist[mask] = lut[
+                            rows[None, :], cds[mask]
+                        ].sum(axis=1) / (float(_SCALE) * float(_SCALE))
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col],

@@ -870,13 +870,201 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivfpq_ann_topk", oracle=None, tags=("similarity", "ann", "bench"))
+def _ivfpq_oracle(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    kmeans_iter: int = 3,
+    pq_iter: int = 10,
+    dim: int = 64,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of the ENTIRE IVFPQ pipeline: the coarse exact-integer
+    Lloyd chain (kmeans_iter rounds over the full dim), integer cell
+    assignment, EXACT integer residuals (riv = iv - coarse_c, no float
+    subtraction anywhere -- the r9 make_residuals form), m residual
+    subspace Lloyd chains (pq_iter rounds each), per-subspace encode,
+    integer-ranked probe-cell selection (ties to the lower cell id,
+    matching numpy's stable argsort over the ascending populated list),
+    per-cell integer LUTs from the integer query residual, and the
+    exact integer ADC ranking. ~270 CTEs, all AS MATERIALIZED."""
+    dsub = dim // m
+
+    def d2(vec_elem: str, cte: str, n_el: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {n_el}),"
+            f" i -> ({vec_elem} - {cte}.c[i]) * ({vec_elem} - {cte}.c[i])))"
+        )
+
+    parts = [
+        """qv AS MATERIALIZED (SELECT iv AS qiv FROM n ORDER BY vec_id LIMIT 1),
+        dims AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS dim),
+        dsubs AS MATERIALIZED (SELECT unnest(generate_series(1, 8)) AS dim)""",
+        f"""cc0 AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS cell, iv AS c
+          FROM (SELECT vec_id, iv FROM n ORDER BY vec_id LIMIT {n_cells}))""",
+    ]
+    # coarse Lloyd chain over the full dim (same update as the engine)
+    for r in range(1, kmeans_iter + 1):
+        p = f"cc{r - 1}"
+        parts.append(
+            f"""ca{r} AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rk
+            FROM (SELECT n.vec_id, {p}.cell, {d2("n.iv[i]", p, dim)} AS d2
+                  FROM n CROSS JOIN {p}))
+          WHERE rk = 1),
+        csum{r} AS MATERIALIZED (
+          SELECT a.cell, d.dim,
+                 CAST(sum(n.iv[d.dim]) AS BIGINT) AS sx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ca{r} a JOIN n ON n.vec_id = a.vec_id
+          CROSS JOIN dims d GROUP BY 1, 2),
+        cc{r} AS MATERIALIZED (
+          SELECT p.cell,
+                 list(CASE WHEN s.sx IS NULL THEN p.c[d.dim]
+                           ELSE ((2 * s.sx + s.cnt)
+                                 - (((2 * s.sx + s.cnt) % (2 * s.cnt)
+                                     + (2 * s.cnt)) % (2 * s.cnt)))
+                                // (2 * s.cnt)
+                      END ORDER BY d.dim) AS c
+          FROM {p} p CROSS JOIN dims d
+          LEFT JOIN csum{r} s ON s.cell = p.cell AND s.dim = d.dim
+          GROUP BY p.cell)"""
+        )
+    cfin = f"cc{kmeans_iter}"
+    parts.append(
+        f"""cellof AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rk
+            FROM (SELECT n.vec_id, {cfin}.cell,
+                         {d2("n.iv[i]", cfin, dim)} AS d2
+                  FROM n CROSS JOIN {cfin}))
+          WHERE rk = 1),
+        resid AS MATERIALIZED (
+          SELECT n.vec_id, co.cell,
+                 list_transform(generate_series(1, {dim}),
+                                i -> n.iv[i] - cc.c[i]) AS riv
+          FROM n JOIN cellof co ON co.vec_id = n.vec_id
+          JOIN {cfin} cc ON cc.cell = co.cell),
+        rsmp AS MATERIALIZED (
+          SELECT vec_id, riv FROM resid ORDER BY vec_id)"""
+    )
+    # m residual subspace Lloyd chains + encode + per-probed-cell LUTs
+    for s in range(m):
+        off = s * dsub
+        parts.append(
+            f"""ps{s}_0 AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS code,
+                 list_transform(generate_series(1, {dsub}),
+                                i -> riv[{off} + i]) AS c
+          FROM (SELECT vec_id, riv FROM rsmp ORDER BY vec_id LIMIT {k}))"""
+        )
+        for r in range(1, pq_iter + 1):
+            p = f"ps{s}_{r - 1}"
+            parts.append(
+                f"""pa{s}_{r} AS MATERIALIZED (
+          SELECT vec_id, code FROM (
+            SELECT vec_id, code,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, code) AS rk
+            FROM (SELECT rsmp.vec_id, {p}.code,
+                         {d2(f"rsmp.riv[{off} + i]", p, dsub)} AS d2
+                  FROM rsmp CROSS JOIN {p}))
+          WHERE rk = 1),
+        psum{s}_{r} AS MATERIALIZED (
+          SELECT a.code, d.dim,
+                 CAST(sum(rsmp.riv[{off} + d.dim]) AS BIGINT) AS sx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM pa{s}_{r} a JOIN rsmp ON rsmp.vec_id = a.vec_id
+          CROSS JOIN dsubs d GROUP BY 1, 2),
+        ps{s}_{r} AS MATERIALIZED (
+          SELECT p.code,
+                 list(CASE WHEN s.sx IS NULL THEN p.c[d.dim]
+                           ELSE ((2 * s.sx + s.cnt)
+                                 - (((2 * s.sx + s.cnt) % (2 * s.cnt)
+                                     + (2 * s.cnt)) % (2 * s.cnt)))
+                                // (2 * s.cnt)
+                      END ORDER BY d.dim) AS c
+          FROM {p} p CROSS JOIN dsubs d
+          LEFT JOIN psum{s}_{r} s ON s.code = p.code AND s.dim = d.dim
+          GROUP BY p.code)"""
+            )
+        last = f"ps{s}_{pq_iter}"
+        parts.append(
+            f"""penc{s} AS MATERIALIZED (
+          SELECT vec_id, code FROM (
+            SELECT vec_id, code,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, code) AS rk
+            FROM (SELECT resid.vec_id, {last}.code,
+                         {d2(f"resid.riv[{off} + i]", last, dsub)} AS d2
+                  FROM resid CROSS JOIN {last}))
+          WHERE rk = 1)"""
+        )
+    parts.append(
+        f"""probed AS MATERIALIZED (
+          SELECT cell, c FROM (
+            SELECT pc.cell, cc.c,
+                   row_number() OVER (ORDER BY {d2("qv.qiv[i]", "cc", dim)},
+                                      pc.cell) AS rk
+            FROM (SELECT DISTINCT cell FROM cellof) pc
+            JOIN {cfin} cc ON cc.cell = pc.cell CROSS JOIN qv)
+          WHERE rk <= {n_probe})"""
+    )
+    for s in range(m):
+        off = s * dsub
+        last = f"ps{s}_{pq_iter}"
+        parts.append(
+            f"""plut{s} AS MATERIALIZED (
+          SELECT p.cell, cw.code,
+                 CAST(list_sum(list_transform(generate_series(1, {dsub}),
+                      i -> ((qv.qiv[{off} + i] - p.c[{off} + i]) - cw.c[i])
+                           * ((qv.qiv[{off} + i] - p.c[{off} + i]) - cw.c[i])))
+                      AS BIGINT) AS d
+          FROM probed p CROSS JOIN {last} cw CROSS JOIN qv)"""
+        )
+    joins = "FROM cellof v JOIN probed pb ON pb.cell = v.cell " + " ".join(
+        f"JOIN penc{s} e{s} ON e{s}.vec_id = v.vec_id "
+        f"JOIN plut{s} l{s} ON l{s}.cell = v.cell AND l{s}.code = e{s}.code"
+        for s in range(m)
+    )
+    total = " + ".join(f"l{s}.d" for s in range(m))
+    return (
+        "WITH prep AS (SELECT vec_id, list_transform(embedding::DOUBLE[],"
+        " x -> CAST(round(x * 1000000) AS BIGINT)) AS iv FROM embeddings),\n"
+        "        n AS MATERIALIZED (SELECT vec_id, iv FROM prep),\n        "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT v.vec_id, CAST(v.cell AS INTEGER) AS cell,
+               round(CAST(({total}) AS DOUBLE) / 1000000000000.0, 6)
+                 AS adc_dist
+        {joins}
+        ORDER BY CAST(({total}) AS DOUBLE) / 1000000000000.0 ASC, v.vec_id
+        LIMIT {top_k}"""
+    )
+
+
+@query(
+    "ivfpq_ann_topk", oracle=_ivfpq_oracle(), tags=("similarity", "ann", "bench")
+)
 def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ ANN (operators/pq.py ivfpq_search): coarse k-means cells
     prune the scan to ~n_probe/n_cells of the corpus, residual PQ codes
     score it compressed -- the FAISS IndexIVFPQ composition on Spark.
-    Top-10 for the lowest vec_id's embedding. Iterative -> rows-only;
-    recall and pruning pinned in tests/test_pq.py."""
+    Top-10 for the lowest vec_id's embedding. FULL oracle since r9
+    (_ivfpq_oracle): with the coarse fit, residuals, subspace
+    codebooks, probe ranking and ADC sums all exact-integer, the whole
+    two-level approximate index unrolls into ~270 materialized DuckDB
+    CTEs and hash-verifies end to end. Recall and pruning stay pinned
+    in tests/test_pq.py."""
     from taxi_data_pipeline_pset2_spark.operators.pq import ivfpq_search
 
     emb = t(spark, sf_dir, "embeddings")

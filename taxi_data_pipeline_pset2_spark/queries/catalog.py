@@ -165,16 +165,16 @@ def query(
 # CASE chain, each gate re-stated with its standalone oracle's proven
 # fragment); phonetic_matches (soundex re-implemented in DuckDB list
 # ops, vector-battery-pinned against F.soundex incl. the H/W rule).
-# The 5 entries still rows-only all have a genuine blocker: zlib
+# The 4 entries still rows-only all have a genuine blocker: zlib
 # (compression_ratio_docs), Spark-internal HLL/KLL sketches
-# (approx_event_profile, sketch_rollup_daily_users), the float PCA
-# eigendecomposition (semdedup_survivors), and IVFPQ's float
-# residual/cell-ranking stages (ivfpq_ann_topk). r9 cleared FOUR:
+# (approx_event_profile, sketch_rollup_daily_users), and the float PCA
+# eigendecomposition (semdedup_survivors). r9 cleared FIVE:
 # ann_brp_lsh (seeded MLlib RNG replaced by deterministic md5
 # projections), packing_assignments (BFD unrolled into an ordered
-# recursive CTE), kmeans_clusters (exact-integer Lloyd's), and
-# pq_ann_topk (exact-integer driver _lloyd -> the whole
-# train/encode/ADC pipeline unrolled, ~250 materialized CTEs).
+# recursive CTE), kmeans_clusters (exact-integer Lloyd's), pq_ann_topk
+# (exact-integer driver _lloyd -> the whole train/encode/ADC pipeline
+# unrolled, ~250 materialized CTEs), and ivfpq_ann_topk (exact integer
+# coarse fit + residuals + probe ranking -> ~270 CTEs).
 #
 # r8 rotation (EXECUTED, per VERDICT r7 item #1): minimum anchors =
 # the six golden taxi queries + integrity_checks; the other 43 slots
@@ -291,7 +291,6 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "approx_event_profile",
     "sketch_rollup_daily_users",
     "semdedup_survivors",
-    "ivfpq_ann_topk",
 )
 MAX_DRIVER_QUERIES = 50
 
