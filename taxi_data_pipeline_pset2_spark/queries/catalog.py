@@ -165,16 +165,17 @@ def query(
 # CASE chain, each gate re-stated with its standalone oracle's proven
 # fragment); phonetic_matches (soundex re-implemented in DuckDB list
 # ops, vector-battery-pinned against F.soundex incl. the H/W rule).
-# The 4 entries still rows-only all have a genuine blocker: zlib
-# (compression_ratio_docs), Spark-internal HLL/KLL sketches
-# (approx_event_profile, sketch_rollup_daily_users), and the float PCA
-# eigendecomposition (semdedup_survivors). r9 cleared FIVE:
-# ann_brp_lsh (seeded MLlib RNG replaced by deterministic md5
-# projections), packing_assignments (BFD unrolled into an ordered
+# The 3 entries still rows-only all have a genuine blocker: zlib
+# bytes (compression_ratio_docs) and Spark-internal HLL/KLL sketch
+# registers (approx_event_profile, sketch_rollup_daily_users). r9
+# cleared SIX: ann_brp_lsh (seeded MLlib RNG replaced by deterministic
+# md5 projections), packing_assignments (BFD unrolled into an ordered
 # recursive CTE), kmeans_clusters (exact-integer Lloyd's), pq_ann_topk
 # (exact-integer driver _lloyd -> the whole train/encode/ADC pipeline
-# unrolled, ~250 materialized CTEs), and ivfpq_ann_topk (exact integer
-# coarse fit + residuals + probe ranking -> ~270 CTEs).
+# unrolled, ~250 materialized CTEs), ivfpq_ann_topk (exact integer
+# coarse fit + residuals + probe ranking -> ~270 CTEs), and
+# semdedup_survivors (exact kmeans chain + exact cosines +
+# recursive-CTE closure + the 6-dp-dist survivor policy).
 #
 # r8 rotation (EXECUTED, per VERDICT r7 item #1): minimum anchors =
 # the six golden taxi queries + integrity_checks; the other 43 slots
@@ -290,7 +291,6 @@ _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
     "approx_event_profile",
     "sketch_rollup_daily_users",
-    "semdedup_survivors",
 )
 MAX_DRIVER_QUERIES = 50
 

@@ -443,18 +443,89 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(neighbors, emb, k=5)
 
 
-@query("semdedup_survivors", oracle=None, tags=("dedup", "similarity"))
+def _semdedup_oracle(k: int = 8, n_iter: int = 4, threshold: float = 0.95) -> str:
+    """DuckDB twin of the whole SemDeDup pipeline, possible since the
+    r9 exact-integer k-means: the unrolled Lloyd chain (reused verbatim
+    from similarity._kmeans_oracle as a derived table -- its inner WITH
+    shadows this one's) supplies (vec_id, cluster, dist); in-cluster
+    pairs filter on the exact int-scaled 6-dp cosine; the duplicate
+    components close with a recursive CTE (the dedup_components
+    pattern); and the survivor ranking replays the farthest-from-
+    centroid / lowest-id policy on the shared 6-dp dist. Output =
+    surviving (vec_id, label) rows."""
+    from taxi_data_pipeline_pset2_spark.queries.similarity import (
+        _kmeans_oracle,
+    )
+
+    kmeans_sql = _kmeans_oracle(k=k, n_iter=n_iter)
+    cos = (
+        "ROUND(CAST(list_sum(list_transform(generate_series(1, 64),"
+        " i -> a.iv[i] * b.iv[i])) AS DOUBLE)"
+        " / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE
+    prep AS (SELECT vec_id, label,
+                    list_transform(embedding::DOUBLE[],
+                                   x -> CAST(round(x * 1000000) AS BIGINT)) AS iv
+             FROM embeddings),
+    n AS (SELECT vec_id, label, iv,
+                 CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS norm2
+          FROM prep),
+    assign AS MATERIALIZED (SELECT * FROM ({kmeans_sql})),
+    cands AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+    pairs AS MATERIALIZED (
+        SELECT c.id_a, c.id_b
+        FROM cands c JOIN n a ON a.vec_id = c.id_a
+        JOIN n b ON b.vec_id = c.id_b
+        WHERE {cos} >= {threshold}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+              WHERE s.v <> r.u),
+    comp AS (SELECT u AS node, least(u, min(v)) AS component
+             FROM reach GROUP BY u),
+    ranked AS (
+        SELECT comp.node,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY asg.dist DESC, comp.node ASC) AS rk
+        FROM comp JOIN assign asg ON asg.vec_id = comp.node),
+    losers AS (SELECT node FROM ranked WHERE rk > 1)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM losers)
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "semdedup_survivors",
+    oracle=_semdedup_oracle(threshold=0.4),
+    tags=("dedup", "similarity"),
+)
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/semdedup.py): k-means clusters -> in-cluster
     cosine pairs -> farthest-from-centroid survivor per component.
-    Iterative (Lloyd rounds) -> no SQL oracle; planted-dup collapse and
-    keep-policy pinned in tests/test_semdedup.py."""
+    FULL oracle since r9 (_semdedup_oracle): exact-integer Lloyd chain
+    + exact 6-dp cosines + recursive-CTE component closure + the same
+    6-dp-dist survivor policy -- the last 'iterative, no SQL twin'
+    claim in the dedup family is gone. Threshold 0.4 here, NOT the
+    operator's usual ~0.95: the synthetic corpus has no 0.95-cosine
+    pairs, so 0.4 (the established near-dup operating point, cf.
+    dedup_embedding_cosine) is what makes the component closure and
+    survivor ranking actually fire on this data rather than pass every
+    row through. Planted-dup collapse and keep-policy at high
+    thresholds stay pinned in tests/test_semdedup.py."""
     from taxi_data_pipeline_pset2_spark.operators.semdedup import semantic_dedup
 
     emb = t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=8, n_iter=4, threshold=0.95).select(
+    return semantic_dedup(emb, k=8, n_iter=4, threshold=0.4).select(
         "vec_id", "label"
-    )
+    ).orderBy("vec_id")
 
 
 def _packing_oracle(budget: int = 64) -> str:
