@@ -206,15 +206,17 @@ def query(
 # rows and fill with (1) the remaining r8 upgrades (isotonic_calibration,
 # mmr_rerank_topk, brand_communities, part_kcore), (2) the r9 upgrades
 # and additions (ann_brp_lsh, packing_assignments, kmeans_clusters,
-# kmeans_centroids, brp_recall_audit, kmv_rollup_weekly_users), (3)
-# the r1-r4-era rows whose driver records predate the kept
+# kmeans_centroids, brp_recall_audit, kmv_rollup_weekly_users,
+# pq_ann_topk, ivfpq_ann_topk, semdedup_survivors -- the last three
+# being this round's late oracle upgrades of the approximate indexes),
+# (3) the r1-r4-era rows whose driver records predate the kept
 # CORRECTNESS_r05+ files (values_dim, string_functions,
 # datetime_functions, hash_surrogate_ids, dim_with_default_member,
 # distinct_segments, rolling_avg_value, load_manifest_months,
 # recent_clicks_before_error, text_quality, lang_id,
-# token_fingerprints, multimodal_metadata) -- 23 swaps, after which
+# token_fingerprints, multimodal_metadata) -- 26 swaps, after which
 # EVERY oracled entry has a driver row in the kept record window --
-# then (4) the remaining ~20 slots re-prove the oldest r5-proven rows,
+# then (4) the remaining ~17 slots re-prove the oldest r5-proven rows,
 # oldest round first, starting the freshness second pass.
 _WINDOW: tuple[str, ...] = (
     # -- minimum anchors (7) --
