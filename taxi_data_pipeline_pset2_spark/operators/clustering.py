@@ -44,8 +44,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# int64 headroom guard: with |iv| < 2^25 (raw values < ~33.5 after the
-# 1e-6 quantization) a 4096-dim dot product stays under 2^62.
+# int64 headroom guard: |iv| < 2^25 (raw values < ~33.5 after the 1e-6
+# quantization) bounds each squared-difference term by (2*2^25)^2 =
+# 2^52, so ||x-c||^2 <= D * 2^52 stays under 2^63 only up to D = 2048
+# -- the dimension-aware check lives INSIDE _exact_d2 (ADVICE r9: the
+# magnitude cap alone is NOT safe at 4096 dims).
 _MAX_ABS_IV = 1 << 25
 
 
@@ -89,10 +92,17 @@ def kmeans_fit_assign(
         out_schema = f"{id_col} long, cluster int, dist double"
 
         def _exact_d2(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
-            if np.abs(X).max(initial=0) >= _MAX_ABS_IV:
+            # dimension-aware overflow bound (python-int arithmetic, so
+            # the check itself cannot wrap): ||x-c||^2 <= D*(2*max_abs)^2
+            # must fit int64 -- the magnitude cap alone only covers
+            # D <= 2048 (ADVICE r9)
+            mx = int(
+                max(np.abs(X).max(initial=0), np.abs(C).max(initial=0))
+            )
+            if mx >= _MAX_ABS_IV or X.shape[1] * (2 * mx) ** 2 >= 1 << 63:
                 raise ValueError(
-                    f"quantized component magnitude >= {_MAX_ABS_IV}: "
-                    "int64 distance arithmetic would overflow"
+                    f"quantized magnitudes (max {mx}) too large for exact "
+                    f"int64 distance arithmetic at dim {X.shape[1]}"
                 )
             # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all exact int64
             return (

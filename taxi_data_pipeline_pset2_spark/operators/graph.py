@@ -492,7 +492,9 @@ def kcore(
     parallel edges collapse (simple-graph coreness). All-integer and
     idempotent at the unique fixpoint, so despite being iterative it
     carries a full unrolled-CTE DuckDB twin (queries/analytics.py
-    _kcore_oracle, KCORE_ORACLE_ROUNDS=64); peeling-reference equality
+    _kcore_oracle, unrolled to KCORE_ORACLE_ROUNDS -- see the constant
+    there for the convergence-headroom argument); peeling-reference
+    equality
     in tests/test_graph.py. ``shuffle_partitions``: see
     _shuffle_override (the small-graph execution knob shared with
     pagerank/LPA; never a semantics knob)."""

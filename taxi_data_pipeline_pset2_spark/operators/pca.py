@@ -67,7 +67,10 @@ def _moments(emb: DataFrame, vec_col: str) -> DataFrame:
     opaque numpy shape/object-dtype error (fit_pca re-surfaces it
     driver-side). Dimension agreement ACROSS partitions is checked on
     the collected partials."""
-    from taxi_data_pipeline_pset2_spark.operators.similarity import SCALE
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        SCALE,
+        _grid_int64,
+    )
 
     schema = "n long, s array<string>, ss array<string>"
     # flush a partial before its |ss| entries could cross this; the
@@ -105,9 +108,11 @@ def _moments(emb: DataFrame, vec_col: str) -> DataFrame:
                 raise ValueError(
                     f"{vec_col} dimensions vary within a partition"
                 )
-            X = np.round(
-                np.array(list(col), dtype=np.float64) * SCALE
-            ).astype(np.int64)
+            # _grid_int64, not np.round: the moments must sit on the
+            # SAME grid integers as every other quantizer (Spark
+            # int_embedding / DuckDB round(x*1e6) are HALF_UP;
+            # np.round is half-to-even -- ADVICE r9)
+            X = _grid_int64(np.array(list(col), dtype=np.float64))
             # overflow guard: flush the running partial if adding this
             # batch could push any |ss| entry past the cap (python-int
             # arithmetic on the bound itself, so the check cannot wrap)

@@ -65,12 +65,21 @@ def _lloyd(X: "np.ndarray", k: int, n_iter: int) -> "np.ndarray":
 
 # the repo-standard quantization grid (operators/similarity.py SCALE)
 _SCALE = 1_000_000
-# int64 headroom: |iv| < 2^25 keeps every subspace dot exact
+# int64 headroom: |iv| < 2^25 keeps every subspace (dsub <= 2048) dot
+# and squared distance exact -- dsub * (2 * 2^25)^2 < 2^63
 _MAX_ABS = 1 << 25
 
 
 def _to_grid(X: "np.ndarray") -> "np.ndarray":
-    iv = np.round(np.asarray(X, dtype=np.float64) * _SCALE).astype(np.int64)
+    # _grid_int64, NOT np.round: every quantizer in the repo (Spark
+    # int_embedding, the DuckDB oracles' round(x * 1e6), this kernel)
+    # must share HALF_UP tie-breaking -- np.round's half-to-even would
+    # disagree on exact .5 products (ADVICE r9)
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _grid_int64,
+    )
+
+    iv = _grid_int64(np.asarray(X, dtype=np.float64))
     if iv.size and np.abs(iv).max() >= _MAX_ABS:
         raise ValueError(
             "component magnitudes too large for exact int64 PQ arithmetic"

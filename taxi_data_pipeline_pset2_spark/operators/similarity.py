@@ -409,6 +409,41 @@ def _round_half_up_6(raw):
     return out
 
 
+def _grid_int64(raw):
+    """round(x * SCALE) -> exact int64 grid values with HALF_UP
+    (ties away from zero) -- the ONE quantizer every numpy kernel must
+    use, so it lands on the identical integers as Spark's
+    ``int_embedding`` (F.round = BigDecimal HALF_UP) and the oracles'
+    DuckDB ``round(x * 1e6)``. ``np.round`` is banker's rounding
+    (half-to-even): a component whose IEEE product x*SCALE is exactly a
+    .5 boundary would quantize differently per engine (ADVICE r9).
+
+    Fast path ``sign(y) * floor(|y| + 0.5)``; elements whose product
+    sits within float tolerance of a .5 boundary re-round through
+    ``decimal`` on the exact binary expansion of the product -- integer
+    boundaries k + 0.5 are exactly representable in float64 up to
+    2^51, so exact-expansion HALF_UP equals both engines' rule (the
+    shortest-repr subtlety only afflicts fractional grains)."""
+    import decimal
+
+    import numpy as np
+
+    y = np.asarray(raw, dtype=np.float64) * float(SCALE)
+    ay = np.abs(y)
+    out = np.sign(y) * np.floor(ay + 0.5)
+    frac = ay - np.floor(ay)
+    suspect = np.abs(frac - 0.5) < 1e-6
+    if suspect.any():
+        flat_y, flat_out = y.ravel(), out.ravel()
+        for i in np.flatnonzero(suspect.ravel()):
+            flat_out[i] = float(
+                decimal.Decimal(float(flat_y[i])).to_integral_value(
+                    rounding=decimal.ROUND_HALF_UP
+                )
+            )
+    return out.astype(np.int64)
+
+
 def verify_cosine_pairs(
     emb: DataFrame,
     cands: DataFrame,

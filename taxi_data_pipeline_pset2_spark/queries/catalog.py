@@ -201,23 +201,48 @@ def query(
 # monthly_trend additionally stays smoke-checked every round via
 # entry().
 #
-# r10 rotation EXECUTION ORDER (once CORRECTNESS_r09 proves the
-# current window): keep the same 7 anchors; swap out the 43 r9-proven
-# rows and fill with (1) the remaining r8 upgrades (isotonic_calibration,
-# mmr_rerank_topk, brand_communities, part_kcore), (2) the r9 upgrades
-# and additions (ann_brp_lsh, packing_assignments, kmeans_clusters,
-# kmeans_centroids, brp_recall_audit, kmv_rollup_weekly_users,
-# pq_ann_topk, ivfpq_ann_topk, semdedup_survivors -- the last three
-# being this round's late oracle upgrades of the approximate indexes),
-# (3) the r1-r4-era rows whose driver records predate the kept
-# CORRECTNESS_r05+ files (values_dim, string_functions,
-# datetime_functions, hash_surrogate_ids, dim_with_default_member,
-# distinct_segments, rolling_avg_value, load_manifest_months,
-# recent_clicks_before_error, text_quality, lang_id,
-# token_fingerprints, multimodal_metadata) -- 26 swaps, after which
-# EVERY oracled entry has a driver row in the kept record window --
-# then (4) the remaining ~17 slots re-prove the oldest r5-proven rows,
-# oldest round first, starting the freshness second pass.
+# r10 rotation (EXECUTED, per VERDICT r9 item #1): same 7 anchors; the
+# 43 r9-proven rows yield their slots to (1) the three giant-oracle
+# upgrades FIRST (pq_ann_topk ~250 CTEs, ivfpq_ann_topk ~270 CTEs,
+# semdedup_survivors -- early in the window per the judge's note:
+# driver-side DuckDB planner/memory behavior was the one untested
+# variable, so they were additionally pre-flighted in a fresh default-
+# memory process at sf0.01 incl. the hostile-TZ variant before this
+# window was committed), (2) the remaining r8 upgrades
+# (isotonic_calibration, mmr_rerank_topk, brand_communities,
+# part_kcore), (3) the remaining r9 upgrades/additions (ann_brp_lsh,
+# packing_assignments, kmeans_clusters, kmeans_centroids,
+# brp_recall_audit, kmv_rollup_weekly_users), (4) the 13 r1-r4-era rows
+# whose driver records predate the kept CORRECTNESS_r05+ files
+# (values_dim ... multimodal_metadata) -- 26 swaps, after which EVERY
+# oracled entry has a driver row in the kept record window -- and
+# (5) the 17 second-pass freshness slots, oldest round first: all 14
+# rows whose latest driver record is r5 (price_band_totals ...
+# case_flags, in r5 record order) + the first 3 of the r6-only list
+# (tfidf_vectors, multimodal_frame_sample, semantic_decontamination).
+#
+# r11 rotation EXECUTION ORDER (once CORRECTNESS_r10 proves the current
+# window): keep the same 7 anchors; the 43 r10-proven rows yield their
+# slots to the freshness second pass, oldest driver record first --
+# (1) the 10 remaining r6-only rows (zscore_price_outliers,
+# sentiment_scores, quantile_binned_prices, knn_bruteforce_vectorized,
+# dedup_exact, dedup_ngram_jaccard, dedup_embedding_cosine,
+# scd2_as_of_snapshot, event_transitions, weighted_sample_topn, in r6
+# record order), then (2) the first 33 of the r7-only list in its r7
+# record order (term_document_frequency, boolean_and_search,
+# multimodal_resize, phrase_search_hits, hourly_value_locf,
+# dedup_components, session_maintenance_overlap, hampel_value_outliers,
+# lang_distribution_psi, vocab_top_tokens, docs_profile,
+# rollup_grouping_sets, set_ops_customers, supplier_balance_by_region,
+# knn_ivf_label, funnel_conversion_windowed, status_priority_association,
+# price_trend_by_priority, dedup_minhash_lsh, weighted_median_tokens,
+# dedup_embedding_lsh, snapshot_diff_orders, dsir_topk_selection,
+# rollup_changelog_maintenance, scd2_incremental_apply,
+# quality_rank_blend, decontamination_scores, pivot_category_totals,
+# heavy_hitters_brand, quality_mass_selection, fuzzy_blocked_matches,
+# unigram_doc_logprob, duplicated_spans_docs); r12 continues with the
+# remaining 10 r7-only rows (chunk_documents_tokens ... ranked_in_group)
+# then the oldest r8-only rows.
 _WINDOW: tuple[str, ...] = (
     # -- minimum anchors (7) --
     "demand_by_zone",
@@ -227,68 +252,70 @@ _WINDOW: tuple[str, ...] = (
     "value_by_daypart",
     "demand_grid",
     "integrity_checks",
-    # -- mid-r7 leftover (1) --
-    "props_payload_stats",
-    # -- late-r7 candidates (39), written order --
-    "part_triangle_stats",
-    "spearman_qty_price",
-    "acf_daily_orders",
-    "seasonal_daily_orders",
-    "user_event_coverage",
-    "pareto_parts_price_size",
-    "brand_item_neighbors",
-    "theilsen_monthly_revenue",
-    "user_interarrival_stats",
-    "customers_near_suppliers",
-    "ivm_join_view_maintenance",
-    "brand_target_encoding",
-    "user_key_skew",
-    "rolling_7day_users",
-    "multimodal_png_dims",
-    "funnel_step_timings",
-    "inferred_dim_members",
-    "cms_join_size_estimate",
-    "kmv_customer_overlap",
-    "ks_price_by_urgency",
-    "seasonal_outlier_days",
-    "k_anonymity_audit",
-    "pseudonymized_customers",
-    "orders_table_checksum",
-    "hashed_doc_features",
-    "modal_priority_by_status",
-    "user_value_twap",
-    "part_graph_assortativity",
-    "cohort_ltv_curves",
-    "hourly_value_interpolated",
-    "order_sequence_gaps",
-    "seasonal_naive_pinball",
-    "embedding_quantization_audit",
-    "cross_source_dup_matrix",
-    "variant_assignment_srm",
-    "ctr_ratio_delta",
-    "lineitem_storage_report",
-    "aov_mix_decomposition",
-    "lsh_recall_audit",
-    # -- first 3 of the r8 additions/upgrades --
-    "lsh_tuned_recall_audit",
-    "scalable_rank_positions",
-    "pagerank_supplier_customer",
+    # -- giant-oracle upgrades, early on purpose (3) --
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "semdedup_survivors",
+    # -- remaining r8 upgrades (4) --
+    "isotonic_calibration",
+    "mmr_rerank_topk",
+    "brand_communities",
+    "part_kcore",
+    # -- remaining r9 upgrades/additions (6) --
+    "ann_brp_lsh",
+    "packing_assignments",
+    "kmeans_clusters",
+    "kmeans_centroids",
+    "brp_recall_audit",
+    "kmv_rollup_weekly_users",
+    # -- r1-r4-era re-proofs (13) --
+    "values_dim",
+    "string_functions",
+    "datetime_functions",
+    "hash_surrogate_ids",
+    "dim_with_default_member",
+    "distinct_segments",
+    "rolling_avg_value",
+    "load_manifest_months",
+    "recent_clicks_before_error",
+    "text_quality",
+    "lang_id",
+    "token_fingerprints",
+    "multimodal_metadata",
+    # -- freshness second pass: the 14 r5-only rows, r5 record order --
+    "price_band_totals",
+    "mixture_exact_sample",
+    "dedup_simhash",
+    "gopher_quality_flags",
+    "winsorized_price_stats",
+    "per_group_sample_rows",
+    "funnel_conversion",
+    "unpivot_wide_metrics",
+    "hash_split_counts",
+    "scd2_history",
+    "session_counts",
+    "rollup_revenue",
+    "trip_duration_metrics",
+    "case_flags",
+    # -- freshness second pass: first 3 of the r6-only list --
+    "tfidf_vectors",
+    "multimodal_frame_sample",
+    "semantic_decontamination",
 )
 # Rows-only entries kept at the very end of the registry (their driver
-# row would add nothing over the local pytest replay). THREE left this
-# list in r9: ann_brp_lsh (VERDICT r8 item #8: seeded MLlib RNG
-# replaced by deterministic md5 projections + integer bucket/verify
-# arithmetic), packing_assignments (item #8: the sequential BFD
-# placement unrolled into an ordered recursive CTE over an
-# encoded-bigint open-bin list), and kmeans_clusters (beyond the
-# brief: the engine moved to EXACT-INTEGER Lloyd's -- grid-quantized
-# centroids via integer round_half_up(S/n) -- which dissolves the
-# float-argmin blocker entirely; unrolled 5-round CTE twin). All three
-# now carry full oracles (r10 rotation candidates). The 6 that remain:
-# zlib (compression_ratio_docs), Spark-internal HLL/KLL sketches
-# (approx_event_profile, sketch_rollup_daily_users), and float
-# PCA/LUT stages upstream of the now-exact k-means
-# (semdedup_survivors, pq_ann_topk, ivfpq_ann_topk).
+# row would add nothing over the local pytest replay). r9 cleared SIX
+# from this list: ann_brp_lsh (seeded MLlib RNG replaced by
+# deterministic md5 projections + integer bucket/verify arithmetic),
+# packing_assignments (BFD unrolled into an ordered recursive CTE over
+# an encoded-bigint open-bin list), kmeans_clusters (EXACT-INTEGER
+# Lloyd's dissolved the float-argmin blocker), and -- late-round --
+# pq_ann_topk / ivfpq_ann_topk (the exact-integer driver _lloyd let the
+# whole train/encode/ADC pipeline unroll, ~250/~270 materialized CTEs)
+# and semdedup_survivors (exact k-means chain + exact 6-dp cosines +
+# recursive-CTE closure). The THREE that remain each have a genuinely
+# immovable blocker: zlib bytes (compression_ratio_docs) and
+# Spark-internal HLL/KLL sketch registers (approx_event_profile,
+# sketch_rollup_daily_users).
 _ROWS_ONLY_TAIL: tuple[str, ...] = (
     "compression_ratio_docs",
     "approx_event_profile",

@@ -73,12 +73,22 @@ def _state_dir(base: str, batch_id: int) -> str:
 def read_kmv_state(
     spark: SparkSession, state_base: str, batch_id: int
 ) -> DataFrame:
-    """The (key, h) sketch as of ``batch_id`` (empty frame for -1)."""
-    path = _state_dir(state_base, batch_id)
-    try:
-        return spark.read.schema(_STATE_SCHEMA).parquet(path)
-    except Exception:  # noqa: BLE001 - first batch: no predecessor state
+    """The (key, h) sketch as of ``batch_id``. Only ``batch_id < 0``
+    (batch 0's no-predecessor sentinel) maps to the empty sketch; for a
+    real batch id the state directory MUST exist and read errors
+    propagate -- swallowing a transient IO error or a cleaned state dir
+    here would silently reset the sketch and permanently undercount
+    every later estimate, breaking the exact/replay-idempotent contract
+    (ADVICE r9)."""
+    if batch_id < 0:
         return spark.createDataFrame([], _STATE_SCHEMA)
+    path = _state_dir(state_base, batch_id)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"KMV state for batch {batch_id} missing at {path}: "
+            "refusing to substitute an empty sketch for lost state"
+        )
+    return spark.read.schema(_STATE_SCHEMA).parquet(path)
 
 
 def read_kmv_estimates(

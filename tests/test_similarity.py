@@ -176,6 +176,38 @@ def test_round_half_up_6_pins_tie_boundaries():
     assert np.array_equal(got, want)
 
 
+def test_grid_int64_matches_spark_and_duckdb_on_ties(spark):
+    """ADVICE r9: every numpy quantizer must share HALF_UP tie-breaking
+    with Spark's int_embedding (F.round) and the oracles' DuckDB
+    round(x * 1e6). np.round is half-to-even: 2.5e-6 * 1e6 = 2.5 exactly
+    would quantize to 2 under np.round but 3 everywhere else -- the
+    tri-engine agreement this pins."""
+    import duckdb
+    import numpy as np
+
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _grid_int64,
+        int_embedding,
+    )
+
+    vals = [2.5e-6, -2.5e-6, 3.5e-6, 1.5e-6, -4.5e-6, 0.1234565, 1.0, 0.0]
+    got = _grid_int64(np.array(vals)).tolist()
+    # np.round really would disagree on the even+.5 products
+    assert int(np.round(2.5e-6 * 1e6)) == 2 and got[0] == 3
+    spark_iv = (
+        spark.createDataFrame([(vals,)], "v array<double>")
+        .select(int_embedding(F.col("v")).alias("iv"))
+        .collect()[0]["iv"]
+    )
+    assert got == list(spark_iv)
+    duck_iv = duckdb.sql(
+        "SELECT list_transform(?::DOUBLE[], "
+        "x -> CAST(round(x * 1000000) AS BIGINT))",
+        params=[vals],
+    ).fetchone()[0]
+    assert got == list(duck_iv)
+
+
 def test_mine_hard_negatives_excludes_dups_before_ranking(spark):
     import numpy as np
 

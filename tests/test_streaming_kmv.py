@@ -58,6 +58,17 @@ def _batches():
     ]
 
 
+def test_missing_state_raises_instead_of_resetting(spark, tmp_path):
+    """ADVICE r9: only batch_id < 0 (batch 0's no-predecessor sentinel)
+    may map to the empty sketch. A missing state dir for a real batch id
+    is lost state -- silently substituting an empty sketch would
+    permanently undercount every later estimate."""
+    base = str(tmp_path / "state")
+    assert read_kmv_state(spark, base, -1).count() == 0
+    with pytest.raises(FileNotFoundError, match="batch 3"):
+        read_kmv_state(spark, base, 3)
+
+
 def test_merge_validation(spark):
     empty = spark.createDataFrame([], "key string, h bigint")
     with pytest.raises(ValueError, match="k must be"):
