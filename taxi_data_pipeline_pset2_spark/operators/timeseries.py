@@ -225,6 +225,10 @@ def ewma(
         raise ValueError("alpha must be in (0, 1]")
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _round_half_up_6,
+    )
+
     order_cols = [ts_col, *(tie_cols or [])]
     # a fresh StructType: .add() would mutate the DataFrame's cached
     # schema object and desync it from the JVM plan
@@ -240,7 +244,12 @@ def ewma(
         for i, x in enumerate(vals):
             prev = x if i == 0 else alpha * x + (1.0 - alpha) * prev
             out[i] = prev
-        pdf[out_col] = np.round(out, 6)
+        # the shared HALF_UP rounder, not np.round: the DuckDB oracle's
+        # round(e, 6) is ties-away-from-zero; np.round's half-to-even
+        # would diverge on a .5-millionth boundary (the same latent
+        # class as the ADVICE r9 quantizer finding). The streaming twin
+        # (streaming/smoothing.py) rounds identically.
+        pdf[out_col] = _round_half_up_6(out)
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(run, schema=schema_out)

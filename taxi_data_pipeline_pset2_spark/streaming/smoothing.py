@@ -56,7 +56,9 @@ def streaming_ewma(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (k,) = key
-        import numpy as np
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            _round_half_up_6,
+        )
 
         rows = pd.concat(list(pdfs)).sort_values([ts_col, tie_col])
         prev = state.get[0] if state.exists else None
@@ -64,9 +66,10 @@ def streaming_ewma(
         for v in rows[value_col]:
             prev = float(v) if prev is None else alpha * float(v) + (1.0 - alpha) * prev
             raw.append(prev)
-        # np.round, not builtin round: the batch kernel rounds with
-        # np.round and the two can differ on edge values
-        out = np.round(np.array(raw, dtype=np.float64), 6).tolist()
+        # the shared HALF_UP rounder, matching the batch kernel
+        # (operators/timeseries.py ewma) bit-for-bit -- the stream ==
+        # batch contract is pinned in tests/test_streaming_smoothing.py
+        out = _round_half_up_6(raw).tolist()
         state.update((float(prev),))
         yield pd.DataFrame(
             {

@@ -114,9 +114,11 @@ def test_locf_agg_modes(spark):
 
 
 def test_ewma_matches_pandas_and_is_partition_independent(spark):
-    import numpy as np
     import pandas as pd
 
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _round_half_up_6,
+    )
     from taxi_data_pipeline_pset2_spark.operators.timeseries import ewma
 
     rows = [
@@ -140,7 +142,7 @@ def test_ewma_matches_pandas_and_is_partition_independent(spark):
             alpha=0.3, adjust=False
         ).mean()
         for eid, want in zip(g.sort_values(["ts", "event_id"])["event_id"], ref):
-            assert got[eid] == np.round(want, 6), eid
+            assert got[eid] == _round_half_up_6([want])[0], eid
     # bit-identical under any input partitioning
     got2 = {
         r.event_id: r.ewma
