@@ -41,6 +41,9 @@ from taxi_data_pipeline_pset2_spark.operators.dedup import (
     stable_hash64,
     tokenize,
 )
+from taxi_data_pipeline_pset2_spark.operators.similarity import (
+    round_half_up_int,
+)
 
 LOGP_SCALE = 1_000_000
 DEFAULT_BUCKETS = 1024
@@ -98,7 +101,7 @@ def bucket_model(
         .cast("bigint")
         .alias("logp_m"),
     )
-    floor_m = round(math.log(1.0 / denom) * LOGP_SCALE)
+    floor_m = round_half_up_int(math.log(1.0 / denom) * LOGP_SCALE)
     return model, floor_m
 
 
@@ -138,7 +141,7 @@ def dsir_logratio(
             .cast("bigint")
             .alias("logp_m"),
         )
-        floor_s = round(math.log(1.0 / denom) * LOGP_SCALE)
+        floor_s = round_half_up_int(math.log(1.0 / denom) * LOGP_SCALE)
     else:
         p_s, floor_s = bucket_model(source, text_col, n_buckets)
     joined = feats.join(

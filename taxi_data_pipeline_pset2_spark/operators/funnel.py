@@ -93,8 +93,19 @@ def funnel_summary(
             for i in range(n_steps)
         ]
     ).collect()[0]
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _round_half_up_6,
+    )
+
+    # HALF_UP like the oracle's round(), not builtin banker's rounding
     rows = [
-        (i, int(counts[f"s{i}"] or 0), round((counts[f"s{i}"] or 0) / counts["s0"], 6) if counts["s0"] else None)
+        (
+            i,
+            int(counts[f"s{i}"] or 0),
+            float(_round_half_up_6([(counts[f"s{i}"] or 0) / counts["s0"]])[0])
+            if counts["s0"]
+            else None,
+        )
         for i in range(n_steps)
     ]
     spark = stages.sparkSession

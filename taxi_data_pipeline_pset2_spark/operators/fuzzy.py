@@ -206,8 +206,17 @@ def jaro_winkler_pairs(
 
     @F.pandas_udf("double")
     def jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        # the shared HALF_UP rounder, not builtin round (banker's): the
+        # DuckDB twin recomputes jaro_winkler_similarity and rounds
+        # HALF_UP, so a .5-millionth boundary must break the same way
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            _round_half_up_6,
+        )
+
         return pd.Series(
-            [round(_jaro_winkler_py(a, b), 6) for a, b in zip(sa, sb)]
+            _round_half_up_6(
+                [_jaro_winkler_py(a, b) for a, b in zip(sa, sb)]
+            )
         )
 
     return (

@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
+from taxi_data_pipeline_pset2_spark.operators.similarity import (
+    round_half_up_int,
+)
 
 LOGP_SCALE = 1_000_000
 
@@ -85,7 +88,7 @@ def doc_logprob(
     )
     import math
 
-    floor_m = round(math.log(1.0 / (total + vocab)) * LOGP_SCALE)
+    floor_m = round_half_up_int(math.log(1.0 / (total + vocab)) * LOGP_SCALE)
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
     )
@@ -235,7 +238,7 @@ def bigram_doc_logprob(
     ref = model_docs if model_docs is not None else docs
     uni, total, vocab = unigram_model(ref, text_col)
     denom = float(total + vocab)
-    floor_m = round(math.log(1.0 / denom) * LOGP_SCALE)
+    floor_m = round_half_up_int(math.log(1.0 / denom) * LOGP_SCALE)
 
     big = (
         ref.select(F.explode(_token_pairs(F.col(text_col))).alias("p"))

@@ -38,6 +38,10 @@ def profile_table(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
             F.min(c).cast("string").alias(f"{f.name}__min"),
             F.max(c).cast("string").alias(f"{f.name}__max"),
         ]
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _round_half_up_6,
+    )
+
     row = df.agg(*aggs).collect()[0]
     n = row["_n"]
     out = [
@@ -46,7 +50,12 @@ def profile_table(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
             dtype=f.dataType.simpleString(),
             n_rows=n,
             n_nulls=row[f"{f.name}__nulls"],
-            null_frac=round(row[f"{f.name}__nulls"] / n, 6) if n else 0.0,
+            # HALF_UP like the oracle's round(), not builtin banker's
+            null_frac=float(
+                _round_half_up_6([row[f"{f.name}__nulls"] / n])[0]
+            )
+            if n
+            else 0.0,
             approx_distinct=row[f"{f.name}__ndv"],
             min_value=row[f"{f.name}__min"],
             max_value=row[f"{f.name}__max"],

@@ -444,6 +444,24 @@ def _grid_int64(raw):
     return out.astype(np.int64)
 
 
+def round_half_up_int(y: float) -> int:
+    """HALF_UP a scalar double to the nearest integer -- the Spark
+    F.round / DuckDB round() rule. Python's builtin ``round`` is
+    banker's (round(2.5)=2 vs duckdb round(2.5)=3), so any driver-side
+    integer rounding whose twin an oracle RECOMPUTES in SQL (DSIR/LM
+    floor log-probs, LSH grid lengths) must come through here. Exact:
+    Decimal(float) is the double's exact binary expansion, and integer
+    .5 boundaries are exactly representable in float64 up to 2^51, so
+    exact-expansion HALF_UP equals both engines on doubles."""
+    import decimal
+
+    return int(
+        decimal.Decimal(float(y)).to_integral_value(
+            rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def verify_cosine_pairs(
     emb: DataFrame,
     cands: DataFrame,
@@ -586,7 +604,7 @@ def brp_buckets(
     S = np.array(
         hyperplane_signs(n_tables, dim, salt="brp"), dtype=np.int64
     )  # (T, D)
-    L = int(round(bucket_length * SCALE))
+    L = round_half_up_int(bucket_length * SCALE)
     if L <= 0:
         raise ValueError(f"bucket_length too small: {bucket_length}")
     prep = _prepared(emb, id_col, vec_col)
@@ -628,7 +646,7 @@ def verify_euclidean_pairs(
     import numpy as np
     import pandas as pd
 
-    t2 = int(round(threshold * SCALE)) ** 2
+    t2 = round_half_up_int(threshold * SCALE) ** 2
     prep = _prepared(emb, id_col, vec_col)
     a = prep.select(
         F.col(id_col).alias("id_a"), F.col("iv").alias("iv_a"), F.col("norm2").alias("n2_a")

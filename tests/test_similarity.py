@@ -208,6 +208,25 @@ def test_grid_int64_matches_spark_and_duckdb_on_ties(spark):
     assert got == list(duck_iv)
 
 
+def test_round_half_up_int_matches_duckdb():
+    """Scalar integer rounding for driver-side constants an oracle
+    recomputes in SQL (DSIR/LM floors, LSH grid lengths): must follow
+    DuckDB round()'s HALF_UP, not python's banker's round. Includes the
+    largest-double-below-0.5 case that a naive floor(x + 0.5) gets
+    wrong (x + 0.5 rounds UP to 1.0 in float64)."""
+    import duckdb
+
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        round_half_up_int,
+    )
+
+    vals = [2.5, -2.5, 3.5, 0.49999999999999994, -0.5, 1e15 + 0.5, 0.0]
+    for v in vals:
+        want = int(duckdb.sql("SELECT round(?::DOUBLE)", params=[v]).fetchone()[0])
+        assert round_half_up_int(v) == want, v
+    assert round(2.5) == 2 and round_half_up_int(2.5) == 3
+
+
 def test_mine_hard_negatives_excludes_dups_before_ranking(spark):
     import numpy as np
 
