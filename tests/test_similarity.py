@@ -227,6 +227,55 @@ def test_round_half_up_int_matches_duckdb():
     assert round(2.5) == 2 and round_half_up_int(2.5) == 3
 
 
+def test_grid_int64_agrees_with_duckdb_on_random_battery():
+    """Property-style battery: 20k seeded random doubles (embedding-
+    scale magnitudes) plus crafted near-boundary values must quantize to
+    the identical grid integers as DuckDB's round(x * 1e6) -- one batch
+    comparison, the distributional complement of the hand-tie test."""
+    import duckdb
+    import numpy as np
+
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _grid_int64,
+    )
+
+    rng = np.random.RandomState(0)
+    vals = np.concatenate(
+        [
+            rng.uniform(-33.0, 33.0, 10_000),
+            rng.standard_normal(9_000),
+            # exact multiples of 5e-7: products land ON .5 boundaries
+            (rng.randint(-66_000_000, 66_000_000, 900) + 0.5) / 1e6,
+            # one-ulp neighbors of .5 boundaries
+            np.nextafter((rng.randint(0, 1000, 50) + 0.5) / 1e6, 0.0),
+            np.nextafter((rng.randint(0, 1000, 50) + 0.5) / 1e6, 1.0),
+        ]
+    )
+    got = _grid_int64(vals)
+    want = duckdb.sql(
+        "SELECT list_transform(?::DOUBLE[], "
+        "x -> CAST(round(x * 1000000) AS BIGINT))",
+        params=[vals.tolist()],
+    ).fetchone()[0]
+    mismatch = np.flatnonzero(got != np.array(want, dtype=np.int64))
+    assert mismatch.size == 0, vals[mismatch[:5]]
+
+
+def test_pq_oracles_cap_training_at_train_cap():
+    """ADVICE r9: the unrolled PQ/IVFPQ oracle training CTEs must LIMIT
+    to the engine's train_pq cap, or engine and oracle silently diverge
+    once the corpus outgrows 50k rows."""
+    from taxi_data_pipeline_pset2_spark.queries.analytics import (
+        _ivfpq_oracle,
+        _pq_oracle,
+    )
+
+    assert "LIMIT 50000" in _pq_oracle()
+    assert "LIMIT 50000" in _ivfpq_oracle()
+    assert "LIMIT 7" in _pq_oracle(train_cap=7)
+    assert "LIMIT 7" in _ivfpq_oracle(train_cap=7)
+
+
 def test_mine_hard_negatives_excludes_dups_before_ranking(spark):
     import numpy as np
 
