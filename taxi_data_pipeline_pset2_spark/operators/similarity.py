@@ -430,6 +430,16 @@ def _grid_int64(raw):
 
     y = np.asarray(raw, dtype=np.float64) * float(SCALE)
     ay = np.abs(y)
+    # past 2^52 the fast path's ay + 0.5 is not representable (it can
+    # round UP past an exact odd integer while frac reads 0, dodging
+    # the decimal re-round) and grid quantization is meaningless anyway
+    # -- refuse instead of silently diverging from the oracle grid
+    if ay.size and ay.max() >= float(1 << 52):
+        raise ValueError(
+            "values beyond float64's exact-integer range after "
+            f"scaling (|x| >= {(1 << 52) / SCALE:.0f}); cannot "
+            "quantize to the 1e-6 grid exactly"
+        )
     out = np.sign(y) * np.floor(ay + 0.5)
     frac = ay - np.floor(ay)
     suspect = np.abs(frac - 0.5) < 1e-6

@@ -78,6 +78,10 @@ def month_grid(
     ``url_template`` takes {service}, {year}, {month:02d}; files land as
     ``<dest_dir>/<service>_<year>_<month>.parquet``."""
     (y0, m0), (y1, m1) = start, end
+    if not (1 <= m0 <= 12 and 1 <= m1 <= 12):
+        # an out-of-range start month would never hit the ==12 rollover
+        # and the grid loop would append forever
+        raise ValueError(f"months must be 1..12: start={start} end={end}")
     if (y0, m0) > (y1, m1):
         raise ValueError(f"start {start} after end {end}")
     out = []
@@ -182,17 +186,30 @@ def load_month_files(
     grid = month_grid(url_template, dest_dir, services, start, end)
 
     def one(mf: MonthFile) -> tuple:
-        if not probe_url(mf.url):
-            return (mf.run_id, mf.year, mf.month, mf.service, mf.url,
-                    "brecha", None, None, None)
+        # a locally complete month never re-probes the remote: a
+        # transient probe failure (or upstream retiring old months)
+        # must not demote data already on disk to a gap row
+        if not os.path.exists(mf.dest):
+            if not probe_url(mf.url):
+                return (mf.run_id, mf.year, mf.month, mf.service, mf.url,
+                        "brecha", None, None, None)
+            try:
+                download_file(mf.url, mf.dest, retries, backoff_s)
+            except RuntimeError:
+                return (mf.run_id, mf.year, mf.month, mf.service, mf.url,
+                        "error", None, None, None)
         try:
-            size = download_file(mf.url, mf.dest, retries, backoff_s)
-        except RuntimeError:
+            n_rows, n_cols = _parquet_footer_meta(mf.dest)
+        except Exception:
+            # 200-with-an-error-page downloads land here: the artifact
+            # is not parquet. Remove it (its final name would otherwise
+            # satisfy the resume rule and poison every rerun) and record
+            # the month as error so the next run re-downloads.
+            os.remove(mf.dest)
             return (mf.run_id, mf.year, mf.month, mf.service, mf.url,
                     "error", None, None, None)
-        n_rows, n_cols = _parquet_footer_meta(mf.dest)
         return (mf.run_id, mf.year, mf.month, mf.service, mf.url,
-                "ok", n_rows, n_cols, size)
+                "ok", n_rows, n_cols, os.path.getsize(mf.dest))
 
     with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
         rows = list(pool.map(one, grid))

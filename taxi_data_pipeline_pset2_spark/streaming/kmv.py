@@ -83,10 +83,19 @@ def read_kmv_state(
     if batch_id < 0:
         return spark.createDataFrame([], _STATE_SCHEMA)
     path = _state_dir(state_base, batch_id)
-    if not os.path.isdir(path):
+    # Completeness gate, not mere existence: a crash mid-overwrite
+    # leaves a state directory WITHOUT the _SUCCESS commit marker, and
+    # a schema-pinned spark.read over the partial dir silently yields
+    # an empty/truncated sketch -- the exact reset this guard refuses.
+    # Driver-local check, like this module's os.path state layout;
+    # URI-schemed paths skip it and rely on spark.read raising for a
+    # missing path.
+    if "://" not in path and not os.path.isfile(
+        os.path.join(path, "_SUCCESS")
+    ):
         raise FileNotFoundError(
-            f"KMV state for batch {batch_id} missing at {path}: "
-            "refusing to substitute an empty sketch for lost state"
+            f"KMV state for batch {batch_id} missing or uncommitted at "
+            f"{path}: refusing to substitute an empty sketch"
         )
     return spark.read.schema(_STATE_SCHEMA).parquet(path)
 

@@ -121,6 +121,52 @@ def test_load_month_files_manifest_and_idempotence(spark, tmp_path):
     }
 
 
+def test_month_grid_rejects_out_of_range_months():
+    with pytest.raises(ValueError, match="months must be 1..12"):
+        hl.month_grid("u", "/tmp/d", start=(2024, 13), end=(2025, 1))
+
+
+def test_local_month_survives_probe_outage(spark, tmp_path, monkeypatch):
+    """A locally complete month must stay status='ok' even when the
+    remote probe fails on a rerun (network blip, upstream retiring old
+    months) -- re-probing data already on disk would demote it to a
+    false gap row."""
+    src = str(tmp_path / "remote")
+    os.makedirs(src)
+    dest = str(tmp_path / "landing")
+    _write_month(spark, src, "yellow", 2024, 1, 5)
+    kw = dict(services=("yellow",), start=(2024, 1), end=(2024, 1))
+    first = hl.load_month_files(spark, _template(src), dest, **kw).collect()
+    assert first[0].status == "ok"
+    monkeypatch.setattr(hl, "probe_url", lambda url, timeout=10.0: False)
+    again = hl.load_month_files(spark, _template(src), dest, **kw).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+
+
+def test_corrupt_download_is_error_and_removed(spark, tmp_path):
+    """A 200-but-not-parquet artifact (CDN error page) must record
+    status='error' AND be deleted -- under its final name it would
+    satisfy the resume rule and poison every rerun."""
+    src = str(tmp_path / "remote")
+    os.makedirs(src)
+    with open(os.path.join(src, "yellow_tripdata_2024-01.parquet"), "wb") as f:
+        f.write(b"<html>503 service unavailable</html>")
+    dest = str(tmp_path / "landing")
+    manifest = hl.load_month_files(
+        spark, _template(src), dest,
+        services=("yellow",), start=(2024, 1), end=(2024, 1),
+    ).collect()
+    assert manifest[0].status == "error"
+    assert not os.path.exists(os.path.join(dest, "yellow_2024_01.parquet"))
+    # and a later run with the artifact fixed recovers to ok
+    _write_month(spark, src, "yellow", 2024, 1, 4)
+    fixed = hl.load_month_files(
+        spark, _template(src), dest,
+        services=("yellow",), start=(2024, 1), end=(2024, 1),
+    ).collect()
+    assert fixed[0].status == "ok" and fixed[0].n_rows == 4
+
+
 def test_load_month_files_error_status_when_download_fails(
     spark, tmp_path, monkeypatch
 ):

@@ -261,6 +261,31 @@ def test_grid_int64_agrees_with_duckdb_on_random_battery():
     assert mismatch.size == 0, vals[mismatch[:5]]
 
 
+def test_grid_int64_refuses_beyond_exact_float_range():
+    """|x * SCALE| >= 2^52: the fast path's +0.5 can round past an
+    exact odd integer while frac reads 0 (dodging the decimal
+    re-round) -- must raise, never silently diverge from the oracle."""
+    import numpy as np
+    import pytest as _pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        _grid_int64,
+    )
+
+    with _pytest.raises(ValueError, match="exact-integer range"):
+        _grid_int64(np.array([float((1 << 52) + 1) / 1e6]))
+    # just under the cap still works and still matches DuckDB
+    import duckdb
+
+    x = float((1 << 52) - 2) / 1e6  # product re-rounds near the cap
+    want = int(
+        duckdb.sql(
+            "SELECT CAST(round(?::DOUBLE * 1000000) AS BIGINT)", params=[x]
+        ).fetchone()[0]
+    )
+    assert _grid_int64(np.array([x]))[0] == want
+
+
 def test_pq_oracles_cap_training_at_train_cap():
     """ADVICE r9: the unrolled PQ/IVFPQ oracle training CTEs must LIMIT
     to the engine's train_pq cap, or engine and oracle silently diverge

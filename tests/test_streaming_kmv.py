@@ -67,6 +67,12 @@ def test_missing_state_raises_instead_of_resetting(spark, tmp_path):
     assert read_kmv_state(spark, base, -1).count() == 0
     with pytest.raises(FileNotFoundError, match="batch 3"):
         read_kmv_state(spark, base, 3)
+    # a partially written dir (crash mid-overwrite: no _SUCCESS commit
+    # marker) is lost state too -- schema-pinned spark.read over it
+    # would silently yield an empty sketch
+    os.makedirs(os.path.join(base, "state_batch=4"))
+    with pytest.raises(FileNotFoundError, match="batch 4"):
+        read_kmv_state(spark, base, 4)
 
 
 def test_merge_validation(spark):
