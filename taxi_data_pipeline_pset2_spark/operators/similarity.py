@@ -436,9 +436,9 @@ def _grid_int64(raw):
     # -- refuse instead of silently diverging from the oracle grid
     if ay.size and ay.max() >= float(1 << 52):
         raise ValueError(
-            "values beyond float64's exact-integer range after "
-            f"scaling (|x| >= {(1 << 52) / SCALE:.0f}); cannot "
-            "quantize to the 1e-6 grid exactly"
+            "values too large for exact 1e-6 grid quantization "
+            f"(|x| >= {(1 << 52) / SCALE:.0f}: the scaled product "
+            "exceeds float64's exact-integer range)"
         )
     out = np.sign(y) * np.floor(ay + 0.5)
     frac = ay - np.floor(ay)
