@@ -27,10 +27,13 @@ Plan shapes, sized for 100 TB:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
+from taxi_data_pipeline_pset2_spark.operators.similarity import round_half_up_int
 
 
 def inverted_index(
@@ -192,3 +195,139 @@ def search_phrase(
         .filter(F.col("n_occurrences") > 0)
         .orderBy(id_col)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    top_k: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Walker, SIGIR 1994;
+    the Lucene-default scoring function): top-``top_k`` documents for a
+    bag-of-terms query, scored
+
+        sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    with the Lucene non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    and the standard constants k1 = 6/5, b = 3/4. The length
+    normalization is what AND-search's raw tf ranking lacks: a term
+    mention in a short doc outranks the same count in a long one.
+
+    Determinism contract (oracle-hash discipline, same device as
+    tfidf_cosine_pairs): with k1 and b exact rationals, each (doc, term)
+    contribution equals the integer ratio
+
+        num / den = (22 * tf * L * idf6) / (10*L*tf + 3*L + 9*dl*N)
+
+    in micro-units, where L = total corpus tokens, N = doc count and
+    idf6 = round(idf * 1e6), a terms-sized driver scalar through
+    round_half_up_int -- the ONLY float step, the precedent-accepted
+    scalar ln (operators/lm_score.py, which the oracle recomputes in
+    SQL). The division is done as pure bigint HALF_UP,
+    ``(2*num + den) div (2*den)`` (positive operands, so Spark ``div``
+    == DuckDB ``//``), and the per-doc score is an exact bigint sum of
+    those micro-contributions -- order-independent under any
+    partitioning and bit-identical to the SQL twin.
+
+    Plan shape at 100 TB: exactly TWO corpus scans -- one builds the
+    persisted (id, dl) frame (the 3-scalar aggregate and the final dl
+    join both read the cache), one builds the persisted query-term
+    postings (pushed IN filter -> (doc, term) aggregate; df/idf come
+    off the cache as a bounded terms-sized collect). The dl join and
+    the per-doc sum share the doc-id shuffle key; top-k plans as
+    TakeOrderedAndProject and is eagerly localCheckpoint-ed (top_k
+    rows) so both caches are released before returning (the
+    operators/clustering.py device).
+
+    Raises if the exact-integer envelope 2*num_max < 2^63 would
+    overflow (corpus of ~1e13 tokens at idf ~ ln(2N): far past any
+    bench scale; at that point re-derive with decimal(38,0) operands).
+    """
+    if not terms:
+        raise ValueError("need at least one term")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    qterms = sorted(set(terms))
+    toks = tokenize(F.col(text_col))
+    lengths = docs.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("dl")
+    ).persist()
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist()
+    )
+    try:
+        n_docs, total_len, max_dl = lengths.agg(
+            F.count("*"), F.sum("dl"), F.max("dl")
+        ).first()
+        if not n_docs or not total_len:
+            raise ValueError("empty corpus")
+        n, lx, mdl = int(n_docs), int(total_len), int(max_dl)
+        # worst-case envelope in python ints: tf <= max dl, idf6 <= the
+        # df=1 idf; both num and den enter the div doubled
+        idf6_max = round_half_up_int(
+            math.log(1.0 + (n - 1 + 0.5) / 1.5) * 1_000_000
+        )
+        num_max = 22 * mdl * lx * idf6_max
+        den_max = 10 * lx * mdl + 3 * lx + 9 * mdl * n
+        if 2 * num_max + den_max >= 2**63:
+            raise ValueError(
+                "bm25_topk exact-integer envelope exceeded: "
+                f"2*num_max+den_max = {2 * num_max + den_max} >= 2^63"
+            )
+        # df is a bounded terms-sized collect off the postings cache;
+        # idf6 is computed driver-side (math.log + HALF_UP) and injected
+        # as literals, same as the oracle-recomputed scalars in
+        # operators/lm_score.py
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+        }
+        idf6_expr = F.lit(None).cast("bigint")
+        for term, df in dfs.items():
+            v = round_half_up_int(
+                math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1_000_000
+            )
+            idf6_expr = F.when(F.col("term") == term, F.lit(v)).otherwise(
+                idf6_expr
+            )
+        contrib = (
+            tf.join(lengths, id_col)
+            .select(
+                F.col(id_col),
+                (F.lit(22) * F.col("tf") * F.lit(lx) * idf6_expr).alias("num"),
+                (
+                    F.lit(10 * lx) * F.col("tf")
+                    + F.lit(3 * lx)
+                    + F.lit(9 * n) * F.col("dl")
+                ).alias("den"),
+            )
+            .select(
+                F.col(id_col),
+                F.expr("(2 * num + den) div (2 * den)").alias("contrib6"),
+            )
+        )
+        return (
+            contrib.groupBy(id_col)
+            .agg(
+                F.count("*").cast("bigint").alias("n_terms"),
+                F.sum("contrib6").cast("bigint").alias("score_micro"),
+            )
+            .select(
+                id_col,
+                "n_terms",
+                "score_micro",
+                (F.col("score_micro").cast("double") / F.lit(1e6)).alias("bm25"),
+            )
+            .orderBy(F.desc("score_micro"), F.asc(id_col))
+            .limit(top_k)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        lengths.unpersist(blocking=False)
+        tf.unpersist(blocking=False)

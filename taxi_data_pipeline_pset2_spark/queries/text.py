@@ -403,6 +403,61 @@ def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_and(idx, list(_AND_TERMS), top_k=_AND_K)
 
 
+_BM25_TERMS = ("merge", "stream", "the")
+_BM25_K = 30
+
+_BM25_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents),
+    lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tk),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l
+             FROM lens),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(ts) AS term FROM tk)
+           WHERE term IN {_BM25_TERMS}
+           GROUP BY doc_id, term),
+    idf AS (SELECT term,
+                   CAST(round(ln(1 + ((SELECT n FROM scal) - count(*) + 0.5)
+                                     / (count(*) + 0.5)) * 1000000) AS BIGINT)
+                       AS idf6
+            FROM tf GROUP BY term),
+    c AS (SELECT tf.doc_id,
+                 (2 * (22 * tf.tf * (SELECT l FROM scal) * idf.idf6)
+                  + (10 * (SELECT l FROM scal) * tf.tf
+                     + 3 * (SELECT l FROM scal)
+                     + 9 * lens.dl * (SELECT n FROM scal)))
+                 // (2 * (10 * (SELECT l FROM scal) * tf.tf
+                          + 3 * (SELECT l FROM scal)
+                          + 9 * lens.dl * (SELECT n FROM scal))) AS contrib6
+          FROM tf JOIN idf USING (term) JOIN lens USING (doc_id))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(contrib6) AS BIGINT) AS score_micro,
+           CAST(sum(contrib6) AS DOUBLE) / 1000000 AS bm25
+    FROM c GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {_BM25_K}
+"""
+
+
+@query("bm25_topk_docs", oracle=_BM25_ORACLE, tags=("text", "search"))
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/search.py bm25_topk): the
+    length-normalized, idf-weighted scorer the search family lacked
+    between raw-tf AND-search and TF-IDF pair cosine (SURVEY.md 2b text
+    analysis; Lucene's default similarity). k1 = 6/5 and b = 3/4 are
+    exact rationals, so every (doc, term) contribution is a ratio of
+    exact bigints HALF_UP-divided via ``div`` and the per-doc score is
+    an order-independent integer sum -- the oracle rebuilds the same
+    integers and the hash matches bit-exact (the scalar ln is the one
+    precedent-accepted float, as in unigram_doc_logprob)."""
+    from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        t(spark, sf_dir, "documents"), list(_BM25_TERMS), top_k=_BM25_K
+    )
+
+
 # ---- percentile-rank quality blending ------------------------------------
 
 _BLEND_K = 80

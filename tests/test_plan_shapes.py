@@ -599,3 +599,15 @@ def test_packing_single_shuffle_scan_shaped(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_returns_materialized_topk(spark, sf_dir):
+    """bm25_topk eagerly localCheckpoints the top-k rows so its two
+    persisted frames (doc lengths, query-term postings) can be released
+    before returning: the frame handed back must be a checkpoint scan
+    (scale-free, already computed), not a live corpus-sized lineage."""
+    df = registry()["bm25_topk_docs"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan" not in plan
+    assert df.count() <= 30

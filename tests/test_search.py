@@ -257,3 +257,90 @@ def test_tfidf_cosine_matches_bruteforce_random(spark):
             assert abs(out[k] - want[k]) <= 2e-6, (k, out[k], want[k])
 
     run()
+
+
+# ---- BM25 -----------------------------------------------------------------
+
+
+def _bm25_ref(docs, terms):
+    """Float reference BM25 (k1=1.2, b=0.75, Lucene idf) for semantics
+    checks -- the engine's exact-integer micro-scores should match this
+    to ~1e-6."""
+    import math
+    import re
+
+    # regex split, NOT str.split(): the engine's tokenize("") yields one
+    # empty token (see test_index_positions_and_tf), so must the reference
+    toks = {i: re.split(r"\s+", t.strip().lower()) for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in set(terms):
+        df = sum(1 for v in toks.values() if term in v)
+        if not df:
+            continue
+        idf = round(math.log(1 + (n - df + 0.5) / (df + 0.5)), 6)
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                dl = len(v)
+                scores[i] = scores.get(i, 0.0) + idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * dl / avgdl)
+                )
+    return scores
+
+
+def test_bm25_matches_float_reference_and_ranks(spark):
+    from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+    got = {
+        r.doc_id: (r.n_terms, r.bm25)
+        for r in bm25_topk(
+            spark.createDataFrame(DOCS, "doc_id long, text string"),
+            ["quick", "fox"],
+            top_k=10,
+        ).collect()
+    }
+    ref = _bm25_ref(DOCS, ["quick", "fox"])
+    assert set(got) == set(ref)
+    for i, (nt, s) in got.items():
+        assert abs(s - ref[i]) < 2e-6, (i, s, ref[i])
+    # doc 3 matches only "fox"; docs 1 and 2 match "quick" (1 also "fox")
+    assert got[1][0] == 2 and got[2][0] == 1 and got[3][0] == 1
+
+
+def test_bm25_length_normalization_prefers_short_doc(spark):
+    from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "hit miss"),
+        (2, "hit " + "pad " * 40),
+    ]
+    out = bm25_topk(
+        spark.createDataFrame(rows, "doc_id long, text string"), ["hit"], top_k=2
+    ).collect()
+    # same tf=1 in both docs: the short one must score higher
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].score_micro > out[1].score_micro
+
+
+def test_bm25_guards(spark):
+    from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_topk(df, [])
+    with pytest.raises(ValueError, match="top_k"):
+        bm25_topk(df, ["the"], top_k=0)
+
+
+def test_bm25_topk_truncates_deterministically(spark):
+    from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    full = bm25_topk(df, ["the", "quick"], top_k=10).collect()
+    top1 = bm25_topk(df, ["the", "quick"], top_k=1).collect()
+    assert [r.doc_id for r in top1] == [full[0].doc_id]
+    # scores strictly ordered desc, ties broken by doc_id asc
+    pairs = [(-r.score_micro, r.doc_id) for r in full]
+    assert pairs == sorted(pairs)
