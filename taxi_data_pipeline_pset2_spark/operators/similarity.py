@@ -872,3 +872,46 @@ def mine_hard_negatives(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def exact_euclid_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-``k`` for ONE query vector over the corpus,
+    on the 1e-6 integer grid: (id, d2_int, dist2) ascending, ties by
+    id. The ground-truth side of the ANN recall audits (the euclidean
+    sibling of knn_topk's cosine ranking): corpus and query quantize
+    through the shared grid (int_embedding / _grid_int64), so d2_int is
+    an exact bigint both engines reproduce and dist2 = d2_int / 1e12 a
+    single identical int-to-double division.
+
+    Plan shape: the query rides as a literal array (no join at all),
+    distances are one JVM higher-order aggregate per row, and top-k
+    plans as TakeOrderedAndProject -- one corpus scan, no shuffle
+    beyond the k-row ordered take. Per-element overflow bound: grid
+    magnitudes <= 2^25 (the _MAX_ABS_IV contract) keep each squared
+    difference under 2^52 and the 64-dim sum under 2^58."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qiv = [int(v) for v in _grid_int64(query)]
+    qarr = F.array(*[F.lit(v).cast("bigint") for v in qiv])
+    iv = int_embedding(F.col(vec_col))
+    d2 = F.aggregate(
+        F.zip_with(iv, qarr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(F.col(id_col), d2.alias("d2_int"))
+        .select(
+            id_col,
+            "d2_int",
+            (F.col("d2_int").cast("double") / F.lit(1e12)).alias("dist2"),
+        )
+        .orderBy("d2_int", id_col)
+        .limit(k)
+    )

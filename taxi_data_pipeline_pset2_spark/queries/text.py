@@ -440,7 +440,7 @@ _BM25_ORACLE = f"""
 """
 
 
-@query("bm25_topk_docs", oracle=_BM25_ORACLE, tags=("text", "search"))
+@query("bm25_topk_docs", oracle=_BM25_ORACLE, tags=("text", "search", "bench"))
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (operators/search.py bm25_topk): the
     length-normalized, idf-weighted scorer the search family lacked

@@ -546,3 +546,70 @@ class TestDeterministicBRP:
             )
         )
         assert a == b
+
+
+class TestExactEuclidTopk:
+    """exact_euclid_topk: the ground-truth side of pq_recall_audit."""
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_hand_distances_and_order(self, spark):
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            exact_euclid_topk,
+        )
+
+        rows = [
+            (1, [0.0, 0.0]),
+            (2, [3.0, 4.0]),   # d2 = 25
+            (3, [1.0, 1.0]),   # d2 = 2
+            (4, [0.0, 2.0]),   # d2 = 4
+        ]
+        got = exact_euclid_topk(self._emb(spark, rows), [0.0, 0.0], k=3).collect()
+        assert [(r.vec_id, r.d2_int) for r in got] == [
+            (1, 0),
+            (3, 2 * 10**12),
+            (4, 4 * 10**12),
+        ]
+        assert got[1].dist2 == 2.0
+
+    def test_ties_break_by_id_and_k_guard(self, spark):
+        import pytest as _pytest
+
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            exact_euclid_topk,
+        )
+
+        rows = [(7, [1.0, 0.0]), (3, [0.0, 1.0]), (9, [-1.0, 0.0])]
+        got = exact_euclid_topk(self._emb(spark, rows), [0.0, 0.0], k=3).collect()
+        assert [r.vec_id for r in got] == [3, 7, 9]  # equal d2 -> id asc
+        with _pytest.raises(ValueError, match="k must be"):
+            exact_euclid_topk(self._emb(spark, rows), [0.0, 0.0], k=0)
+
+    def test_matches_pq_ground_truth_definition(self, spark, sf_dir):
+        """The audit's exact side must rank by the SAME integer grid the
+        PQ chain quantizes on: re-derive top-5 with numpy over
+        _grid_int64 and require identity."""
+        import numpy as np
+
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            _grid_int64,
+            exact_euclid_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.orderBy("vec_id").limit(200).collect()
+        q = [float(x) for x in rows[0].embedding]
+        got = exact_euclid_topk(
+            spark.createDataFrame(rows, emb.schema), q, k=5
+        ).collect()
+        iv = np.stack([_grid_int64([float(x) for x in r.embedding]) for r in rows])
+        qiv = _grid_int64(q)
+        d2 = ((iv - qiv) ** 2).sum(axis=1)
+        ids = np.array([r.vec_id for r in rows])
+        order = sorted(range(len(rows)), key=lambda i: (d2[i], ids[i]))[:5]
+        assert [r.vec_id for r in got] == [int(ids[i]) for i in order]
+        assert [r.d2_int for r in got] == [int(d2[i]) for i in order]
