@@ -94,7 +94,7 @@ def funnel_summary(
         ]
     ).collect()[0]
     from taxi_data_pipeline_pset2_spark.operators.similarity import (
-        _round_half_up_6,
+        round_half_up_6,
     )
 
     # HALF_UP like the oracle's round(), not builtin banker's rounding
@@ -102,7 +102,7 @@ def funnel_summary(
         (
             i,
             int(counts[f"s{i}"] or 0),
-            float(_round_half_up_6([(counts[f"s{i}"] or 0) / counts["s0"]])[0])
+            round_half_up_6((counts[f"s{i}"] or 0) / counts["s0"])
             if counts["s0"]
             else None,
         )

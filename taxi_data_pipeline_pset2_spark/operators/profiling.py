@@ -39,7 +39,7 @@ def profile_table(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
             F.max(c).cast("string").alias(f"{f.name}__max"),
         ]
     from taxi_data_pipeline_pset2_spark.operators.similarity import (
-        _round_half_up_6,
+        round_half_up_6,
     )
 
     row = df.agg(*aggs).collect()[0]
@@ -51,9 +51,7 @@ def profile_table(df: DataFrame, approx_rsd: float = 0.05) -> DataFrame:
             n_rows=n,
             n_nulls=row[f"{f.name}__nulls"],
             # HALF_UP like the oracle's round(), not builtin banker's
-            null_frac=float(
-                _round_half_up_6([row[f"{f.name}__nulls"] / n])[0]
-            )
+            null_frac=round_half_up_6(row[f"{f.name}__nulls"] / n)
             if n
             else 0.0,
             approx_distinct=row[f"{f.name}__ndv"],

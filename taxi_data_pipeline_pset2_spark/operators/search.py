@@ -250,7 +250,11 @@ def bm25_topk(
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
     qterms = sorted(set(terms))
-    toks = tokenize(F.col(text_col))
+    # NULL text folds to the empty doc BEFORE tokenize: size(NULL) is -1
+    # under Spark's legacy sizeOfNull, which would corrupt L (and the
+    # oracle's sum(dl) skips NULLs while count(*) keeps the row -- the
+    # two engines would disagree on avgdl)
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     lengths = docs.select(
         F.col(id_col), F.size(toks).cast("bigint").alias("dl")
     ).persist()

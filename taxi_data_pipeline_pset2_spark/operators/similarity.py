@@ -454,6 +454,15 @@ def _grid_int64(raw):
     return out.astype(np.int64)
 
 
+def round_half_up_6(y: float) -> float:
+    """Scalar ROUND(x, 6) with the Spark/DuckDB HALF_UP rule -- the
+    6-dp sibling of ``round_half_up_int`` for driver-side scalars the
+    oracles recompute (funnel step rates, profile null fractions).
+    Delegates to the vectorized kernel so the boundary handling stays
+    defined in exactly one place."""
+    return float(_round_half_up_6([y])[0])
+
+
 def round_half_up_int(y: float) -> int:
     """HALF_UP a scalar double to the nearest integer -- the Spark
     F.round / DuckDB round() rule. Python's builtin ``round`` is
@@ -892,16 +901,39 @@ def exact_euclid_topk(
     Plan shape: the query rides as a literal array (no join at all),
     distances are one JVM higher-order aggregate per row, and top-k
     plans as TakeOrderedAndProject -- one corpus scan, no shuffle
-    beyond the k-row ordered take. Per-element overflow bound: grid
-    magnitudes <= 2^25 (the _MAX_ABS_IV contract) keep each squared
-    difference under 2^52 and the 64-dim sum under 2^58."""
+    beyond the k-row ordered take.
+
+    Ground-truth hardening (a wrong "exact" side corrupts every recall
+    number silently): a corpus row whose vector length differs from the
+    query's, or whose grid magnitude exceeds the clustering _MAX_ABS_IV
+    cap, fails the scan loudly (raise_error) instead of ranking as a
+    NULL-first or int64-wrapped distance; the dimension-aware bound
+    D * (2 * 2^25)^2 < 2^63 is checked on the driver."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    from taxi_data_pipeline_pset2_spark.operators.clustering import _MAX_ABS_IV
+
     qiv = [int(v) for v in _grid_int64(query)]
+    dim = len(qiv)
+    if max((abs(v) for v in qiv), default=0) >= _MAX_ABS_IV:
+        raise ValueError("query magnitude exceeds the 2^25 grid cap")
+    if dim * (2 * _MAX_ABS_IV) ** 2 >= 1 << 63:
+        raise ValueError(f"dim {dim} overflows the int64 d2 bound")
     qarr = F.array(*[F.lit(v).cast("bigint") for v in qiv])
     iv = int_embedding(F.col(vec_col))
+    checked = F.when(
+        F.size(iv) != dim,
+        F.raise_error(
+            F.lit("exact_euclid_topk: corpus vector length != query dim")
+        ).cast("array<bigint>"),
+    ).when(
+        F.exists(iv, lambda x: F.abs(x) >= F.lit(_MAX_ABS_IV)),
+        F.raise_error(
+            F.lit("exact_euclid_topk: corpus magnitude exceeds the 2^25 grid cap")
+        ).cast("array<bigint>"),
+    ).otherwise(iv)
     d2 = F.aggregate(
-        F.zip_with(iv, qarr, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(checked, qarr, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )

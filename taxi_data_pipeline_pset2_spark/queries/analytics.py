@@ -514,14 +514,16 @@ def _pq_recall_oracle(top_k: int = 10, dim: int = 64) -> str:
     full _pq_oracle chain plus a pqtop CTE on the SAME flat WITH list
     (materialization-preserving), one brute-force exact CTE on the same
     grid, and a single output row counting the overlap."""
-    ctes = f"""exq AS MATERIALIZED (SELECT iv AS qiv FROM n ORDER BY vec_id LIMIT 1),
-        ex AS MATERIALIZED (
+    # the brute-force side reuses _pq_oracle's qv CTE (the query row)
+    # directly: duplicating its definition here would let the two sides
+    # silently compare different queries after an edit
+    ctes = f"""ex AS MATERIALIZED (
             SELECT vec_id FROM (
                 SELECT n.vec_id,
                        list_sum(list_transform(generate_series(1, {dim}),
-                                i -> (n.iv[i] - exq.qiv[i])
-                                     * (n.iv[i] - exq.qiv[i]))) AS d2
-                FROM n CROSS JOIN exq)
+                                i -> (n.iv[i] - qv.qiv[i])
+                                     * (n.iv[i] - qv.qiv[i]))) AS d2
+                FROM n CROSS JOIN qv)
             ORDER BY d2, vec_id LIMIT {top_k})"""
     final = f"""
         SELECT CAST({top_k} AS BIGINT) AS k,

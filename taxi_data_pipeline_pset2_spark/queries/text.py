@@ -407,7 +407,8 @@ _BM25_TERMS = ("merge", "stream", "the")
 _BM25_K = 30
 
 _BM25_ORACLE = f"""
-    WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+    WITH tk AS (SELECT doc_id,
+                       string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS ts
                 FROM documents),
     lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tk),
     scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l

@@ -37,6 +37,7 @@ single data page, same as the reference.
 
 from __future__ import annotations
 
+import http.client
 import os
 import time
 import urllib.error
@@ -104,15 +105,18 @@ def month_grid(
 
 def probe_url(url: str, timeout: float = 10.0) -> bool:
     """Availability probe: HEAD for http(s) (the reference's check_url),
-    a metadata open for file:// -- False on any error, like the
-    reference's except-all (a probe failure IS the 'brecha' signal)."""
+    a metadata open for file:// -- False on any transport error, like
+    the reference's except-all (a probe failure IS the 'brecha'
+    signal). A malformed URL (urlopen's ValueError, e.g. a typo'd
+    scheme in the template) is a CALLER bug and propagates: swallowing
+    it would record an all-'brecha' manifest for a pure config error."""
     try:
         req = urllib.request.Request(
             url, method="HEAD" if url.startswith(("http://", "https://")) else "GET"
         )
         with urllib.request.urlopen(req, timeout=timeout):
             return True
-    except (urllib.error.URLError, OSError, ValueError):
+    except (urllib.error.URLError, http.client.HTTPException, OSError):
         return False
 
 
@@ -147,7 +151,15 @@ def download_file(
                     f.write(chunk)
             os.replace(part, dest)
             return os.path.getsize(dest)
-        except (urllib.error.URLError, OSError) as e:  # retry, then surface
+        # HTTPException covers mid-body failures URLError does not
+        # (http.client.IncompleteRead on a dropped connection): without
+        # it one flaky month would abort the whole ingestion grid --
+        # exactly the reference behavior this module exists to fix
+        except (
+            urllib.error.URLError,
+            http.client.HTTPException,
+            OSError,
+        ) as e:  # retry, then surface
             last = e
             if os.path.exists(part):
                 os.remove(part)

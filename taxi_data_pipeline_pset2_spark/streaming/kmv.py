@@ -87,12 +87,25 @@ def read_kmv_state(
     # leaves a state directory WITHOUT the _SUCCESS commit marker, and
     # a schema-pinned spark.read over the partial dir silently yields
     # an empty/truncated sketch -- the exact reset this guard refuses.
-    # Driver-local check, like this module's os.path state layout;
-    # URI-schemed paths skip it and rely on spark.read raising for a
-    # missing path.
-    if "://" not in path and not os.path.isfile(
-        os.path.join(path, "_SUCCESS")
-    ):
+    # Resolved through the path's OWN Hadoop FileSystem, never the
+    # driver's local os.path: a schemeless path belongs to
+    # fs.defaultFS, which need not be file:// on a real cluster (a
+    # local check there would raise for every healthy batch). When the
+    # committer is configured to skip _SUCCESS markers, directory
+    # existence is the strongest available check.
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    marks = (
+        hconf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        or "true"
+    ).lower() != "false"
+    committed = fs.exists(
+        spark._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        if marks
+        else jpath
+    )
+    if not committed:
         raise FileNotFoundError(
             f"KMV state for batch {batch_id} missing or uncommitted at "
             f"{path}: refusing to substitute an empty sketch"

@@ -185,3 +185,36 @@ def test_load_month_files_error_status_when_download_fails(
     ).collect()
     assert [r.status for r in manifest] == ["error", "error"]
     assert all(r.n_rows is None for r in manifest)
+
+
+def test_download_retries_mid_body_http_truncation(tmp_path, monkeypatch):
+    """An http.client.HTTPException mid-body (IncompleteRead on a dropped
+    connection) must enter the retry loop like a URLError -- not abort
+    the whole grid (the reference's failure mode this module fixes)."""
+    import http.client
+    import urllib.request
+
+    src = tmp_path / "payload.bin"
+    src.write_bytes(b"x" * 64)
+    calls = {"n": 0}
+    real_urlopen = urllib.request.urlopen
+
+    def flaky(url, timeout=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise http.client.IncompleteRead(b"x" * 10)
+        return real_urlopen(url, timeout=timeout)
+
+    monkeypatch.setattr(hl.urllib.request, "urlopen", flaky)
+    dest = tmp_path / "out.bin"
+    n = hl.download_file(_uri(src), str(dest), retries=3, backoff_s=0.0)
+    assert n == 64 and dest.read_bytes() == b"x" * 64
+    assert calls["n"] == 2
+    assert not (tmp_path / "out.bin.part").exists()
+
+
+def test_probe_url_malformed_scheme_is_loud(tmp_path):
+    """A typo'd url_template is a caller bug: probe_url must raise, not
+    record an all-'brecha' manifest for a pure config error."""
+    with pytest.raises(ValueError):
+        hl.probe_url("http://[bad-template/{year}.parquet")

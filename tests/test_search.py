@@ -344,3 +344,25 @@ def test_bm25_topk_truncates_deterministically(spark):
     # scores strictly ordered desc, ties broken by doc_id asc
     pairs = [(-r.score_micro, r.doc_id) for r in full]
     assert pairs == sorted(pairs)
+
+
+def test_bm25_null_text_equals_empty_text(spark):
+    """NULL text must fold to the empty doc BEFORE tokenize (size(NULL)
+    is -1 under legacy sizeOfNull and would corrupt the corpus length L;
+    the DuckDB twin coalesces identically)."""
+    from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+    with_null = [(1, "hit miss"), (2, "hit hit pad"), (3, None)]
+    with_empty = [(1, "hit miss"), (2, "hit hit pad"), (3, "")]
+    a = bm25_topk(
+        spark.createDataFrame(with_null, "doc_id long, text string"),
+        ["hit"], top_k=5,
+    ).collect()
+    b = bm25_topk(
+        spark.createDataFrame(with_empty, "doc_id long, text string"),
+        ["hit"], top_k=5,
+    ).collect()
+    assert [(r.doc_id, r.score_micro) for r in a] == [
+        (r.doc_id, r.score_micro) for r in b
+    ]
+    assert len(a) == 2  # the null doc matches nothing but counts in N/L

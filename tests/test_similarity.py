@@ -613,3 +613,26 @@ class TestExactEuclidTopk:
         order = sorted(range(len(rows)), key=lambda i: (d2[i], ids[i]))[:5]
         assert [r.vec_id for r in got] == [int(ids[i]) for i in order]
         assert [r.d2_int for r in got] == [int(d2[i]) for i in order]
+
+    def test_ground_truth_guards_fail_loud(self, spark):
+        """Ground-truth hardening: dimension mismatch and over-cap
+        magnitudes must raise, never rank as NULL-first / wrapped
+        distances (a silently-wrong exact side corrupts every recall
+        number downstream)."""
+        import pytest as _pytest
+        from pyspark.errors import SparkRuntimeException
+
+        from taxi_data_pipeline_pset2_spark.operators.similarity import (
+            exact_euclid_topk,
+        )
+
+        mixed = self._emb(spark, [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])])
+        with _pytest.raises(SparkRuntimeException, match="length != query dim"):
+            exact_euclid_topk(mixed, [0.0, 0.0], k=2).collect()
+        big = self._emb(spark, [(1, [40.0, 0.0])])  # 4e7 > 2^25 on the grid
+        with _pytest.raises(SparkRuntimeException, match="2\\^25 grid cap"):
+            exact_euclid_topk(big, [0.0, 0.0], k=1).collect()
+        with _pytest.raises(ValueError, match="grid cap"):
+            exact_euclid_topk(big, [40.0, 0.0], k=1)
+        with _pytest.raises(ValueError, match="overflows"):
+            exact_euclid_topk(big, [0.0] * 2048, k=1)

@@ -159,3 +159,31 @@ def test_batching_invariance(spark):
         state = kmv_state_merge(state, chunk, "key", "v", K).localCheckpoint()
     chunked = sorted((r.key, r.h) for r in state.collect())
     assert one_shot == chunked
+
+
+def test_success_guard_resolves_through_hadoop_fs(spark, tmp_path):
+    """The completeness gate must resolve the path through ITS Hadoop
+    FileSystem (a schemeless path belongs to fs.defaultFS, not
+    necessarily the driver's local disk), and when the committer is
+    configured to skip _SUCCESS markers, directory existence is the
+    check -- a healthy marker-less state dir must read, not raise."""
+    base = str(tmp_path / "state")
+    path = os.path.join(base, "state_batch=0")
+    spark.createDataFrame(
+        [("a", 1)], "key string, h bigint"
+    ).write.parquet(path)
+    assert read_kmv_state(spark, base, 0).count() == 1
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(FileNotFoundError, match="batch 0"):
+        read_kmv_state(spark, base, 0)
+    hconf = spark._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prev = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        assert read_kmv_state(spark, base, 0).count() == 1
+    finally:
+        if prev is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, prev)
