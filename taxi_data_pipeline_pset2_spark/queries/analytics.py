@@ -509,14 +509,12 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_pq(encode_pq(emb, cb), cb, q, top_k=10)
 
 
-def _pq_recall_oracle(top_k: int = 10, dim: int = 64) -> str:
-    """Recall@k of the PQ index vs exact integer-grid squared-L2: the
-    full _pq_oracle chain plus a pqtop CTE on the SAME flat WITH list
-    (materialization-preserving), one brute-force exact CTE on the same
-    grid, and a single output row counting the overlap."""
-    # the brute-force side reuses _pq_oracle's qv CTE (the query row)
-    # directly: duplicating its definition here would let the two sides
-    # silently compare different queries after an edit
+def _exact_recall_ctes(top_k: int, dim: int) -> dict[str, str]:
+    """The shared recall-audit tail: a brute-force exact-euclid CTE over
+    the grid table ``n`` (reusing the chain's own qv query CTE --
+    duplicating its definition would let the two sides silently compare
+    different queries after an edit) and the single-row overlap count
+    against the chain's ``pqtop`` top-k."""
     ctes = f"""ex AS MATERIALIZED (
             SELECT vec_id FROM (
                 SELECT n.vec_id,
@@ -530,7 +528,15 @@ def _pq_recall_oracle(top_k: int = 10, dim: int = 64) -> str:
                CAST(count(*) AS BIGINT) AS n_hits,
                CAST(count(*) AS DOUBLE) / {top_k} AS recall
         FROM pqtop JOIN ex USING (vec_id)"""
-    return _pq_oracle(top_k=top_k, extra_ctes={"ctes": ctes, "final": final})
+    return {"ctes": ctes, "final": final}
+
+
+def _pq_recall_oracle(top_k: int = 10, dim: int = 64) -> str:
+    """Recall@k of the PQ index vs exact integer-grid squared-L2: the
+    full _pq_oracle chain plus a pqtop CTE on the SAME flat WITH list
+    (materialization-preserving), one brute-force exact CTE on the same
+    grid, and a single output row counting the overlap."""
+    return _pq_oracle(top_k=top_k, extra_ctes=_exact_recall_ctes(top_k, dim))
 
 
 @query("pq_recall_audit", oracle=_pq_recall_oracle(), tags=("similarity", "ann"))
@@ -973,6 +979,7 @@ def _ivfpq_oracle(
     dim: int = 64,
     top_k: int = 10,
     train_cap: int = 50_000,
+    extra_ctes: dict[str, str] | None = None,
 ) -> str:
     """DuckDB twin of the ENTIRE IVFPQ pipeline: the coarse exact-integer
     Lloyd chain (kmeans_iter rounds over the full dim), integer cell
@@ -1134,18 +1141,30 @@ def _ivfpq_oracle(
         for s in range(m)
     )
     total = " + ".join(f"l{s}.d" for s in range(m))
-    return (
+    with_body = (
         "WITH prep AS (SELECT vec_id, list_transform(embedding::DOUBLE[],"
         " x -> CAST(round(x * 1000000) AS BIGINT)) AS iv FROM embeddings),\n"
         "        n AS MATERIALIZED (SELECT vec_id, iv FROM prep),\n        "
         + ",\n        ".join(parts)
-        + f"""
+    )
+    topk_select = f"""
         SELECT v.vec_id, CAST(v.cell AS INTEGER) AS cell,
                round(CAST(({total}) AS DOUBLE) / 1000000000000.0, 6)
                  AS adc_dist
         {joins}
         ORDER BY CAST(({total}) AS DOUBLE) / 1000000000000.0 ASC, v.vec_id
         LIMIT {top_k}"""
+    if extra_ctes is None:
+        return with_body + topk_select
+    # same flat-WITH recall composition as _pq_oracle (derived-table
+    # wrapping loses DuckDB's materialization of the deep chain)
+    inner = topk_select.replace("\n", "\n    ")
+    return (
+        with_body
+        + f",\n        pqtop AS MATERIALIZED ({inner}),\n        "
+        + extra_ctes["ctes"]
+        + "\n"
+        + extra_ctes["final"]
     )
 
 
@@ -1172,6 +1191,54 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["v"]
     )
     return ivfpq_search(emb, q, n_cells=8, n_probe=2, m=8, k=16, top_k=10)
+
+
+def _ivfpq_recall_oracle(top_k: int = 10, dim: int = 64) -> str:
+    """Recall@k of the IVFPQ index vs exact integer-grid squared-L2 --
+    the same flat-WITH composition as _pq_recall_oracle over the ~270-CTE
+    IVFPQ chain."""
+    return _ivfpq_oracle(
+        top_k=top_k, extra_ctes=_exact_recall_ctes(top_k, dim)
+    )
+
+
+@query(
+    "ivfpq_recall_audit", oracle=_ivfpq_recall_oracle(), tags=("similarity", "ann")
+)
+def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the IVFPQ index against the exact
+    integer-grid euclidean top-10 -- completing the recall-audit story:
+    every approximate index the engine ships (sign-LSH, BRP-LSH, PQ,
+    IVFPQ) now carries a hash-verified recall number. IVFPQ's is the
+    most informative of the four: n_probe=2 of 8 cells bounds recall by
+    the probe pruning itself, not just codebook quantization error, so
+    this row quantifies the compute/recall trade the two-level index
+    makes at corpus scale."""
+    from taxi_data_pipeline_pset2_spark.operators.pq import ivfpq_search
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        exact_euclid_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()[0]["v"]
+    )
+    approx = ivfpq_search(
+        emb, q, n_cells=8, n_probe=2, m=8, k=16, top_k=10
+    ).select("vec_id")
+    exact = exact_euclid_topk(emb, q, k=10).select("vec_id")
+    return (
+        approx.join(exact, "vec_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(10)).alias("recall"),
+        )
+    )
 
 
 _CMS_ORACLE = """
