@@ -223,12 +223,17 @@ def query(
 #
 # r11 rotation EXECUTION ORDER (once CORRECTNESS_r10 proves the current
 # window): keep the same 7 anchors; the 43 r10-proven rows yield their
-# slots to the freshness second pass, oldest driver record first --
-# (1) the 10 remaining r6-only rows (zscore_price_outliers,
+# slots to -- (1) the 3 never-rowed r10 additions FIRST (bm25_topk_docs,
+# pq_recall_audit, ivfpq_recall_audit -- the recall twins compose the
+# ~250/~270-CTE chains with the shared _exact_recall_ctes tail, so they
+# go early for the same reason the giant oracles did in r10: driver-side
+# DuckDB behavior on the composed statement is the one untested
+# variable), then the freshness second pass, oldest driver record first:
+# (2) the 10 remaining r6-only rows (zscore_price_outliers,
 # sentiment_scores, quantile_binned_prices, knn_bruteforce_vectorized,
 # dedup_exact, dedup_ngram_jaccard, dedup_embedding_cosine,
 # scd2_as_of_snapshot, event_transitions, weighted_sample_topn, in r6
-# record order), then (2) the first 33 of the r7-only list in its r7
+# record order), then (3) the first 30 of the r7-only list in its r7
 # record order (term_document_frequency, boolean_and_search,
 # multimodal_resize, phrase_search_hits, hourly_value_locf,
 # dedup_components, session_maintenance_overlap, hampel_value_outliers,
@@ -239,9 +244,9 @@ def query(
 # dedup_embedding_lsh, snapshot_diff_orders, dsir_topk_selection,
 # rollup_changelog_maintenance, scd2_incremental_apply,
 # quality_rank_blend, decontamination_scores, pivot_category_totals,
-# heavy_hitters_brand, quality_mass_selection, fuzzy_blocked_matches,
-# unigram_doc_logprob, duplicated_spans_docs); r12 continues with the
-# remaining 10 r7-only rows (chunk_documents_tokens ... ranked_in_group)
+# heavy_hitters_brand, quality_mass_selection); r12 continues with the
+# remaining 13 r7-only rows (fuzzy_blocked_matches, unigram_doc_logprob,
+# duplicated_spans_docs, chunk_documents_tokens ... ranked_in_group)
 # then the oldest r8-only rows.
 _WINDOW: tuple[str, ...] = (
     # -- minimum anchors (7) --
