@@ -44,12 +44,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# int64 headroom guard: |iv| < 2^25 (raw values < ~33.5 after the 1e-6
-# quantization) bounds each squared-difference term by (2*2^25)^2 =
-# 2^52, so ||x-c||^2 <= D * 2^52 stays under 2^63 only up to D = 2048
-# -- the dimension-aware check lives INSIDE _exact_d2 (ADVICE r9: the
+# int64 headroom guard: the grid-wide cap (see operators/similarity.py
+# MAX_ABS_IV) bounds each squared-difference term by (2*2^25)^2 = 2^52,
+# so ||x-c||^2 <= D * 2^52 stays under 2^63 only up to D = 2048 -- the
+# dimension-aware check lives INSIDE _exact_d2 (ADVICE r9: the
 # magnitude cap alone is NOT safe at 4096 dims).
-_MAX_ABS_IV = 1 << 25
+from taxi_data_pipeline_pset2_spark.operators.similarity import (
+    MAX_ABS_IV as _MAX_ABS_IV,
+)
 
 
 def kmeans_fit_assign(

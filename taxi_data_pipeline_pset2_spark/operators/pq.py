@@ -63,11 +63,14 @@ def _lloyd(X: "np.ndarray", k: int, n_iter: int) -> "np.ndarray":
     return cent
 
 
-# the repo-standard quantization grid (operators/similarity.py SCALE)
-_SCALE = 1_000_000
-# int64 headroom: |iv| < 2^25 keeps every subspace (dsub <= 2048) dot
-# and squared distance exact -- dsub * (2 * 2^25)^2 < 2^63
-_MAX_ABS = 1 << 25
+# the repo-standard quantization grid and its int64-headroom cap
+# (operators/similarity.py SCALE / MAX_ABS_IV): |iv| < 2^25 keeps every
+# subspace (dsub <= 2048) dot and squared distance exact --
+# dsub * (2 * 2^25)^2 < 2^63
+from taxi_data_pipeline_pset2_spark.operators.similarity import (
+    MAX_ABS_IV as _MAX_ABS,
+    SCALE as _SCALE,
+)
 
 
 def _to_grid(X: "np.ndarray") -> "np.ndarray":

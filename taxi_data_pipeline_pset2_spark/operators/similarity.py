@@ -39,6 +39,16 @@ MAX_QUERY_ROWS = 100_000
 
 SCALE = 1_000_000
 
+# int64-headroom cap of the 1e-6 grid itself (|iv| < 2^25, raw values
+# < ~33.5): every integer kernel over grid values -- clustering's exact
+# d2, pq's subspace dots, the euclid ground truth -- shares this
+# envelope, and each dot/distance must ALSO check its own
+# dimension-aware bound D * (2 * MAX_ABS_IV)^2 < 2^63 (the magnitude
+# cap alone is safe only up to D = 2048; ADVICE r9). Lives here, next
+# to SCALE, because it is a property of the quantization grid, not of
+# any one consumer.
+MAX_ABS_IV = 1 << 25
+
 
 def int_embedding(col: Column) -> Column:
     """array<float> -> exact array<bigint> at 1e-6 quantization."""
@@ -905,29 +915,42 @@ def exact_euclid_topk(
 
     Ground-truth hardening (a wrong "exact" side corrupts every recall
     number silently): a corpus row whose vector length differs from the
-    query's, or whose grid magnitude exceeds the clustering _MAX_ABS_IV
-    cap, fails the scan loudly (raise_error) instead of ranking as a
+    query's, or whose grid magnitude exceeds the MAX_ABS_IV grid cap,
+    fails the scan loudly (raise_error) instead of ranking as a
     NULL-first or int64-wrapped distance; the dimension-aware bound
     D * (2 * 2^25)^2 < 2^63 is checked on the driver."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    from taxi_data_pipeline_pset2_spark.operators.clustering import _MAX_ABS_IV
-
     qiv = [int(v) for v in _grid_int64(query)]
     dim = len(qiv)
-    if max((abs(v) for v in qiv), default=0) >= _MAX_ABS_IV:
+    if max((abs(v) for v in qiv), default=0) >= MAX_ABS_IV:
         raise ValueError("query magnitude exceeds the 2^25 grid cap")
-    if dim * (2 * _MAX_ABS_IV) ** 2 >= 1 << 63:
+    if dim * (2 * MAX_ABS_IV) ** 2 >= 1 << 63:
         raise ValueError(f"dim {dim} overflows the int64 d2 bound")
     qarr = F.array(*[F.lit(v).cast("bigint") for v in qiv])
     iv = int_embedding(F.col(vec_col))
+    # the NULL-element check must come first AND the magnitude check
+    # must be null-safe: under three-valued logic exists(abs(x) >= cap)
+    # over a vector containing NULL returns NULL (not TRUE), the WHEN
+    # would not fire, and the NULL d2 would sort NULLS FIRST into the
+    # "exact" top-k -- silently deflating every recall audit
     checked = F.when(
+        iv.isNull(),
+        F.raise_error(
+            F.lit("exact_euclid_topk: corpus vector is NULL")
+        ).cast("array<bigint>"),
+    ).when(
         F.size(iv) != dim,
         F.raise_error(
             F.lit("exact_euclid_topk: corpus vector length != query dim")
         ).cast("array<bigint>"),
     ).when(
-        F.exists(iv, lambda x: F.abs(x) >= F.lit(_MAX_ABS_IV)),
+        F.exists(iv, lambda x: x.isNull()),
+        F.raise_error(
+            F.lit("exact_euclid_topk: corpus vector has a NULL component")
+        ).cast("array<bigint>"),
+    ).when(
+        F.exists(iv, lambda x: F.abs(x) >= F.lit(MAX_ABS_IV)),
         F.raise_error(
             F.lit("exact_euclid_topk: corpus magnitude exceeds the 2^25 grid cap")
         ).cast("array<bigint>"),

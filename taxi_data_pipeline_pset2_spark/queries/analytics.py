@@ -509,6 +509,38 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_pq(encode_pq(emb, cb), cb, q, top_k=10)
 
 
+# Recall-audit k, shared by BOTH engines' sides of both audits: the
+# engine's search/exact top-k, the F.lit(k) output column and divisor,
+# and the oracle builders' top_k must all agree or engine and oracle
+# silently compare different cutoffs.
+_RECALL_K = 10
+
+
+def _lowest_id_query_vector(emb: DataFrame) -> list[float]:
+    """The audits' fixed query: the lowest vec_id's embedding as
+    doubles (bounded 1-row collect), matching the oracles' qv CTE."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()[0]["v"]
+    )
+
+
+def _recall_row(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """One (k, n_hits, recall) row from two (vec_id) top-k frames --
+    the Spark twin of _exact_recall_ctes' final select."""
+    return (
+        approx.join(exact, "vec_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(k)).alias("recall"),
+        )
+    )
+
+
 def _exact_recall_ctes(top_k: int, dim: int) -> dict[str, str]:
     """The shared recall-audit tail: a brute-force exact-euclid CTE over
     the grid table ``n`` (reusing the chain's own qv query CTE --
@@ -539,7 +571,11 @@ def _pq_recall_oracle(top_k: int = 10, dim: int = 64) -> str:
     return _pq_oracle(top_k=top_k, extra_ctes=_exact_recall_ctes(top_k, dim))
 
 
-@query("pq_recall_audit", oracle=_pq_recall_oracle(), tags=("similarity", "ann"))
+@query(
+    "pq_recall_audit",
+    oracle=_pq_recall_oracle(top_k=_RECALL_K),
+    tags=("similarity", "ann"),
+)
 def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@10 of the PQ ADC index against the exact
     integer-grid euclidean top-10 (operators/similarity.py
@@ -562,23 +598,12 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     cb = train_pq(emb, m=8, k=16, n_iter=10)
-    q = (
-        emb.orderBy("vec_id")
-        .limit(1)
-        .select(F.col("embedding").cast("array<double>").alias("v"))
-        .collect()[0]["v"]
+    q = _lowest_id_query_vector(emb)
+    approx = search_pq(encode_pq(emb, cb), cb, q, top_k=_RECALL_K).select(
+        "vec_id"
     )
-    approx = search_pq(encode_pq(emb, cb), cb, q, top_k=10).select("vec_id")
-    exact = exact_euclid_topk(emb, q, k=10).select("vec_id")
-    return (
-        approx.join(exact, "vec_id")
-        .agg(F.count("*").cast("bigint").alias("n_hits"))
-        .select(
-            F.lit(10).cast("bigint").alias("k"),
-            "n_hits",
-            (F.col("n_hits").cast("double") / F.lit(10)).alias("recall"),
-        )
-    )
+    exact = exact_euclid_topk(emb, q, k=_RECALL_K).select("vec_id")
+    return _recall_row(approx, exact, _RECALL_K)
 
 
 def _pagerank_oracle(n_iter: int = 8, damping: float = 0.85, limit: int = 25) -> str:
@@ -1203,7 +1228,9 @@ def _ivfpq_recall_oracle(top_k: int = 10, dim: int = 64) -> str:
 
 
 @query(
-    "ivfpq_recall_audit", oracle=_ivfpq_recall_oracle(), tags=("similarity", "ann")
+    "ivfpq_recall_audit",
+    oracle=_ivfpq_recall_oracle(top_k=_RECALL_K),
+    tags=("similarity", "ann"),
 )
 def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@10 of the IVFPQ index against the exact
@@ -1220,25 +1247,12 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    q = (
-        emb.orderBy("vec_id")
-        .limit(1)
-        .select(F.col("embedding").cast("array<double>").alias("v"))
-        .collect()[0]["v"]
-    )
+    q = _lowest_id_query_vector(emb)
     approx = ivfpq_search(
-        emb, q, n_cells=8, n_probe=2, m=8, k=16, top_k=10
+        emb, q, n_cells=8, n_probe=2, m=8, k=16, top_k=_RECALL_K
     ).select("vec_id")
-    exact = exact_euclid_topk(emb, q, k=10).select("vec_id")
-    return (
-        approx.join(exact, "vec_id")
-        .agg(F.count("*").cast("bigint").alias("n_hits"))
-        .select(
-            F.lit(10).cast("bigint").alias("k"),
-            "n_hits",
-            (F.col("n_hits").cast("double") / F.lit(10)).alias("recall"),
-        )
-    )
+    exact = exact_euclid_topk(emb, q, k=_RECALL_K).select("vec_id")
+    return _recall_row(approx, exact, _RECALL_K)
 
 
 _CMS_ORACLE = """

@@ -212,11 +212,17 @@ def load_month_files(
                         "error", None, None, None)
         try:
             n_rows, n_cols = _parquet_footer_meta(mf.dest)
-        except Exception:
+        except (ValueError, OSError):
             # 200-with-an-error-page downloads land here: the artifact
-            # is not parquet. Remove it (its final name would otherwise
-            # satisfy the resume rule and poison every rerun) and record
-            # the month as error so the next run re-downloads.
+            # is not parquet (pyarrow raises ArrowInvalid, a ValueError,
+            # or OSError on a truncated footer). Remove it (its final
+            # name would otherwise satisfy the resume rule and poison
+            # every rerun) and record the month as error so the next
+            # run re-downloads. ONLY corruption-shaped errors may reach
+            # this delete: a bare `except Exception` here would let an
+            # ImportError (no pyarrow on the driver) destroy every valid
+            # download in the grid and record an all-'error' manifest
+            # for an environment bug.
             os.remove(mf.dest)
             return (mf.run_id, mf.year, mf.month, mf.service, mf.url,
                     "error", None, None, None)

@@ -70,6 +70,30 @@ def _state_dir(base: str, batch_id: int) -> str:
     return os.path.join(base, f"state_batch={batch_id}")
 
 
+# Engine-owned commit marker, written by on_batch AFTER its parquet
+# write returns: completeness is then independent of the Hadoop
+# committer's marksuccessfuljobs setting in whichever session wrote
+# the state. A crashed overwrite leaves neither this nor _SUCCESS
+# (mode("overwrite") clears the directory first, so a stale marker
+# cannot survive into a partial rewrite).
+_COMMIT_MARKER = "_KMV_COMMIT"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved against ITS filesystem
+    (fs.defaultFS for schemeless paths)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _write_commit_marker(spark: SparkSession, state_dir: str) -> None:
+    fs, _ = _hadoop_fs(spark, state_dir)
+    fs.create(
+        spark._jvm.org.apache.hadoop.fs.Path(state_dir + "/" + _COMMIT_MARKER),
+        True,
+    ).close()
+
+
 def read_kmv_state(
     spark: SparkSession, state_base: str, batch_id: int
 ) -> DataFrame:
@@ -84,27 +108,23 @@ def read_kmv_state(
         return spark.createDataFrame([], _STATE_SCHEMA)
     path = _state_dir(state_base, batch_id)
     # Completeness gate, not mere existence: a crash mid-overwrite
-    # leaves a state directory WITHOUT the _SUCCESS commit marker, and
-    # a schema-pinned spark.read over the partial dir silently yields
-    # an empty/truncated sketch -- the exact reset this guard refuses.
+    # leaves a state directory WITHOUT a commit marker, and a
+    # schema-pinned spark.read over the partial dir silently yields an
+    # empty/truncated sketch -- the exact reset this guard refuses.
     # Resolved through the path's OWN Hadoop FileSystem, never the
     # driver's local os.path: a schemeless path belongs to
     # fs.defaultFS, which need not be file:// on a real cluster (a
-    # local check there would raise for every healthy batch). When the
-    # committer is configured to skip _SUCCESS markers, directory
-    # existence is the strongest available check.
-    hconf = spark._jsc.hadoopConfiguration()
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
-    marks = (
-        hconf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
-        or "true"
-    ).lower() != "false"
+    # local check there would raise for every healthy batch). The
+    # primary marker is the ENGINE-OWNED _KMV_COMMIT the writer drops
+    # after its parquet write returns -- correct regardless of how
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs was set in the
+    # WRITING session (consulting the reader's config instead would
+    # break on any writer/reader config skew); Hadoop's _SUCCESS is
+    # accepted as a fallback for state written by older versions.
+    fs, jpath = _hadoop_fs(spark, path)
     committed = fs.exists(
-        spark._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-        if marks
-        else jpath
-    )
+        spark._jvm.org.apache.hadoop.fs.Path(path + "/" + _COMMIT_MARKER)
+    ) or fs.exists(spark._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS"))
     if not committed:
         raise FileNotFoundError(
             f"KMV state for batch {batch_id} missing or uncommitted at "
@@ -146,9 +166,9 @@ def run_streaming_kmv(
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         prev = read_kmv_state(spark, state_base, batch_id - 1)
         new_state = kmv_state_merge(prev, batch_df, key_col, col, k)
-        new_state.write.mode("overwrite").parquet(
-            _state_dir(state_base, batch_id)
-        )
+        out = _state_dir(state_base, batch_id)
+        new_state.write.mode("overwrite").parquet(out)
+        _write_commit_marker(spark, out)
 
     return (
         stream_df.writeStream.foreachBatch(on_batch)

@@ -636,3 +636,18 @@ class TestExactEuclidTopk:
             exact_euclid_topk(big, [40.0, 0.0], k=1)
         with _pytest.raises(ValueError, match="overflows"):
             exact_euclid_topk(big, [0.0] * 2048, k=1)
+        # NULL poison: a NULL component (or a NULL vector) must raise --
+        # under three-valued logic it would otherwise slip past the
+        # magnitude exists() and sort NULLS FIRST into the exact top-k
+        nulled = spark.createDataFrame(
+            [(1, [0.5, 0.5]), (2, [1.0, None])],
+            "vec_id long, embedding array<float>",
+        )
+        with _pytest.raises(SparkRuntimeException, match="NULL component"):
+            exact_euclid_topk(nulled, [0.0, 0.0], k=2).collect()
+        allnull = spark.createDataFrame(
+            [(1, [0.5, 0.5]), (2, None)],
+            "vec_id long, embedding array<float>",
+        )
+        with _pytest.raises(SparkRuntimeException, match="vector is NULL"):
+            exact_euclid_topk(allnull, [0.0, 0.0], k=2).collect()

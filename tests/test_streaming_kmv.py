@@ -161,29 +161,49 @@ def test_batching_invariance(spark):
     assert one_shot == chunked
 
 
-def test_success_guard_resolves_through_hadoop_fs(spark, tmp_path):
-    """The completeness gate must resolve the path through ITS Hadoop
+def test_commit_marker_guard_is_config_independent(spark, tmp_path):
+    """The completeness gate resolves the path through ITS Hadoop
     FileSystem (a schemeless path belongs to fs.defaultFS, not
-    necessarily the driver's local disk), and when the committer is
-    configured to skip _SUCCESS markers, directory existence is the
-    check -- a healthy marker-less state dir must read, not raise."""
+    necessarily the driver's local disk) and trusts the ENGINE-OWNED
+    _KMV_COMMIT marker first, with Hadoop's _SUCCESS as the
+    older-writer fallback -- so a writer/reader skew on
+    marksuccessfuljobs can neither raise on healthy state nor accept a
+    partial directory."""
+    from taxi_data_pipeline_pset2_spark.streaming.kmv import (
+        _write_commit_marker,
+    )
+
     base = str(tmp_path / "state")
     path = os.path.join(base, "state_batch=0")
     spark.createDataFrame(
         [("a", 1)], "key string, h bigint"
     ).write.parquet(path)
+    # older-writer state: _SUCCESS only
     assert read_kmv_state(spark, base, 0).count() == 1
+    # neither marker = a crashed overwrite, regardless of any committer
+    # config: raise
     os.remove(os.path.join(path, "_SUCCESS"))
     with pytest.raises(FileNotFoundError, match="batch 0"):
         read_kmv_state(spark, base, 0)
-    hconf = spark._jsc.hadoopConfiguration()
-    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
-    prev = hconf.get(key)
-    hconf.set(key, "false")
-    try:
-        assert read_kmv_state(spark, base, 0).count() == 1
-    finally:
-        if prev is None:
-            hconf.unset(key)
-        else:
-            hconf.set(key, prev)
+    # the engine's own marker commits it, even where the writing
+    # session's committer skipped _SUCCESS
+    _write_commit_marker(spark, path)
+    assert read_kmv_state(spark, base, 0).count() == 1
+
+
+def test_writer_drops_engine_commit_marker(spark, tmp_path):
+    """run_streaming_kmv's on_batch must leave _KMV_COMMIT next to each
+    state dir so completeness never depends on the writing session's
+    committer config."""
+    flat = _write_units(spark, str(tmp_path / "in"), _batches()[:1])
+    state = str(tmp_path / "state")
+    q = run_streaming_kmv(
+        read_docs_stream(spark, flat, max_files_per_trigger=10),
+        "key",
+        "v",
+        state,
+        str(tmp_path / "ckpt"),
+        k=K,
+    )
+    q.awaitTermination(120)
+    assert os.path.isfile(os.path.join(state, "state_batch=0", "_KMV_COMMIT"))
