@@ -87,9 +87,16 @@ def main() -> None:
         # full-text values: vocabulary ~= corpus, the sketch's worst case
         return cms_sketch(df, "text", width=4096, depth=4)
 
+    def bm25(df):
+        from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+        # eager inside the op (localCheckpoint of the top-k), so the
+        # timer captures the two corpus scans + tiny shuffles
+        return bm25_topk(df, ["merge", "stream", "the"], top_k=30)
+
     ops = {"minhash_lsh_pairs": minhash, "tfidf_cosine_pairs": tfidf_cos,
            "exact_dedup": exact, "pmi_collocations": pmi,
-           "cms_sketch_text": cms}
+           "cms_sketch_text": cms, "bm25_topk": bm25}
 
     # graph probe: disjoint replicas (per-replica node suffix) keep the
     # degree distribution intact, so triangles/wedges scale EXACTLY
