@@ -366,3 +366,59 @@ def test_bm25_null_text_equals_empty_text(spark):
         (r.doc_id, r.score_micro) for r in b
     ]
     assert len(a) == 2  # the null doc matches nothing but counts in N/L
+
+
+def test_bm25_matches_bruteforce_random(spark):
+    """Hypothesis sweep: random tiny corpora and queries vs the float
+    reference (the integer HALF_UP ratios sit within 1e-6 of the real
+    scores, so ranking and values agree to tolerance)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10),
+            min_size=1,
+            max_size=7,
+        ),
+        terms=st.lists(
+            st.sampled_from(_WORDS), min_size=1, max_size=3, unique=True
+        ),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(docs, terms):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        got = {
+            r.doc_id: r.bm25
+            for r in bm25_topk(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                terms,
+                top_k=20,
+            ).collect()
+        }
+        ref = _bm25_ref(rows, terms)
+        assert set(got) == set(ref)
+        for i, s in got.items():
+            assert abs(s - ref[i]) < 2e-6, (i, s, ref[i])
+
+    run()
+
+
+def test_bm25_partitioning_invariant(spark):
+    """The integer-sum contract: identical scores at 1 and 32 input
+    partitions (a float-sum BM25 would drift with aggregation order)."""
+    from taxi_data_pipeline_pset2_spark.operators.search import bm25_topk
+
+    rows = [(i, f"hit {'pad ' * (i % 7)}{'hit ' * (i % 3)}") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = bm25_topk(df.coalesce(1), ["hit", "pad"], top_k=64).collect()
+    b = bm25_topk(df.repartition(32), ["hit", "pad"], top_k=64).collect()
+    assert [(r.doc_id, r.score_micro) for r in a] == [
+        (r.doc_id, r.score_micro) for r in b
+    ]
