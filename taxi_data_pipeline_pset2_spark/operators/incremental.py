@@ -54,13 +54,17 @@ class IncrementalDedupResult:
     matches: (doc_id, corpus_id, n_shared_bands) -- every new doc that
         collided with an indexed doc, for audit / lineage.
     index: the input index plus the survivors' signatures; persist this
-        (e.g. ``sinks.atomic_overwrite`` or an append) for the next
-        batch.
+        (e.g. ``sinks.atomic_overwrite``) for the next batch.
+    new_index_rows: JUST the survivors' signature rows -- the delta an
+        append-mode sink should write instead of re-deriving signatures
+        from the survivors' text a second time (the signature pipeline
+        is the dominant per-batch cost).
     """
 
     survivors: DataFrame
     matches: DataFrame
     index: DataFrame
+    new_index_rows: DataFrame
 
 
 def match_against_index(
@@ -136,10 +140,13 @@ def incremental_dedup(
     survivors = resolve_duplicate_clusters(clean, within, id_col=id_col)
 
     keep_ids = survivors.select(id_col)
-    grown = index.unionByName(
-        sigs.join(F.broadcast(keep_ids), id_col, "left_semi")
+    new_rows = sigs.join(F.broadcast(keep_ids), id_col, "left_semi")
+    return IncrementalDedupResult(
+        survivors=survivors,
+        matches=matches,
+        index=index.unionByName(new_rows),
+        new_index_rows=new_rows,
     )
-    return IncrementalDedupResult(survivors=survivors, matches=matches, index=grown)
 
 
 def incremental_embedding_dedup(
@@ -224,7 +231,12 @@ def incremental_embedding_dedup(
     survivors = resolve_duplicate_clusters(
         clean, within, id_col=id_col, src="id_a", dst="id_b"
     )
-    grown = index.unionByName(
-        sigs.join(F.broadcast(survivors.select(id_col)), id_col, "left_semi")
+    new_rows = sigs.join(
+        F.broadcast(survivors.select(id_col)), id_col, "left_semi"
     )
-    return IncrementalDedupResult(survivors=survivors, matches=matches, index=grown)
+    return IncrementalDedupResult(
+        survivors=survivors,
+        matches=matches,
+        index=index.unionByName(new_rows),
+        new_index_rows=new_rows,
+    )

@@ -55,6 +55,12 @@ class Pipeline:
     nodes: list[Node] = field(default_factory=list)
 
     def add(self, node: Node) -> "Pipeline":
+        # reject duplicates HERE: _topo_order's by_name dict would keep
+        # only the last same-named node, so the shadowed one would never
+        # run while run() still reports all-success -- and both writes
+        # would target warehouse_dir/<name>
+        if any(n.name == node.name for n in self.nodes):
+            raise ValueError(f"duplicate node name: {node.name!r}")
         self.nodes.append(node)
         return self
 

@@ -90,11 +90,9 @@ def versioned_write(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     versions = list_versions(path)
-    tags = (
-        dict(_read_manifest(path, versions[-1]).get("tags", {}))
-        if versions
-        else {}
-    )
+    # one helper owns the tag-map read (committed_tags): duplicating it
+    # here would let tag storage and the idempotency check drift apart
+    tags = committed_tags(path) if versions else {}
     if tag is not None and tag in tags:
         return tags[tag]
     next_v = (versions[-1] + 1) if versions else 0
@@ -188,10 +186,15 @@ def vacuum(
 
     versions = list_versions(path)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
+    # segment identity = the hex dir NAME under <path>/data, never the
+    # raw path string: manifests record files with whatever spelling of
+    # `path` the WRITER used, and a raw-string comparison against this
+    # caller's spelling ("./tbl" vs "tbl" vs absolute) would match
+    # nothing and rmtree every live segment past the grace window
     referenced: set[str] = set()
     for v in keep:
         for f in _read_manifest(path, v)["files"]:
-            referenced.add(os.path.dirname(f))
+            referenced.add(os.path.basename(os.path.dirname(f)))
     for v in drop:
         os.remove(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
     removed = []
@@ -200,7 +203,7 @@ def vacuum(
     if os.path.isdir(data_root):
         for seg in sorted(os.listdir(data_root)):
             seg_path = os.path.join(data_root, seg)
-            if seg_path in referenced:
+            if seg in referenced:
                 continue
             try:
                 age = now - os.path.getmtime(seg_path)

@@ -34,9 +34,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from taxi_data_pipeline_pset2_spark.operators.dedup import (
-    minhash_band_signatures,
-)
 from taxi_data_pipeline_pset2_spark.operators.incremental import (
     incremental_dedup,
 )
@@ -50,12 +47,29 @@ def _index_schema(id_col: str = "doc_id") -> str:
 
 
 def read_docs_stream(
-    spark: SparkSession, docs_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    docs_dir: str,
+    max_files_per_trigger: int = 1,
+    schema: str | None = None,
 ) -> DataFrame:
     """File-arrival document stream: each parquet file dropped into
     ``docs_dir`` is one ingest unit; ``maxFilesPerTrigger`` bounds the
-    batch size (and in tests splits a backfill into micro-batches)."""
-    schema = spark.read.parquet(docs_dir).schema
+    batch size (and in tests splits a backfill into micro-batches).
+    Pass ``schema`` to start the stream BEFORE the first file lands
+    (the normal deployment order for a file-arrival source) -- without
+    it the schema is probed from existing files, and an empty dir is
+    reported as a clear error instead of the raw AnalysisException."""
+    if schema is None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            schema = spark.read.parquet(docs_dir).schema
+        except AnalysisException as exc:
+            raise ValueError(
+                f"cannot infer a stream schema from {docs_dir} (no parquet "
+                "yet?): pass schema= to start the stream before the first "
+                "file lands"
+            ) from exc
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -102,9 +116,11 @@ def run_streaming_incremental_dedup(
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_dir, f"batch_id={batch_id}")
         )
-        new_rows = minhash_band_signatures(
-            survivors, text_col=text_col, id_col=id_col
-        ).join(
+        # the signature delta incremental_dedup already computed -- NOT
+        # a second shingle->hash->min pass over the survivors' text
+        # (that pipeline is the dominant per-batch cost). The anti-join
+        # keeps a replayed batch from double-appending its rows.
+        new_rows = res.new_index_rows.join(
             index.select(id_col).distinct(), id_col, "left_anti"
         )
         new_rows.write.mode("append").parquet(index_dir)

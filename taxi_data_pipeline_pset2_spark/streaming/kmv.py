@@ -26,12 +26,17 @@ sketch exact.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from taxi_data_pipeline_pset2_spark.operators.kmv import _h
+from taxi_data_pipeline_pset2_spark.streaming.state import (
+    COMMIT_MARKER,
+    hadoop_fs,
+    read_committed_state,
+    state_dir,
+    write_commit_marker,
+)
 
 _STATE_SCHEMA = "key string, h bigint"
 
@@ -66,71 +71,29 @@ def kmv_state_merge(
     )
 
 
-def _state_dir(base: str, batch_id: int) -> str:
-    return os.path.join(base, f"state_batch={batch_id}")
-
-
-# Engine-owned commit marker, written by on_batch AFTER its parquet
-# write returns: completeness is then independent of the Hadoop
-# committer's marksuccessfuljobs setting in whichever session wrote
-# the state. A crashed overwrite leaves neither this nor _SUCCESS
-# (mode("overwrite") clears the directory first, so a stale marker
-# cannot survive into a partial rewrite).
-_COMMIT_MARKER = "_KMV_COMMIT"
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` resolved against ITS filesystem
-    (fs.defaultFS for schemeless paths)."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _write_commit_marker(spark: SparkSession, state_dir: str) -> None:
-    fs, _ = _hadoop_fs(spark, state_dir)
-    fs.create(
-        spark._jvm.org.apache.hadoop.fs.Path(state_dir + "/" + _COMMIT_MARKER),
-        True,
-    ).close()
+# State layout, commit marker, and completeness gate live in
+# streaming/state.py -- the SHARED contract for every batch-keyed
+# monitor in this package (ADVICE r9: only batch_id < 0 maps to the
+# empty frame; missing/uncommitted state and read errors raise).
+# Aliased here to keep this module's historical surface.
+_state_dir = state_dir
+_COMMIT_MARKER = COMMIT_MARKER
+_hadoop_fs = hadoop_fs
+_write_commit_marker = write_commit_marker
 
 
 def read_kmv_state(
     spark: SparkSession, state_base: str, batch_id: int
 ) -> DataFrame:
     """The (key, h) sketch as of ``batch_id``. Only ``batch_id < 0``
-    (batch 0's no-predecessor sentinel) maps to the empty sketch; for a
-    real batch id the state directory MUST exist and read errors
-    propagate -- swallowing a transient IO error or a cleaned state dir
-    here would silently reset the sketch and permanently undercount
-    every later estimate, breaking the exact/replay-idempotent contract
-    (ADVICE r9)."""
-    if batch_id < 0:
-        return spark.createDataFrame([], _STATE_SCHEMA)
-    path = _state_dir(state_base, batch_id)
-    # Completeness gate, not mere existence: a crash mid-overwrite
-    # leaves a state directory WITHOUT a commit marker, and a
-    # schema-pinned spark.read over the partial dir silently yields an
-    # empty/truncated sketch -- the exact reset this guard refuses.
-    # Resolved through the path's OWN Hadoop FileSystem, never the
-    # driver's local os.path: a schemeless path belongs to
-    # fs.defaultFS, which need not be file:// on a real cluster (a
-    # local check there would raise for every healthy batch). The
-    # primary marker is the ENGINE-OWNED _KMV_COMMIT the writer drops
-    # after its parquet write returns -- correct regardless of how
-    # mapreduce.fileoutputcommitter.marksuccessfuljobs was set in the
-    # WRITING session (consulting the reader's config instead would
-    # break on any writer/reader config skew); Hadoop's _SUCCESS is
-    # accepted as a fallback for state written by older versions.
-    fs, jpath = _hadoop_fs(spark, path)
-    committed = fs.exists(
-        spark._jvm.org.apache.hadoop.fs.Path(path + "/" + _COMMIT_MARKER)
-    ) or fs.exists(spark._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS"))
-    if not committed:
-        raise FileNotFoundError(
-            f"KMV state for batch {batch_id} missing or uncommitted at "
-            f"{path}: refusing to substitute an empty sketch"
-        )
-    return spark.read.schema(_STATE_SCHEMA).parquet(path)
+    (batch 0's no-predecessor sentinel) maps to the empty sketch; a
+    missing or uncommitted directory for a real batch raises and read
+    errors propagate (streaming/state.py read_committed_state --
+    swallowing either would silently reset the sketch and permanently
+    undercount every later estimate)."""
+    return read_committed_state(
+        spark, state_base, batch_id, _STATE_SCHEMA, what="KMV state"
+    )
 
 
 def read_kmv_estimates(

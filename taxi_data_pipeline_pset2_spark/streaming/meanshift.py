@@ -62,11 +62,27 @@ def _prior_state(
     spark: SparkSession, audit_dir: str, batch_id: int
 ) -> tuple[float, float]:
     """(s_pos, s_neg) from the newest audit row older than batch_id;
-    (0, 0) when none exists."""
-    try:
-        audit = read_meanshift_audit(spark, audit_dir)
-    except Exception:  # first batch: no audit yet
+    (0, 0) ONLY when no audit exists yet (first batch). A read error
+    over an EXISTING audit dir propagates: mapping it to (0, 0) would
+    silently reset the CUSUM statistics mid-climb and suppress the
+    alarm -- and, because state is recovered from the audit log, poison
+    every later batch (the ADVICE r9 defect class the KMV/top-k
+    monitors guard with streaming/state.py)."""
+    from taxi_data_pipeline_pset2_spark.streaming.state import hadoop_fs
+
+    fs, jdir = hadoop_fs(spark, audit_dir)
+    # "no audit yet" covers both a missing dir and a pre-created empty
+    # one (no batch_id=* children); anything else must read cleanly.
+    # globStatus returns null/empty for no matches -- check len(), a
+    # bare truthiness test on the py4j array proxy is always True.
+    if not fs.exists(jdir):
         return 0.0, 0.0
+    matches = fs.globStatus(
+        spark._jvm.org.apache.hadoop.fs.Path(audit_dir + "/batch_id=*")
+    )
+    if matches is None or len(matches) == 0:
+        return 0.0, 0.0
+    audit = read_meanshift_audit(spark, audit_dir)
     row = (
         audit.filter(F.col("batch_id") < batch_id)
         .orderBy(F.desc("batch_id"))

@@ -28,10 +28,14 @@ value asc), so state is deterministic under any partitioning.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from taxi_data_pipeline_pset2_spark.streaming.state import (
+    read_committed_state,
+    state_dir,
+    write_commit_marker,
+)
 
 _STATE_SCHEMA = "value string, est bigint, max_undercount bigint"
 
@@ -78,19 +82,22 @@ def mg_merge(
     )
 
 
-def _state_dir(base: str, batch_id: int) -> str:
-    return os.path.join(base, f"state_batch={batch_id}")
+_state_dir = state_dir
 
 
 def read_topk_state(
     spark: SparkSession, state_base: str, batch_id: int
 ) -> DataFrame:
-    """The summary as of ``batch_id`` (empty frame for batch -1)."""
-    path = _state_dir(state_base, batch_id)
-    try:
-        return spark.read.schema(_STATE_SCHEMA).parquet(path)
-    except Exception:  # noqa: BLE001 - first batch: no predecessor state
-        return spark.createDataFrame([], _STATE_SCHEMA)
+    """The summary as of ``batch_id``. Only ``batch_id < 0`` (batch
+    0's no-predecessor sentinel) maps to the empty summary; a missing
+    or uncommitted directory for a real batch raises and read errors
+    propagate (streaming/state.py read_committed_state). The old
+    swallow-everything fallback could not distinguish 'no predecessor'
+    from 'predecessor unreadable' and silently reset the summary --
+    the ADVICE r9 defect class the KMV monitor already guards."""
+    return read_committed_state(
+        spark, state_base, batch_id, _STATE_SCHEMA, what="top-k summary"
+    )
 
 
 def run_streaming_topk(
@@ -114,9 +121,9 @@ def run_streaming_topk(
             .withColumn("max_undercount", F.lit(0).cast("bigint"))
         )
         new_state = mg_merge(prev, counts, capacity)
-        new_state.write.mode("overwrite").parquet(
-            _state_dir(state_base, batch_id)
-        )
+        out = _state_dir(state_base, batch_id)
+        new_state.write.mode("overwrite").parquet(out)
+        write_commit_marker(spark, out)
 
     return (
         stream_df.writeStream.foreachBatch(on_batch)

@@ -197,3 +197,30 @@ def test_incremental_embedding_without_corpus_vectors(spark, sf_dir):
     flagged = {(r.vec_id, r.corpus_id) for r in res.matches.collect()}
     assert (8_200_000, first.vec_id) in flagged
     assert res.survivors.count() == 0
+
+
+def test_new_index_rows_is_exactly_the_index_delta(spark):
+    """new_index_rows (the delta an append sink writes WITHOUT a second
+    signature pass) unioned with the input index must equal res.index,
+    and cover exactly the survivors."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        minhash_band_signatures,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.incremental import (
+        incremental_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} with words {i * 7}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    index = minhash_band_signatures(docs.filter("doc_id < 2"))
+    res = incremental_dedup(docs.filter("doc_id >= 2"), index)
+    delta = {(r.doc_id, r.band, r.band_sig) for r in res.new_index_rows.collect()}
+    grown = {(r.doc_id, r.band, r.band_sig) for r in res.index.collect()}
+    base = {(r.doc_id, r.band, r.band_sig) for r in index.collect()}
+    assert grown == base | delta and not (base & delta)
+    assert {d for d, _, _ in delta} == {
+        r.doc_id for r in res.survivors.collect()
+    }

@@ -161,3 +161,32 @@ def test_replay_rewrites_identical_state(spark, tmp_path):
         for r in read_topk_state(spark, state_base, 1).collect()
     )
     assert first == second
+
+
+def test_missing_state_raises_instead_of_resetting(spark, tmp_path):
+    """The streaming/state.py contract, same as the KMV monitor: only
+    batch_id < 0 maps to the empty summary; a missing or uncommitted
+    directory for a real batch raises (the old swallow-everything
+    fallback silently reset the summary on ANY read failure)."""
+    base = str(tmp_path / "state")
+    assert read_topk_state(spark, base, -1).count() == 0
+    with pytest.raises(FileNotFoundError, match="batch 2"):
+        read_topk_state(spark, base, 2)
+    os.makedirs(os.path.join(base, "state_batch=3"))  # crash mid-overwrite
+    with pytest.raises(FileNotFoundError, match="batch 3"):
+        read_topk_state(spark, base, 3)
+
+
+def test_docs_stream_schema_param_and_empty_dir_error(spark, tmp_path):
+    """read_docs_stream must start BEFORE the first file lands when
+    given schema=, and report an empty dir as a clear error (not a raw
+    AnalysisException) when asked to infer."""
+    empty = str(tmp_path / "in")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="pass schema="):
+        read_docs_stream(spark, empty)
+    s = read_docs_stream(spark, empty, schema="doc_id long, text string")
+    assert s.isStreaming and [f.name for f in s.schema.fields] == [
+        "doc_id",
+        "text",
+    ]

@@ -318,3 +318,17 @@ def test_expect_implication_numeric_rule(spark):
     )
     # if discount > 0 then price > 0: violated by (0, 2) and (NULL, 3)
     assert expect_implication(df, "discount > 0", "price > 0").count() == 2
+
+
+def test_duplicate_node_name_rejected():
+    """_topo_order's by_name dict keeps only the last same-named node,
+    so a shadowed duplicate would silently never run (and both writes
+    would target the same warehouse path) -- add() must reject it."""
+    import pytest as _pytest
+
+    from taxi_data_pipeline_pset2_spark.plans.dag import Node, Pipeline
+
+    p = Pipeline(warehouse_dir="/tmp/unused")
+    p.add(Node("dim_zone", lambda spark: None))
+    with _pytest.raises(ValueError, match="duplicate node name"):
+        p.add(Node("dim_zone", lambda spark: None))

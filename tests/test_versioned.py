@@ -158,3 +158,19 @@ def test_read_version_merge_schema_additive_evolution(spark, tmp_path):
     assert set(wide.columns) == {"k", "v", "score"}
     rows = {r.k: r.score for r in wide.collect()}
     assert rows[1] is None and rows[2] == 9.5  # old segment reads NULL
+
+
+def test_vacuum_path_spelling_does_not_destroy_live_segments(spark, tmp_path):
+    """Segment identity must be the hex dir NAME, not a raw path string:
+    a vacuum called with a different spelling of the table path
+    ("<dir>/./tbl" vs "<dir>/tbl") would otherwise match nothing in the
+    manifest's referenced set and rmtree every live segment past the
+    grace window."""
+    p = str(tmp_path / "tbl")
+    dotted = str(tmp_path) + "/./tbl"  # same table, different spelling
+    versioned_write(_df(spark, [1]), dotted)
+    versioned_write(_df(spark, [2]), dotted)
+    removed = vacuum(p, keep_last=2, grace_seconds=0)
+    assert removed == []
+    assert sorted(r.x for r in read_version(spark, p, 1).collect()) == [2]
+    assert sorted(r.x for r in read_version(spark, p, 0).collect()) == [1]
