@@ -99,6 +99,30 @@ def binary_auc(
     )
 
 
+def _calibration_agg(
+    df: DataFrame, label_col: str, prob_col: str, n_bins: int
+) -> DataFrame:
+    """The shared per-bin sufficient statistics (bin, n, n_pos, _sp)
+    behind calibration_bins and expected_calibration_error -- ONE
+    definition of the bin formula and validity filter, so the two
+    views cannot drift."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    lab = F.col(label_col).cast("boolean")
+    p = F.col(prob_col).cast("double")
+    valid = lab.isNotNull() & p.isNotNull() & (p >= 0.0) & (p <= 1.0)
+    b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    return (
+        df.filter(valid)
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(lab, F.lit(1))).cast("bigint").alias("n_pos"),
+            F.sum(p.cast("decimal(28,10)")).cast("double").alias("_sp"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     label_col: str,
@@ -114,22 +138,8 @@ def calibration_bins(
     bins are absent (count 0 contributes 0 to ECE anyway).
 
     One hash aggregate to <= n_bins rows; the ECE rollup below reuses
-    the same sufficient statistics."""
-    if n_bins < 1:
-        raise ValueError("n_bins must be >= 1")
-    lab = F.col(label_col).cast("boolean")
-    p = F.col(prob_col).cast("double")
-    valid = lab.isNotNull() & p.isNotNull() & (p >= 0.0) & (p <= 1.0)
-    b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
-    agg = (
-        df.filter(valid)
-        .groupBy(b.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.count(F.when(lab, F.lit(1))).cast("bigint").alias("n_pos"),
-            F.sum(p.cast("decimal(28,10)")).cast("double").alias("_sp"),
-        )
-    )
+    the same sufficient statistics (_calibration_agg)."""
+    agg = _calibration_agg(df, label_col, prob_col, n_bins)
     conf = F.col("_sp") / F.col("n")
     acc = F.col("n_pos").cast("double") / F.col("n")
     return agg.select(
@@ -153,20 +163,9 @@ def expected_calibration_error(
     ece = sum_b (n_b / N) * |acc_b - conf_b|, mce = max_b |acc_b -
     conf_b|; both from UNROUNDED per-bin gaps, rounded to 6 dp at the
     end. The per-bin frame is n_bins rows, so the final reduce is
-    free."""
-    lab = F.col(label_col).cast("boolean")
-    p = F.col(prob_col).cast("double")
-    valid = lab.isNotNull() & p.isNotNull() & (p >= 0.0) & (p <= 1.0)
-    b = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
-    bins = (
-        df.filter(valid)
-        .groupBy(b.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.count(F.when(lab, F.lit(1))).cast("bigint").alias("n_pos"),
-            F.sum(p.cast("decimal(28,10)")).cast("double").alias("_sp"),
-        )
-    )
+    free. Shares _calibration_agg with calibration_bins (one bin
+    formula, one validity filter, one n_bins >= 1 validation)."""
+    bins = _calibration_agg(df, label_col, prob_col, n_bins)
     gap = F.abs(
         F.col("n_pos").cast("double") / F.col("n") - F.col("_sp") / F.col("n")
     )
@@ -210,15 +209,25 @@ def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         ra.join(F.broadcast(cb), F.col("_ka").eqNullSafe(F.col("_kb")))
         .agg(
             F.coalesce(
-                F.sum((F.col("na") * F.col("nb")).cast("decimal(38,0)")),
+                # cast each factor BEFORE the product: bigint na*nb
+                # overflows once both marginals pass ~3e9 rows
+                F.sum(
+                    F.col("na").cast("decimal(19,0)")
+                    * F.col("nb").cast("decimal(19,0)")
+                ),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("penum")
         )
     )
     j = counts.crossJoin(F.broadcast(pe))
     n = F.col("n")
-    po = F.col("agree").cast("double") / n
-    pe_d = F.col("penum").cast("double") / (n.cast("double") * n)
+    # try_divide: an empty input gives n = 0 with non-null zero
+    # numerators -- a plain division is an ANSI DIVIDE_BY_ZERO crash
+    # instead of an n=0 row with NULL metrics
+    po = F.try_divide(F.col("agree").cast("double"), n.cast("double"))
+    pe_d = F.try_divide(
+        F.col("penum").cast("double"), n.cast("double") * n
+    )
     den = (n.cast("decimal(38,0)") * n - F.col("penum")).cast("double")
     num = (
         F.col("agree").cast("decimal(38,0)") * n - F.col("penum")

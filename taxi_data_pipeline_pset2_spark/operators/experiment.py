@@ -43,7 +43,16 @@ def assign_variants(
     whose cumulative weight interval contains hash(salt:u) / 1e6.
     Weights must be positive and sum to ~1 (validated); NULL units get
     NULL variant (exclude them upstream). Same unit + same salt =>
-    same variant, on any engine."""
+    same variant, on any engine.
+
+    The bucket hash uses a 60-bit md5 prefix (15 hex chars, fits a
+    signed int64 in every engine): with a 32-bit prefix, 2^32 mod 1e6
+    = 967296 leaves the high bucket range systematically under-weighted
+    by ~2.3e-10 per bucket -- enough that at n ~ 1e10 units the
+    realized split drifts ~7e-6 absolute from the configured weights
+    and srm_check raises a GUARANTEED false alarm against its own
+    assignment. At 60 bits the residual bias is ~9e-19 per bucket,
+    unobservable at any n."""
     if not weights:
         raise ValueError("need at least one variant")
     total = sum(weights.values())
@@ -56,7 +65,7 @@ def assign_variants(
                     F.concat(F.lit(salt), F.lit(":"), F.col(unit_col).cast("string"))
                 ),
                 1,
-                8,
+                15,
             ),
             16,
             10,

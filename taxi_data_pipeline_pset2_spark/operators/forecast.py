@@ -60,7 +60,10 @@ def seasonal_naive_eval(
     )
     cond = (F.col("_t") == F.col("_pt"))
     for c in key_cols:
-        cond = cond & (F.col(c) == F.col(f"_p_{c}"))
+        # eqNullSafe: NULL is a legitimate cohort (NULL zone/type ids
+        # are common); a plain == silently drops the whole NULL-key
+        # series from the backtest with no error and no NULL-metric row
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_p_{c}"))
     j = series.join(prev, cond)
     err = F.abs(F.col("_y") - F.col("_y_prev"))
     is_test = F.col("_t") >= F.to_timestamp(F.lit(split_ts))

@@ -412,8 +412,10 @@ def mannwhitney_u(
         F.col("_p").cast("decimal(38,0)")
         * (F.lit(2) * cum_below + F.col("_q")).cast("decimal(38,0)")
     )
-    t_tot = F.col("_p") + F.col("_q")
-    ties = (t_tot * t_tot * t_tot - t_tot).cast("decimal(38,0)")
+    # cube in DECIMAL: a value tied across > 2^21 rows makes the bigint
+    # t^3 overflow (ANSI throw / silent wrap) before the cast lands
+    t_tot = (F.col("_p") + F.col("_q")).cast("decimal(38,0)")
+    ties = t_tot * t_tot * t_tot - t_tot
     agg = per.select("_p", "_q", num2.alias("_n2"), ties.alias("_t3")).agg(
         F.sum("_p").cast("bigint").alias("n_a"),
         F.sum("_q").cast("bigint").alias("n_b"),
@@ -423,16 +425,19 @@ def mannwhitney_u(
     na, nb = F.col("n_a"), F.col("n_b")
     nn = na + nb
     u_a = F.col("_num2").cast("double") / 2.0
-    auc = F.col("_num2").cast("double") / (F.lit(2.0) * na * nb)
+    # cast BEFORE multiplying (the binary_auc/search.py discipline):
+    # bigint na*nb overflows once both sides exceed ~3e9 rows
+    nanb = na.cast("double") * nb.cast("double")
+    auc = F.col("_num2").cast("double") / (F.lit(2.0) * nanb)
     var = (
-        (na * nb).cast("double")
+        nanb
         / 12.0
         * (
             (nn + 1).cast("double")
             - F.col("_ties").cast("double") / (nn.cast("double") * (nn - 1))
         )
     )
-    z = (u_a - (na * nb).cast("double") / 2.0) / F.sqrt(var)
+    z = (u_a - nanb / 2.0) / F.sqrt(var)
     ok = (na > 0) & (nb > 0) & (var > 0)
     return agg.select(
         "n_a",
@@ -697,13 +702,17 @@ def spearman_corr(
         F.count("*").cast("bigint").alias("n"),
         F.sum("_rx").cast("double").alias("_sx"),
         F.sum("_ry").cast("double").alias("_sy"),
-        F.sum((F.col("_rx") * F.col("_ry")).cast("decimal(38,0)"))
+        # cast each FACTOR to decimal before the product: a doubled
+        # rank reaches 2n, so the bigint product overflows at group
+        # sizes past ~1.5e9 rows -- exactly the 100 TB shape the
+        # docstring promises DECIMAL accumulation for
+        F.sum(F.col("_rx").cast("decimal(19,0)") * F.col("_ry").cast("decimal(19,0)"))
         .cast("double")
         .alias("_sxy"),
-        F.sum((F.col("_rx") * F.col("_rx")).cast("decimal(38,0)"))
+        F.sum(F.col("_rx").cast("decimal(19,0)") * F.col("_rx").cast("decimal(19,0)"))
         .cast("double")
         .alias("_sxx"),
-        F.sum((F.col("_ry") * F.col("_ry")).cast("decimal(38,0)"))
+        F.sum(F.col("_ry").cast("decimal(19,0)") * F.col("_ry").cast("decimal(19,0)"))
         .cast("double")
         .alias("_syy"),
     )
@@ -920,8 +929,10 @@ def mix_decomposition(
     x = j.crossJoin(F.broadcast(tot))
     m_b = F.try_divide(F.col("_sb"), F.col("n_base").cast("double"))
     m_c = F.try_divide(F.col("_sc"), F.col("n_comp").cast("double"))
-    w_b = F.col("n_base").cast("double") / F.col("_tb")
-    w_c = F.col("n_comp").cast("double") / F.col("_tc")
+    # try_divide like m_b/m_c above: an empty (or all-NULL-value) side
+    # makes the total 0 and a plain division an ANSI DIVIDE_BY_ZERO
+    w_b = F.try_divide(F.col("n_base").cast("double"), F.col("_tb"))
+    w_c = F.try_divide(F.col("n_comp").cast("double"), F.col("_tc"))
     # absent-side means contribute only through terms weighted by the
     # side where they exist: coalesce to the OTHER side's mean so the
     # w*delta algebra stays exact (standard treatment of entering /

@@ -944,7 +944,7 @@ _SNAIVE_ORACLE = """
     j AS (
       SELECT a.event_type, a.t, a.y, b.y AS yp
       FROM s a JOIN s b
-        ON a.event_type = b.event_type
+        ON a.event_type IS NOT DISTINCT FROM b.event_type
        AND a.t = b.t + INTERVAL 24 HOUR
     ),
     agg AS (
@@ -1709,7 +1709,7 @@ _PINBALL_ORACLE = """
              CAST(a.y AS DECIMAL(28,6)) AS y,
              CAST(b.y AS DECIMAL(28,6)) AS f
       FROM s a JOIN s b
-        ON a.event_type = b.event_type
+        ON a.event_type IS NOT DISTINCT FROM b.event_type
        AND a.t = b.t + INTERVAL 24 HOUR
       WHERE a.t >= TIMESTAMP '2024-01-24 00:00:00'
     ),

@@ -4478,7 +4478,7 @@ _SRM_ORACLE = """
                    WHERE user_id IS NOT NULL),
     assigned AS (
       SELECT CASE WHEN CAST('0x' || substr(md5('exp7:' ||
-                        CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
                         % 1000000 < 500000
              THEN 'control' ELSE 'treatment' END AS variant
       FROM units
@@ -4531,7 +4531,7 @@ _RATIO_ORACLE = """
     WITH base AS (
       SELECT user_id,
              CASE WHEN CAST('0x' || substr(md5('exp7:' ||
-                       CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
                        % 1000000 < 500000
              THEN 'control' ELSE 'treatment' END AS variant,
              event_type

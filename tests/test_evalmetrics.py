@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from taxi_data_pipeline_pset2_spark.operators.evalmetrics import (
     binary_auc,
@@ -394,3 +395,51 @@ class TestPinballLoss:
         assert pinball_loss(df, "y", "f", (0.5, 0.9)).collect()[0].pinball == 0.0
         with pytest.raises(ValueError, match="quantiles"):
             pinball_loss(df, "y", "f", (1.5,))
+
+
+def test_cohen_kappa_empty_input_yields_null_metrics(spark):
+    """ANSI regression: an empty input has n = 0 with non-null zero
+    numerators -- the metrics must come back NULL, not DIVIDE_BY_ZERO."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import cohen_kappa
+
+    empty = spark.createDataFrame([], "a string, b string")
+    row = cohen_kappa(empty, "a", "b").collect()[0]
+    assert row.n == 0 and row.po is None and row.pe is None and row.kappa is None
+
+
+def test_ece_shares_bin_formula_and_validation(spark):
+    """expected_calibration_error must reject n_bins < 1 exactly like
+    calibration_bins (the shared _calibration_agg owns the formula)."""
+    import pytest as _pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import (
+        expected_calibration_error,
+    )
+
+    df = spark.createDataFrame([(1, 0.9), (0, 0.2)], "y int, p double")
+    with _pytest.raises(ValueError, match="n_bins"):
+        expected_calibration_error(df, "y", "p", n_bins=0)
+
+
+def test_seasonal_naive_keeps_null_key_series(spark):
+    """A NULL key value is a legitimate series: the time-shift
+    self-join must pair it with itself (eqNullSafe), not silently drop
+    the whole cohort."""
+    from taxi_data_pipeline_pset2_spark.operators.forecast import (
+        seasonal_naive_eval,
+    )
+
+    rows = [
+        (None, f"2024-01-0{d} {h:02d}:00:00", float(10 * d + h))
+        for d in (1, 2, 3)
+        for h in (0, 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "zone string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = seasonal_naive_eval(
+        df, ["zone"], "ts", "value", split_ts="2024-01-03 00:00:00",
+        bucket="hour", season_buckets=24,
+    ).collect()
+    assert len(out) == 1 and out[0].zone is None
+    assert out[0].n_train == 2 and out[0].n_test == 2

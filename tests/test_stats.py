@@ -602,3 +602,17 @@ class TestMixDecomposition:
         assert rows["new"].n_base == 0 and rows["new"].mean_base is None
         assert rows["new"].within_effect == 0.0  # w_base = 0
         assert rows["new"].mix_effect != 0.0
+
+
+def test_mix_decomposition_empty_side_yields_null_weights(spark):
+    """ANSI regression: an all-NULL-value (or empty) side makes the
+    weight denominators 0 -- the rows must carry NULL effects, not
+    crash with DIVIDE_BY_ZERO."""
+    from taxi_data_pipeline_pset2_spark.operators.stats import mix_decomposition
+
+    base = spark.createDataFrame(
+        [("a", None), ("b", None)], "seg string, v double"
+    )
+    comp = spark.createDataFrame([("a", 4.0)], "seg string, v double")
+    out = mix_decomposition(base, comp, "seg", "v").collect()
+    assert len(out) >= 1  # no ANSI crash; rows flow through with NULLs
