@@ -210,8 +210,22 @@ def resolve_duplicate_clusters(
     """
     comp = connected_components(pairs, src, dst)
     if keep_best_col is None:
-        losers = comp.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias(id_col)
+        # survivor = min PRESENT member, not the raw component label:
+        # when pairs reference ids filtered out of docs upstream (or
+        # were computed on a superset corpus), the component minimum
+        # may be absent -- the label-based anti-join would then drop
+        # EVERY remaining copy and the cluster would contribute zero
+        # survivors (silent data loss), where the keep_best_col branch
+        # correctly keeps a present member. Membership is dup-sized,
+        # comp broadcasts onto the doc scan.
+        members = docs.select(F.col(id_col)).join(
+            F.broadcast(comp.withColumnRenamed("node", id_col)), id_col
+        )
+        surv = members.groupBy("component").agg(F.min(id_col).alias("_sid"))
+        losers = (
+            members.join(surv, "component")
+            .filter(F.col(id_col) != F.col("_sid"))
+            .select(id_col)
         )
         return docs.join(losers, id_col, "left_anti")
     members = docs.select(

@@ -430,9 +430,22 @@ def _lpa_impl(
             F.col(src_col).cast("string").alias("a"),
             F.col(dst_col).cast("string").alias("b"),
         )
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            # the kcore/triangles hygiene: a self-loop would vote a
+            # node's own label with weight 2 every round (frozen
+            # singleton), and a duplicate/bidirectional listing would
+            # double that neighbor's vote -- making the result depend
+            # on how the same undirected graph is SPELLED
+            & (F.col("a") != F.col("b"))
+        )
     )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
     nodes = sym.select(F.col("a").alias("node")).distinct().persist()
     try:
         labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
@@ -478,10 +491,13 @@ def kcore(
     repeatedly set h(v) = H-index of its neighbors' current values
     (the largest h with >= h neighbors valued >= h); the sequence is
     non-increasing and converges to the coreness EXACTLY, usually in
-    a handful of rounds -- unlike sequential peeling, every node
-    updates in parallel, so a path graph needs O(log) rounds, not
-    O(n). The fixpoint is unique, so output is deterministic no matter
-    how many rounds convergence took.
+    a handful of rounds on real (small-diameter) graphs. The honest
+    worst case is O(diameter), NOT logarithmic: on a path graph the
+    value-1 region advances one hop per round from each end, so a
+    D-diameter chain needs ~D/2 rounds -- which is why exhausting
+    ``max_iter`` without converging RAISES instead of returning the
+    still-wrong interim values. The fixpoint is unique, so output is
+    deterministic no matter how many rounds convergence took.
 
     Per round: one node-keyed join of the value frame onto the
     persisted symmetrized edges, one per-node descending window (the
@@ -588,6 +604,20 @@ def _kcore_impl(
                 prev_checked = new
                 if changed == 0:
                     break
+        else:
+            # fall through the loop WITHOUT converging: fail like
+            # connected_components does -- H-index iteration needs
+            # O(diameter) rounds on chain-shaped graphs (a value-1
+            # region advances one hop per round from each end of a
+            # path), so a long chain can exhaust max_iter while interior
+            # nodes still sit above their true coreness; returning that
+            # silently would hand the caller wrong core numbers
+            if changed != 0:
+                raise RuntimeError(
+                    f"kcore did not converge in {max_iter} rounds "
+                    f"({changed} nodes still changing); raise max_iter "
+                    "-- diameter-shaped graphs need ~diameter/2 rounds"
+                )
     finally:
         sym.unpersist()
     return cur.orderBy("node")
@@ -644,10 +674,13 @@ def degree_assortativity(
     agg = j.agg(
         F.count("*").cast("bigint").alias("_n"),
         F.sum(F.col("_dx").cast("decimal(38,0)")).cast("double").alias("_sx"),
-        F.sum((F.col("_dx") * F.col("_dy")).cast("decimal(38,0)"))
+        # cast each FACTOR before the product: the bigint dx*dy would
+        # overflow on two adjacent > 3e9-degree hubs BEFORE the decimal
+        # accumulator the guard exists for is ever reached
+        F.sum(F.col("_dx").cast("decimal(19,0)") * F.col("_dy").cast("decimal(19,0)"))
         .cast("double")
         .alias("_sxy"),
-        F.sum((F.col("_dx") * F.col("_dx")).cast("decimal(38,0)"))
+        F.sum(F.col("_dx").cast("decimal(19,0)") * F.col("_dx").cast("decimal(19,0)"))
         .cast("double")
         .alias("_sxx"),
     )

@@ -69,6 +69,8 @@ def _mixture_plan(
     unknown = set(weights) - set(counts)
     if unknown:
         raise ValueError(f"weights name absent domains: {sorted(unknown)}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
     wsum = sum(weights.values())
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -200,12 +202,21 @@ def sample_mixture(
         *[x for d, r in plan.items() for x in (F.lit(d), F.lit(r - int(r)))]
     )
     # epochs 0..whole-1 are full replicas; epoch `whole` keeps the
-    # fractional remainder via an epoch-salted independent draw
+    # fractional remainder via an epoch-salted independent draw.
+    # Epoch 0 draws on the ID-ONLY hash -- the exact input and the
+    # exact truncated threshold of the pure-downsample kernel
+    # (stratified_sample) -- so the module's monotonicity guarantee
+    # holds ACROSS the path boundary: re-weighting a rate from 0.25 up
+    # to 0.3 keeps every previously selected doc instead of redrawing
+    # ~all of them from an independent id:0 hash. Epochs >= 1 stay
+    # independent per-epoch draws.
     epochs = F.sequence(F.lit(0), whole[dom])
     out = in_mix.withColumn("epoch", F.explode(epochs))
     frac_h = salted_hash(
-        F.concat_ws(":", F.col(id_col), F.col("epoch")), salt
+        F.when(F.col("epoch") == 0, F.col(id_col).cast("string")).otherwise(
+            F.concat_ws(":", F.col(id_col), F.col("epoch"))
+        ),
+        salt,
     )
-    return out.filter(
-        (F.col("epoch") < whole[dom]) | (frac_h < frac[dom] * HASH_SPACE)
-    )
+    thresh = (frac[dom] * F.lit(float(HASH_SPACE))).cast("bigint")
+    return out.filter((F.col("epoch") < whole[dom]) | (frac_h < thresh))

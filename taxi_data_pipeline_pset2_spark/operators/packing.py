@@ -54,16 +54,31 @@ def pack_sequences(
     shard = F.pmod(stable_hash64(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
         "int"
     )
+    # the id passes through with ITS OWN type: the repo-wide id
+    # convention includes string/UUID ids, and a cast("long") here
+    # would throw under ANSI (or silently NULL every id without it),
+    # destroying the doc -> sequence assignment
+    id_type = docs.schema[id_col].dataType.simpleString()
     base = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col),
         F.col(len_col).cast("long").alias(len_col),
     ).withColumn("shard", shard)
     out_schema = (
-        f"{id_col} long, shard int, seq_id long, seq_pos int, "
+        f"{id_col} {id_type}, shard int, seq_id long, seq_pos int, "
         f"{len_col} long, oversize boolean"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # validate the lengths INSIDE the kernel: a NULL length becomes
+        # a float NaN whose comparisons are all False -- it would pop a
+        # real open bin, fail to reinsert it (permanently lost
+        # capacity, changing every later doc's placement) and then die
+        # in the Arrow long conversion with an opaque error. "never
+        # silently drops data" includes failing loudly on bad lengths.
+        if pdf[len_col].isna().any() or (pdf[len_col] < 0).any():
+            raise ValueError(
+                f"pack_sequences: {len_col} must be non-null and >= 0"
+            )
         pdf = pdf.sort_values([len_col, id_col], ascending=[False, True])
         shard_id = int(pdf["shard"].iloc[0])
         n_bins = 0

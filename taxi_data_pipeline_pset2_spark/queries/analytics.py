@@ -1367,8 +1367,10 @@ def _lpa_oracle(n_iter: int = 4, top_edges: int = 40) -> str:
         f"""rules AS (SELECT * FROM ({_BASKET_ORACLE})),
         top_e AS (SELECT item_a AS src, item_b AS dst FROM rules
                   ORDER BY lift DESC, item_a, item_b LIMIT {top_edges}),
-        sym AS (SELECT src AS a, dst AS b FROM top_e
-                UNION ALL SELECT dst AS a, src AS b FROM top_e),
+        sym AS (SELECT DISTINCT a, b FROM (
+                  SELECT src AS a, dst AS b FROM top_e
+                  UNION ALL SELECT dst AS a, src AS b FROM top_e)
+                WHERE a <> b),
         l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)"""
     ]
     for k in range(1, n_iter + 1):

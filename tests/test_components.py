@@ -122,3 +122,18 @@ def test_resolve_keep_best_member(spark):
     assert kept == {2, 4, 10}
     kept_min = {r.doc_id for r in resolve_duplicate_clusters(docs, pairs).collect()}
     assert kept_min == {1, 4, 10}
+
+
+def test_min_id_survivor_restricted_to_present_members(spark):
+    """Pairs referencing an id filtered out of docs upstream: the
+    min-id policy must keep the smallest PRESENT member, not delete the
+    whole cluster because the absent component label matched nobody."""
+    from taxi_data_pipeline_pset2_spark.operators.components import (
+        resolve_duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame([(2, "x"), (3, "y"), (9, "z")],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = sorted(r.doc_id for r in resolve_duplicate_clusters(docs, pairs).collect())
+    assert out == [2, 9]  # 2 survives its cluster; 9 untouched

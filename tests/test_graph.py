@@ -593,3 +593,41 @@ def test_shuffle_override_overlapping_restores_original(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") != before
     b.__exit__(None, None, None)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_kcore_raises_on_nonconvergence_chain(spark):
+    """H-index iteration is O(diameter), not O(log): a long path graph
+    must RAISE when max_iter is exhausted rather than return interim
+    (wrong) core numbers -- the connected_components contract."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(60)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(chain, max_iter=5)
+    # with enough rounds the same chain converges to all-1 cores
+    out = kcore(chain, max_iter=60).collect()
+    assert {r.core for r in out} == {1}
+
+
+def test_lpa_ignores_self_loops_and_duplicate_listings(spark):
+    """A self-loop must not freeze a node as a singleton (it would vote
+    the node's own label with weight 2), and listing the same
+    undirected edge in both directions must not double that neighbor's
+    vote -- the result may not depend on how the graph is spelled."""
+    from taxi_data_pipeline_pset2_spark.operators.graph import label_propagation
+
+    # triangle b-c-d plus pendant a; a has a self-loop and its edge to
+    # b is listed both ways
+    once = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    noisy = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    r1 = {r.node: r.label for r in label_propagation(once, n_iter=4).collect()}
+    r2 = {r.node: r.label for r in label_propagation(noisy, n_iter=4).collect()}
+    assert r1 == r2

@@ -183,3 +183,43 @@ def test_exact_sampler_bucketed_rank_equals_naive_window(spark):
     )
     assert got == ref
     assert len(got) == 100
+
+
+def test_negative_weights_rejected(spark):
+    """Mixed-sign weights slipped past the sum>0 check: wsum included
+    the negative weight but norm dropped it, so surviving normalized
+    weights summed past 1 and both selection paths returned the wrong
+    number of docs."""
+    from taxi_data_pipeline_pset2_spark.operators.mixing import sample_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(30)],
+        "doc_id long, domain string",
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        sample_mixture(docs, {"a": 2.0, "b": -1.0}, domain_col="domain")
+
+
+def test_upsample_boundary_is_monotonic_with_downsample(spark):
+    """The module's monotonicity guarantee must hold ACROSS the
+    downsample/upsample path boundary: raising a fractional rate via
+    allow_upsample keeps every doc the pure-downsample path selected
+    at the lower rate (epoch 0 draws on the identical id-only hash and
+    truncated threshold)."""
+    from taxi_data_pipeline_pset2_spark.operators.mixing import sample_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 800 else "b") for i in range(1000)],
+        "doc_id long, domain string",
+    )
+    # all rates <= 1: pure downsample path; b rate = 0.2*500/200 = 0.5
+    low = sample_mixture(docs, {"a": 0.8, "b": 0.2}, domain_col="domain", total=500)
+    low_b = {r.doc_id for r in low.filter("domain = 'b'").collect()}
+    # force the upsample path (a needs epochs), b rate rises to 0.75
+    high = sample_mixture(
+        docs, {"a": 0.9, "b": 0.1}, domain_col="domain", total=1500,
+        allow_upsample=True,
+    )
+    high_b = {r.doc_id for r in high.filter("domain = 'b'").collect()}
+    # b's rate rose 0.5 -> 0.75: every previously selected b doc stays
+    assert low_b <= high_b, sorted(low_b - high_b)[:5]

@@ -81,3 +81,32 @@ def test_packing_zero_token_docs_never_join_oversize_bins(spark):
         if any(r.oversize for r in rows_):
             assert len(rows_) == 1  # oversize sits alone
     assert packed.count() == 4  # nothing dropped
+
+
+def test_string_ids_pass_through(spark):
+    """The repo-wide id convention includes string/UUID ids: packing
+    must carry them through with their own type (a cast('long') would
+    throw under ANSI)."""
+    from taxi_data_pipeline_pset2_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", 40 + i) for i in range(8)], "doc_id string, n_tokens int"
+    )
+    out = pack_sequences(docs, token_budget=100, n_shards=2).collect()
+    assert {r.doc_id for r in out} == {f"doc-{i}" for i in range(8)}
+    assert all(isinstance(r.doc_id, str) for r in out)
+
+
+def test_null_length_fails_loud(spark):
+    """A NULL length would silently destroy open-bin capacity and then
+    die in the Arrow conversion; the kernel must reject it with a clear
+    message instead ('never silently drops data' includes bad input)."""
+    import pytest as _pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 40), (2, None), (3, 10)], "doc_id long, n_tokens int"
+    )
+    with _pytest.raises(Exception, match="non-null"):
+        pack_sequences(docs, token_budget=100, n_shards=1).collect()
