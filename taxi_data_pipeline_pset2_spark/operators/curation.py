@@ -71,15 +71,17 @@ def curate_corpus(
     cannot drag the reference distribution toward itself.
     """
     # 1. exact dedup: survivors only (min id per content fingerprint).
-    # The id frame is persisted: `kept` is referenced by several later
-    # stages (decontamination reads it three times, the perplexity model
-    # once), and without the cache every reference re-runs the
-    # fingerprint aggregate over the corpus. The cached frame is
-    # id-sized, not corpus-sized.
+    # The id frame is MATERIALIZED (localCheckpoint, the clustering.py
+    # device), not persist()-ed: `kept` is referenced by several later
+    # stages (decontamination reads it three times, the perplexity
+    # model once), and without materialization every reference re-runs
+    # the fingerprint aggregate over the corpus -- but a persist()
+    # inside a lazily-returned pipeline has no release point and leaks
+    # the cache for the session lifetime. The frame is id-sized.
     survivors = (
         exact_dedup_groups(docs, text_col, id_col)
         .select(F.col("keep_id").alias(id_col))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     kept = docs.join(survivors, id_col)
 
@@ -150,7 +152,9 @@ def curation_audit(
         exact_dedup_groups(docs, text_col, id_col)
         .select(F.col("keep_id").alias(id_col))
         .withColumn("_a1", F.lit(True))
-        .persist()
+        # localCheckpoint, not persist: see curate_corpus -- a cache
+        # inside a lazy return has no release point
+        .localCheckpoint(eager=True)
     )
     kept = docs.join(s1.drop("_a1"), id_col)
 

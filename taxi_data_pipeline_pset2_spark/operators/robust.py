@@ -478,8 +478,8 @@ def global_rank_bucketed(
     distributions concentrate rows in few buckets -- raise n_buckets or
     pre-transform (log) the value; the result is invariant either way.
 
-    Returns the input columns plus ``pos`` (bigint). NULL values are
-    excluded (no position). The positions equal the naive
+    Returns the input columns plus ``pos`` (bigint). NULL and NaN
+    values are excluded (no position). The positions equal the naive
     ``row_number() OVER (ORDER BY value, id)`` bit-for-bit -- that
     naive form IS the DuckDB oracle of the catalog entry
     (scalable_rank_positions), so the scale-shaped plan is
@@ -489,7 +489,12 @@ def global_rank_bucketed(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     v = F.col(value_col).cast("double")
-    base = df.filter(v.isNotNull())
+    # NaN is excluded like NULL: Spark's max() ranks NaN largest, so a
+    # single NaN row would make _hi = NaN -> every bucket expression
+    # NaN -> ALL rows collapse into one bucket, silently reinstating
+    # the corpus-sized single-task window this operator exists to
+    # avoid (positions would still be right; the scale invariant not)
+    base = df.filter(v.isNotNull() & ~F.isnan(v))
     rng = base.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
     bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(

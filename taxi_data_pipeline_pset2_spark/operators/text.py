@@ -115,16 +115,19 @@ def _lang_argmax_expr() -> Column:
     score is referenced against every other language, and interpreted
     higher-order functions re-evaluate repeated subexpressions."""
     langs = list(LANG_MARKERS)
-    pred = None
+    # NULL text -> NULL scores -> every >= condition is NULL, so the
+    # chain would fall through to the LAST language as a confident
+    # label for a doc with no text at all; abstain (NULL) instead
+    pred = F.when(
+        F.col(f"score_{langs[0]}").isNull(), F.lit(None).cast("string")
+    )
     for i, lang in enumerate(langs):
         cond = None
         for other in langs[i + 1 :]:
             c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
             cond = c if cond is None else cond & c
         branch = F.lit(lang)
-        if pred is None:
-            pred = F.when(cond, branch)
-        elif cond is not None:
+        if cond is not None:
             pred = pred.when(cond, branch)
         else:
             pred = pred.otherwise(branch)
@@ -329,9 +332,19 @@ def chunk_documents(
     n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(F.lit(1) + extra)
     start = F.col("chunk_id") * F.lit(step)  # 0-based token offset
     piece = F.slice(toks, start + 1, F.lit(max_tokens))
+    # tokens = maximal \S+ runs via regexp_extract_all, NOT
+    # split-on-\s+: Spark trim strips only spaces, so a doc starting
+    # or ending with \n/\t would gain phantom '' tokens that shift
+    # every chunk_start by one, and a whitespace-only doc ('\n') would
+    # pass a length(trim) emptiness check and emit a junk chunk
     return (
-        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        docs.select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+            ).alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
         .select(
             id_col,
             "_toks",
@@ -395,7 +408,12 @@ def gopher_quality_flags(
     # list-comprehension formulation, so the pytest oracle replay pins
     # the equivalence on real data.
     text = F.col(text_col)
-    n_words = F.size(F.split(F.trim(text), r"\s+"))
+    # count maximal \S+ runs directly: split(trim(text), \s+) keeps
+    # phantom '' elements when text starts/ends with \n or \t (Spark
+    # trim strips only spaces), off-by-one-ing the word count on the
+    # overwhelmingly common \n-bounded doc shape -- and breaking this
+    # comment block's own claimed equivalence with \S*[A-Za-z]\S*
+    n_words = F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
     sum_len = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
     n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
     n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), 0))
@@ -546,9 +564,13 @@ def oov_rate(
     token (the vocab is vocab-sized: broadcast) -> one per-doc hash
     aggregate. Empty docs report 0 tokens and NULL rate (0/0 is not
     "perfect coverage")."""
+    # the '' sentinel token (tokenize('') convention) is NOT a real
+    # token: counting it would report an empty-string doc as n_tokens=1
+    # / oov_rate=1.0 ("total OOV") instead of the documented 0-token /
+    # NULL-rate path
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_tok")
-    )
+    ).filter(F.col("_tok") != "")
     marked = toks.join(
         F.broadcast(vocab.select(F.col(token_col).alias("_tok")).distinct()
                     .withColumn("_in", F.lit(True))),
@@ -728,7 +750,14 @@ def pmi_collocations(
     counts, rounded once to 6 dp."""
     from taxi_data_pipeline_pset2_spark.operators.dedup import tokenize
 
-    toks = docs.select(tokenize(F.col(text_col)).alias("_t"))
+    # explicit NULL-text filter: under the session's ANSI semantics
+    # size(NULL) is NULL (sum skips it, explode emits nothing -- already
+    # correct), but under legacy sizeOfNull it is -1 and every NULL doc
+    # would subtract one from T_u, shifting EVERY pmi; pin the correct
+    # behavior independent of config
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        tokenize(F.col(text_col)).alias("_t")
+    )
     n_bi = F.greatest(F.size("_t") - 1, F.lit(0))
     pairs = (
         toks.select(

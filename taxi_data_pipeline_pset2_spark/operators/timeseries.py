@@ -72,9 +72,18 @@ def resample_locf(
     trunc_unit = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}[step]
     bucketed = df.withColumn("_bucket", F.date_trunc(trunc_unit, F.col(ts_col)))
     if agg == "last":
-        order = [F.col(ts_col).desc()] + [
-            F.col(c).desc() for c in (tie_cols or [])
-        ]
+        # value_cols close the order as final tie-breakers: with
+        # tie_cols=None, two observations at the IDENTICAL ts would
+        # otherwise rank by partition-internal arrival order -- a
+        # non-order that flips across shuffles/AQE layouts and then
+        # LOCF-propagates the flip into every following filled bucket.
+        # Same-content duplicates remain interchangeable, so the pick
+        # is deterministic given the rows.
+        order = (
+            [F.col(ts_col).desc()]
+            + [F.col(c).desc() for c in (tie_cols or [])]
+            + [F.col(c).desc() for c in value_cols]
+        )
         w = Window.partitionBy(*key_cols, "_bucket").orderBy(*order)
         per_bucket = (
             bucketed.withColumn("_rn", F.row_number().over(w))

@@ -229,7 +229,7 @@ _GOPHER_MIN_W, _GOPHER_MAX_W = 20, 80  # split the synthetic corpus
 
 _GOPHER_ORACLE = f"""
     WITH w AS (SELECT doc_id, text,
-                      string_split_regex(trim(text), '\\s+') AS words,
+                      regexp_extract_all(text, '\\S+') AS words,
                       string_split(text, chr(10)) AS lines
                FROM documents),
     m AS (SELECT doc_id,
@@ -1958,7 +1958,8 @@ _OOV_ORACLE = f"""
     c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
     vocab AS (SELECT token FROM c ORDER BY n DESC, token LIMIT {_VOCAB_K}),
     marked AS (SELECT t.doc_id, t.token, v.token IS NOT NULL AS in_vocab
-               FROM toks t LEFT JOIN vocab v USING (token)),
+               FROM toks t LEFT JOIN vocab v USING (token)
+               WHERE t.token <> ''),
     per_doc AS (SELECT doc_id,
                        CAST(count(*) AS BIGINT) AS n_tokens,
                        CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov

@@ -464,9 +464,10 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_MAX, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STEP = _CHUNK_MAX - _CHUNK_OVERLAP
 _CHUNK_ORACLE = f"""
-    WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-                  FROM documents WHERE len(trim(text)) > 0),
-    n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+                  FROM documents),
+    toks2 AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+    n AS (SELECT doc_id, t, len(t) AS n FROM toks2),
     c AS (SELECT doc_id, t, n,
                  CASE WHEN n <= {_CHUNK_MAX} THEN 1
                       ELSE 1 + CAST(ceil((n - {_CHUNK_MAX}) / {_CHUNK_STEP}.0) AS INT)

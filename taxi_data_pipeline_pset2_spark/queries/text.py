@@ -72,7 +72,11 @@ def _langid_oracle() -> str:
             f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
         )
         cases.append(f"WHEN {conds} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    case_sql = (
+        f"CASE WHEN score_{langs[0]} IS NULL THEN NULL "
+        + " ".join(cases)
+        + f" ELSE '{langs[-1]}' END"
+    )
     return f"""
         WITH tk AS (SELECT doc_id, lang AS lang_labeled,
                            string_split_regex(trim(lower(text)), '\\s+') AS toks

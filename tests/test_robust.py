@@ -327,3 +327,22 @@ class TestGlobalRankBucketed:
         for nb in (1, 7, 64):
             got = sorted((r.id, r.pos) for r in global_rank_bucketed(df, "v", "id", nb).collect())
             assert got == base, f"n_buckets={nb} diverged"
+
+
+def test_global_rank_excludes_nan_keeping_buckets_partitioned(spark):
+    """A single NaN previously made _hi = NaN -> every bucket NaN ->
+    all rows in one bucket, silently reinstating the corpus-sized
+    single-task window; NaN is now excluded like NULL."""
+    import math
+
+    from taxi_data_pipeline_pset2_spark.operators.robust import (
+        global_rank_bucketed,
+    )
+
+    rows = [(i, float(i)) for i in range(20)] + [(99, math.nan)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = global_rank_bucketed(df, "v", id_col="id", n_buckets=4).collect()
+    assert {r.id for r in out} == set(range(20))  # NaN row excluded
+    assert [r.pos for r in sorted(out, key=lambda r: r.id)] == list(
+        range(1, 21)
+    )

@@ -166,10 +166,11 @@ def test_gopher_flags_match_python_reference(spark):
     )
 
     def ref_flags(text, min_words, max_words):
-        # engine trim (Spark/DuckDB) strips SPACES only, unlike Python
-        # strip(); the split-of-"\n" -> ['',''] behavior is shared by
-        # re.split and both engines
-        words = _re.split(r"\s+", text.strip(" "))
+        # a word is a maximal \S+ run (the engine moved off
+        # split-on-\s+, whose phantom '' elements at \n/\t-bounded
+        # edges off-by-one'd the count -- see
+        # test_gopher_word_count_robust_to_newline_edges)
+        words = _re.findall(r"\S+", text)
         lines = text.split("\n")
         n_words = len(words)
         sum_len = sum(len(w) for w in words)
@@ -307,3 +308,67 @@ def test_sft_loss_mask_semantics(spark):
     assert out[2] == ([0, 0, 0, 0], 4, 0)     # all-prompt when absent
     assert out[3] == ([0, 1, 1], 1, 2)
     assert out[4] == ([0, 0, 1, 1, 1], 2, 3)  # second sep is completion text
+
+
+def test_gopher_word_count_robust_to_newline_edges(spark):
+    """trim strips only spaces and split keeps edge empties: a doc
+    bounded by \\n/\\t must not gain phantom '' words (a 49-word doc
+    with a leading newline previously passed the 50-word floor)."""
+    from taxi_data_pipeline_pset2_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    body = " ".join(f"word{i}" for i in range(49))
+    docs = spark.createDataFrame(
+        [(1, "\n" + body), (2, body + "\t"), (3, body)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_words for r in gopher_quality_flags(docs).collect()}
+    assert out == {1: 49, 2: 49, 3: 49}
+
+
+def test_chunk_documents_whitespace_only_and_newline_edges(spark):
+    """A whitespace-only doc has zero tokens -> no chunk row; a leading
+    newline must not shift chunk offsets with a phantom '' token."""
+    from taxi_data_pipeline_pset2_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "\n"), (2, "\na b c"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=2, overlap=0).collect()
+    ids = {r.doc_id for r in out}
+    assert 1 not in ids
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_start, r.chunk_text))
+    assert sorted(by_doc[2]) == sorted(by_doc[3]) == [(0, "a b"), (2, "c")]
+
+
+def test_language_id_abstains_on_null_text(spark):
+    """NULL text must predict NULL, not fall through the argmax chain
+    to a confident label for a doc with no text."""
+    from taxi_data_pipeline_pset2_spark.operators.text import language_id
+
+    docs = spark.createDataFrame(
+        [(1, None, "en"), (2, "the cat and the hat", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: (r.pred_lang, r.is_match) for r in language_id(docs).collect()}
+    assert out[1] == (None, None)
+    assert out[2][0] == "en" and out[2][1] is True
+
+
+def test_oov_rate_empty_doc_reports_zero_tokens(spark):
+    """The '' sentinel token is not a real token: an empty-string doc
+    must report 0 tokens / NULL rate, not n_tokens=1 / oov_rate=1.0."""
+    from taxi_data_pipeline_pset2_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "alpha beta")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("alpha",)], "token string")
+    out = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate) for r in
+           oov_rate(docs, vocab).collect()}
+    assert out[1] == (0, 0, None)
+    assert out[2] == (2, 1, 0.5)

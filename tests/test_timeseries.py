@@ -558,3 +558,28 @@ def test_missing_ranges_audit(spark):
         for r in missing_ranges(df, "s", ["k"]).collect()
     ]
     assert got == [("a", 3, 4, 2), ("a", 6, 8, 3)]  # b contiguous, c NULL-only
+
+
+def test_locf_last_is_deterministic_on_ts_ties(spark):
+    """Two observations at the identical ts with tie_cols=None: the
+    bucket pick must be deterministic (value_cols close the order), not
+    partition-arrival-dependent -- an unstable pick would LOCF-propagate
+    into every following filled bucket."""
+    from taxi_data_pipeline_pset2_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    rows = [
+        ("k", "2024-01-01 00:10:00", 10.0),
+        ("k", "2024-01-01 00:10:00", 20.0),
+        ("k", "2024-01-01 02:15:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    a = resample_locf(df.coalesce(1), ["key"], "ts", ["value"]).collect()
+    b = resample_locf(df.repartition(16), ["key"], "ts", ["value"]).collect()
+    assert [(r.ts, r.value, r.is_filled) for r in a] == [
+        (r.ts, r.value, r.is_filled) for r in b
+    ]
+    # value_cols desc -> the 20.0 row wins the tie, and fills hour 1
+    assert a[0].value == 20.0 and a[1].value == 20.0 and a[1].is_filled
