@@ -47,9 +47,13 @@ def snapshot_diff(
     snapshots. Old/new attribute values ride along prefixed, so a MERGE
     consumer has the full before/after image without re-joining.
     """
-    compare_cols = compare_cols or sorted(
-        (set(old.columns) & set(new.columns)) - set(key_cols)
-    )
+    # `is None`, not falsy: an explicit compare_cols=[] is the
+    # presence-only diff (key membership, no attribute comparison) and
+    # must not silently widen to every shared column
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - set(key_cols)
+        )
     missing = [c for c in key_cols + compare_cols if c not in old.columns]
     missing += [c for c in key_cols + compare_cols if c not in new.columns]
     if missing:
@@ -65,7 +69,26 @@ def snapshot_diff(
         F.lit(True).alias("_in_new"),
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
     )
-    joined = o.join(n, key_cols, "full_outer")
+    # NULL-safe key join, like scd2_apply_snapshot: a NULL-keyed row
+    # present in both snapshots is ONE row (the NULL cohort), not a
+    # perpetual delete+insert pair on every refresh. Aliased sides:
+    # old/new often derive from the SAME source frame, and unqualified
+    # key references would be ambiguous in the self-join.
+    o, n = o.alias("_cdc_o"), n.alias("_cdc_n")
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_cdc_o.{c}").eqNullSafe(F.col(f"_cdc_n.{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_cdc_o.{c}"), F.col(f"_cdc_n.{c}")).alias(c)
+            for c in key_cols
+        ],
+        "_in_old",
+        "_in_new",
+        *[f"old_{c}" for c in compare_cols],
+        *[f"new_{c}" for c in compare_cols],
+    )
 
     differs = F.lit(False)
     for c in compare_cols:

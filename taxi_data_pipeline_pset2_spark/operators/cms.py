@@ -33,14 +33,11 @@ def _bucket(value: Column, row: Column, width: int) -> Column:
     """Engine-portable bucket: first 8 md5 hex digits of 'row:value' as
     bigint, mod width. DuckDB twin:
     CAST('0x' || substr(md5(row || ':' || value), 1, 8) AS BIGINT) % width."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(row.cast("string"), F.lit(":"), value)), 1, 8
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return h % width
+    from taxi_data_pipeline_pset2_spark.operators.dedup import stable_hash64
+
+    return (
+        stable_hash64(F.concat(row.cast("string"), F.lit(":"), value)) % width
+    )
 
 
 def cms_sketch(
@@ -161,7 +158,13 @@ def cms_join_size(
         )
         .select(
             F.col("a.row").alias("row"),
-            (F.col("a.c") * F.col("b.c")).cast("decimal(38,0)").alias("_p"),
+            # cast each FACTOR before the product: a bigint c_a*c_b
+            # overflows under ANSI once both cells pass ~3e9 counts --
+            # exactly the hot-key shape a join-size estimate exists for
+            (
+                F.col("a.c").cast("decimal(19,0)")
+                * F.col("b.c").cast("decimal(19,0)")
+            ).alias("_p"),
         )
         .groupBy("row")
         .agg(F.sum("_p").alias("_ip"))

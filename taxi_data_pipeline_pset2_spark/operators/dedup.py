@@ -185,9 +185,14 @@ def exact_dedup_groups(
 ) -> DataFrame:
     """Exact dedup via content fingerprint: one hash-aggregate on
     md5(normalized text). Returns (fingerprint, keep_id, n_copies);
-    keep_id = min id is the deterministic survivor."""
+    keep_id = min id is the deterministic survivor. NULL-text docs are
+    EXCLUDED: md5(NULL) is NULL and groupBy would bundle every
+    contentless doc into one giant "duplicate" group whose survivors
+    policy then deletes all but one -- an ingestion gap is not
+    identical content."""
     return (
-        docs.select(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
         )
         .groupBy("fingerprint")
@@ -323,14 +328,26 @@ def minhash_band_signatures(
     )
     band_structs = []
     for band in range(LSH_BANDS):
-        sig: Column | None = None
-        for r in range(LSH_ROWS):
-            term = F.col(f"m{band * LSH_ROWS + r}") * F.lit(31**r).cast("bigint")
-            sig = term if sig is None else sig + term
+        # band signature = 60-bit md5 prefix of the comma-joined minima
+        # TUPLE, not a 31^r weighted sum: the linear form collides on
+        # any equal weighted sum (e.g. (m0+31, m1-1) vs (m0, m1)),
+        # ~2^-33 per random pair-band -- thousands of spurious
+        # "near-dup" pairs at a 1e8-doc corpus in an output that is
+        # final, not verify-filtered. The md5-tuple form only collides
+        # at ~2^-60 (the assign_variants precedent) and keeps true dups
+        # colliding exactly (identical tuples -> identical md5).
+        tup = F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{band * LSH_ROWS + r}").cast("string")
+                for r in range(LSH_ROWS)
+            ],
+        )
+        sig = F.conv(F.substring(F.md5(tup), 1, 15), 16, 10).cast("bigint")
         band_structs.append(
             F.struct(
                 F.lit(band).cast("int").alias("band"),
-                sig.cast("bigint").alias("band_sig"),
+                sig.alias("band_sig"),
             )
         )
     return mins.select(
@@ -403,7 +420,11 @@ def verify_jaccard_pairs(
     b = sets_df.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    jac = F.round(inter / union, 6)
+    # try_divide: a caller-supplied candidate pair of two shingle-less
+    # docs has union = 0, and a plain division is an ANSI
+    # DIVIDE_BY_ZERO crash; NULL jaccard then fails the threshold
+    # filter, so the degenerate pair drops instead of killing the job
+    jac = F.round(F.try_divide(inter, union), 6)
     return (
         cands.select("doc_a", "doc_b")
         .join(a, "doc_a")

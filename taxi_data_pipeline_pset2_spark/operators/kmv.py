@@ -31,10 +31,13 @@ _M = float(2**32)
 
 
 def _h(col):
-    """Uniform hash of a value into [0, 2^32): first 8 md5 hex digits."""
-    return F.conv(
-        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    """Uniform hash of a value into [0, 2^32): dedup.stable_hash64 of
+    the string form -- ONE definition of the engine-portable hash, so a
+    future prefix change cannot desynchronize the sketch family from
+    the dedup/sampling hashes and their oracle twins."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import stable_hash64
+
+    return stable_hash64(col.cast("string"))
 
 
 def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
@@ -105,11 +108,14 @@ def kmv_set_estimates(
             "est_a",
             "est_b",
             "est_union",
-            F.round(F.lit(both) / F.col("_nu").cast("double"), 6).alias(
-                "jaccard"
-            ),
+            # try_divide: two empty sketches give _nu = 0, and a plain
+            # division is an ANSI DIVIDE_BY_ZERO crash -- NULL
+            # jaccard/intersection is the honest degenerate answer
             F.round(
-                (F.lit(both) / F.col("_nu").cast("double"))
+                F.try_divide(F.lit(both), F.col("_nu").cast("double")), 6
+            ).alias("jaccard"),
+            F.round(
+                F.try_divide(F.lit(both), F.col("_nu").cast("double"))
                 * F.col("est_union"),
                 6,
             ).alias("est_intersection"),

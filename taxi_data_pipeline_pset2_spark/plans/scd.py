@@ -45,9 +45,12 @@ def scd2_from_snapshots(
     for a in attr_cols:
         # eqNullSafe: NULL -> NULL is "no change"; NULL -> value is one
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
-    is_new_version = F.when(F.lag(ts_col).over(w).isNull(), F.lit(True)).otherwise(
-        changed
-    )
+    # first row per key via row_number, NOT lag(ts).isNull(): the lag
+    # form conflates "no previous row" with "previous row has a NULL
+    # snapshot_ts", splitting a spurious extra version on NULL-ts input
+    is_new_version = F.when(
+        F.row_number().over(w) == 1, F.lit(True)
+    ).otherwise(changed)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     versioned = snapshots.withColumn(
         "_ver", F.sum(is_new_version.cast("int")).over(wsum)
@@ -125,6 +128,23 @@ def scd2_apply_snapshot(
         F.lit(True).alias("_in_snap"),
         *[F.col(k).alias(f"_sk_{k}") for k in key_cols],
         *[F.col(a).alias(f"_sa_{a}") for a in attr_cols],
+    )
+    # a full snapshot must carry each business key ONCE: a dirty
+    # extract with a duplicated key would fan the current row out in
+    # the join, emitting the old version closed twice and TWO open
+    # is_current rows -- a silently corrupted dimension. Fail loudly
+    # instead (the per-key count shares the join's key shuffle).
+    wk = Window.partitionBy(*[f"_sk_{k}" for k in key_cols])
+    snap = snap.withColumn(
+        "_in_snap",
+        F.when(
+            F.count("*").over(wk) > 1,
+            F.raise_error(
+                F.lit(
+                    "scd2_apply_snapshot: duplicate business key in snapshot"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.col("_in_snap")),
     )
     cond = None
     for k in key_cols:

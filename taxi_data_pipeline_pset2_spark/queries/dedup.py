@@ -45,6 +45,7 @@ _SQL_HASH = "CAST(('0x' || substr(md5({v}), 1, 8)) AS BIGINT)"
                min(doc_id) AS keep_id,
                count(*) AS n_copies
         FROM documents
+        WHERE text IS NOT NULL
         GROUP BY fingerprint
     """,
     tags=("bench", "dedup"),
@@ -88,13 +89,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
         h AS (SELECT doc_id, {_SQL_HASH.format(v='shingle')} AS h FROM e),
         perms AS (SELECT j, 2*j + 1 AS pa, 7919*j + 12345 AS pb,
-                         j // {LSH_ROWS} AS band,
-                         CAST(pow(31, j % {LSH_ROWS}) AS BIGINT) AS w
+                         j // {LSH_ROWS} AS band
                   FROM (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS j)),
-        mins AS (SELECT h.doc_id, p.j, p.band, p.w,
+        mins AS (SELECT h.doc_id, p.j, p.band,
                         min((p.pa * h.h + p.pb) % {MINHASH_PRIME}) AS m
-                 FROM h CROSS JOIN perms p GROUP BY 1, 2, 3, 4),
-        sigs AS (SELECT doc_id, band, CAST(sum(m * w) AS BIGINT) AS band_sig
+                 FROM h CROSS JOIN perms p GROUP BY 1, 2, 3),
+        sigs AS (SELECT doc_id, band,
+                        CAST('0x' || substr(md5(string_agg(CAST(m AS VARCHAR),
+                                                           ',' ORDER BY j)),
+                                            1, 15) AS BIGINT) AS band_sig
                  FROM mins GROUP BY 1, 2)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
         FROM sigs a JOIN sigs b

@@ -637,7 +637,7 @@ _CDC_ORACLE = """
                  o.o_totalprice AS old_o_totalprice,
                  n.o_orderstatus AS new_o_orderstatus,
                  n.o_totalprice AS new_o_totalprice
-          FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+          FROM old o FULL OUTER JOIN new n ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey)
     SELECT o_orderkey,
            CASE WHEN NOT in_old THEN 'insert'
                 WHEN NOT in_new THEN 'delete'
@@ -3768,7 +3768,7 @@ _CMS_JOIN_ORACLE = """
                   CAST(sum(c) AS BIGINT) AS c
            FROM bv, d GROUP BY 1, 2),
     ip AS (SELECT sa.row,
-                  sum(CAST(sa.c * sb.c AS DECIMAL(38,0))) AS p
+                  sum(CAST(sa.c AS DECIMAL(19,0)) * CAST(sb.c AS DECIMAL(19,0))) AS p
            FROM sa JOIN sb ON sa.row = sb.row AND sa.bucket = sb.bucket
            GROUP BY sa.row)
     SELECT CAST(min(coalesce(p, 0)) AS BIGINT) AS est_join_size

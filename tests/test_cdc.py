@@ -129,3 +129,25 @@ def test_snapshot_diff_matches_bruteforce(spark):
         assert got == want
 
     run()
+
+
+def test_snapshot_diff_null_keys_and_empty_compare_cols(spark):
+    """A NULL-keyed row present in both snapshots is ONE row (NULL-safe
+    join), and an explicit compare_cols=[] is a presence-only diff, not
+    'compare everything'."""
+    from taxi_data_pipeline_pset2_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "x"), (1, "a")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "x"), (1, "b")], "k int, v string"
+    )
+    out = {r.k: r.change_type for r in
+           snapshot_diff(old, new, ["k"], include_unchanged=True).collect()}
+    assert out == {None: "unchanged", 1: "update"}
+    # presence-only: attribute churn must not surface as an update
+    out2 = {r.k: r.change_type for r in
+            snapshot_diff(old, new, ["k"], compare_cols=[],
+                          include_unchanged=True).collect()}
+    assert out2 == {None: "unchanged", 1: "unchanged"}

@@ -195,3 +195,49 @@ def test_cross_source_dup_matrix_semantics(spark, sf_dir):
     got = {(r.sa, r.sb): r["count"] for r in pairs.collect()}
     # docs 1-2, 1-3 cross srcA/srcB; 2-3 within srcB
     assert got == {("srcA", "srcB"): 2, ("srcB", "srcB"): 1}
+
+
+def test_exact_dedup_excludes_null_text(spark):
+    """An ingestion gap is not identical content: NULL-text docs must
+    not bundle into one giant 'duplicate' group whose survivor policy
+    would delete all but one of them."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    out = exact_dedup_groups(docs).collect()
+    assert len(out) == 1 and out[0].keep_id == 1 and out[0].n_copies == 2
+
+
+def test_band_sig_is_tuple_exact_not_weighted_sum(spark):
+    """The band signature must identify the minima TUPLE: under the old
+    31^r weighted sum, tuples like (m0+31, m1-1, ...) collided and
+    emitted spurious candidate pairs in a final (not verify-filtered)
+    output."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        band_collision_pairs,
+    )
+
+    # hand-built signature frames: equal weighted sums, different tuples
+    sigs = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 100), (3, 0, 131)],
+        "doc_id long, band int, band_sig long",
+    )
+    got = {(r.doc_a, r.doc_b) for r in band_collision_pairs(sigs).collect()}
+    assert got == {(1, 2)}  # equality on the SIG column only -- sanity
+    # end-to-end: identical docs still collide on every band
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        minhash_band_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    pairs = band_collision_pairs(minhash_band_signatures(docs)).collect()
+    assert len(pairs) == 1 and pairs[0].n_shared_bands == 4

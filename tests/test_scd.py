@@ -221,3 +221,41 @@ class TestInferMembers:
         )
         by = {r.k: r for r in repaired.collect()}
         assert by[2].name == "Carol" and by[2].is_inferred is False
+
+
+def test_apply_snapshot_rejects_duplicate_business_keys(spark):
+    """A dirty extract carrying one key twice would fan the current row
+    out in the join and emit TWO open is_current versions -- a silently
+    corrupted dimension; the apply must fail loudly instead."""
+    import pytest as _pytest
+    from pyspark.sql.utils import CapturedException
+
+    from taxi_data_pipeline_pset2_spark.plans.scd import (
+        scd2_apply_snapshot,
+        scd2_from_snapshots,
+    )
+
+    snaps = spark.createDataFrame(
+        [(1, "a", "2024-01-01")], "k int, attr string, snapshot_ts string"
+    ).withColumn("snapshot_ts", F.to_timestamp("snapshot_ts"))
+    hist = scd2_from_snapshots(snaps, ["k"], ["attr"])
+    dirty = spark.createDataFrame(
+        [(1, "b"), (1, "c")], "k int, attr string"
+    )
+    with _pytest.raises(Exception, match="duplicate business key"):
+        scd2_apply_snapshot(hist, dirty, ["k"], ["attr"], "2024-02-01").collect()
+
+
+def test_from_snapshots_null_ts_does_not_split_versions(spark):
+    """lag(ts).isNull() conflated 'first row' with 'previous row has a
+    NULL snapshot_ts'; first-row detection is now positional, so a
+    NULL-ts row with identical attributes does not split a spurious
+    version."""
+    from taxi_data_pipeline_pset2_spark.plans.scd import scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [(1, "a", None), (1, "a", "2024-01-02")],
+        "k int, attr string, snapshot_ts string",
+    ).withColumn("snapshot_ts", F.to_timestamp("snapshot_ts"))
+    out = scd2_from_snapshots(snaps, ["k"], ["attr"]).collect()
+    assert len(out) == 1 and out[0].is_current
