@@ -128,17 +128,21 @@ def hashed_features(
     twin rebuilds every index, sign and weight bit-exactly."""
     if dim < 2:
         raise ValueError(f"dim must be >= 2, got {dim}")
-    tok = F.explode(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    ).alias("_tok")
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        stable_hash64,
+        tokenize,
+    )
+
+    # shared tokenize + stable_hash64: the engine-portable hash and the
+    # tokenizer contract live in ONE place (dedup.py) so the oracle
+    # twins cannot silently desynchronize from a local copy
+    tok = F.explode(tokenize(F.col(text_col))).alias("_tok")
     base = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), tok)
         .filter(F.col("_tok") != "")
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10
-    ).cast("bigint")
+    h = stable_hash64(F.col("_tok"))
     idx = (h % dim).cast("int")
     if signed:
         # an independent bit: parity of the NEXT md5 hex digit

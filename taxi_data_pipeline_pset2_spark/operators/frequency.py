@@ -29,21 +29,37 @@ from pyspark.sql import functions as F
 
 def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     """Values of ``col`` with frequency >= support, with EXACT counts.
-    Returns (value, n, frac) ordered by n desc, value asc."""
-    if not 0 < support <= 1:
-        raise ValueError(f"support must be in (0, 1], got {support}")
+    Returns (value, n, frac) ordered by n desc, value asc. NULL is a
+    legitimate value (a 50%-NULL column HAS a heavy hitter); the
+    boundary test compares the OBSERVED double frequency n/N against
+    ``support`` -- `n >= support * N` looks equivalent but the IEEE
+    product excludes exact-boundary values (0.01 * 300 =
+    3.0000000000000004, so a value at exactly 1% of 300 rows failed
+    the documented >= contract; the oracle twin compares the same
+    quotient)."""
+    # freqItems' own domain is [1e-4, 1] -- validate BOTH bounds here
+    # so a tiny support raises this operator's error, not Spark's
+    if not 1e-4 <= support <= 1:
+        raise ValueError(f"support must be in [1e-4, 1], got {support}")
     candidates = df.freqItems([col], support).collect()[0][0]
     n_rows = df.count()
     if not candidates or n_rows == 0:
         return df.sparkSession.createDataFrame(
-            [], f"value string, n long, frac double"
+            [], "value string, n long, frac double"
         )
-    threshold = support * n_rows
+    non_null = [c for c in candidates if c is not None]
+    cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+    if any(c is None for c in candidates):
+        # isin(NULL) is never TRUE: without this, a NULL heavy hitter
+        # silently vanishes from the exact-count pass
+        cond = cond | F.col(col).isNull()
     return (
-        df.filter(F.col(col).isin(list(candidates)))
+        df.filter(cond)
         .groupBy(F.col(col).cast("string").alias("value"))
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= threshold)
+        .filter(
+            F.col("n").cast("double") / F.lit(float(n_rows)) >= F.lit(support)
+        )
         .withColumn("frac", F.round(F.col("n") / F.lit(n_rows), 6))
         .orderBy(F.desc("n"), F.asc("value"))
     )
@@ -76,7 +92,11 @@ def frequent_shingles(
         return docs.sparkSession.createDataFrame(
             [], "value string, n long, frac double"
         )
-    row_support = max(support * n_docs / n_rows, 1e-4)
+    # clamp to freqItems' [1e-4, 1] domain: a short-doc corpus can
+    # push support * n_docs past n_rows (support impossible to reach),
+    # where an uncapped ratio crashes inside Spark instead of
+    # returning the correct empty frame via the exact verify
+    row_support = min(max(support * n_docs / n_rows, 1e-4), 1.0)
     candidates = e.freqItems(["shingle"], row_support).collect()[0][0]
     if not candidates:
         return docs.sparkSession.createDataFrame(
@@ -86,7 +106,9 @@ def frequent_shingles(
         e.filter(F.col("shingle").isin(list(candidates)))
         .groupBy(F.col("shingle").cast("string").alias("value"))
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= support * n_docs)
+        .filter(
+            F.col("n").cast("double") / F.lit(float(n_docs)) >= F.lit(support)
+        )
         .withColumn("frac", F.round(F.col("n") / F.lit(n_docs), 6))
         .orderBy(F.desc("n"), F.asc("value"))
     )

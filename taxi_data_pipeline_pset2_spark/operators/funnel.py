@@ -152,15 +152,34 @@ def funnel_step_timings(
     exploded = stages.select(F.explode(F.array(*rows)).alias("_t")).select(
         "_t.step", "_t.transition", "_t.gap"
     )
+    agg = exploded.groupBy("step", "transition").agg(
+        F.count("gap").cast("bigint").alias("n_users"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("median_s"),
+        F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_s"),
+        F.round(F.sum("gap").cast("double") / F.count("gap"), 6).alias(
+            "mean_s"
+        ),
+    )
+    # driver-built transition spine (funnel_summary's device): with no
+    # stage-0 completers the exploded frame is EMPTY and a bare groupBy
+    # would return zero rows, where the contract (and the oracle's
+    # unconditional UNION ALL) is one row per transition with
+    # n_users = 0 and NULL latencies
+    spine = events.sparkSession.createDataFrame(
+        [(i, f"{steps[i - 1]}->{steps[i]}") for i in range(1, len(steps))],
+        "step int, transition string",
+    )
     return (
-        exploded.groupBy("step", "transition")
-        .agg(
-            F.count("gap").cast("bigint").alias("n_users"),
-            F.round(F.expr("percentile(gap, 0.5)"), 6).alias("median_s"),
-            F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_s"),
-            F.round(
-                F.sum("gap").cast("double") / F.count("gap"), 6
-            ).alias("mean_s"),
+        spine.join(agg, ["step", "transition"], "left")
+        .select(
+            "step",
+            "transition",
+            F.coalesce(F.col("n_users"), F.lit(0)).cast("bigint").alias(
+                "n_users"
+            ),
+            "median_s",
+            "p90_s",
+            "mean_s",
         )
         .orderBy("step")
     )

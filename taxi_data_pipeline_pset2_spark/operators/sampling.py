@@ -358,8 +358,18 @@ def select_quality_mass(
     group_cols = group_cols or []
     # a NULL weight costs no mass (coalesce to 0): without it the filter
     # predicate goes NULL and the row silently vanishes regardless of
-    # score, breaking the at-least-one-row contract (ADVICE r5)
-    wdec = F.coalesce(F.col(weight_col).cast("decimal(28,6)"), F.lit(0).cast("decimal(28,6)"))
+    # score, breaking the at-least-one-row contract (ADVICE r5). A
+    # NEGATIVE weight would make the running prefix non-monotone (rows
+    # far past the threshold re-qualifying), so it fails loudly.
+    wdec = F.coalesce(
+        F.when(
+            F.col(weight_col) < 0,
+            F.raise_error(
+                F.lit("select_quality_mass: negative weight")
+            ).cast("decimal(28,6)"),
+        ).otherwise(F.col(weight_col).cast("decimal(28,6)")),
+        F.lit(0).cast("decimal(28,6)"),
+    )
     part = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
     order = part.orderBy(F.desc_nulls_last(score_col), F.asc(id_col))
     running = F.sum(wdec).over(
@@ -367,12 +377,23 @@ def select_quality_mass(
     )
     total = F.sum(wdec).over(part)
     # keep while the PREVIOUS prefix is still short of p * total --
-    # equivalently: running - w < p * total (boundary row included)
+    # equivalently: running - w < p * total (boundary row included).
+    # The threshold multiplies DECIMAL by DECIMAL (p via its shortest
+    # decimal repr, the same literal the oracle writes): a double
+    # product would round where the DuckDB twin computes exactly,
+    # flipping boundary rows. rn == 1 keeps the documented
+    # at-least-one-row guarantee even for an all-zero-mass group
+    # (0 < 0 is false for every row otherwise).
+    p_dec = F.lit(str(p)).cast("decimal(12,10)")
     return (
         df.withColumn("_run", running)
         .withColumn("_tot", total)
-        .filter((F.col("_run") - wdec) < F.col("_tot") * F.lit(p))
-        .drop("_run", "_tot")
+        .withColumn("_rn", F.row_number().over(order))
+        .filter(
+            ((F.col("_run") - wdec) < F.col("_tot") * p_dec)
+            | (F.col("_rn") == 1)
+        )
+        .drop("_run", "_tot", "_rn")
     )
 
 

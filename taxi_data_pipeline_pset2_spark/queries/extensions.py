@@ -776,11 +776,13 @@ _QMASS_ORACLE = f"""
                           PARTITION BY lang
                           ORDER BY n_chars DESC, doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
-                      SUM(CAST(n_chars AS DECIMAL(28,6))) OVER (PARTITION BY lang) AS tot
+                      SUM(CAST(n_chars AS DECIMAL(28,6))) OVER (PARTITION BY lang) AS tot,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_chars DESC, doc_id) AS rn
                FROM documents)
     SELECT doc_id, lang, n_chars
     FROM r
-    WHERE run - CAST(n_chars AS DECIMAL(28,6)) < tot * {_QMASS_P}
+    WHERE run - CAST(n_chars AS DECIMAL(28,6)) < tot * {_QMASS_P} OR rn = 1
     ORDER BY lang, doc_id
 """
 

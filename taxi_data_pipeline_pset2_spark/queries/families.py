@@ -24,7 +24,8 @@ from taxi_data_pipeline_pset2_spark.queries.catalog import query
 
 _FUNNEL_ORACLE = """
     WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+                WHERE event_type = 'view' AND ts IS NOT NULL
+                GROUP BY user_id),
     s1 AS (SELECT s0.user_id, min(e.ts) AS t1 FROM s0
            JOIN events e ON e.user_id = s0.user_id
             AND e.event_type = 'click' AND e.ts > s0.t0
@@ -176,7 +177,8 @@ _HH_ORACLE = f"""
     SELECT CAST(p_brand AS VARCHAR) AS value, count(*) AS n,
            round(count(*) / (SELECT count(*) FROM part), 6) AS frac
     FROM part GROUP BY p_brand
-    HAVING count(*) >= CAST({_HH_SUPPORT} AS DOUBLE) * (SELECT count(*) FROM part)
+    HAVING count(*) * 1.0 / (SELECT count(*) FROM part)
+               >= CAST({_HH_SUPPORT} AS DOUBLE)
     ORDER BY n DESC, value
 """
 
@@ -187,9 +189,10 @@ def heavy_hitters_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate superset (one pass, driver traffic <= 1/support items),
     then EXACT counts for candidates only -- never a full group-by of
     the value domain. The oracle is the naive full group-by + HAVING,
-    equivalent on the result set; the CAST to DOUBLE pins the threshold
-    to the same IEEE product Python computes (a DECIMAL literal times
-    BIGINT would round differently at exact-integer thresholds)."""
+    equivalent on the result set; both sides compare the OBSERVED
+    double frequency n/N against the support (the threshold-product
+    form excluded exact-boundary values: 0.01 * 300 is
+    3.0000000000000004 in IEEE doubles)."""
     from taxi_data_pipeline_pset2_spark.operators.frequency import heavy_hitters
 
     return heavy_hitters(t(spark, sf_dir, "part"), "p_brand", support=_HH_SUPPORT)
@@ -499,7 +502,8 @@ def chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RETENTION_ORACLE = """
-    WITH pu AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
+    WITH pu AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+                FROM events WHERE ts IS NOT NULL),
     c AS (SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort FROM pu)
     SELECT cohort,
            CAST(floor(date_diff('day', cohort, p) / 7.0) AS INT) AS period_offset,
@@ -524,7 +528,8 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_W = 240  # minutes
 _FUNNEL_WINDOWED_ORACLE = f"""
     WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+                WHERE event_type = 'view' AND ts IS NOT NULL
+                GROUP BY user_id),
     s1 AS (SELECT s0.user_id, s0.t0, min(e.ts) AS t1 FROM s0
            JOIN events e ON e.user_id = s0.user_id
             AND e.event_type = 'click' AND e.ts > s0.t0
@@ -662,7 +667,8 @@ def phonetic_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_TIMING_ORACLE = """
     WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+                WHERE event_type = 'view' AND ts IS NOT NULL
+                GROUP BY user_id),
     s1 AS (SELECT s0.user_id, s0.t0, min(e.ts) AS t1 FROM s0
            JOIN events e ON e.user_id = s0.user_id
             AND e.event_type = 'click' AND e.ts > s0.t0

@@ -156,3 +156,37 @@ class TestModeBy:
         df = spark.createDataFrame([(1,), (2,), (2,)], "v long")
         r = mode_by(df, "v").collect()[0]
         assert (r.mode, r.n_mode) == (2, 2)
+
+
+def test_heavy_hitters_counts_null_and_exact_boundary(spark):
+    """NULL is a legitimate heavy hitter (isin(NULL) is never TRUE,
+    which previously dropped it from the exact pass), and a value at
+    EXACTLY the support frequency must pass the >= contract (the IEEE
+    product 0.01 * 300 = 3.0000000000000004 previously excluded it)."""
+    from taxi_data_pipeline_pset2_spark.operators.frequency import heavy_hitters
+
+    rows = [(None,)] * 150 + [("a",)] * 147 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "v string")
+    got = {r.value: r.n for r in heavy_hitters(df, "v", support=0.01).collect()}
+    assert got.get(None) == 150 and got.get("a") == 147
+    assert got.get("b") == 3  # exactly 1% of 300: boundary included
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"\[1e-4, 1\]"):
+        heavy_hitters(df, "v", support=5e-5)
+
+
+def test_frequent_shingles_short_doc_corpus_does_not_crash(spark):
+    """support * n_docs > n_rows (most docs too short to shingle) must
+    clamp freqItems' row support to 1.0 and return the empty frame, not
+    crash inside Spark's [1e-4, 1] check."""
+    from taxi_data_pipeline_pset2_spark.operators.frequency import (
+        frequent_shingles,
+    )
+
+    rows = [(i, "ab") for i in range(90)] + [
+        (100 + i, f"tok{i} one two three four") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = frequent_shingles(df, support=0.5)
+    assert out.count() == 0

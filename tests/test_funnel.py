@@ -143,3 +143,24 @@ class TestFunnelStepTimings:
             for r in funnel_step_timings(df, ("view", "click")).collect()
         }
         assert got[1].n_users == 0 and got[1].median_s is None
+
+
+def test_step_timings_emit_spine_rows_when_funnel_is_empty(spark):
+    """No stage-0 completers: the timing frame must still carry one row
+    per transition with n_users = 0 and NULL latencies (the oracle's
+    unconditional UNION ALL), not return zero rows."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.funnel import (
+        funnel_step_timings,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "click", "2024-01-01 00:00:00")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = funnel_step_timings(events, ["view", "click", "purchase"]).collect()
+    assert [(r.step, r.transition, r.n_users, r.median_s) for r in out] == [
+        (1, "view->click", 0, None),
+        (2, "click->purchase", 0, None),
+    ]

@@ -426,3 +426,28 @@ def test_rolling_origin_folds_never_train_on_future(spark):
             assert rid <= (2 if fold == 0 else 5)
     with pytest.raises(ValueError):
         rolling_origin_folds(df, "ts", [])
+
+
+def test_quality_mass_zero_total_group_keeps_top_row_and_rejects_negative(spark):
+    """An all-zero-mass group must still keep its top-scored row (the
+    documented at-least-one guarantee; 0 < 0 kept nothing before), and
+    a negative weight fails loudly (it would make the running prefix
+    non-monotone)."""
+    import pytest as _pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        select_quality_mass,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0, 0), (2, "g", 3.0, 0), (3, "h", 1.0, 10)],
+        "doc_id long, grp string, score double, w int",
+    )
+    out = select_quality_mass(df, "score", "w", p=0.5, group_cols=["grp"])
+    got = {(r.grp, r.doc_id) for r in out.collect()}
+    assert ("g", 1) in got and ("g", 2) not in got and ("h", 3) in got
+    neg = spark.createDataFrame(
+        [(1, "g", 5.0, -1)], "doc_id long, grp string, score double, w int"
+    )
+    with _pytest.raises(Exception, match="negative weight"):
+        select_quality_mass(neg, "score", "w", p=0.5, group_cols=["grp"]).collect()
