@@ -106,9 +106,12 @@ def association_rules(
             F.round(support, 6).alias("support"),
             F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
             F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
+            # cast factors to double BEFORE multiplying: bigint
+            # n_a*n_b overflows under ANSI once two popular items each
+            # appear in > ~3e9 baskets -- the module's own target scale
             F.round(
-                (F.col("n_ab") * F.col("_nb"))
-                / (F.col("n_a") * F.col("n_b")),
+                (F.col("n_ab").cast("double") * F.col("_nb").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
                 6,
             ).alias("lift"),
         )
@@ -195,7 +198,9 @@ def item_similarity(
         .withColumn(
             "_cos",
             F.col("n_ab")
-            / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")),
+            / F.sqrt(
+                F.col("_na").cast("double") * F.col("_nb").cast("double")
+            ),
         )
     )
     w = Window.partitionBy("item").orderBy(

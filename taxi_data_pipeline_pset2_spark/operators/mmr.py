@@ -56,6 +56,13 @@ def mmr_rerank(
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         X = np.array(list(pdf["iv"]), dtype=np.int64)  # (N, D)
         norms = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
+        # an all-zero vector (every |component| < 5e-7 on the grid) has
+        # norm 0: without the floor its similarity column is 0/0 = NaN,
+        # and np.argmax over a NaN-bearing mmr vector returns the NaN
+        # index -- the degenerate vector would be greedily picked with
+        # mmr_score = NaN. Flooring to 1 makes its similarities exactly
+        # 0 (the zero vector is orthogonal to everything).
+        norms = np.where(norms == 0.0, 1.0, norms)
         sim = (X @ X.T) / (norms[:, None] * norms[None, :])  # exact int dots
         rel = pdf["rel"].to_numpy(dtype=np.float64)
         n = len(pdf)

@@ -108,6 +108,15 @@ def point_in_interval_join(
     e_num = _as_number(intervals, end_col)
 
     pts = points.withColumn("__rj_bucket", F.floor(p_num / w))
+    # NULL or reversed bounds match nothing -- drop them BEFORE the
+    # explode (the interval_coverage contract): a NULL span would fall
+    # through the cap guard's NULL condition to raise_error and abort
+    # the job, and a reversed one passes `n <= cap` (n negative) while
+    # sequence(start, stop) then generates a DESCENDING range of
+    # unbounded length -- the exact blowup span_cap exists to prevent
+    intervals = intervals.filter(
+        s_num.isNotNull() & e_num.isNotNull() & (s_num <= e_num)
+    )
     start_b = F.floor(s_num / w)
     end_b = _bucket_span(start_b, F.floor(e_num / w), span_cap)
     iv = intervals.withColumn(
@@ -152,6 +161,10 @@ def interval_overlap_join(
 
     def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
         s_num, e_num = _as_number(df, start), _as_number(df, end)
+        # same NULL/reversed-bounds hygiene as point_in_interval_join
+        df = df.filter(
+            s_num.isNotNull() & e_num.isNotNull() & (s_num <= e_num)
+        )
         sb = F.floor(s_num / w)
         eb = _bucket_span(sb, F.floor(e_num / w), span_cap)
         return df.withColumn("__rj_first", sb).withColumn(

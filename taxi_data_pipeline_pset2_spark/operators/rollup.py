@@ -46,9 +46,27 @@ def refresh_rollup(
     out = agg(fact)
     if PARTITION_COL not in out.columns:
         raise ValueError(f"agg must preserve the {PARTITION_COL!r} column")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # the agg's output months must be a SUBSET of the requested ones: an
+    # agg that re-derives month attribution from an event timestamp
+    # could emit an out-of-scope month, and the dynamic overwrite would
+    # then replace that complete partition with a partial aggregate
+    # computed from only this refresh's fact slice -- silent data loss
+    # in a partition the caller never asked to touch
+    stray = (
+        out.filter(~F.col(PARTITION_COL).isin(months)).limit(1).collect()
+    )
+    if stray:
+        raise ValueError(
+            "refresh_rollup: agg emitted out-of-scope partition "
+            f"{stray[0][PARTITION_COL]!r} (requested months: {months})"
+        )
+    # writer-level option, NOT spark.conf.set: a session-global
+    # partitionOverwriteMode=dynamic would leak into every later
+    # partitioned overwrite -- including full_rollup, whose from-scratch
+    # rebuild relies on static mode to truncate stale partitions
     (
         out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PARTITION_COL)
         .parquet(rollup_path)
     )
