@@ -221,8 +221,9 @@ def query(
 # case_flags, in r5 record order) + the first 3 of the r6-only list
 # (tfidf_vectors, multimodal_frame_sample, semantic_decontamination).
 #
-# r11 rotation EXECUTION ORDER (once CORRECTNESS_r10 proves the current
-# window): keep the same 7 anchors; the 43 r10-proven rows yield their
+# r11 rotation (EXECUTED, per VERDICT r10 item #1; CORRECTNESS_r10 was
+# 50/50 green on the r10 window, judge-verified name-for-name): keep the
+# same 7 anchors; the 43 r10-proven rows yield their
 # slots to -- (1) the 3 never-rowed r10 additions FIRST (bm25_topk_docs,
 # pq_recall_audit, ivfpq_recall_audit -- the recall twins compose the
 # ~250/~270-CTE chains with the shared _exact_recall_ctes tail, so they
@@ -244,10 +245,32 @@ def query(
 # dedup_embedding_lsh, snapshot_diff_orders, dsir_topk_selection,
 # rollup_changelog_maintenance, scd2_incremental_apply,
 # quality_rank_blend, decontamination_scores, pivot_category_totals,
-# heavy_hitters_brand, quality_mass_selection); r12 continues with the
-# remaining 13 r7-only rows (fuzzy_blocked_matches, unigram_doc_logprob,
-# duplicated_spans_docs, chunk_documents_tokens ... ranked_in_group)
-# then the oldest r8-only rows.
+# heavy_hitters_brand, quality_mass_selection). All three never-rowed
+# entries were pre-flighted fresh-process at sf0.01 in default env AND
+# under TZ=Pacific/Chatham (scripts/preflight_entries.py) before this
+# window was committed -- all green both ways.
+#
+# r12 rotation EXECUTION ORDER (once CORRECTNESS_r11 proves the current
+# window): keep the same 7 anchors; swap the 43 r11-proven rows for --
+# (1) any net-new r11 entries that are oracle-green locally but have no
+# driver row yet, (2) the remaining 13 r7-only rows in r7 record order
+# (reconstructed from the r7-era _WINDOW at git 2ae4eab minus the 30
+# rotated in this round): fuzzy_blocked_matches, unigram_doc_logprob,
+# duplicated_spans_docs, chunk_documents_tokens, cohort_retention_weekly,
+# coverage_gap_detection, events_hourly, asof_last_purchase,
+# monthly_trend, date_dim, union_unify_schemas, quality_filter,
+# ranked_in_group; then (3) the oldest r8-only rows in r8 record order
+# (r8-era _WINDOW at git ecf2796) until the window fills at 50:
+# asof_next_purchase, asof_nearest_purchase, ewma_user_value,
+# tfidf_cosine_docs, leakage_safe_split_docs, group_kfold_docs,
+# temporal_split_events, rolling_features_user_value, hard_negatives_topk,
+# oov_rate_docs, jaro_winkler_matches, blocklist_safety_flags,
+# source_quality_profile, bigram_doc_logprob, class_weights_events,
+# rolling_origin_backtest, metric_corr_matrix, status_priority_mi,
+# sft_loss_masks, auc_order_status, calibration_price_prob,
+# kappa_price_status, decile_lift_orders, retrieval_eval_knn,
+# quantile_normalized_length, bootstrap_ci_price, rrf_fuse_knn (first 27
+# of the 43-row r8-only list; r13 continues from welch_price_priority).
 _WINDOW: tuple[str, ...] = (
     # -- minimum anchors (7) --
     "demand_by_zone",
@@ -257,55 +280,55 @@ _WINDOW: tuple[str, ...] = (
     "value_by_daypart",
     "demand_grid",
     "integrity_checks",
-    # -- giant-oracle upgrades, early on purpose (3) --
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    "semdedup_survivors",
-    # -- remaining r8 upgrades (4) --
-    "isotonic_calibration",
-    "mmr_rerank_topk",
-    "brand_communities",
-    "part_kcore",
-    # -- remaining r9 upgrades/additions (6) --
-    "ann_brp_lsh",
-    "packing_assignments",
-    "kmeans_clusters",
-    "kmeans_centroids",
-    "brp_recall_audit",
-    "kmv_rollup_weekly_users",
-    # -- r1-r4-era re-proofs (13) --
-    "values_dim",
-    "string_functions",
-    "datetime_functions",
-    "hash_surrogate_ids",
-    "dim_with_default_member",
-    "distinct_segments",
-    "rolling_avg_value",
-    "load_manifest_months",
-    "recent_clicks_before_error",
-    "text_quality",
-    "lang_id",
-    "token_fingerprints",
-    "multimodal_metadata",
-    # -- freshness second pass: the 14 r5-only rows, r5 record order --
-    "price_band_totals",
-    "mixture_exact_sample",
-    "dedup_simhash",
-    "gopher_quality_flags",
-    "winsorized_price_stats",
-    "per_group_sample_rows",
-    "funnel_conversion",
-    "unpivot_wide_metrics",
-    "hash_split_counts",
-    "scd2_history",
-    "session_counts",
-    "rollup_revenue",
-    "trip_duration_metrics",
-    "case_flags",
-    # -- freshness second pass: first 3 of the r6-only list --
-    "tfidf_vectors",
-    "multimodal_frame_sample",
-    "semantic_decontamination",
+    # -- never-rowed r10 additions, early on purpose (3): the recall
+    # twins compose the ~250/~270-CTE chains into one statement --
+    "bm25_topk_docs",
+    "pq_recall_audit",
+    "ivfpq_recall_audit",
+    # -- freshness second pass: the 10 remaining r6-only rows, r6
+    # record order --
+    "zscore_price_outliers",
+    "sentiment_scores",
+    "quantile_binned_prices",
+    "knn_bruteforce_vectorized",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "scd2_as_of_snapshot",
+    "event_transitions",
+    "weighted_sample_topn",
+    # -- freshness second pass: first 30 of the r7-only list, r7
+    # record order --
+    "term_document_frequency",
+    "boolean_and_search",
+    "multimodal_resize",
+    "phrase_search_hits",
+    "hourly_value_locf",
+    "dedup_components",
+    "session_maintenance_overlap",
+    "hampel_value_outliers",
+    "lang_distribution_psi",
+    "vocab_top_tokens",
+    "docs_profile",
+    "rollup_grouping_sets",
+    "set_ops_customers",
+    "supplier_balance_by_region",
+    "knn_ivf_label",
+    "funnel_conversion_windowed",
+    "status_priority_association",
+    "price_trend_by_priority",
+    "dedup_minhash_lsh",
+    "weighted_median_tokens",
+    "dedup_embedding_lsh",
+    "snapshot_diff_orders",
+    "dsir_topk_selection",
+    "rollup_changelog_maintenance",
+    "scd2_incremental_apply",
+    "quality_rank_blend",
+    "decontamination_scores",
+    "pivot_category_totals",
+    "heavy_hitters_brand",
+    "quality_mass_selection",
 )
 # Rows-only entries kept at the very end of the registry (their driver
 # row would add nothing over the local pytest replay). r9 cleared SIX
