@@ -127,6 +127,59 @@ def fuzzy_pairs_multi(
     )
 
 
+def exhaustive_levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 1,
+    max_rows: int = 5_000,
+) -> DataFrame:
+    """ALL pairs (id_a < id_b) within Levenshtein ``max_distance`` of
+    each other over the normalized text -- the O(n^2) exhaustive ground
+    truth a blocking-recall audit compares ``fuzzy_pairs_multi``'s
+    candidate set against (the lsh_recall_audit pattern: the audited
+    stage is approximate, its measurement is exact).
+
+    Deliberately quadratic, so deliberately capped: more than
+    ``max_rows`` input rows fails loudly inside the plan (the theil_sen
+    max_group_rows discipline) -- audit a deterministic subset, never
+    the full corpus. The pair expansion reuses ``bucket_pairs`` (one
+    all-rows bucket, chunked), so per-row memory stays bounded even at
+    the cap."""
+    norm = normalize_text(F.col(text_col))
+    keyed = df.select(F.col(id_col).alias("_i"), norm.alias("_s"))
+    one = keyed.groupBy(F.lit(1).alias("_g")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_i").alias("i"), F.col("_s").alias("s")))
+        ).alias("xs")
+    )
+    guarded = (
+        one.withColumn(
+            "_guard",
+            F.assert_true(
+                F.size("xs") <= max_rows,
+                F.concat(
+                    F.lit(
+                        "exhaustive_levenshtein_pairs input exceeds "
+                        f"max_rows={max_rows} (this ground truth is "
+                        "O(n^2) by design -- audit a subset): "
+                    ),
+                    F.size("xs").cast("string"),
+                ),
+            ),
+        )
+        .filter(F.col("_guard").isNull())
+        .drop("_guard", "_g")
+    )
+    pairs = bucket_pairs(guarded, "xs").select(
+        F.col("p.a.i").alias("id_a"),
+        F.col("p.b.i").alias("id_b"),
+        F.col("p.a.s").alias("_sa"),
+        F.col("p.b.s").alias("_sb"),
+    )
+    return _levenshtein_verify(pairs, max_distance)
+
+
 def fuzzy_dedup(
     df: DataFrame,
     text_col: str,

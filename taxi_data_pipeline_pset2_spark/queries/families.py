@@ -352,6 +352,92 @@ def fuzzy_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_RECALL_ORACLE = """
+    WITH n AS (
+        SELECT c_custkey AS id,
+               regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS s
+        FROM customer WHERE c_custkey < 2000),
+    truth AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM n a JOIN n b ON a.id < b.id
+        WHERE abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1),
+    pre AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM n a JOIN n b
+          ON substr(a.s, 1, 16) = substr(b.s, 1, 16) AND a.id < b.id
+        WHERE abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1),
+    suf AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM n a JOIN n b
+          ON substr(a.s, greatest(len(a.s) - 15, 1), 16)
+             = substr(b.s, greatest(len(b.s) - 15, 1), 16)
+             AND a.id < b.id
+        WHERE abs(len(a.s) - len(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1),
+    fnd AS (SELECT ia, ib FROM pre UNION SELECT ia, ib FROM suf),
+    hit AS (SELECT count(*) AS n_hit FROM fnd f
+            WHERE EXISTS (SELECT 1 FROM truth t
+                          WHERE t.ia = f.ia AND t.ib = f.ib)),
+    c AS (SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+                 CAST((SELECT count(*) FROM fnd) AS BIGINT) AS n_candidates,
+                 CAST(n_hit AS BIGINT) AS n_hit
+          FROM hit)
+    SELECT n_truth, n_candidates, n_hit,
+           n_truth - n_hit AS n_missed,
+           round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
+    FROM c
+"""
+
+
+@query(
+    "fuzzy_blocking_recall_audit",
+    oracle=_FUZZY_RECALL_ORACLE,
+    tags=("fuzzy", "dedup", "agg"),
+)
+def fuzzy_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured candidate-completeness of the two-pass (prefix+suffix)
+    fuzzy blocking vs the EXHAUSTIVE Levenshtein<=1 pair set
+    (operators/fuzzy.py exhaustive_levenshtein_pairs -- the quadratic
+    ground truth, capped to a deterministic c_custkey < 2000 subset):
+    one row (n_truth, n_candidates, n_hit, n_missed, recall). The
+    lsh_recall_audit pattern applied to the fuzzy family: blocking is
+    standard-practice APPROXIMATE (a pair is missed exactly when its
+    edit falls inside BOTH 16-char affixes), and this row quantifies
+    that miss rate on real data instead of asserting it -- measured
+    ~0.96 at sf0.001 and ~0.69 at sf0.01 with block_len=16 over the
+    18-char customer names (the denser key space puts more single-digit
+    edits into the affix overlap). Both engines rebuild blocking AND
+    truth exactly, so the approximate stage's measurement is itself
+    hash-verified; n_candidates == n_hit is part of the proof (blocked
+    candidates are verify-filtered, hence a subset of truth)."""
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import (
+        exhaustive_levenshtein_pairs,
+        fuzzy_pairs_multi,
+    )
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+    truth = exhaustive_levenshtein_pairs(
+        cust, "c_name", "c_custkey", max_distance=1, max_rows=2_000
+    ).select("id_a", "id_b")
+    found = fuzzy_pairs_multi(
+        cust, "c_name", "c_custkey", max_distance=1, block_len=16
+    ).select("id_a", "id_b")
+    hits = found.join(truth, ["id_a", "id_b"], "left_semi")
+    counts = (
+        truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+        .crossJoin(found.agg(F.count("*").cast("bigint").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").cast("bigint").alias("n_hit")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        (F.col("n_truth") - F.col("n_hit")).alias("n_missed"),
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_truth").cast("double"), 6
+        ).alias("recall"),
+    )
+
+
 _LOGPROB_ORACLE = """
     WITH toks AS (
         SELECT doc_id,

@@ -170,3 +170,95 @@ def test_phonetic_pairs_blocks_by_soundex(spark):
     got = {r.name: r.sdx for r in df.select("name", F.soundex("name").alias("sdx")).collect()}
     for name, sdx in got.items():
         assert sdx == soundex(name), name
+
+
+def _brute_lev_pairs(rows: list[tuple[int, str]], d: int) -> set[tuple[int, int]]:
+    """Python reference: all normalized pairs within distance d."""
+    import re
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    norm = [(i, re.sub(r"\s+", " ", s.strip().lower())) for i, s in rows]
+    out = set()
+    for x in range(len(norm)):
+        for y in range(x + 1, len(norm)):
+            (ia, sa), (ib, sb) = norm[x], norm[y]
+            if ia > ib:
+                ia, ib, sa, sb = ib, ia, sb, sa
+            if lev(sa, sb) <= d:
+                out.add((ia, ib))
+    return out
+
+
+def test_exhaustive_pairs_match_python_reference(spark):
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import (
+        exhaustive_levenshtein_pairs,
+    )
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme corpx"),   # 1 insertion from 1
+        (3, "acme  CORP "),  # normalizes equal to 1 (distance 0)
+        (4, "zenith ltd"),
+        (5, "zenth ltd"),    # 1 deletion from 4
+        (6, "completely different"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in exhaustive_levenshtein_pairs(df, "name", "id").collect()
+    }
+    assert got == _brute_lev_pairs(rows, 1)
+    assert (1, 2) in got and (1, 3) in got and (4, 5) in got
+
+
+def test_exhaustive_pairs_cap_raises_in_plan(spark):
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import (
+        exhaustive_levenshtein_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name {i}") for i in range(10)], ["id", "name"]
+    )
+    with pytest.raises(Exception, match="max_rows"):
+        exhaustive_levenshtein_pairs(df, "name", "id", max_rows=5).collect()
+
+
+def test_blocking_recall_audit_planted_geometry(spark):
+    """A 20-char name with a single mid-string edit (inside BOTH 8-char
+    affixes) is missed by two-pass blocking; an edit in the last chars
+    (prefix intact) is found -- the audit must measure exactly that."""
+    from taxi_data_pipeline_pset2_spark.operators.fuzzy import (
+        exhaustive_levenshtein_pairs,
+        fuzzy_pairs_multi,
+    )
+
+    rows = [
+        (1, "aaaabbbbccXddddeeee"),
+        (2, "aaaabbbbccYddddeeee"),  # edit at char 11: inside both affixes -> missed
+        (3, "ppppqqqqrrrrssssttX"),
+        (4, "ppppqqqqrrrrssssttY"),  # edit at char 19: prefix-16 intact -> found
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    truth = {
+        (r.id_a, r.id_b)
+        for r in exhaustive_levenshtein_pairs(df, "name", "id").collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs_multi(
+            df, "name", "id", max_distance=1, block_len=16
+        ).collect()
+    }
+    assert truth == {(1, 2), (3, 4)}
+    assert found == {(3, 4)}  # recall exactly 1/2 on this geometry
+    assert found <= truth
