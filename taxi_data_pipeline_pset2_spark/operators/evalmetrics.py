@@ -56,12 +56,17 @@ def binary_auc(
         auc  = num2 / (2 * n_pos * n_neg)
     num2 is accumulated in DECIMAL(38,0) so the integer arithmetic is
     exact past bigint range (n_pos * n_neg overflows int64 around
-    n = 6e9 rows)."""
+    n = 6e9 rows).
+
+    NaN scores are excluded like NULL (r11): Spark's total order ranks
+    NaN above every real score, so an undefined score would otherwise
+    silently count as the model's MOST confident prediction -- sklearn
+    raises here; a distributed metric drops and moves on."""
     group_cols = group_cols or []
     lab = F.col(label_col).cast("boolean")
     sc = F.col(score_col).cast("double")
     per = (
-        df.filter(lab.isNotNull() & sc.isNotNull())
+        df.filter(lab.isNotNull() & sc.isNotNull() & ~F.isnan(sc))
         .groupBy(*group_cols, sc.alias("_s"))
         .agg(
             F.count(F.when(lab, F.lit(1))).cast("bigint").alias("_p"),
@@ -170,7 +175,8 @@ def expected_calibration_error(
         F.col("n_pos").cast("double") / F.col("n") - F.col("_sp") / F.col("n")
     )
     return bins.agg(
-        F.sum("n").cast("bigint").alias("n"),
+        # an all-invalid input has zero bins: report n = 0, not NULL
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
         F.round(
             F.sum(gap * F.col("n")) / F.sum("n").cast("double"), 6
         ).alias("ece"),
@@ -252,9 +258,14 @@ def decile_lift(
     unique key for determinism), split into ``n_tiles`` equal-width
     rank tiles, and report per-tile response rate, lift vs the overall
     rate, and cumulative gains. Rows with NULL score or label are
-    excluded; tile = floor((rank - 1) * n_tiles / N) + 1 (the oracle
-    twin must use the same formula, NOT SQL ntile(), whose remainder
-    distribution differs).
+    excluded; NaN scores are excluded like NULL (Spark's total order
+    would otherwise rank every NaN-scored row INTO TILE 1 -- an
+    undefined score occupying the model's top decile); tile =
+    (rank - 1) * n_tiles div N + 1, PURE bigint floor division (the
+    oracle twin must use the same integer formula, NOT SQL ntile(),
+    whose remainder distribution differs, and not a double-divide
+    floor, which misassigns boundary rows once (rank-1)*n_tiles passes
+    2^53 and the quotient stops being exact).
 
     Exact global ranks without a single-partition sort of the data:
     (1) per-score counts, (2) cumulative offsets via a window over
@@ -266,7 +277,7 @@ def decile_lift(
         raise ValueError("n_tiles must be >= 1")
     lab = F.col(label_col).cast("boolean")
     sc = F.col(score_col).cast("double")
-    base = df.filter(lab.isNotNull() & sc.isNotNull()).select(
+    base = df.filter(lab.isNotNull() & sc.isNotNull() & ~F.isnan(sc)).select(
         sc.alias("_s"), lab.alias("_y"), F.col(key_col).alias("_k")
     )
     per_score = base.groupBy("_s").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
@@ -288,8 +299,11 @@ def decile_lift(
         .withColumn("_rank", F.col("_off") + F.row_number().over(w_tie))
         .crossJoin(F.broadcast(total))
     )
+    # bigint floor division: operands are non-negative, so `div` equals
+    # mathematical floor and stays exact at any N (a double-divide
+    # floor drifts past 2^53)
     tile = (
-        F.floor((F.col("_rank") - 1) * n_tiles / F.col("_n")).cast("int") + 1
+        F.expr(f"(_rank - 1) * {int(n_tiles)} div _n").cast("int") + 1
     )
     tiles = (
         ranked.groupBy(tile.alias("tile"))
@@ -346,6 +360,14 @@ def retrieval_eval(
       DCG sums accumulate per-term integer millionths (bigint), so
       partitioning cannot perturb the 6-dp result.
 
+    Query universe (r11, the trec_eval convention): every query that
+    appears in the run's top-k OR has relevant qrels gets a row. A
+    query the system returned nothing for (no run rows, or only ranks
+    past k) previously vanished from the output entirely -- silently
+    INFLATING any macro-average over the rows; it now scores 0 (hits
+    0, precision 0, rr 0, ndcg 0) against its n_rel, exactly what
+    trec_eval reports for an empty result list.
+
     100 TB shape: one equi-join runs<->qrels on (query, doc), hash
     aggregates per query, one qrels window partitioned BY QUERY for the
     ideal ranking -- everything partitioned, nothing driver-side."""
@@ -390,9 +412,14 @@ def retrieval_eval(
     )
     n_rel = qr.groupBy("_q").agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
     out = (
-        per_q.join(n_rel, "_q", "left")
+        # full outer: a query with qrels but an empty top-k must score
+        # 0, not vanish (see docstring); a query with run rows but no
+        # qrels keeps n_rel = 0 as before
+        per_q.join(n_rel, "_q", "full")
         .join(ideal, "_q", "left")
         .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")))
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0).cast("bigint")))
+        .withColumn("_dcg_m", F.coalesce(F.col("_dcg_m"), F.lit(0).cast("bigint")))
     )
     prec = F.col("hits").cast("double") / k
     rec = F.when(
@@ -433,6 +460,10 @@ def rrf_fuse(
     term is an exact function of small-integer rank, so rounding is
     stable), making the 9-dp score and therefore the fused order
     engine-portable. One hash aggregate + one query-partitioned window."""
+    if k < 0:
+        # k + rank hits zero at k = -1 / rank 1: an infinite term that
+        # ANSI-crashes the bigint cast mid-job -- reject up front
+        raise ValueError(f"k must be >= 0, got {k}")
     score_b = F.round(
         F.lit(1_000_000_000.0) / (F.lit(k) + F.col(rank_col).cast("double"))
     ).cast("bigint")
@@ -485,7 +516,7 @@ def fit_isotonic(
     lab = F.col(label_col).cast("boolean")
     sc = F.col(score_col).cast("double")
     per = (
-        df.filter(lab.isNotNull() & sc.isNotNull())
+        df.filter(lab.isNotNull() & sc.isNotNull() & ~F.isnan(sc))
         .groupBy(*group_cols, sc.alias("score"))
         .agg(
             F.count(F.when(lab, F.lit(1))).cast("bigint").alias("_pos"),

@@ -52,6 +52,19 @@ def grid_radius_join(
             f"cell ({cell}) must be >= radius ({radius}): a qualifying "
             "pair could otherwise sit more than one cell apart"
         )
+    # Strictly widen the working cell by a relative margin (r11): with
+    # cell == radius EXACTLY, a pair at distance exactly r can straddle
+    # TWO cell boundaries -- floor(lx/cell) and floor(rx/cell) are each
+    # one division-rounding away from their true quotients t and t+1,
+    # and when t sits within half an ulp below an integer the computed
+    # quotients can floor to n-1 and n+1, skipping the +-1 probe band
+    # while dx*dx == r*r still passes the residual. A 1e-12 relative
+    # margin (>> the ~2e-16 rounding of one division) makes the true
+    # quotient gap strictly < 1 - margin, so the computed floors can
+    # never land 2 apart for a qualifying pair. Occupancy is unchanged
+    # to 12 significant digits; the exact residual keeps the match set
+    # identical.
+    cell *= 1.0 + 1e-12
     lx, ly = (F.col(c).cast("double") for c in left_xy)
     rx, ry = (F.col(c).cast("double") for c in right_xy)
     l_ = left.filter(lx.isNotNull() & ly.isNotNull())

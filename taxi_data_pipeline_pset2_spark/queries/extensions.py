@@ -2352,7 +2352,8 @@ _AUC_ORACLE = """
                CAST(o_totalprice AS DOUBLE) AS s,
                (o_orderstatus = 'F') AS y
         FROM orders
-        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+          AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
     per AS (
         SELECT o_orderpriority, s,
                CAST(count(*) FILTER (y) AS BIGINT) AS p,
@@ -2490,14 +2491,15 @@ _LIFT_ORACLE = """
                (o_orderstatus = 'F') AS y,
                o_orderkey AS k
         FROM orders
-        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+          AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
                    CAST(count(*) FILTER (y) AS BIGINT) AS npp
             FROM base),
     r AS (SELECT y,
                  row_number() OVER (ORDER BY s DESC, k) AS rnk
           FROM base),
-    a AS (SELECT CAST(floor((rnk - 1) * 10 / tot.nn) AS INT) + 1 AS tile, y
+    a AS (SELECT CAST((rnk - 1) * 10 // tot.nn AS INT) + 1 AS tile, y
           FROM r, tot),
     tiles AS (SELECT tile,
                      CAST(count(*) AS BIGINT) AS n,

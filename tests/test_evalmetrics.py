@@ -209,11 +209,16 @@ def test_retrieval_eval_hand_computed(spark):
     qrels = spark.createDataFrame(
         [("q1", "a", 1.0), ("q1", "c", 1.0), ("q1", "zz", 1.0),
          ("q3", "y", 2.0), ("q3", "w", 1.0),
-         ("q4", "a", 1.0)],  # q4 has no run rows -> absent from output
+         ("q4", "a", 1.0)],  # q4 has no run rows -> scores 0 (r11)
         "query_id string, doc_id string, rel double",
     )
     out = {r["query_id"]: r for r in retrieval_eval(runs, qrels, k=3).collect()}
-    assert set(out) == {"q1", "q2", "q3"}
+    assert set(out) == {"q1", "q2", "q3", "q4"}
+    q4 = out["q4"]
+    assert (q4["n_rel"], q4["hits"], q4["precision_at_k"], q4["rr"]) == (
+        1, 0, 0.0, 0.0
+    )
+    assert q4["recall_at_k"] == 0.0 and q4["ndcg_at_k"] == 0.0
     import math
 
     q1 = out["q1"]
@@ -443,3 +448,88 @@ def test_seasonal_naive_keeps_null_key_series(spark):
     ).collect()
     assert len(out) == 1 and out[0].zone is None
     assert out[0].n_train == 2 and out[0].n_test == 2
+
+
+def test_nan_scores_excluded_like_null(spark):
+    """Spark's total order ranks NaN above every real score: an
+    undefined score must not occupy tile 1 / count as the most
+    confident prediction (r11). NaN rows drop from auc, decile_lift
+    and fit_isotonic exactly like NULL rows."""
+    rows = [
+        (1, True, float("nan")),
+        (2, True, 10.0),
+        (3, False, 5.0),
+        (4, True, 8.0),
+        (5, False, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "y", "s"])
+    clean = spark.createDataFrame(rows[1:], ["k", "y", "s"])
+
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import (
+        binary_auc,
+        decile_lift,
+        fit_isotonic,
+    )
+
+    got = binary_auc(df, "y", "s").collect()[0]
+    want = binary_auc(clean, "y", "s").collect()[0]
+    assert (got.n_pos, got.n_neg, got.auc) == (want.n_pos, want.n_neg, want.auc)
+    assert got.n_pos == 2  # the NaN-scored positive is gone
+
+    lift = decile_lift(df, "y", "s", "k", 4).collect()
+    lift_clean = decile_lift(clean, "y", "s", "k", 4).collect()
+    assert [r.asDict() for r in lift] == [r.asDict() for r in lift_clean]
+    assert sum(r.n for r in lift) == 4
+
+    iso = fit_isotonic(df, "y", "s").collect()
+    assert all(not (r.score != r.score) for r in iso)  # no NaN score rows
+    assert len(iso) == 4
+
+
+def test_retrieval_eval_empty_result_query_scores_zero(spark):
+    """trec_eval convention (r11): a query with relevant qrels but an
+    empty top-k result list scores 0 -- it must not vanish from the
+    output and silently inflate a macro-average."""
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import (
+        retrieval_eval,
+    )
+
+    runs = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q3", "d9", 7)],
+        ["query_id", "doc_id", "rank"],
+    )  # q3's only row is past k; q2 has no run rows at all
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 1.0), ("q2", "d5", 2.0), ("q3", "d9", 1.0)],
+        ["query_id", "doc_id", "rel"],
+    )
+    out = {r.query_id: r for r in retrieval_eval(runs, qrels, k=2).collect()}
+    assert set(out) == {"q1", "q2", "q3"}
+    for q in ("q2", "q3"):
+        r = out[q]
+        assert (r.hits, r.precision_at_k, r.recall_at_k, r.rr, r.ndcg_at_k) == (
+            0, 0.0, 0.0, 0.0, 0.0
+        )
+        assert r.n_rel == 1 or q == "q2"
+    assert out["q1"].hits == 1 and out["q1"].rr == 1.0
+
+
+def test_rrf_negative_k_rejected(spark):
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import rrf_fuse
+
+    runs = spark.createDataFrame(
+        [("q", "d", 1, "r1")], ["query_id", "doc_id", "rank", "run_id"]
+    )
+    with pytest.raises(ValueError, match="k must be >= 0"):
+        rrf_fuse(runs, k=-1)
+
+
+def test_ece_empty_input_reports_zero_n(spark):
+    from taxi_data_pipeline_pset2_spark.operators.evalmetrics import (
+        expected_calibration_error,
+    )
+
+    df = spark.createDataFrame([(True, 2.5)], ["y", "p"])  # out of range
+    row = expected_calibration_error(df, "y", "p").collect()[0]
+    assert row.n == 0 and row.ece is None and row.mce is None

@@ -66,3 +66,41 @@ class TestGridRadiusJoin:
         got = [(row.lid, row.rid) for row in out]
         assert len(got) == len(set(got))  # no pair emitted twice
         assert set(got) == _brute(lpts, rpts, r)
+
+
+def test_exact_radius_pairs_survive_hostile_cell_boundaries(spark):
+    """r11 margin regression: with cell == radius, a pair at distance
+    EXACTLY r whose coordinates sit a rounding error around a cell
+    boundary must still share a probed cell -- the working cell is
+    widened by a relative margin so the computed floors can never land
+    two apart for a qualifying pair."""
+    import math
+
+    from taxi_data_pipeline_pset2_spark.operators.spatial import (
+        grid_radius_join,
+    )
+
+    r = 0.1  # not exactly representable: every quotient rounds
+    xs = []
+    for n in (1, 3, 7, 10, 13):
+        base = n * r
+        for eps in (-4e-16, -1e-16, 0.0, 1e-16, 4e-16):
+            xs.append(base * (1.0 + eps))
+    left = spark.createDataFrame(
+        [(i, x, 0.0) for i, x in enumerate(xs)], ["lid", "lx", "ly"]
+    )
+    right = spark.createDataFrame(
+        [(i, x + r, 0.0) for i, x in enumerate(xs)], ["rid", "rx", "ry"]
+    )
+    got = {
+        (row.lid, row.rid)
+        for row in grid_radius_join(
+            left, right, ("lx", "ly"), ("rx", "ry"), radius=r
+        ).collect()
+    }
+    # every (i, i) pair is at distance <= r by construction (the float
+    # sum x + r rounds to within an ulp of exact): all must be found
+    for i, x in enumerate(xs):
+        dx = (x + r) - x
+        if dx * dx <= r * r:
+            assert (i, i) in got, f"boundary pair {i} missed at x={x!r}"
