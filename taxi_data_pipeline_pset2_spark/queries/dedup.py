@@ -460,3 +460,92 @@ def lsh_tuned_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_TUNED_FLOOR).cast("double").alias("recall_floor"),
         F.lit(_TUNED_PRED).cast("double").alias("predicted_recall"),
     )
+
+
+_MINHASH_RECALL_ORACLE = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM sh),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b FROM p
+              WHERE ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.2),
+    h AS (SELECT doc_id, {_SQL_HASH.format(v='shingle')} AS h FROM e),
+    perms AS (SELECT j, 2*j + 1 AS pa, 7919*j + 12345 AS pb,
+                     j // {LSH_ROWS} AS band
+              FROM (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS j)),
+    mins AS (SELECT h.doc_id, p2.j, p2.band,
+                    min((p2.pa * h.h + p2.pb) % {MINHASH_PRIME}) AS m
+             FROM h CROSS JOIN perms p2 GROUP BY 1, 2, 3),
+    sigs AS (SELECT doc_id, band,
+                    CAST('0x' || substr(md5(string_agg(CAST(m AS VARCHAR),
+                                                       ',' ORDER BY j)),
+                                        1, 15) AS BIGINT) AS band_sig
+             FROM mins GROUP BY 1, 2),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigs a JOIN sigs b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    hit AS (SELECT count(*) AS n_hit FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cands c
+                          WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 6) AS recall,
+           round(CAST(n_hit AS DOUBLE)
+                 / (SELECT count(*) FROM cands), 6) AS candidate_precision
+    FROM hit
+"""
+
+
+@query(
+    "minhash_recall_audit",
+    oracle=_MINHASH_RECALL_ORACLE,
+    tags=("dedup", "agg"),
+)
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the 16-permutation / 4x4-band MinHash LSH
+    candidate generator against the EXACT 3-gram Jaccard >= 0.2 pair
+    set -- the text-dedup analogue of lsh_recall_audit (r11): the most
+    load-bearing approximate operator in the engine now carries a
+    hash-verified measured-recall row instead of only the pytest
+    recall floor. One row (n_truth, n_candidates, n_hit, recall,
+    candidate_precision). The 4x4 banding curve 1-(1-s^4)^4 gives a
+    pair at Jaccard s=0.2 only ~0.006 collision odds and ~0.23 at
+    s=0.5, so the measured value prices how much of the 0.2-threshold
+    operating point the sketch actually covers on THIS corpus (high-
+    similarity planted dups collide near-certainly; borderline pairs
+    are where banding loses) -- the quantified reason the two-phase
+    verified dedup exists. Both engines rebuild shingles, permutations,
+    band md5 tuples, truth AND the intersection, so the approximate
+    stage's measurement is itself exact."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        jaccard_pairs as _jp,
+        minhash_candidate_pairs as _mcp,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    truth = _jp(docs, threshold=0.2).select("doc_a", "doc_b")
+    cands = _mcp(docs).select("doc_a", "doc_b")
+    hits = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+        .crossJoin(cands.agg(F.count("*").cast("bigint").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").cast("bigint").alias("n_hit")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_truth").cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_candidates").cast("double"),
+            6,
+        ).alias("candidate_precision"),
+    )

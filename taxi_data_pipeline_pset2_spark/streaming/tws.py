@@ -25,7 +25,11 @@ streaming/proto/StateMessage_pb2.py`` in the Spark distribution imports
 ``google.protobuf``). This container ships without protobuf and without
 network access (install attempt logged round 5: ``pip download
 protobuf`` -> DNS failure ``Name or service not known`` against the
-configured index; the build environment also forbids package installs),
+configured index; the build environment also forbids package installs;
+re-attempted rounds 8-11 -- r11: ``pip download`` still dead, no
+protobuf wheel/sdist anywhere on disk, and pyspark's own
+``sql/protobuf`` package is the from_protobuf SQL wrapper, not
+``google.protobuf``),
 so the runtime path is exercised only on environments that have it --
 ``tests/test_streaming.py::test_transformwithstate_sessionize_matches_legacy_api``
 runs the full stream≡legacy equality there and pins the ImportError
