@@ -7,8 +7,15 @@ the external check this repo itself lives by: the driver hash-compares
 Spark against DuckDB; this operator productizes that mechanism):
 
 - row_fingerprints: one 64-bit portable hash per row over the chosen
-  columns, NULL-distinguishing ('\\x01' separator + explicit NULL
-  sentinel so ('a', NULL) never collides with ('aNULL', ...)).
+  columns. Each field is length-prefixed (netstring-style
+  ``len ':' value``, NULL encoded as the bare token ``N``) before the
+  '\\x01'-joined concat, so the payload parses back to exactly one
+  field tuple: ('a', NULL) never collides with ('aNULL', ...), and --
+  the r11 fix -- a field CONTAINING the separator cannot shift the
+  boundaries either (('a\\x01b', 'c') vs ('a', 'b\\x01c') hashed
+  identically under the bare separator scheme, which broke the
+  "agree iff multisets agree" claim precisely on the adversarial
+  inputs a reconciliation tool exists for).
 - table_checksum: the SUM of row fingerprints mod 2^63 plus the exact
   row count. Addition is commutative, so the checksum is independent
   of partitioning and row order on BOTH engines -- two tables agree
@@ -34,15 +41,22 @@ _MOD = 2**63
 
 def _row_hash(cols: _Seq[str]) -> Column:
     """Portable 64-bit row hash: first 15 md5 hex digits (60 bits) of
-    the NULL-safe concatenation. DuckDB twin:
-    CAST('0x' || substr(md5(payload), 1, 15) AS BIGINT)."""
-    payload = F.concat_ws(
-        "\x01",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x02NULL\x02"))
-            for c in cols
-        ],
-    )
+    the length-prefixed field concatenation. Per field:
+    ``len(value) ':' value`` (character length, like DuckDB's len()),
+    NULL as the bare token ``N`` -- unambiguous under concatenation, so
+    distinct field tuples always produce distinct payloads. DuckDB twin
+    per field: CASE WHEN x IS NULL THEN 'N' ELSE
+    len(CAST(x AS VARCHAR)) || ':' || CAST(x AS VARCHAR) END, joined
+    with chr(1); hash = CAST('0x' || substr(md5(payload), 1, 15) AS
+    BIGINT)."""
+
+    def enc(c: str) -> Column:
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    payload = F.concat_ws("\x01", *[enc(c) for c in cols])
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
 
 

@@ -38,7 +38,13 @@ def pseudonymize(
     about the value does. NULLs stay NULL (absence is not an
     identifier). The salt must be secret and high-entropy when the
     value domain is enumerable; rotate it per data release to break
-    cross-release linkage."""
+    cross-release linkage.
+
+    Token width (r11 note): the default ``length=16`` is 64 bits --
+    birthday collisions appear around 2^32 distinct values, so a
+    column with ~1e9+ distinct identifiers should pass ``length=32``
+    (the full md5) or two different identities will eventually share a
+    token and silently merge downstream."""
     if not cols:
         raise ValueError("need at least one column")
     if not 8 <= length <= 32:

@@ -22,17 +22,29 @@ def not_null(df: DataFrame, col: str) -> DataFrame:
 
 
 def unique(df: DataFrame, col: str) -> DataFrame:
+    """dbt's unique: duplicate NON-NULL keys. NULLs are not keys and are
+    not flagged here (dbt's compiled test filters them out; missing keys
+    are not_null's one concern -- the accepted_range composition rule).
+    r11 fix: NULL duplicate groups were previously flagged, diverging
+    from dbt on tables with legitimately-absent keys."""
     return (
-        df.groupBy(col).count().filter(F.col("count") > 1).select(
-            F.col(col).cast("string").alias("duplicate_key"), "count"
-        )
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(F.col(col).cast("string").alias("duplicate_key"), "count")
     )
 
 
 def accepted_values(df: DataFrame, col: str, values: Sequence) -> DataFrame:
-    return df.filter(~F.col(col).isin(list(values)) | F.col(col).isNull()).select(
-        F.col(col).cast("string").alias("unexpected_value")
-    )
+    """dbt's accepted_values: NON-NULL values outside the list. NULLs
+    pass (dbt's `col NOT IN (...)` is NULL for NULL, hence unselected)
+    -- compose with not_null when both are required. r11 fix: NULLs
+    were previously flagged here too, double-covering not_null's
+    concern and diverging from dbt."""
+    return df.filter(
+        F.col(col).isNotNull() & ~F.col(col).isin(list(values))
+    ).select(F.col(col).cast("string").alias("unexpected_value"))
 
 
 def relationships(child: DataFrame, child_col: str, parent: DataFrame, parent_col: str) -> DataFrame:

@@ -4176,16 +4176,23 @@ def pseudonymized_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHECKSUM_ORACLE = """
-    WITH fp AS (
-      SELECT CAST('0x' || substr(md5(concat_ws(chr(1),
-               coalesce(CAST(o_orderkey AS VARCHAR),
-                        chr(2) || 'NULL' || chr(2)),
-               coalesce(CAST(o_custkey AS VARCHAR),
-                        chr(2) || 'NULL' || chr(2)),
-               coalesce(o_orderstatus, chr(2) || 'NULL' || chr(2)),
-               coalesce(o_orderpriority, chr(2) || 'NULL' || chr(2)))),
-               1, 15) AS BIGINT) AS h
+    WITH enc AS (
+      SELECT CASE WHEN o_orderkey IS NULL THEN 'N'
+                  ELSE len(CAST(o_orderkey AS VARCHAR)) || ':'
+                       || CAST(o_orderkey AS VARCHAR) END AS e1,
+             CASE WHEN o_custkey IS NULL THEN 'N'
+                  ELSE len(CAST(o_custkey AS VARCHAR)) || ':'
+                       || CAST(o_custkey AS VARCHAR) END AS e2,
+             CASE WHEN o_orderstatus IS NULL THEN 'N'
+                  ELSE len(o_orderstatus) || ':' || o_orderstatus END AS e3,
+             CASE WHEN o_orderpriority IS NULL THEN 'N'
+                  ELSE len(o_orderpriority) || ':' || o_orderpriority END AS e4
       FROM orders
+    ),
+    fp AS (
+      SELECT CAST('0x' || substr(md5(concat_ws(chr(1), e1, e2, e3, e4)),
+               1, 15) AS BIGINT) AS h
+      FROM enc
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(h AS DECIMAL(38,0)))

@@ -94,22 +94,25 @@ class TestTableChecksum:
             != table_checksum(two).collect()[0].checksum
         )
 
-    def test_null_vs_literal_sentinel_distinct(self, spark):
-        a = spark.createDataFrame([("x", None)], "u string, v string")
-        b = spark.createDataFrame([("x", "\x02NULL\x02")], "u string, v string")
-        # the sentinel collides by construction -- but NULL vs the
-        # sentinel STRING is the documented 1-in-2^63 class; the common
-        # trap is ('a', NULL) vs ('aNULL',): must differ
-        c = spark.createDataFrame([("x" + "\x02NULL\x02", "y")], "u string, v string")
-        d = spark.createDataFrame([("x", "\x02NULL\x02y")], "u string, v string")
-        assert (
-            table_checksum(c).collect()[0].checksum
-            != table_checksum(d).collect()[0].checksum
-        )
-        assert (
-            table_checksum(a).collect()[0].checksum
-            == table_checksum(b).collect()[0].checksum
-        )  # documented sentinel collision, not silent
+    def test_null_and_separator_traps_all_distinct(self, spark):
+        """r11 length-prefix encoding: every boundary trap now hashes
+        distinctly -- NULL vs any string (including the old sentinel),
+        ('aNULL', x) vs ('a', NULLx), and the separator-shift pair
+        ('a\\x01b', 'c') vs ('a', 'b\\x01c') that collided under the
+        bare-separator scheme."""
+
+        def cs(rows):
+            df = spark.createDataFrame(rows, "u string, v string")
+            return table_checksum(df).collect()[0].checksum
+
+        assert cs([("x", None)]) != cs([("x", "\x02NULL\x02")])
+        assert cs([("x", None)]) != cs([("x", "N")])
+        assert cs([("x" + "\x02NULL\x02", "y")]) != cs([("x", "\x02NULL\x02y")])
+        # the r11 finding: separator inside a field must not shift
+        # field boundaries
+        assert cs([("a\x01b", "c")]) != cs([("a", "b\x01c")])
+        # length-prefix text must not be forgeable from inside a value
+        assert cs([("1:a", "b")]) != cs([("1:a\x011:b", None)])
 
     def test_fingerprints_join_back(self, spark):
         df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")

@@ -332,3 +332,28 @@ def test_duplicate_node_name_rejected():
     p.add(Node("dim_zone", lambda spark: None))
     with _pytest.raises(ValueError, match="duplicate node name"):
         p.add(Node("dim_zone", lambda spark: None))
+
+
+def test_unique_and_accepted_values_follow_dbt_null_semantics(spark):
+    """r11: dbt's compiled tests exclude NULLs -- `unique` filters
+    `where col is not null`, and `col NOT IN (...)` is NULL (unselected)
+    for NULL -- missing keys are not_null's ONE concern. Duplicate
+    NULLs and NULL category values must therefore pass here."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.quality import (
+        accepted_values,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "yellow"), (1, "green"), (None, None), (None, None), (2, "teal")],
+        "k long, v string",
+    )
+    dups = unique(df, "k").collect()
+    assert {r.duplicate_key for r in dups} == {"1"}  # NULL pair not flagged
+    bad = accepted_values(df, "v", ["yellow", "green"]).collect()
+    assert {r.unexpected_value for r in bad} == {"teal"}  # NULLs pass
+    # NULLs remain not_null's concern
+    assert not_null(df, "k").count() == 2
