@@ -104,10 +104,19 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
+                    # NULL payload -> NULL sha/features (absence
+                    # propagates; the schema allows NULL blobs and a
+                    # crash-per-batch on one missing blob is the wrong
+                    # failure mode at 100 TB -- the sibling kernels
+                    # already handle None)
                     "content_sha": [
-                        hashlib.sha256(p).hexdigest() for p in pdf["payload"]
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
                     ],
-                    "features": [fake_features(p, dim) for p in pdf["payload"]],
+                    "features": [
+                        fake_features(p, dim) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
                 }
             )
             yield out

@@ -69,11 +69,15 @@ def column_storage_report(spark: SparkSession, path: str) -> DataFrame:
     directory at ``path``, ordered by column. Ratio = uncompressed /
     compressed, 6-dp (NULL for zero-byte columns)."""
     if os.path.isdir(path):
-        files = [
-            os.path.join(path, f)
-            for f in sorted(os.listdir(path))
+        # recursive walk (r11): partitioned tables keep their files in
+        # key=value subdirectories -- a flat listdir reported "no
+        # parquet files" for exactly the layouts clustered_write makes
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
             if f.endswith(".parquet")
-        ]
+        )
     else:
         files = [path]
     if not files:

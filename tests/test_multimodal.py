@@ -153,3 +153,21 @@ class TestPngHeader:
         )
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_extract_features_null_payload_yields_null_metadata(spark):
+    """r11: a NULL blob must produce a NULL-metadata row, not a
+    batch-killing TypeError inside the Arrow kernel (the schema allows
+    NULL payloads; the resize/frame kernels already tolerate None)."""
+    from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"abc", "image/png", 3), (2, None, "image/png", None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].content_sha is not None and len(rows[1].features) == 8
+    assert rows[2].content_sha is None and rows[2].features is None

@@ -286,3 +286,21 @@ class TestColumnStorageReport:
         os.makedirs(d)
         with _pytest.raises(ValueError, match="no parquet"):
             column_storage_report(spark, d)
+
+
+def test_storage_report_walks_partitioned_layout(spark, tmp_path):
+    """r11: key=value partition subdirectories (the layout
+    clustered_write produces) must be included -- the flat listdir
+    missed them entirely."""
+    from taxi_data_pipeline_pset2_spark.operators.storage import (
+        column_storage_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(100)], "k long, part long, v string"
+    )
+    out = str(tmp_path / "ptab")
+    df.write.partitionBy("part").parquet(out)
+    rep = {r.column: r for r in column_storage_report(spark, out).collect()}
+    assert set(rep) == {"k", "v"}  # partition col lives in the path, not the files
+    assert rep["k"].compressed_bytes > 0 and rep["k"].n_row_groups >= 3
