@@ -39,23 +39,40 @@ def asof_join(
     value column (NULL when no right row precedes the left row).
     A forward as-of is the mirror image: swap the ordering and use
     ``first(..., ignorenulls)`` over the following frame.
+
+    Row atomicity (r11): the carried state is ONE struct of all value
+    columns, not per-column ``last(ignorenulls)`` -- the per-column form
+    skips a right row whose payload is legitimately NULL and can stitch
+    the output from TWO different right rows (col a from the latest, col
+    b from an older one). The struct is non-null for every right row, so
+    the match is always exactly the latest preceding row, NULL fields
+    included (pandas merge_asof semantics). NULL-timestamp right rows
+    are dropped (a row at an unknown time is never "at or before") and
+    NULL-timestamp left rows match nothing.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
     tagged_left = left.withColumn("_is_left", F.lit(1))
-    tagged_right = right.select(
-        F.col(on),
-        F.col(right_ts).alias(left_ts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-    ).withColumn("_is_left", F.lit(0))
+    tagged_right = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            F.col(on),
+            F.col(right_ts).alias(left_ts),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_payload"),
+        )
+        .withColumn("_is_left", F.lit(0))
+    )
     u = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(left_ts).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    match = F.when(
+        F.col(left_ts).isNotNull(),
+        F.last("_payload", ignorenulls=True).over(w),
+    )
     carried = [
-        F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in value_cols
+        match.getField(c).alias(f"{c}{suffix}") for c in value_cols
     ]
     return (
         u.select(*left.columns, "_is_left", *carried)
@@ -76,14 +93,20 @@ def asof_join_forward(
     """Forward as-of join: the EARLIEST right row with right_ts >= left
     ts -- the mirror of ``asof_join`` (next-scheduled-event lookups:
     "which maintenance window does this reading fall before?"). Same
-    single key shuffle; ties (right_ts == left ts) are inclusive."""
+    single key shuffle; ties (right_ts == left ts) are inclusive.
+    Struct-atomic carry and NULL-timestamp hygiene as in ``asof_join``
+    (r11)."""
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
     tagged_left = left.withColumn("_is_left", F.lit(1))
-    tagged_right = right.select(
-        F.col(on),
-        F.col(right_ts).alias(left_ts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-    ).withColumn("_is_left", F.lit(0))
+    tagged_right = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            F.col(on),
+            F.col(right_ts).alias(left_ts),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_payload"),
+        )
+        .withColumn("_is_left", F.lit(0))
+    )
     u = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
     # left rows sort BEFORE right rows at equal ts, so the
     # currentRow->following frame still sees an equal-ts right row
@@ -92,9 +115,12 @@ def asof_join_forward(
         .orderBy(F.col(left_ts).asc(), F.col("_is_left").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    match = F.when(
+        F.col(left_ts).isNotNull(),
+        F.first("_payload", ignorenulls=True).over(w),
+    )
     carried = [
-        F.first(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in value_cols
+        match.getField(c).alias(f"{c}{suffix}") for c in value_cols
     ]
     return (
         u.select(*left.columns, "_is_left", *carried)

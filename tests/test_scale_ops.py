@@ -189,3 +189,52 @@ def test_spread_small_input_conditional(spark):
     assert sorted(
         r.id for r in spread_small_input(small).collect()
     ) == list(range(1000))
+
+
+def test_asof_null_payload_row_is_matched_atomically(spark):
+    """r11: the carried state is one struct per right row -- a right row
+    with a legitimately-NULL payload column must BE the match (with its
+    NULL), never be skipped per-column so the output stitches columns
+    from two different right rows."""
+    from taxi_data_pipeline_pset2_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, "old_a", "old_b"), (1, 5, "new_a", None)],
+        "k long, ts long, a string, b string",
+    )
+    row = asof_join(left, right, "k").collect()[0]
+    # the ts=5 row is the match: a from it, b NULL from it -- NOT old_b
+    assert (row.a_asof, row.b_asof) == ("new_a", None)
+
+    fleft = spark.createDataFrame([(1, 0)], "k long, ts long")
+    fright = spark.createDataFrame(
+        [(1, 2, None, "near_b"), (1, 9, "far_a", "far_b")],
+        "k long, ts long, a string, b string",
+    )
+    frow = asof_join_forward(fleft, fright, "k").collect()[0]
+    assert (frow.a_asof, frow.b_asof) == (None, "near_b")
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    """r11: a right row at an unknown time is never 'at or before'
+    anything, and a left row at an unknown time matches nothing."""
+    from taxi_data_pipeline_pset2_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame([(1, 10), (1, None)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 3, "real")], "k long, ts long, v string"
+    )
+    back = {r.ts: r.v_asof for r in asof_join(left, right, "k").collect()}
+    assert back == {10: "real", None: None}
+    fwd = {r.ts: r.v_asof for r in asof_join_forward(left, right, "k").collect()}
+    assert fwd == {10: None, None: None}
+    near = {r.ts: r.v_asof for r in asof_join_nearest(left, right, "k").collect()}
+    assert near == {10: "real", None: None}
