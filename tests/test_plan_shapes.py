@@ -611,3 +611,22 @@ def test_bm25_returns_materialized_topk(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "FileScan" not in plan
     assert df.count() <= 30
+
+
+def test_recall_audits_no_cartesian(spark, sf_dir):
+    """The r11 recall-audit compositions must keep their components'
+    bucketed shapes: no CartesianProduct, and the ONLY nested-loop
+    joins are the two scale-free scalar cross-joins combining the
+    three single-row count aggregates (the _recall_audit_frame shape).
+    The exhaustive Levenshtein truth itself is a deliberately-capped
+    single-bucket chunk expansion, never a pair-generating nested
+    loop."""
+    from taxi_data_pipeline_pset2_spark.queries import registry
+
+    reg = registry()
+    for name in ("fuzzy_blocking_recall_audit", "minhash_recall_audit"):
+        plan = _plan(reg[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        # toString prints each node once in the tree: exactly the two
+        # scalar combiners, no data-sized nested loop
+        assert plan.count("BroadcastNestedLoopJoin") == 2, name
