@@ -123,6 +123,13 @@ AUDITED = [
     ("kmv_rollup_weekly_users", "sketches are aggregate-first: rank "
      "windows run over DISTINCT (group, hash) frames; weekly merge "
      "touches k-row partials, never raw events"),
+    ("fuzzy_blocking_recall_audit", "exhaustive truth is the capped "
+     "single-bucket chunk expansion (in-plan assert), candidates the "
+     "bounded affix buckets; only nested loops are the two scalar "
+     "count combiners"),
+    ("minhash_recall_audit", "truth = df-bounded shingle index "
+     "self-join, candidates = band-bucket equi-join; no cartesian, "
+     "scalar-only cross joins"),
 ]
 
 
