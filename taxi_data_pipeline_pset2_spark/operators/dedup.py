@@ -33,6 +33,13 @@ MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 32
+# Manku et al. (WWW'07) block decomposition of the fingerprint: two
+# fingerprints within Hamming distance d agree on >= (BLOCKS - d) blocks,
+# so for d < SIMHASH_BLOCKS every qualifying pair collides on at least
+# one block (pigeonhole) and the block-bucket equi-join is an EXACT
+# candidate generator -- never all-pairs.
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
 
 # Posting-list chunk size for in-bucket pair generation. Bounds per-row
 # memory at ~CAP^2 pair structs no matter how hot a bucket gets.
@@ -476,3 +483,81 @@ def simhash_fingerprints(
         ).otherwise(F.lit(0).cast("bigint"))
         simhash = bit if simhash is None else simhash + bit
     return agg.select(F.col(id_col), F.col("n_tokens"), simhash.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT SimHash near-dup pairs at Hamming distance <= ``max_hamming``
+    via the Manku et al. (WWW'07) block pigeonhole: the 32-bit fingerprint
+    splits into SIMHASH_BLOCKS disjoint 8-bit blocks, and any two
+    fingerprints differing in at most SIMHASH_BLOCKS - 1 bits must agree
+    on at least one whole block -- so joining on (block_idx, block_value)
+    buckets generates a superset of every qualifying pair WITHOUT an
+    all-pairs comparison, and the bit_count(xor) filter then makes the
+    output exact, not approximate. Returns (doc_a, doc_b, hamming,
+    n_shared_blocks), doc_a < doc_b.
+
+    Same bounded-bucket discipline as the MinHash band join: bucket
+    posting lists are collected once and chunk-expanded via bucket_pairs
+    (<= BUCKET_PAIR_CAP^2 pair structs per row even on a degenerate
+    corpus of near-identical fingerprints). At 100 TB only same-block
+    docs ever meet; a block value is 8 bits so the 4*256 buckets are
+    recomputed from the fingerprint frame, never broadcast."""
+    if not 0 <= max_hamming < SIMHASH_BLOCKS:
+        raise ValueError(
+            f"max_hamming must be in [0, {SIMHASH_BLOCKS - 1}]: the "
+            f"{SIMHASH_BLOCKS}-block pigeonhole only guarantees a shared "
+            f"block for pairs within {SIMHASH_BLOCKS - 1} bits; a larger "
+            "bound would silently under-recall"
+        )
+    fps = simhash_fingerprints(docs, text_col, id_col)
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("blk"),
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BLOCK_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("int")
+                        .alias("blk_val"),
+                    )
+                    for b in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ),
+    )
+    buckets = (
+        blocks.groupBy("blk", "blk_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    # sort_array on struct(id, simhash) orders by id first, so p.a/p.b are
+    # already (doc_a < doc_b); a pair sharing several blocks appears once
+    # per shared block and the group-by collapses it.
+    pairs = bucket_pairs(buckets, "ids").select(
+        F.col("p.a." + id_col).alias("doc_a"),
+        F.col("p.b." + id_col).alias("doc_b"),
+        F.bit_count(
+            F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+        ).alias("hamming"),
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("hamming").alias("hamming"),
+            F.count("*").alias("n_shared_blocks"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -252,9 +252,10 @@ def query(
 #
 # r12 rotation EXECUTION ORDER (once CORRECTNESS_r11 proves the current
 # window): keep the same 7 anchors; swap the 43 r11-proven rows for --
-# (1) the 2 net-new r11 entries FIRST (fuzzy_blocking_recall_audit,
-# minhash_recall_audit -- oracle-green locally at both sweep SFs, no
-# driver row yet), (2) the remaining 13 r7-only rows in r7 record order
+# (1) the 3 net-new r11 entries FIRST (fuzzy_blocking_recall_audit,
+# minhash_recall_audit, simhash_recall_audit -- oracle-green locally at
+# both sweep SFs, no driver row yet), (2) the remaining 13 r7-only rows
+# in r7 record order
 # (reconstructed from the r7-era _WINDOW at git 2ae4eab minus the 30
 # rotated in this round): fuzzy_blocked_matches, unigram_doc_logprob,
 # duplicated_spans_docs, chunk_documents_tokens, cohort_retention_weekly,
@@ -262,7 +263,7 @@ def query(
 # monthly_trend, date_dim, union_unify_schemas, quality_filter,
 # ranked_in_group; then (3) the oldest r8-only rows in r8 record order
 # (r8-era _WINDOW at git ecf2796) until the window fills at 50 -- with
-# 2 net-new + 13 r7-only that leaves 28 r8-only slots:
+# 3 net-new + 13 r7-only that leaves 27 r8-only slots:
 # asof_next_purchase, asof_nearest_purchase, ewma_user_value,
 # tfidf_cosine_docs, leakage_safe_split_docs, group_kfold_docs,
 # temporal_split_events, rolling_features_user_value, hard_negatives_topk,
@@ -271,9 +272,9 @@ def query(
 # rolling_origin_backtest, metric_corr_matrix, status_priority_mi,
 # sft_loss_masks, auc_order_status, calibration_price_prob,
 # kappa_price_status, decile_lift_orders, retrieval_eval_knn,
-# quantile_normalized_length, bootstrap_ci_price, rrf_fuse_knn,
-# welch_price_priority (first 28 of the 43-row r8-only list; r13
-# continues from mannwhitney_price_priority).
+# quantile_normalized_length, bootstrap_ci_price, rrf_fuse_knn
+# (first 27 of the 43-row r8-only list; r13 continues from
+# welch_price_priority).
 _WINDOW: tuple[str, ...] = (
     # -- minimum anchors (7) --
     "demand_by_zone",

@@ -16,6 +16,8 @@ from taxi_data_pipeline_pset2_spark.operators.dedup import (
     MINHASH_K,
     MINHASH_PRIME,
     SIMHASH_BITS,
+    SIMHASH_BLOCK_BITS,
+    SIMHASH_BLOCKS,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_candidate_pairs,
@@ -113,7 +115,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(t(spark, sf_dir, "documents"))
 
 
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
+    """SimHash fingerprint pipeline as flat CTE fragments ending in
+    ``fp(doc_id, n_tokens, simhash)`` -- names prefixed ``s*`` so the
+    fragment composes into statements that also use the shingle CTEs
+    (``toks`` there is the ARRAY form; here tokens are unnested rows)."""
     bit_sums = ",\n               ".join(
         f"sum((h >> {i}) & 1) AS b{i}" for i in range(SIMHASH_BITS)
     )
@@ -121,15 +127,21 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN 2*b{i} > n_tokens THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
         for i in range(SIMHASH_BITS)
     )
-    return f"""
-        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-                      FROM documents),
-        h AS (SELECT doc_id, {_SQL_HASH.format(v='tok')} AS h FROM toks),
-        agg AS (SELECT doc_id, count(*) AS n_tokens,
+    return f"""stoks AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               FROM documents),
+        sth AS (SELECT doc_id, {_SQL_HASH.format(v='tok')} AS h FROM stoks),
+        sagg AS (SELECT doc_id, count(*) AS n_tokens,
                {bit_sums}
-                FROM h GROUP BY doc_id)
-        SELECT doc_id, n_tokens, CAST({bit_terms} AS BIGINT) AS simhash
-        FROM agg
+                FROM sth GROUP BY doc_id),
+        fp AS (SELECT doc_id, n_tokens, CAST({bit_terms} AS BIGINT) AS simhash
+               FROM sagg)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_simhash_ctes()}
+        SELECT doc_id, n_tokens, simhash FROM fp
     """
 
 
@@ -548,4 +560,100 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit").cast("double") / F.col("n_candidates").cast("double"),
             6,
         ).alias("candidate_precision"),
+    )
+
+
+_SIMHASH_MAX_HAMMING = 3
+
+_SIMHASH_RECALL_ORACLE = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM sh),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+                 any_value(a.n) AS n_a, any_value(b.n) AS n_b
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b FROM p
+              WHERE ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.2),
+    {_simhash_ctes()},
+    blk AS (SELECT doc_id, simhash, g.b AS blk,
+                   (simhash >> ({SIMHASH_BLOCK_BITS} * g.b))
+                       & {(1 << SIMHASH_BLOCK_BITS) - 1} AS blk_val
+            FROM fp CROSS JOIN
+                 (SELECT unnest(generate_series(0, {SIMHASH_BLOCKS - 1})) AS b) g),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM blk a JOIN blk b
+                ON a.blk = b.blk AND a.blk_val = b.blk_val
+                   AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash))
+                        <= {_SIMHASH_MAX_HAMMING}),
+    hit AS (SELECT count(*) AS n_hit FROM truth t
+            WHERE EXISTS (SELECT 1 FROM cands c
+                          WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE)
+                 / NULLIF((SELECT count(*) FROM truth), 0), 6) AS recall,
+           round(CAST(n_hit AS DOUBLE)
+                 / NULLIF((SELECT count(*) FROM cands), 0), 6)
+               AS candidate_precision,
+           CAST({_SIMHASH_MAX_HAMMING} AS INTEGER) AS max_hamming
+    FROM hit
+"""
+
+
+@query(
+    "simhash_recall_audit",
+    oracle=_SIMHASH_RECALL_ORACLE,
+    tags=("dedup", "agg"),
+)
+def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the 32-bit SimHash Hamming <= 3 pair set as a
+    PROXY for exact 3-gram Jaccard >= 0.2 -- the last approximate dedup
+    op without a hash-verified accuracy row (r11; sign-LSH, BRP-LSH, PQ,
+    IVFPQ, MinHash and fuzzy blocking all carry one). Unlike the banding
+    audits this does not price a randomized candidate generator -- the
+    Manku block join is EXACT for its own Hamming predicate (pigeonhole,
+    pinned in tests/test_dedup.py) -- it prices the fingerprint itself:
+    how much of the Jaccard operating point a 32-bit frequency-weighted
+    majority vote preserves on THIS corpus (verbatim copies hash to
+    Hamming 0 and are always caught; near-dups with divergent token
+    frequencies are where a 32-bit sketch loses information vs MinHash's
+    16 independent permutations). One row (n_truth, n_candidates, n_hit,
+    recall, candidate_precision, max_hamming). Both engines rebuild the
+    fingerprints, the block join, truth AND the intersection, so the
+    measurement itself is exact."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        jaccard_pairs as _jp,
+        simhash_candidate_pairs as _scp,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    truth = _jp(docs, threshold=0.2).select("doc_a", "doc_b")
+    cands = _scp(docs, max_hamming=_SIMHASH_MAX_HAMMING).select("doc_a", "doc_b")
+    hits = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+        .crossJoin(cands.agg(F.count("*").cast("bigint").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").cast("bigint").alias("n_hit")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.try_divide(
+                F.col("n_hit").cast("double"), F.col("n_truth").cast("double")
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.try_divide(
+                F.col("n_hit").cast("double"),
+                F.col("n_candidates").cast("double"),
+            ),
+            6,
+        ).alias("candidate_precision"),
+        F.lit(_SIMHASH_MAX_HAMMING).cast("int").alias("max_hamming"),
     )

@@ -241,3 +241,65 @@ def test_band_sig_is_tuple_exact_not_weighted_sum(spark):
     )
     pairs = band_collision_pairs(minhash_band_signatures(docs)).collect()
     assert len(pairs) == 1 and pairs[0].n_shared_bands == 4
+
+
+def test_simhash_block_join_exact_for_hamming_bound(spark, sf_dir):
+    """The Manku 4x8-bit block pigeonhole is EXACT for hamming <= 3: the
+    bucketed candidate pairs must equal the brute-force all-pairs hamming
+    computation on the same fingerprints -- no missed pair, no extra."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_candidate_pairs(docs, max_hamming=3).collect()
+    }
+    fps = simhash_fingerprints(docs)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert brute, "fixture should contain hamming<=3 fingerprint pairs"
+
+
+def test_simhash_candidate_pairs_rejects_unsound_bound(spark):
+    """max_hamming >= SIMHASH_BLOCKS breaks the pigeonhole guarantee; the
+    operator must refuse rather than silently under-recall."""
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidate_pairs(docs, max_hamming=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidate_pairs(docs, max_hamming=-1)
+
+
+def test_simhash_recall_audit_shape(spark, sf_dir):
+    """One row; hit count bounded by both sides; exact copies guarantee a
+    non-degenerate candidate set (identical text -> identical fingerprint
+    -> hamming 0)."""
+    from taxi_data_pipeline_pset2_spark.queries import registry
+
+    row = registry()["simhash_recall_audit"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_hit <= min(r.n_truth, r.n_candidates)
+    assert r.n_candidates > 0
+    assert r.recall is None or 0.0 <= r.recall <= 1.0
+    assert r.candidate_precision is None or 0.0 <= r.candidate_precision <= 1.0

@@ -624,7 +624,11 @@ def test_recall_audits_no_cartesian(spark, sf_dir):
     from taxi_data_pipeline_pset2_spark.queries import registry
 
     reg = registry()
-    for name in ("fuzzy_blocking_recall_audit", "minhash_recall_audit"):
+    for name in (
+        "fuzzy_blocking_recall_audit",
+        "minhash_recall_audit",
+        "simhash_recall_audit",
+    ):
         plan = _plan(reg[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         # toString prints each node once in the tree: exactly the two
