@@ -157,7 +157,15 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
     )
-    e = F.col("row_n") * F.col("col_n") / F.col("n")
+    # exact decimal product, THEN the double division: bigint row_n *
+    # col_n overflows under ANSI once two marginals each exceed ~3e9
+    # rows (the DuckDB twin is immune only because its sum() returns
+    # HUGEINT); decimal(19,0)^2 fits decimal(38,0) for any bigint pair
+    # and converts to the same double the bigint product did
+    e = (
+        F.col("row_n").cast("decimal(19,0)")
+        * F.col("col_n").cast("decimal(19,0)")
+    ).cast("double") / F.col("n").cast("double")
     cell_m = F.round((F.col("o") - e) * (F.col("o") - e) / e * SCALE).cast("bigint")
     agg = j.agg(
         F.first("n").alias("n"),
@@ -166,7 +174,11 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.sum(cell_m).alias("_chi2_m"),
     )
     chi2 = F.col("_chi2_m").cast("double") / SCALE
-    denom = F.col("n") * (F.least("ka", "kb") - F.lit(1))
+    # double factors for the same reason: n * (k - 1) is a bigint
+    # product and a 1e15-row table with 1e4 categories overflows it
+    denom = F.col("n").cast("double") * (
+        F.least("ka", "kb") - F.lit(1)
+    ).cast("double")
     return agg.select(
         F.col("n").cast("bigint").alias("n"),
         (F.col("ka") - 1).cast("bigint").alias("df_a"),

@@ -32,7 +32,10 @@ def top_paths(
     each user's first ``max_steps`` step labels in (time, id) order
     joined by ``sep``, ranked by n_users desc (path asc on ties).
     Users with fewer events than ``max_steps`` contribute their full
-    shorter path; NULL step labels render as the empty string."""
+    shorter path; NULL step labels render as the empty string. Events
+    with NULL time/id sort FIRST within their user (struct-field
+    comparison semantics -- pinned, and mirrored as explicit NULLS
+    FIRST in the SQL twin)."""
     if max_steps < 1:
         raise ValueError("max_steps must be >= 1")
     per_user = events.groupBy(F.col(user_col)).agg(

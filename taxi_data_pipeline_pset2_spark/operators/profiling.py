@@ -106,9 +106,15 @@ def column_histogram(df, col: str, bins: int = 10):
     ``bins`` rows. One min/max aggregate (driver-sized) + one hash
     aggregate on the bin id -- two scans, both scan-shaped; the bin
     arithmetic is floor((v - min) / width) clamped to the last bin, a
-    pure codegen expression identical in the DuckDB twin."""
+    pure codegen expression identical in the DuckDB twin. NaN values
+    are excluded like NULLs: Spark's ordering ranks NaN above every
+    double, so one NaN row would otherwise become max_value and poison
+    every bin edge (width = NaN -> the whole histogram lands in one
+    bin with NaN boundaries)."""
     from pyspark.sql import functions as F
 
+    v = F.col(col).cast("double")
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
     mn, mx = df.agg(
         F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
     ).first()
@@ -233,8 +239,15 @@ def source_profile(
     sl = base.groupBy(source_col, lang_col).agg(F.count("*").alias("_n"))
     tot = sl.groupBy(source_col).agg(F.sum("_n").alias("_t"))
     p = F.col("_n") / F.col("_t")
+    # NULL-safe source joins: groupBy keeps a NULL source as a cohort,
+    # and a plain equi-join here would silently drop that whole cohort
+    # from the sheet (r11; the seasonal-naive NULL-key precedent) --
+    # an unattributed-source bucket is exactly what a curator must see
     ent = (
-        sl.join(tot, source_col)
+        sl.join(
+            tot.withColumnRenamed(source_col, "_src_t"),
+            F.col(source_col).eqNullSafe(F.col("_src_t")),
+        )
         .select(
             source_col,
             F.round(-p * F.log(p) * 1_000_000).cast("bigint").alias("_em"),
@@ -242,7 +255,10 @@ def source_profile(
         .groupBy(source_col)
         .agg((F.sum("_em").cast("double") / 1_000_000).alias("lang_entropy"))
     )
-    return per_src.join(ent, source_col)
+    return per_src.join(
+        ent.withColumnRenamed(source_col, "_src_e"),
+        F.col(source_col).eqNullSafe(F.col("_src_e")),
+    ).drop("_src_e")
 
 
 def benford_audit(df: DataFrame, col: str) -> DataFrame:
@@ -254,7 +270,9 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     Returns 9 rows (digit, n, frac_observed, frac_expected,
     chi2_contrib): chi-square per digit against the Benford expectation
     (sum the column for the test statistic, 8 df). Zero/NULL values
-    carry no first digit and are excluded.
+    carry no first digit and are excluded; magnitudes below 5e-7
+    quantize to 0.000000 on the 6-dp decimal grid and drop with the
+    zeros (both engines, by construction).
 
     Engine-portability: the first digit comes from the DECIMAL string
     rendering (regexp first [1-9]) rather than floor(x/10^floor(log10 x))
@@ -265,8 +283,13 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     """
     import math
 
+    # decimal(38,6), not (18,6): the cast is ANSI and a value >= 1e12
+    # would abort the whole audit -- a forensic screen must survive the
+    # very magnitudes it screens. Sub-millionth values quantize to
+    # 0.000000 and drop with the zeros (documented above); in-range
+    # renderings are identical at either precision.
     digit = F.regexp_extract(
-        F.col(col).cast("decimal(18,6)").cast("string"), "[1-9]", 0
+        F.col(col).cast("decimal(38,6)").cast("string"), "[1-9]", 0
     )
     counts = (
         df.select(digit.alias("digit"))

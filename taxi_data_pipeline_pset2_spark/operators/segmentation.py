@@ -36,7 +36,10 @@ def rfm_segments(
     spend -- the marketing convention), and rfm = r*100 + f*10 + m.
     Recency is days from the customer's last activity to the frame's
     max date. NULL dates/amounts are excluded from their metric but a
-    customer with any activity always scores. Ordered by customer."""
+    customer with any activity always scores; a metric that is fully
+    unknown for a customer (no dated row / no non-NULL amount) ranks at
+    that metric's WORST end, never the best tile. Ordered by
+    customer."""
     if n_bins < 2 or n_bins > 99:
         raise ValueError(f"n_bins must be in [2, 99], got {n_bins}")
     per_cust = df.groupBy(F.col(customer_col).alias("customer")).agg(
@@ -51,14 +54,17 @@ def rfm_segments(
         "recency_days",
         F.datediff(F.col("_anchor"), F.col("_last")).cast("bigint"),
     )
-    # oldest first -> the most recent customer lands in tile n_bins;
-    # explicit NULLS LAST: Spark's asc defaults nulls-first, DuckDB's
-    # nulls-last, so all-NULL-metric customers would tile differently
+    # oldest first -> the most recent customer lands in tile n_bins.
+    # NULLS FIRST, explicitly on BOTH engines (Spark's asc defaults
+    # nulls-first, DuckDB's nulls-last): each ordering's FIRST end is
+    # its WORST score, and an unknown metric must score worst -- the
+    # r11 finding was NULLS LAST here, which tiled a customer with no
+    # dated order as MOST recent and a NULL total spend as TOP spender.
     w_r = Window.orderBy(
-        F.desc_nulls_last("recency_days"), F.asc("customer")
+        F.desc_nulls_first("recency_days"), F.asc("customer")
     )
-    w_f = Window.orderBy(F.asc_nulls_last("frequency"), F.asc("customer"))
-    w_m = Window.orderBy(F.asc_nulls_last("monetary"), F.asc("customer"))
+    w_f = Window.orderBy(F.asc_nulls_first("frequency"), F.asc("customer"))
+    w_m = Window.orderBy(F.asc_nulls_first("monetary"), F.asc("customer"))
     out = (
         scored.withColumn("r_score", F.ntile(n_bins).over(w_r))
         .withColumn("f_score", F.ntile(n_bins).over(w_f))

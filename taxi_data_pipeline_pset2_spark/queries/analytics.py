@@ -141,7 +141,11 @@ def fulfillment_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.to_date("_last_ship"), F.to_date("o_orderdate")
         ).alias("d"),
-        (F.col("o_orderstatus") == "F").alias("ev"),
+        # coalesce false: an order with NULL status is CENSORED (the
+        # event was not observed), matching the oracle's CASE ELSE 0 --
+        # a bare == would make ev NULL and the operator would drop the
+        # subject from the risk set entirely (r11 twin alignment)
+        F.coalesce(F.col("o_orderstatus") == "F", F.lit(False)).alias("ev"),
     )
     return kaplan_meier(base, "d", "ev", ["priority"])
 
@@ -219,7 +223,7 @@ def _benford_oracle() -> str:
     return f"""
     WITH d AS (
       SELECT regexp_extract(
-               CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR),
+               CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
                '[1-9]', 0) AS digit
       FROM orders
     ),
@@ -314,11 +318,11 @@ _RFM_ORACLE = """
                    AS recency_days
           FROM pc, a),
     sc AS (SELECT *,
-             ntile(5) OVER (ORDER BY recency_days DESC NULLS LAST,
+             ntile(5) OVER (ORDER BY recency_days DESC NULLS FIRST,
                             customer) AS r_score,
-             ntile(5) OVER (ORDER BY frequency ASC NULLS LAST,
+             ntile(5) OVER (ORDER BY frequency ASC NULLS FIRST,
                             customer) AS f_score,
-             ntile(5) OVER (ORDER BY monetary ASC NULLS LAST,
+             ntile(5) OVER (ORDER BY monetary ASC NULLS FIRST,
                             customer) AS m_score
            FROM s)
     SELECT customer, recency_days, frequency,
@@ -901,8 +905,14 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PATHS_ORACLE = """
     WITH r AS (
       SELECT user_id, event_type,
+             -- NULLS FIRST explicitly: the Spark side orders by
+             -- array_sort over (t, id) structs, whose field comparison
+             -- puts NULLs first; DuckDB's bare ORDER BY defaults to
+             -- NULLS LAST and would place a NULL-timestamp event at the
+             -- END of the journey instead (r11, measured divergence)
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts NULLS FIRST,
+                                         event_id NULLS FIRST) AS rn
       FROM events
     ),
     p AS (

@@ -548,14 +548,14 @@ _SOURCE_PROFILE_ORACLE = f"""
     tt AS (SELECT source, sum(n) AS t FROM sl GROUP BY source),
     e AS (SELECT sl.source,
                  CAST(round(-(n * 1.0 / t) * ln(n * 1.0 / t) * 1000000) AS BIGINT) AS em
-          FROM sl JOIN tt USING (source)),
+          FROM sl JOIN tt ON sl.source IS NOT DISTINCT FROM tt.source),
     ent AS (SELECT source, CAST(sum(em) AS DOUBLE) / 1000000 AS lang_entropy
             FROM e GROUP BY source)
     SELECT p.source, n_docs, avg_quality, n_unique,
            round(1 - n_unique * 1.0 / n_docs, 6) AS dup_rate,
            lang_entropy
-    FROM per p JOIN ent USING (source)
-    ORDER BY source
+    FROM per p JOIN ent ON p.source IS NOT DISTINCT FROM ent.source
+    ORDER BY p.source
 """
 
 

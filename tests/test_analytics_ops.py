@@ -131,3 +131,22 @@ class TestRfmSegments:
         df = spark.createDataFrame([(1, None, 1.0)], "c int, d timestamp, amt double")
         with pytest.raises(ValueError):
             rfm_segments(df, "c", "d", "amt", n_bins=1)
+
+    def test_unknown_metric_scores_worst_not_best(self, spark):
+        """r11 finding: NULLS LAST put a customer with no dated order in
+        the TOP recency tile and a NULL total spend in the TOP monetary
+        tile. Unknown must rank at the metric's worst end."""
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, i), 100.0 * i) for i in range(1, 10)
+        ]
+        rows.append((99, None, None))  # activity, but no date and no amount
+        df = spark.createDataFrame(rows, "c int, d timestamp, amt double")
+        out = {r.customer: r for r in rfm_segments(df, "c", "d", "amt").collect()}
+        assert out[99].recency_days is None
+        assert out[99].monetary is None
+        assert out[99].r_score == 1
+        assert out[99].m_score == 1
+        # the genuinely-best customer still tops every tile
+        assert out[9].rfm == 555

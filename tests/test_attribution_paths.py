@@ -119,6 +119,39 @@ class TestTopPaths:
         out = top_paths(df, "user_id", "ts", "event_id", "event_type").collect()
         assert out[0].path == "a > b"
 
+    def test_null_time_sorts_first_and_matches_duckdb(self, spark):
+        """r11: Spark's struct-field comparison puts a NULL timestamp
+        FIRST; DuckDB's bare ORDER BY defaults NULLS LAST -- the oracle
+        now says NULLS FIRST explicitly. Pin the operator's behavior
+        against DuckDB running the aligned SQL."""
+        import duckdb
+
+        rows = [
+            (10, 1, dt.datetime(2024, 1, 2), "b"),
+            (11, 1, None, "x"),
+            (12, 1, dt.datetime(2024, 1, 1), "a"),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = top_paths(df, "user_id", "ts", "event_id", "event_type").collect()
+        assert out[0].path == "x > a > b"
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events (event_id BIGINT, user_id BIGINT,"
+            " ts TIMESTAMP, event_type VARCHAR)"
+        )
+        con.executemany("INSERT INTO events VALUES (?,?,?,?)", rows)
+        got = con.execute(
+            """
+            WITH r AS (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+                         AS rn FROM events)
+            SELECT string_agg(coalesce(event_type, ''), ' > ' ORDER BY rn)
+            FROM r WHERE rn <= 5 GROUP BY user_id
+            """
+        ).fetchone()[0]
+        assert got == out[0].path
+
 
 class TestSeasonalNaive:
     def test_perfect_seasonality_zero_test_mae(self, spark):

@@ -304,3 +304,58 @@ def test_storage_report_walks_partitioned_layout(spark, tmp_path):
     rep = {r.column: r for r in column_storage_report(spark, out).collect()}
     assert set(rep) == {"k", "v"}  # partition col lives in the path, not the files
     assert rep["k"].compressed_bytes > 0 and rep["k"].n_row_groups >= 3
+
+
+def test_benford_survives_trillion_scale_values(spark):
+    """r11: the (18,6) decimal rendering cast ANSI-aborted on values
+    >= 1e12 -- a forensic audit must survive big magnitudes."""
+    from taxi_data_pipeline_pset2_spark.operators.profiling import (
+        benford_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1.23e14,), (4.5e12,), (9.0e13,), (2.0,), (0.0,), (None,)],
+        "v double",
+    )
+    rows = {r.digit: r.n for r in benford_audit(df, "v").collect()}
+    assert sum(rows.values()) == 4  # zero and NULL excluded
+    assert rows["1"] == 1 and rows["4"] == 1 and rows["9"] == 1 and rows["2"] == 1
+
+
+def test_column_histogram_excludes_nan(spark):
+    """r11: one NaN row became max_value, turning width NaN and folding
+    the whole histogram into a single NaN-edged bin."""
+    from math import nan
+
+    from taxi_data_pipeline_pset2_spark.operators.profiling import (
+        column_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10)] + [(nan,)], "v double"
+    )
+    rows = column_histogram(df, "v", bins=5).collect()
+    assert len(rows) == 5
+    assert all(r.hi == r.hi and r.lo == r.lo for r in rows)  # no NaN edges
+    assert sum(r.n for r in rows) == 10  # NaN contributes nowhere
+
+
+def test_source_profile_keeps_null_source_cohort(spark):
+    """r11: plain equi-joins dropped the NULL-source cohort the groupBy
+    had correctly built (the seasonal-naive NULL-key class)."""
+    from taxi_data_pipeline_pset2_spark.operators.profiling import (
+        source_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("web", "en", "the quick brown fox jumps over the lazy dog"),
+            (None, "en", "a reasonably long document with and the of words"),
+            (None, "de", "der schnelle braune fuchs и and the of words here"),
+        ],
+        "source string, lang string, text string",
+    )
+    rows = {r.source: r for r in source_profile(df).collect()}
+    assert None in rows
+    assert rows[None].n_docs == 2
+    assert rows[None].lang_entropy > 0  # two languages in the NULL cohort
