@@ -462,22 +462,41 @@ def minhash_verified_pairs(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """32-bit SimHash: per-token stable hash, per-bit majority vote over
-    token occurrences (frequency-weighted). One explode + one group-by
-    with 32 conditional sums -- all JVM-side, no UDF."""
+    """``bits``-wide SimHash: per-token stable hash, per-bit majority
+    vote over token occurrences (frequency-weighted). One explode + one
+    group-by with ``bits`` conditional sums -- all JVM-side, no UDF.
+    Default 32 bits (the oracle-pinned grid); up to 62 fit a signed
+    bigint. Bit positions past 31 draw from a SECOND md5-prefix word
+    (hex digits 9-16), so every position gets an independent hash bit
+    rather than recycling the first word."""
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
     docs = spread_small_input(docs)
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).withColumn("h", stable_hash64(F.col("tok")))
-    bit_sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
+    if bits > 32:
+        # second independent 32-bit word: md5 hex digits 9..16 (the
+        # engine-portable construction, same as the first word)
+        toks = toks.withColumn(
+            "h2",
+            F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    def _bit(i: int) -> Column:
+        src = F.col("h") if i < 32 else F.col("h2")
+        return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+
+    bit_sums = [F.sum(_bit(i)).alias(f"b{i}") for i in range(bits)]
     agg = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"), *bit_sums)
     simhash = None
-    for i in range(SIMHASH_BITS):
+    for i in range(bits):
         bit = F.when(
             2 * F.col(f"b{i}") > F.col("n_tokens"), F.lit(2**i).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
@@ -490,52 +509,90 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    blocks: int = SIMHASH_BLOCKS,
+    key_blocks: int = 1,
 ) -> DataFrame:
     """EXACT SimHash near-dup pairs at Hamming distance <= ``max_hamming``
-    via the Manku et al. (WWW'07) block pigeonhole: the 32-bit fingerprint
-    splits into SIMHASH_BLOCKS disjoint 8-bit blocks, and any two
-    fingerprints differing in at most SIMHASH_BLOCKS - 1 bits must agree
-    on at least one whole block -- so joining on (block_idx, block_value)
+    via the Manku et al. (WWW'07) block pigeonhole: the ``bits``-wide
+    fingerprint splits into ``blocks`` disjoint blocks; ``max_hamming``
+    differing bits can touch at most ``max_hamming`` blocks, so every
+    qualifying pair agrees on >= ``blocks - max_hamming`` whole blocks
+    and therefore shares at least ONE of the C(blocks, key_blocks)
+    ``key_blocks``-sized block combinations whenever ``key_blocks <=
+    blocks - max_hamming``. Joining on (table_idx, combined_block_key)
     buckets generates a superset of every qualifying pair WITHOUT an
-    all-pairs comparison, and the bit_count(xor) filter then makes the
+    all-pairs comparison; the bit_count(xor) filter then makes the
     output exact, not approximate. Returns (doc_a, doc_b, hamming,
-    n_shared_blocks), doc_a < doc_b.
+    n_shared_tables), doc_a < doc_b.
+
+    The default (32-bit fingerprint, 4 blocks, key_blocks=1) matches
+    the catalog's oracle-pinned grid: 4 tables keyed on 8 bits each --
+    fine for audits and mid-size corpora, but an 8-bit key alphabet
+    has only 256 buckets per table, so bucket populations grow
+    LINEARLY with the corpus and the in-bucket pairing quadratically.
+    At corpus scale use Manku's design point: ``bits=60, blocks=6,
+    key_blocks=3`` -- C(6,3) = 20 tables, each keyed on 30 bits (~1e9
+    bucket alphabet), exact for the same Hamming <= 3 (exactness for
+    any valid configuration is pinned vs brute force in tests).
 
     Same bounded-bucket discipline as the MinHash band join: bucket
-    posting lists are collected once and chunk-expanded via bucket_pairs
-    (<= BUCKET_PAIR_CAP^2 pair structs per row even on a degenerate
-    corpus of near-identical fingerprints). At 100 TB only same-block
-    docs ever meet; a block value is 8 bits so the 4*256 buckets are
-    recomputed from the fingerprint frame, never broadcast."""
-    if not 0 <= max_hamming < SIMHASH_BLOCKS:
+    posting lists are collected once and chunk-expanded via
+    bucket_pairs (<= BUCKET_PAIR_CAP^2 pair structs per row even on a
+    degenerate corpus of near-identical fingerprints)."""
+    from itertools import combinations
+
+    if blocks < 1 or bits % blocks:
         raise ValueError(
-            f"max_hamming must be in [0, {SIMHASH_BLOCKS - 1}]: the "
-            f"{SIMHASH_BLOCKS}-block pigeonhole only guarantees a shared "
-            f"block for pairs within {SIMHASH_BLOCKS - 1} bits; a larger "
-            "bound would silently under-recall"
+            f"bits ({bits}) must divide evenly into blocks ({blocks})"
         )
-    fps = simhash_fingerprints(docs, text_col, id_col)
-    mask = (1 << SIMHASH_BLOCK_BITS) - 1
-    blocks = fps.select(
+    if not 0 <= max_hamming <= blocks - key_blocks:
+        raise ValueError(
+            f"need max_hamming <= blocks - key_blocks "
+            f"({blocks} - {key_blocks}): the pigeonhole only guarantees "
+            f"a fully-agreeing {key_blocks}-block key for pairs within "
+            f"{blocks - key_blocks} bits; a larger bound would silently "
+            "under-recall"
+        )
+    if key_blocks < 1:
+        raise ValueError("key_blocks must be >= 1")
+    block_bits = bits // blocks
+    if key_blocks * block_bits > 62:
+        raise ValueError(
+            f"combined key width {key_blocks * block_bits} exceeds a "
+            "signed bigint"
+        )
+    fps = simhash_fingerprints(docs, text_col, id_col, bits=bits)
+    mask = (1 << block_bits) - 1
+
+    def _key(combo: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("bigint")
+        for pos, b in enumerate(combo):
+            blk_val = F.shiftright(
+                F.col("simhash"), b * block_bits
+            ).bitwiseAND(F.lit(mask))
+            key = key + F.shiftleft(blk_val, pos * block_bits)
+        return key
+
+    tables = fps.select(
         F.col(id_col),
         F.col("simhash"),
         F.inline(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).cast("int").alias("blk"),
-                        F.shiftright(F.col("simhash"), b * SIMHASH_BLOCK_BITS)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("int")
-                        .alias("blk_val"),
+                        F.lit(ti).cast("int").alias("blk"),
+                        _key(combo).alias("blk_val"),
                     )
-                    for b in range(SIMHASH_BLOCKS)
+                    for ti, combo in enumerate(
+                        combinations(range(blocks), key_blocks)
+                    )
                 ]
             )
         ),
     )
     buckets = (
-        blocks.groupBy("blk", "blk_val")
+        tables.groupBy("blk", "blk_val")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
@@ -544,8 +601,8 @@ def simhash_candidate_pairs(
         .filter(F.size("ids") >= 2)
     )
     # sort_array on struct(id, simhash) orders by id first, so p.a/p.b are
-    # already (doc_a < doc_b); a pair sharing several blocks appears once
-    # per shared block and the group-by collapses it.
+    # already (doc_a < doc_b); a pair sharing several table keys appears
+    # once per shared table and the group-by collapses it.
     pairs = bucket_pairs(buckets, "ids").select(
         F.col("p.a." + id_col).alias("doc_a"),
         F.col("p.b." + id_col).alias("doc_b"),
@@ -557,7 +614,7 @@ def simhash_candidate_pairs(
         pairs.groupBy("doc_a", "doc_b")
         .agg(
             F.min("hamming").alias("hamming"),
-            F.count("*").alias("n_shared_blocks"),
+            F.count("*").alias("n_shared_tables"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -303,3 +303,55 @@ def test_simhash_recall_audit_shape(spark, sf_dir):
     assert r.n_candidates > 0
     assert r.recall is None or 0.0 <= r.recall <= 1.0
     assert r.candidate_precision is None or 0.0 <= r.candidate_precision <= 1.0
+
+
+def test_simhash_manku_scale_config_exact(spark, sf_dir):
+    """The generalized (bits=60, blocks=6, key_blocks=3) Manku design --
+    C(6,3)=20 tables keyed on 30 bits, the corpus-scale configuration --
+    must produce the same exact Hamming <= 3 pair set as brute force
+    over the 60-bit fingerprints."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_candidate_pairs(
+            docs, max_hamming=3, bits=60, blocks=6, key_blocks=3
+        ).collect()
+    }
+    fps = simhash_fingerprints(docs, bits=60)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_simhash_config_validation(spark):
+    """Invalid (bits, blocks, key_blocks) combinations must refuse."""
+    import pytest
+
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_fingerprints,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_candidate_pairs(docs, bits=32, blocks=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        # key_blocks too wide for the hamming bound
+        simhash_candidate_pairs(docs, max_hamming=3, blocks=4, key_blocks=2)
+    with pytest.raises(ValueError, match="bits must be in"):
+        simhash_fingerprints(docs, bits=63)
