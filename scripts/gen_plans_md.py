@@ -130,6 +130,10 @@ AUDITED = [
     ("minhash_recall_audit", "truth = df-bounded shingle index "
      "self-join, candidates = band-bucket equi-join; no cartesian, "
      "scalar-only cross joins"),
+    ("simhash_recall_audit", "candidates = Manku block-key bucket "
+     "equi-join over chunk-bounded posting lists; truth shares the "
+     "shingle-index shape; only nested loops are the two scalar "
+     "count combiners"),
 ]
 
 

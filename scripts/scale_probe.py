@@ -94,9 +94,22 @@ def main() -> None:
         # timer captures the two corpus scans + tiny shuffles
         return bm25_topk(df, ["merge", "stream", "the"], top_k=30)
 
+    def simhash_pairs(df):
+        from taxi_data_pipeline_pset2_spark.operators.dedup import (
+            simhash_candidate_pairs,
+        )
+
+        # the corpus-scale Manku configuration (20 tables, 30-bit keys),
+        # not the 32/4/1 audit grid whose 256-bucket tables would make
+        # this probe measure bucket quadratic growth by design
+        return simhash_candidate_pairs(
+            df, max_hamming=3, bits=60, blocks=6, key_blocks=3
+        )
+
     ops = {"minhash_lsh_pairs": minhash, "tfidf_cosine_pairs": tfidf_cos,
            "exact_dedup": exact, "pmi_collocations": pmi,
-           "cms_sketch_text": cms, "bm25_topk": bm25}
+           "cms_sketch_text": cms, "bm25_topk": bm25,
+           "simhash_manku_pairs": simhash_pairs}
 
     # graph probe: disjoint replicas (per-replica node suffix) keep the
     # degree distribution intact, so triangles/wedges scale EXACTLY

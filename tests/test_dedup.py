@@ -355,3 +355,21 @@ def test_simhash_config_validation(spark):
         simhash_candidate_pairs(docs, max_hamming=3, blocks=4, key_blocks=2)
     with pytest.raises(ValueError, match="bits must be in"):
         simhash_fingerprints(docs, bits=63)
+
+
+def test_simhash_wider_bits_extend_not_rehash(spark, sf_dir):
+    """Positions 0-31 of a 60-bit fingerprint draw from the same md5
+    word as the 32-bit fingerprint, so the low 32 bits must be
+    IDENTICAL -- widening extends the sketch, it does not re-randomize
+    what the 32-bit oracle grid pinned."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    fp32 = {
+        r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()
+    }
+    fp60 = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(docs, bits=60).collect()
+    }
+    assert fp32.keys() == fp60.keys() and fp32
+    mask = (1 << 32) - 1
+    assert all(fp60[d] & mask == fp32[d] for d in fp32)
