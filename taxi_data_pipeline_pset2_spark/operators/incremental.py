@@ -55,7 +55,9 @@ class IncrementalDedupResult:
         collided with an indexed doc, for audit / lineage.
     index: the input index plus the survivors' signatures; persist this
         (e.g. ``sinks.atomic_overwrite``) for the next batch.
-    new_index_rows: JUST the survivors' signature rows -- the delta an
+    new_index_rows: JUST the NEW survivors' signature rows (ids
+        already present in the index are excluded -- re-ingest appends
+        nothing) -- the delta an
         append-mode sink should write instead of re-deriving signatures
         from the survivors' text a second time (the signature pipeline
         is the dominant per-batch cost).
@@ -65,6 +67,26 @@ class IncrementalDedupResult:
     matches: DataFrame
     index: DataFrame
     new_index_rows: DataFrame
+
+
+def _already_indexed(index: DataFrame, sigs: DataFrame, id_col: str) -> DataFrame:
+    """Batch ids that already have rows in the index. One scan-shaped
+    semi-join (index side never shuffles; the batch id set broadcasts),
+    result batch-bounded. Guards the index append: re-ingesting an
+    already-indexed doc must NOT append its signatures a second time --
+    duplicated (id, band, band_sig) rows would double that doc's
+    ``n_shared_bands`` in every future batch's :func:`match_against_index`
+    count, inflating collision evidence past LSH_BANDS and over
+    ``min_shared_bands`` thresholds. (A re-ingested id with CHANGED text
+    keeps its original signatures: the index is append-only and the id is
+    the identity.)"""
+    return (
+        index.join(
+            F.broadcast(sigs.select(id_col).distinct()), id_col, "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
 
 
 def match_against_index(
@@ -140,7 +162,9 @@ def incremental_dedup(
     survivors = resolve_duplicate_clusters(clean, within, id_col=id_col)
 
     keep_ids = survivors.select(id_col)
-    new_rows = sigs.join(F.broadcast(keep_ids), id_col, "left_semi")
+    new_rows = sigs.join(F.broadcast(keep_ids), id_col, "left_semi").join(
+        F.broadcast(_already_indexed(index, sigs, id_col)), id_col, "left_anti"
+    )
     return IncrementalDedupResult(
         survivors=survivors,
         matches=matches,
@@ -233,7 +257,7 @@ def incremental_embedding_dedup(
     )
     new_rows = sigs.join(
         F.broadcast(survivors.select(id_col)), id_col, "left_semi"
-    )
+    ).join(F.broadcast(_already_indexed(index, sigs, id_col)), id_col, "left_anti")
     return IncrementalDedupResult(
         survivors=survivors,
         matches=matches,

@@ -220,11 +220,15 @@ def bigram_doc_logprob(
     5-gram CCNet actually uses, still fully SQL-expressible. The first
     token scores under the unigram alone.
 
-    Returns (id, n_tokens, mean_logprob, ppl_proxy). Same determinism
-    device as the unigram path: each position's log term is rounded
-    once to integer millionths, so per-doc sums are associative integer
-    sums. ``lam`` should be a dyadic rational (default 0.75) so the
-    literals are exact in both engines.
+    Returns (id, n_tokens, mean_logprob, ppl_proxy). Docs with no
+    tokens (NULL text) are absent, matching :func:`doc_logprob`'s
+    absence semantics -- without the filter they emitted a row whose
+    metrics were NULL (mean = sum / NULL n_tokens), a shape no
+    threshold downstream can act on. Same determinism device as the
+    unigram path: each position's log term is rounded once to integer
+    millionths, so per-doc sums are associative integer sums. ``lam``
+    should be a dyadic rational (default 0.75) so the literals are
+    exact in both engines.
 
     Plan: bigram extraction is the shifted-slice zip (scan-shaped);
     model counts are two vocabulary-sized hash aggregates; scoring
@@ -282,7 +286,7 @@ def bigram_doc_logprob(
         ).alias("_sum_m"),
     )
     mean = F.col("_sum_m").cast("double") / LOGP_SCALE / F.col("n_tokens")
-    return per_doc.select(
+    return per_doc.filter(F.col("n_tokens") >= 1).select(
         id_col,
         "n_tokens",
         F.round(mean, 6).alias("mean_logprob"),

@@ -59,9 +59,11 @@ def duplicated_spans(
     cross-document verbatim token span of >= ``min_tokens`` tokens
     (0-based token start positions; doc_a < doc_b).
 
-    ``max_df`` drops gram buckets with document frequency above it --
-    the boilerplate escape hatch, approximate exactly like
-    ``jaccard_pairs(max_df=...)`` and off by default."""
+    ``max_df`` drops gram buckets with more than that many POSITIONAL
+    OCCURRENCES (not distinct documents: a gram repeated p times in one
+    doc counts p -- bucket size is what bounds the pair fan-out, so it
+    is the honest knob). The boilerplate escape hatch, approximate
+    exactly like ``jaccard_pairs(max_df=...)`` and off by default."""
     docs = spread_small_input(docs)
     grams = docs.select(
         F.col(id_col),

@@ -2184,6 +2184,7 @@ _BIGRAM_ORACLE = """
            round(exp(-((w0m + coalesce(pm, 0)) * 1.0 / 1000000 / n_tokens)), 6)
                AS ppl_proxy
     FROM f LEFT JOIN psum ON f.doc_id = psum.doc_id
+    WHERE n_tokens >= 1
     ORDER BY f.doc_id
 """
 

@@ -84,6 +84,16 @@ def test_reingest_is_idempotent(spark):
     # excluded: nothing is flagged, everything survives
     assert res.matches.count() == 0
     assert {r.doc_id for r in res.survivors.collect()} == {1, 2, 3}
+    # the index must NOT grow: every survivor's id is already indexed,
+    # and a duplicate (id, band, band_sig) append would double that
+    # doc's n_shared_bands in every FUTURE batch's match count
+    assert res.new_index_rows.count() == 0
+    assert res.index.count() == index.count()
+    # second generation: a renamed dup screened against the re-ingested
+    # index carries at most LSH_BANDS shared bands (not 2x)
+    renamed_probe = incremental_dedup(_docs(spark, [(200, BASE[0][1])]), res.index)
+    probe_bands = {r.n_shared_bands for r in renamed_probe.matches.collect()}
+    assert probe_bands == {LSH_BANDS}
     # same content under a NEW id is a dup
     renamed = _docs(spark, [(100, BASE[0][1])])
     res2 = incremental_dedup(renamed, index)
@@ -176,6 +186,13 @@ def test_incremental_embedding_dedup_flags_and_grows(spark, sf_dir):
         twin_batch, index, corpus_emb=corpus, threshold=0.999
     )
     assert {r.vec_id for r in res2.survivors.collect()} == {8_100_000}
+    # re-ingesting already-indexed vectors appends nothing (the
+    # embedding twin of the text-side no-op re-ingest contract)
+    reingest = incremental_embedding_dedup(
+        corpus.limit(2), index, corpus_emb=corpus, threshold=0.999
+    )
+    assert reingest.new_index_rows.count() == 0
+    assert reingest.index.count() == index.count()
 
 
 def test_incremental_embedding_without_corpus_vectors(spark, sf_dir):

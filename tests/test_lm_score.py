@@ -218,3 +218,24 @@ def test_bigram_logprob_matches_python_reference(spark):
     assert got[4][1] == max(v[1] for v in got.values())
     with pytest.raises(ValueError):
         bigram_doc_logprob(docs, lam=1.0)
+
+
+def test_bigram_logprob_omits_tokenless_docs(spark):
+    """NULL-text docs are ABSENT (matching doc_logprob), not emitted as
+    a row whose metrics are NULL (mean = sum / NULL n_tokens). An
+    empty-string doc tokenizes to the single '' token (split semantics,
+    shared with the DuckDB twin) and stays scored under the unigram."""
+    from taxi_data_pipeline_pset2_spark.operators.lm_score import (
+        bigram_doc_logprob,
+        doc_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bigram_doc_logprob(docs).collect()}
+    assert set(got) == {1, 3}
+    assert got[3].n_tokens == 1
+    assert got[1].mean_logprob is not None
+    # sibling consistency: the unigram scorer's doc set is identical
+    assert {r.doc_id for r in doc_logprob(docs).collect()} == {1, 3}
