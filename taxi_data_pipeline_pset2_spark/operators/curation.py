@@ -135,6 +135,7 @@ def curation_audit(
     near_dup_pairs: DataFrame | None = None,
     benchmarks: DataFrame | None = None,
     decontam_k: int = 13,
+    max_ppl: float | None = None,
 ) -> DataFrame:
     """Drop-reason audit: one row PER INPUT DOC with ``drop_stage`` --
     the FIRST gate (in curate_corpus's stage order) that removed it, or
@@ -143,7 +144,11 @@ def curation_audit(
     answered without re-running the pipeline by hand.
 
     Stage labels: exact_dup, near_dup, decontaminated, low_quality,
-    repetitive, language. Stage id-sets are derived with the SAME
+    repetitive, language, high_perplexity (the last only when
+    ``max_ppl`` is given -- it must mirror curate_corpus's optional
+    tail cut, else a ppl-dropped doc audits as a phantom survivor; the
+    unigram model is fit on the same post-dedup/decontam ``kept`` set
+    the pipeline fits on). Stage id-sets are derived with the SAME
     operators curate_corpus composes, so audit and pipeline can't
     disagree; each set is survivor-ids-sized, and the flags chain as
     left-join markers plus row-local signal columns (no extra corpus
@@ -176,6 +181,8 @@ def curation_audit(
             .select(id_col)
             .withColumn("_a3", F.lit(True))
         )
+        # the pipeline fits the ppl model on the post-decontam set
+        kept = docs.join(s3.drop("_a3"), id_col)
 
     sig = with_pred_lang(
         with_dup_line_ratio(with_quality_score(docs, text_col), text_col),
@@ -188,6 +195,11 @@ def curation_audit(
     if s3 is not None:
         out = out.join(s3, id_col, "left")
     out = out.join(sig, id_col, "left")
+    if max_ppl is not None:
+        from taxi_data_pipeline_pset2_spark.operators.lm_score import doc_logprob
+
+        ppl = doc_logprob(docs, model_docs=kept, text_col=text_col, id_col=id_col)
+        out = out.join(ppl.select(id_col, "ppl_proxy"), id_col, "left")
 
     # gate conditions mirror the PIPELINE's keep-filters negated via
     # coalesce(cond, False): a NULL signal (e.g. NULL text -> NULL
@@ -212,5 +224,13 @@ def curation_audit(
                 F.col("pred_lang").isin(list(allowed_langs)), F.lit(False)
             ),
             F.lit("language"),
+        )
+    if max_ppl is not None:
+        # drop-filter, not a negated keep-filter: the pipeline's
+        # logprob_filter removes ppl > max_ppl and lets UNSCORED docs
+        # (no tokens) survive -- NULL ppl must therefore NOT label
+        stage = stage.when(
+            F.coalesce(F.col("ppl_proxy") > max_ppl, F.lit(False)),
+            F.lit("high_perplexity"),
         )
     return out.select(id_col, stage.alias("drop_stage"))

@@ -162,7 +162,13 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
                     "media_type": pdf["media_type"],
                     "width": width,
                     "height": height,
-                    "resized": [fake_resize(p, width, height) for p in pdf["payload"]],
+                    # NULL blob -> NULL output (extract_features'
+                    # discipline): a missing payload is absence, not a
+                    # width*height zero-byte image
+                    "resized": [
+                        fake_resize(p, width, height) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
@@ -192,10 +198,19 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             idxs: list[int] = []
             frames: list[bytes] = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                p = payload or b""
-                step = max(len(p) // n_frames, 1)
+                if payload is None:
+                    # NULL blob -> n_frames NULL frames (the frame spine
+                    # stays 1->n_frames per input row, but a missing
+                    # payload must not masquerade as sha-of-empty-bytes
+                    # frames -- extract_features' NULL discipline)
+                    for i in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(None)
+                    continue
+                step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
-                    frame = p[i * step : (i + 1) * step]
+                    frame = payload[i * step : (i + 1) * step]
                     ids.append(mid)
                     idxs.append(i)
                     frames.append(frame)
@@ -204,7 +219,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     "media_id": ids,
                     "frame_idx": idxs,
                     "frame": frames,
-                    "frame_sha": [hashlib.sha256(f).hexdigest() for f in frames],
+                    "frame_sha": [
+                        hashlib.sha256(f).hexdigest() if f is not None else None
+                        for f in frames
+                    ],
                 }
             )
 

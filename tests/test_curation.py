@@ -244,3 +244,26 @@ def test_curation_audit_near_dup_and_decontamination_stages(spark):
     assert audit[1] is None
     assert audit[2] == "near_dup"       # component loser, min-id survives
     assert audit[10] == "decontaminated"
+
+
+def test_curation_audit_perplexity_stage_matches_pipeline(spark):
+    """A ppl-dropped doc must audit as high_perplexity, not as a phantom
+    survivor; and the audit's NULL-stage set must equal curate_corpus's
+    survivor set under the same knobs (incl. the max_ppl gate)."""
+    from taxi_data_pipeline_pset2_spark.operators.curation import (
+        curate_corpus,
+        curation_audit,
+    )
+    from taxi_data_pipeline_pset2_spark.operators.lm_score import doc_logprob
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [(i, base + f" extra{i % 3}") for i in range(1, 13)]
+    rows.append((100, "qzxv1 qzxv2 qzxv3 qzxv4 qzxv5 qzxv6 qzxv7 qzxv8"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cutoff = doc_logprob(docs).approxQuantile("ppl_proxy", [0.9], 0.0)[0]
+
+    kw = dict(min_quality=0.0, max_dup_line_ratio=1.0, max_ppl=cutoff)
+    survivors = {r.doc_id for r in curate_corpus(docs, **kw).select("doc_id").collect()}
+    audit = {r.doc_id: r.drop_stage for r in curation_audit(docs, **kw).collect()}
+    assert audit[100] == "high_perplexity"
+    assert {i for i, s in audit.items() if s is None} == survivors

@@ -158,7 +158,7 @@ class TestPngHeader:
 def test_extract_features_null_payload_yields_null_metadata(spark):
     """r11: a NULL blob must produce a NULL-metadata row, not a
     batch-killing TypeError inside the Arrow kernel (the schema allows
-    NULL payloads; the resize/frame kernels already tolerate None)."""
+    NULL payloads; the resize/frame kernels propagate None too)."""
     from taxi_data_pipeline_pset2_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_features,
@@ -171,3 +171,29 @@ def test_extract_features_null_payload_yields_null_metadata(spark):
     rows = {r.media_id: r for r in extract_features(media).collect()}
     assert rows[1].content_sha is not None and len(rows[1].features) == 8
     assert rows[2].content_sha is None and rows[2].features is None
+
+
+def test_resize_and_frames_propagate_null_payloads(spark):
+    """NULL blobs come out as NULL resized bytes / NULL frames+shas, not
+    as zero-byte images or sha-of-empty frames (extract_features'
+    discipline, aligned across all three media kernels)."""
+    from taxi_data_pipeline_pset2_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"somebytes", "video/mp4", 9), (2, None, "video/mp4", None)],
+        MEDIA_SCHEMA,
+    )
+    rs = {r.media_id: r for r in resize_media(media, 4, 4).collect()}
+    assert len(rs[1].resized) == 16
+    assert rs[2].resized is None
+    fr = sample_frames(media, n_frames=2).collect()
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[2]) == 2  # the frame spine survives
+    assert all(r.frame is None and r.frame_sha is None for r in by_id[2])
+    assert all(r.frame is not None and r.frame_sha is not None for r in by_id[1])
