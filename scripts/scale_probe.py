@@ -191,9 +191,38 @@ def main() -> None:
         "label_propagation": (scaled_edges, lpa),
     }
 
+    # incremental-dedup probe: the scale axis is the INDEX (the corpus
+    # history), not the batch -- the operator's 100 TB contract is
+    # per-batch cost = O(batch) + ONE index scan, so a 16x index should
+    # cost far less than 16x wall (the fixed batch work dominates and
+    # the scan is one linear pass with no shuffle). The batch is the 1x
+    # documents under fresh non-colliding ids with a suffix token (no
+    # near-dups of the index: this probes screening throughput, not
+    # match fan-out). Forcing new_index_rows evaluates the whole chain:
+    # signatures, corpus match, within-batch components, and the
+    # already-indexed guard scan.
+    probe_batch = base.select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probenewbatch")).alias("text"),
+    ).localCheckpoint(eager=True)
+
+    def index_of(factor: int):
+        from taxi_data_pipeline_pset2_spark.operators.dedup import (
+            minhash_band_signatures,
+        )
+
+        return minhash_band_signatures(scaled(factor))
+
+    def incr(index):
+        from taxi_data_pipeline_pset2_spark.operators.incremental import (
+            incremental_dedup,
+        )
+
+        return incremental_dedup(probe_batch, index).new_index_rows
+
     runs = [(name, scaled, fn) for name, fn in ops.items()] + [
         (name, gen, fn) for name, (gen, fn) in graph_ops.items()
-    ]
+    ] + [("incremental_dedup_vs_index", index_of, incr)]
     results = []
     for name, gen, fn in runs:
         times: dict[int, float] = {}

@@ -80,7 +80,11 @@ def kmeans_fit_assign(
     )
 
     spark = emb.sparkSession
-    base = emb.select(
+    # NULL vectors are excluded, not crashed on: the Arrow kernels build
+    # np.int64 batch matrices where one None is a task-killing TypeError
+    # (the _prepared/pq.py discipline); a row with no vector has no
+    # cluster, so absence from the assignment is the honest output
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), int_embedding(F.col(vec_col)).alias("iv")
     )
     # One cached materialization feeds every Lloyd round AND the final

@@ -241,18 +241,26 @@ def project_pca(
     out_col: str = "pca",
 ) -> DataFrame:
     """(id, out_col): centered projections onto the model's components.
-    The model broadcasts; one matmul per Arrow batch."""
+    The model broadcasts; one matmul per Arrow batch. A NULL vector
+    projects to NULL (row-local NULL-in/NULL-out, the media-kernel
+    discipline) -- fit_pca raises on NULLs by contract, but transform
+    may legitimately see rows the fit filtered out, and one None must
+    not TypeError the whole task."""
     sc = emb.sparkSession.sparkContext
     b = sc.broadcast((np.array(model.mean), np.array(model.components)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mean, comps = b.value
         for pdf in batches:
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
-            proj = (X - mean) @ comps.T if len(X) else np.zeros((0, len(comps)))
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], out_col: [p.tolist() for p in proj]}
-            )
+            vecs = list(pdf[vec_col])
+            ok = [i for i, v in enumerate(vecs) if v is not None]
+            out: list = [None] * len(vecs)
+            if ok:
+                X = np.array([vecs[i] for i in ok], dtype=np.float64)
+                proj = (X - mean) @ comps.T
+                for j, i in enumerate(ok):
+                    out[i] = proj[j].tolist()
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
     return emb.select(id_col, vec_col).mapInPandas(
         run, schema=f"{id_col} long, {out_col} array<double>"

@@ -71,8 +71,15 @@ def int_dot(a: Column, b: Column) -> Column:
 
 
 def _prepared(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Shared (id, iv, norm2) projection. NULL vectors are EXCLUDED
+    here: the SQL-side kernels already self-exclude them (NULL cosine
+    fails every threshold), but the Arrow kernels downstream build
+    np.int64 batch matrices, where one None crashes the whole task --
+    absence, not a corpus-killing TypeError, is the contract (the
+    pq.py precedent)."""
+    prepped = emb.filter(F.col(vec_col).isNotNull())
     iv = int_embedding(F.col(vec_col))
-    return emb.select(
+    return prepped.select(
         F.col(id_col), iv.alias("iv"), int_norm2(iv).alias("norm2"), *(
             [F.col("label")] if "label" in emb.columns else []
         )

@@ -138,3 +138,24 @@ def test_kmeans_partitioning_invariant(spark, sf_dir):
         for r in kmeans_fit_assign(emb.repartition(17), k=4, n_iter=3).collect()
     )
     assert a == b
+
+
+def test_kmeans_excludes_null_vectors(spark, sf_dir):
+    """A NULL embedding has no cluster: the row is absent from the
+    assignment (the _prepared/pq.py discipline), not a numpy TypeError
+    that kills the task."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with_null = emb.unionByName(
+        emb.limit(1).select(
+            (F.col("vec_id") + 7_000_000).alias("vec_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+    )
+    out = kmeans_fit_assign(with_null, k=4, n_iter=2)
+    assert out.count() == emb.count()
+    # and the clean-corpus assignment is unchanged by the NULL row
+    base = {r.vec_id: r.cluster for r in kmeans_fit_assign(emb, k=4, n_iter=2).collect()}
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    assert got == base

@@ -235,3 +235,28 @@ def test_moment_overflow_flush_keeps_sums_exact(spark):
         )
     X = np.round(np.array([r[1] for r in rows]) * 1e6) / 1e6
     assert np.allclose(model.mean, X.mean(axis=0), atol=1e-9)
+
+
+def test_project_pca_null_vector_projects_to_null(spark, sf_dir):
+    """Transform may see rows the fit filtered out: NULL-in/NULL-out per
+    row, while fit_pca keeps its documented raise-on-NULL contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.pca import fit_pca, project_pca
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = fit_pca(emb, k=2)
+    with_null = emb.unionByName(
+        emb.limit(1).select(
+            (F.col("vec_id") + 7_000_000).alias("vec_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+    )
+    out = {r.vec_id: r.pca for r in project_pca(with_null, model).collect()}
+    assert len(out) == emb.count() + 1
+    nulls = [v for v in out.values() if v is None]
+    assert len(nulls) == 1
+    with pytest.raises(ValueError):
+        fit_pca(with_null, k=2)

@@ -651,3 +651,33 @@ class TestExactEuclidTopk:
         )
         with _pytest.raises(SparkRuntimeException, match="vector is NULL"):
             exact_euclid_topk(allnull, [0.0, 0.0], k=2).collect()
+
+
+def test_vectorized_knn_excludes_null_vectors(spark, sf_dir):
+    """_prepared drops NULL embeddings: the Arrow matmul kernel must not
+    see a None (TypeError per batch); a NULL row is neither query nor
+    neighbor, matching the SQL kernels' NULL-cosine self-exclusion."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        knn_topk_vectorized,
+    )
+    from taxi_data_pipeline_pset2_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qid = emb.orderBy("vec_id").limit(1).collect()[0].vec_id
+    with_null = emb.unionByName(
+        emb.limit(1).select(
+            (F.col("vec_id") + 7_000_000).alias("vec_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+    )
+    base = [
+        (r.neighbor_id, r.cosine)
+        for r in knn_topk_vectorized(emb, F.col("vec_id") == qid, k=5).collect()
+    ]
+    got = [
+        (r.neighbor_id, r.cosine)
+        for r in knn_topk_vectorized(with_null, F.col("vec_id") == qid, k=5).collect()
+    ]
+    assert got == base
