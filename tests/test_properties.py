@@ -251,3 +251,66 @@ def test_packing_invariants(docs, token_budget, n_shards):
     assert {(r.doc_id, r.seq_id, r.seq_pos) for r in again} == {
         (r.doc_id, r.seq_id, r.seq_pos) for r in rows
     }
+
+
+# ---- BPE greedy merge vs an independently-structured reference -------------
+#
+# _bpe_learn_driver (and the distributed twin pinned equal to it in
+# test_bpe.py) rewrites symbol ARRAYS left-to-right; Sennrich's original
+# operates on SPACE-JOINED STRINGS with a boundary-anchored regex. The
+# two formulations only agree if the overlap semantics (non-overlapping
+# left-to-right, e.g. "a a a" -> "aa a") and the tie-break (count desc,
+# then lexicographic pair) are both right -- a shared-misconception
+# guard the same-author from-scratch reference in test_bpe.py cannot
+# give.
+
+
+def _bpe_reference_string(words: list[tuple[str, int]], n_merges: int, min_count: int):
+    import re
+
+    table = {" ".join(list(w) + ["</w>"]): f for w, f in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for word, freq in table.items():
+            syms = word.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((a, b))
+        pat = re.compile(r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)")
+        table = {pat.sub(a + b, word): f for word, f in table.items()}
+    return merges
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=0, max_value=10),
+    min_count=st.integers(min_value=1, max_value=3),
+)
+def test_bpe_driver_loop_matches_string_reference(words, n_merges, min_count):
+    from taxi_data_pipeline_pset2_spark.operators.bpe import EOW, _bpe_learn_driver
+
+    # collapse duplicate words the way word_symbol_table's groupBy does
+    agg: dict = {}
+    for w, f in words:
+        agg[w] = agg.get(w, 0) + f
+    items = sorted(agg.items())
+    rows = [
+        {"freq": f, "symbols": list(w) + [EOW]} for w, f in items
+    ]
+    got = _bpe_learn_driver(rows, n_merges, min_count)
+    want = _bpe_reference_string(items, n_merges, min_count)
+    assert got == want
