@@ -9,11 +9,23 @@ the mergeable-summaries rule (Agarwal, Cormode et al., PODS 2012):
 The result keeps <= m counters with the classic deterministic
 guarantee: every value with true frequency > N/(m+1) is IN the
 summary, and each kept estimate undercounts its true count by at most
-the accumulated deduction (tracked as ``max_undercount``) -- the
-bounded-state answer to "top sources/domains/tokens so far" over an
-unbounded key domain, where exact streaming counts would grow without
-limit. The batch complement is the two-phase exact heavy hitters
-(operators/frequency.py); this is what runs when the data never stops.
+its ``max_undercount`` -- the bounded-state answer to "top
+sources/domains/tokens so far" over an unbounded key domain, where
+exact streaming counts would grow without limit. The batch complement
+is the two-phase exact heavy hitters (operators/frequency.py); this is
+what runs when the data never stops.
+
+``max_undercount`` is only a valid per-value bound if a value that
+ENTERS the summary starts from the stream-global accumulated deduction
+D, not from zero: occurrences it lost while absent (dropped earlier,
+or never yet counted) are bounded by D, the total mass ever subtracted
+-- a re-entering value with a zero floor silently violated
+``true <= est + max_undercount`` (the drop-lose-re-enter case; found
+by definition audit, the test reference shared the misconception).
+D itself must survive even a TOTAL counter wipe (all merged counts can
+tie at the deduction threshold), so the state carries one metadata row
+with ``value NULL, est NULL`` and ``max_undercount = D``; counter
+consumers filter ``est IS NOT NULL`` (or use :func:`topk_counters`).
 
 State discipline (the streaming/incremental.py + streaming/drift.py
 contract): per batch, work is O(batch + m) -- one exact batch-sized
@@ -40,17 +52,45 @@ from taxi_data_pipeline_pset2_spark.streaming.state import (
 _STATE_SCHEMA = "value string, est bigint, max_undercount bigint"
 
 
+def topk_counters(state: DataFrame) -> DataFrame:
+    """The counter rows of a summary (drops the deduction-total
+    metadata row)."""
+    return state.filter(F.col("est").isNotNull())
+
+
 def mg_merge(
     state: DataFrame, batch_counts: DataFrame, capacity: int
 ) -> DataFrame:
     """One Misra-Gries merge step: carried summary + exact batch counts
-    -> new summary of <= ``capacity`` rows. Both inputs schema
-    (value, est, max_undercount); batch counts enter with
-    max_undercount = 0."""
+    -> new summary of <= ``capacity`` counter rows plus the metadata
+    row (value NULL, est NULL, max_undercount = accumulated deduction
+    D). Batch counts enter schema (value, est, max_undercount = 0);
+    values NOT already in the summary get D as their undercount floor
+    (see the module docstring -- a zero floor breaks the guarantee for
+    re-entering values)."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
+    counters = topk_counters(state)
+    # the stream-global accumulated deduction; lives on the metadata
+    # row but max() over all rows is equivalent (every counter's
+    # undercount is <= D) and tolerates legacy counter-only states
+    d_old_row = state.agg(
+        F.coalesce(F.max("max_undercount"), F.lit(0))
+        .cast("bigint")
+        .alias("d_old")
+    )
+    known = counters.select("value")
+    fresh = (
+        batch_counts.join(F.broadcast(known), "value", "left_anti")
+        .crossJoin(F.broadcast(d_old_row))
+        .select("value", "est", F.col("d_old").alias("max_undercount"))
+    )
+    seen = batch_counts.join(F.broadcast(known), "value", "left_semi").select(
+        "value", "est", "max_undercount"
+    )
     merged = (
-        state.unionByName(batch_counts)
+        counters.unionByName(fresh)
+        .unionByName(seen)
         .groupBy("value")
         .agg(
             F.sum("est").cast("bigint").alias("est"),
@@ -69,7 +109,7 @@ def mg_merge(
             .alias("d")
         )
     )
-    return (
+    kept = (
         merged.crossJoin(F.broadcast(d_row))
         .filter(F.col("est") > F.col("d"))
         .select(
@@ -80,6 +120,15 @@ def mg_merge(
             .alias("max_undercount"),
         )
     )
+    meta = (
+        d_old_row.crossJoin(F.broadcast(d_row))
+        .select(
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("bigint").alias("est"),
+            (F.col("d_old") + F.col("d")).cast("bigint").alias("max_undercount"),
+        )
+    )
+    return kept.unionByName(meta)
 
 
 _state_dir = state_dir

@@ -21,26 +21,34 @@ from taxi_data_pipeline_pset2_spark.streaming.topk import (
 def _mg_reference(values, m):
     """From-scratch Misra-Gries with batch folding = item-at-a-time MG
     bounds; here we replicate the EXACT batch-merge rule the stream
-    uses: add exact counts, subtract the (m+1)-th largest, drop <= 0."""
+    uses: add exact counts, a value ENTERING the summary takes the
+    stream-global accumulated deduction D as its undercount floor (its
+    pre-entry occurrences are bounded by D -- a zero floor broke
+    true <= est + under for drop-then-re-enter values, a misconception
+    this reference originally SHARED with the engine), subtract the
+    (m+1)-th largest, drop <= 0. Returns (state, under, D)."""
     state: dict[str, int] = {}
     under: dict[str, int] = {}
+    total_d = 0
     for batch in values:
         c = Counter(batch)
         for v, n in c.items():
+            if v not in state:
+                under[v] = total_d
             state[v] = state.get(v, 0) + n
-            under.setdefault(v, 0)
         if len(state) > m:
             d = sorted(state.values(), reverse=True)[m]
         else:
             d = 0
         if d:
+            total_d += d
             for v in list(state):
                 state[v] -= d
                 under[v] += d
                 if state[v] <= 0:
                     del state[v]
                     del under[v]
-    return state, under
+    return state, under, total_d
 
 
 def _write_units(spark, base, batches):
@@ -86,14 +94,19 @@ class TestMgMerge:
                 "cast(0 as bigint) as max_undercount",
             )
         )
+        rows = mg_merge(state0, counts, 2).collect()
         got = {
             r.value: (r.est, r.max_undercount)
-            for r in mg_merge(state0, counts, 2).collect()
+            for r in rows
+            if r.value is not None
         }
-        ref_state, ref_under = _mg_reference([batch], 2)
+        ref_state, ref_under, ref_d = _mg_reference([batch], 2)
         assert {v: c for v, (c, _) in got.items()} == ref_state
         for v, (_, u) in got.items():
             assert u == ref_under[v]
+        meta = [r for r in rows if r.value is None]
+        assert len(meta) == 1 and meta[0].est is None
+        assert meta[0].max_undercount == ref_d
 
     def test_capacity_validation(self, spark):
         df = spark.createDataFrame(
@@ -114,15 +127,17 @@ def test_stream_matches_reference_and_guarantee(spark, tmp_path):
     q = run_streaming_topk(stream, "v", state_base, ckpt, capacity=m)
     q.awaitTermination(120)
 
+    rows = read_topk_state(spark, state_base, len(batches) - 1).collect()
     final = {
-        r.value: (r.est, r.max_undercount)
-        for r in read_topk_state(spark, state_base, len(batches) - 1).collect()
+        r.value: (r.est, r.max_undercount) for r in rows if r.value is not None
     }
-    ref_state, ref_under = _mg_reference(batches, m)
+    ref_state, ref_under, ref_d = _mg_reference(batches, m)
     assert {v: c for v, (c, _) in final.items()} == ref_state
     for v, (_, u) in final.items():
         assert u == ref_under[v]
     assert len(final) <= m  # bounded state
+    meta = [r for r in rows if r.value is None]
+    assert len(meta) == 1 and meta[0].max_undercount == ref_d
 
     # the MG guarantee: anything with true freq > N/(m+1) is present,
     # and est <= true <= est + max_undercount
@@ -147,8 +162,8 @@ def test_replay_rewrites_identical_state(spark, tmp_path):
     )
     q.awaitTermination(120)
     first = sorted(
-        (r.value, r.est, r.max_undercount)
-        for r in read_topk_state(spark, state_base, 1).collect()
+        ((r.value or "", r.est or 0, r.max_undercount)
+         for r in read_topk_state(spark, state_base, 1).collect())
     )
     # wipe the CHECKPOINT (not the state) -> full at-least-once replay
     q2 = run_streaming_topk(
@@ -157,8 +172,8 @@ def test_replay_rewrites_identical_state(spark, tmp_path):
     )
     q2.awaitTermination(120)
     second = sorted(
-        (r.value, r.est, r.max_undercount)
-        for r in read_topk_state(spark, state_base, 1).collect()
+        ((r.value or "", r.est or 0, r.max_undercount)
+         for r in read_topk_state(spark, state_base, 1).collect())
     )
     assert first == second
 
@@ -190,3 +205,45 @@ def test_docs_stream_schema_param_and_empty_dir_error(spark, tmp_path):
         "doc_id",
         "text",
     ]
+
+
+def test_reentering_value_keeps_the_guarantee(spark):
+    """Drop-then-re-enter is the case the zero undercount floor broke:
+    v's 5 batch-1 occurrences are deducted away, v re-enters in batch 2,
+    and with a zero floor the state would claim true(v) <= est + 2 while
+    true(v) = 9. The floor is the accumulated deduction D at entry."""
+    from taxi_data_pipeline_pset2_spark.streaming.topk import topk_counters
+
+    m = 3
+    batches = [
+        ["a"] * 9 + ["b"] * 8 + ["c"] * 7 + ["v"] * 5,  # d=5: v dropped, D=5
+        ["v"] * 4,                                       # v re-enters
+    ]
+    state = spark.createDataFrame(
+        [], "value string, est bigint, max_undercount bigint"
+    )
+    for batch in batches:
+        counts = (
+            spark.createDataFrame([(x,) for x in batch], "value string")
+            .groupBy("value")
+            .count()
+            .selectExpr(
+                "value",
+                "cast(count as bigint) as est",
+                "cast(0 as bigint) as max_undercount",
+            )
+        )
+        state = mg_merge(state, counts, m)
+        state = spark.createDataFrame(state.collect(), state.schema)
+
+    got = {
+        r.value: (r.est, r.max_undercount)
+        for r in topk_counters(state).collect()
+    }
+    ref_state, ref_under, ref_d = _mg_reference(batches, m)
+    assert {v: c for v, (c, _) in got.items()} == ref_state
+    truth = Counter(x for b in batches for x in b)
+    assert "v" in got
+    for v, (est, u) in got.items():
+        assert est <= truth[v] <= est + u, (v, est, u, truth[v])
+        assert u == ref_under[v]
