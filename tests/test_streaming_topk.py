@@ -247,3 +247,36 @@ def test_reentering_value_keeps_the_guarantee(spark):
     for v, (est, u) in got.items():
         assert est <= truth[v] <= est + u, (v, est, u, truth[v])
         assert u == ref_under[v]
+
+
+def test_mg_reference_guarantee_property():
+    """Hypothesis over random batch sequences: the (fixed) merge rule's
+    per-value bound true <= est + under and the classic presence
+    guarantee (true freq > N/(m+1) => present) hold on every geometry,
+    including drop/re-enter chains. Pure python (the Spark merge is
+    pinned equal to this reference in the tests above)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        batches=st.lists(
+            st.lists(st.sampled_from("abcdef"), min_size=0, max_size=25),
+            min_size=1,
+            max_size=6,
+        ),
+        m=st.integers(min_value=1, max_value=4),
+    )
+    def run(batches, m):
+        state, under, total_d = _mg_reference(batches, m)
+        truth = Counter(v for b in batches for v in b)
+        n_total = sum(truth.values())
+        assert len(state) <= m
+        for v, n in truth.items():
+            if n > n_total / (m + 1):
+                assert v in state
+        for v, est in state.items():
+            assert est <= truth[v] <= est + under[v]
+            assert under[v] <= total_d
+
+    run()
