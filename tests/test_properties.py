@@ -314,3 +314,48 @@ def test_bpe_driver_loop_matches_string_reference(words, n_merges, min_count):
     got = _bpe_learn_driver(rows, n_merges, min_count)
     want = _bpe_reference_string(items, n_merges, min_count)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    buckets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=99), max_size=40).map(sorted),
+        min_size=1,
+        max_size=4,
+    ),
+    cap=st.integers(min_value=1, max_value=8),
+)
+def test_bucket_pairs_matches_naive_over_random_geometries(buckets, cap):
+    """bucket_pairs (the pair expander under every LSH/blocking op) must
+    emit EXACTLY the naive triangular pair multiset of each bucket for
+    ANY (bucket size, cap) geometry -- incl. cap=1 (every chunk is a
+    single element, so all pairs come from cross-chunk rows), sizes at
+    and one off the chunk boundary, and empty/singleton buckets -- while
+    no materialized row ever exceeds cap^2 pair structs. The pinned
+    b=137/cap=16 case proved one geometry; the chunk arithmetic
+    (triangular chunk-index expansion, slice offsets, small-bucket fast
+    path) has off-by-one surface this walks at random."""
+    from taxi_data_pipeline_pset2_spark.operators.dedup import (
+        _bucket_pair_arrays,
+        bucket_pairs,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame([(b,) for b in buckets], "ids array<int>")
+    got = sorted(
+        (r.p.a, r.p.b) for r in bucket_pairs(df, "ids", cap=cap).collect()
+    )
+    want = sorted(
+        (a, b)
+        for ids in buckets
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    )
+    assert got == want  # multiset equality: every pair exactly once
+    sizes = [
+        r.s
+        for r in _bucket_pair_arrays(df, "ids", cap=cap)
+        .select(F.size("pair_arr").alias("s"))
+        .collect()
+    ]
+    assert all(s <= cap * cap for s in sizes), (cap, max(sizes))
