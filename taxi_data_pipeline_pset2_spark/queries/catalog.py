@@ -275,6 +275,39 @@ def query(
 # quantile_normalized_length, bootstrap_ci_price, rrf_fuse_knn
 # (first 27 of the 43-row r8-only list; r13 continues from
 # welch_price_priority).
+#
+# r12 rotation (EXECUTED, per VERDICT r11 item #1; CORRECTNESS_r11 was
+# 50/50 green on the r11 window, judge-verified name-for-name). The
+# window below is exactly the pre-written order above. All three
+# never-rowed r11 audit entries were pre-flighted fresh-process at
+# sf0.01 in default env AND under TZ=Pacific/Chatham
+# (scripts/preflight_entries.py) before this window was committed.
+#
+# r13 rotation EXECUTION ORDER (once CORRECTNESS_r12 proves this
+# window): keep the same 7 anchors; swap the 43 r12-proven rows for --
+# (1) any net-new r12 entries without a driver row FIRST (the sketch
+# accuracy audits: cms_error_audit, kmv_error_audit,
+# misra_gries_bound_audit), then (2) the remaining 16 r8-only rows in
+# r8 record order (continuing from welch_price_priority):
+# welch_price_priority, mannwhitney_price_priority,
+# cuped_price_linestatus, brand_association_rules,
+# fulfillment_survival_km, user_value_changepoint, benford_price_audit,
+# pmi_collocations_docs, customer_rfm_segments, gini_customer_spend,
+# event_type_entropy, abc_brand_revenue, purchase_attribution,
+# top_user_paths, seasonal_naive_mase, cms_partkey_counts; then
+# (3) the oldest r9-only rows in r9 record order (r9-era _WINDOW at the
+# CORRECTNESS_r09 commit) until the window fills at 50 -- with 3
+# net-new + 16 r8-only that leaves 24 r9-only slots:
+# props_payload_stats, part_triangle_stats, spearman_qty_price,
+# acf_daily_orders, seasonal_daily_orders, user_event_coverage,
+# pareto_parts_price_size, brand_item_neighbors,
+# theilsen_monthly_revenue, user_interarrival_stats,
+# customers_near_suppliers, ivm_join_view_maintenance,
+# brand_target_encoding, user_key_skew, rolling_7day_users,
+# multimodal_png_dims, funnel_step_timings, inferred_dim_members,
+# cms_join_size_estimate, kmv_customer_overlap, ks_price_by_urgency,
+# seasonal_outlier_days, k_anonymity_audit, pseudonymized_customers
+# (r14 continues from orders_table_checksum).
 _WINDOW: tuple[str, ...] = (
     # -- minimum anchors (7) --
     "demand_by_zone",
@@ -284,55 +317,57 @@ _WINDOW: tuple[str, ...] = (
     "value_by_daypart",
     "demand_grid",
     "integrity_checks",
-    # -- never-rowed r10 additions, early on purpose (3): the recall
-    # twins compose the ~250/~270-CTE chains into one statement --
-    "bm25_topk_docs",
-    "pq_recall_audit",
-    "ivfpq_recall_audit",
-    # -- freshness second pass: the 10 remaining r6-only rows, r6
-    # record order --
-    "zscore_price_outliers",
-    "sentiment_scores",
-    "quantile_binned_prices",
-    "knn_bruteforce_vectorized",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "scd2_as_of_snapshot",
-    "event_transitions",
-    "weighted_sample_topn",
-    # -- freshness second pass: first 30 of the r7-only list, r7
-    # record order --
-    "term_document_frequency",
-    "boolean_and_search",
-    "multimodal_resize",
-    "phrase_search_hits",
-    "hourly_value_locf",
-    "dedup_components",
-    "session_maintenance_overlap",
-    "hampel_value_outliers",
-    "lang_distribution_psi",
-    "vocab_top_tokens",
-    "docs_profile",
-    "rollup_grouping_sets",
-    "set_ops_customers",
-    "supplier_balance_by_region",
-    "knn_ivf_label",
-    "funnel_conversion_windowed",
-    "status_priority_association",
-    "price_trend_by_priority",
-    "dedup_minhash_lsh",
-    "weighted_median_tokens",
-    "dedup_embedding_lsh",
-    "snapshot_diff_orders",
-    "dsir_topk_selection",
-    "rollup_changelog_maintenance",
-    "scd2_incremental_apply",
-    "quality_rank_blend",
-    "decontamination_scores",
-    "pivot_category_totals",
-    "heavy_hitters_brand",
-    "quality_mass_selection",
+    # -- never-rowed r11 audit entries, early on purpose (3): the
+    # measured-recall rows compose exhaustive ground-truth CTEs into one
+    # statement, so driver-side DuckDB behavior is the one untested
+    # variable --
+    "fuzzy_blocking_recall_audit",
+    "minhash_recall_audit",
+    "simhash_recall_audit",
+    # -- freshness third pass: the 13 remaining r7-only rows, r7 record
+    # order --
+    "fuzzy_blocked_matches",
+    "unigram_doc_logprob",
+    "duplicated_spans_docs",
+    "chunk_documents_tokens",
+    "cohort_retention_weekly",
+    "coverage_gap_detection",
+    "events_hourly",
+    "asof_last_purchase",
+    "monthly_trend",
+    "date_dim",
+    "union_unify_schemas",
+    "quality_filter",
+    "ranked_in_group",
+    # -- freshness third pass: first 27 of the r8-only list, r8 record
+    # order --
+    "asof_next_purchase",
+    "asof_nearest_purchase",
+    "ewma_user_value",
+    "tfidf_cosine_docs",
+    "leakage_safe_split_docs",
+    "group_kfold_docs",
+    "temporal_split_events",
+    "rolling_features_user_value",
+    "hard_negatives_topk",
+    "oov_rate_docs",
+    "jaro_winkler_matches",
+    "blocklist_safety_flags",
+    "source_quality_profile",
+    "bigram_doc_logprob",
+    "class_weights_events",
+    "rolling_origin_backtest",
+    "metric_corr_matrix",
+    "status_priority_mi",
+    "sft_loss_masks",
+    "auc_order_status",
+    "calibration_price_prob",
+    "kappa_price_status",
+    "decile_lift_orders",
+    "retrieval_eval_knn",
+    "quantile_normalized_length",
+    "bootstrap_ci_price",
+    "rrf_fuse_knn",
 )
 # Rows-only entries kept at the very end of the registry (their driver
 # row would add nothing over the local pytest replay). r9 cleared SIX
