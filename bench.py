@@ -47,7 +47,18 @@ def _plan_fingerprint(spark, group_id: str) -> dict | None:
     py4j round-trips are proportional to THIS query's jobs/stages --
     never a sweep of the whole retained-job history (a full-history
     sweep is thousands of RPCs per query by the end of a bench run).
-    Best-effort: any failure returns None rather than break benching."""
+    Best-effort: any failure returns None rather than break benching.
+
+    Adjudication carve-out (VERDICT r11 finding #2): under AQE,
+    stage/task counts jitter a little BETWEEN runs of the SAME plan --
+    coalesce decisions and reused-exchange stage accounting depend on
+    runtime partition sizes and cache state, at byte-identical
+    shuffle/input volumes. Observed r11 examples, all at (near-)equal
+    bytes: pagerank_supplier_customer +-1 stage, purchase_attribution
+    10 vs 15 stages, incremental_dedup +-1 job with a ~370-byte shuffle
+    wobble. The equality claim is therefore `fingerprints_equivalent`
+    below -- exact on the byte totals, tolerant of small count jitter --
+    not dict equality."""
     try:
         tracker = spark.sparkContext.statusTracker()
         store = spark.sparkContext._jsc.sc().statusStore()
@@ -83,6 +94,29 @@ def _plan_fingerprint(spark, group_id: str) -> dict | None:
         return fp
     except Exception:  # noqa: BLE001
         return None
+
+
+def fingerprints_equivalent(a: dict | None, b: dict | None) -> bool:
+    """The fingerprint adjudication rule, executable: two runs carry the
+    same physical plan iff their byte totals match exactly (shuffle
+    read/write, input, output -- these are data-volume facts AQE cannot
+    move without a genuine plan change, modulo a sub-kB accounting
+    wobble on tiny exchanges) AND job/stage/task counts agree within the
+    documented AQE jitter band (jobs +-1, stages +-5, tasks +-10% or
+    +-4, whichever is larger). Anything outside is a real plan change to
+    investigate, not ambient noise."""
+    if a is None or b is None:
+        return a is b
+    for k in ("shuffle_read_bytes", "shuffle_write_bytes",
+              "input_bytes", "output_bytes"):
+        if abs(a[k] - b[k]) > 1024:
+            return False
+    if abs(a["jobs"] - b["jobs"]) > 1:
+        return False
+    if abs(a["stages"] - b["stages"]) > 5:
+        return False
+    tol = max(4, int(0.10 * max(a["tasks"], b["tasks"])))
+    return abs(a["tasks"] - b["tasks"]) <= tol
 
 
 def _fadvise_dontneed(d: str) -> None:

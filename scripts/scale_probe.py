@@ -226,36 +226,52 @@ def main() -> None:
     results = []
     for name, gen, fn in runs:
         times: dict[int, float] = {}
+        raw: dict[int, list[float]] = {}
+        kcore_slices: dict[int, tuple[int, int]] = {}
         for factor in FACTORS:
             df = gen(factor).localCheckpoint(eager=True)  # exclude gen cost
-            best = float("inf")
+            mark = len(kcore_stats)
+            walls: list[float] = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(df).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            times[factor] = round(best, 3)
+                walls.append(time.perf_counter() - t0)
+            if min(walls) >= 10.0:
+                # long rows are the noise-dominated ones (the k-core 16x
+                # ratio wandered 3.6-5.6 between same-round refreshes on
+                # ambient load, VERDICT r11 #1): a third repeat tightens
+                # the best-of estimate exactly where it matters
+                t0 = time.perf_counter()
+                fn(df).write.format("noop").mode("overwrite").save()
+                walls.append(time.perf_counter() - t0)
+            times[factor] = round(min(walls), 3)
+            raw[factor] = [round(w, 3) for w in walls]
+            kcore_slices[factor] = (mark, len(kcore_stats))
             df.unpersist()
         r4 = round(times[4] / times[1], 2)
         r16 = round(times[16] / times[1], 2)
         rec = {
             "op": name, "sec": {str(k): v for k, v in times.items()},
+            # every repeat, in run order: the spread IS the ambient-noise
+            # band, recorded so a future ratio move is attributable
+            # without re-running (VERDICT r11 #1)
+            "runs_sec": {str(k): v for k, v in raw.items()},
             "ratio_4x": r4, "ratio_16x": r16,
             "verdict": "near-linear" if r16 <= 24 else "SUPERLINEAR",
         }
-        if name == "kcore" and len(kcore_stats) == 2 * len(FACTORS):
-            # calls land in factor order, 2 per factor (best-of-2);
-            # rounds are deterministic per instance, sec/round takes
-            # the quieter of the two runs
+        if name == "kcore":
+            # rounds are deterministic per instance; sec/round takes the
+            # quietest of this factor's repeats
+            stats_by_factor = {
+                f: kcore_stats[a:b] for f, (a, b) in kcore_slices.items()
+            }
             rec["rounds"] = {
-                str(f): kcore_stats[2 * i]["rounds"]
-                for i, f in enumerate(FACTORS)
+                str(f): sts[0]["rounds"]
+                for f, sts in stats_by_factor.items() if sts
             }
             rec["sec_per_round"] = {
-                str(f): min(
-                    kcore_stats[2 * i]["sec_per_round"],
-                    kcore_stats[2 * i + 1]["sec_per_round"],
-                )
-                for i, f in enumerate(FACTORS)
+                str(f): min(s["sec_per_round"] for s in sts)
+                for f, sts in stats_by_factor.items() if sts
             }
         results.append(rec)
         print(json.dumps(rec))
@@ -271,9 +287,10 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "factors": list(FACTORS),
-                "method": "best-of-2 wall over localCheckpointed input, "
-                          "noop sink; replicas suffix-tokenized (no "
-                          "near-dup inflation)",
+                "method": "best-of-2 wall (best-of-3 when >= 10 s) over "
+                          "localCheckpointed input, noop sink; all "
+                          "repeats recorded in runs_sec; replicas "
+                          "suffix-tokenized (no near-dup inflation)",
                 "ops": results,
             },
             fh,

@@ -22,30 +22,17 @@ Exit 0 iff zero mismatches.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-sys.path.insert(0, ".")
+# anchor imports on the repo root, not the caller's cwd (ADVICE r11)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from taxi_data_pipeline_pset2_spark.queries import registry
 from taxi_data_pipeline_pset2_spark.session import get_spark
-from tests.oracle_utils import compare_frames, duckdb_connection
-
-
-def _replay_one(spark, sf_dir, con, entry) -> list[str]:
-    import traceback
-
-    try:
-        spark_pdf = entry.fn(spark, sf_dir).toPandas()
-        if len(spark_pdf.columns) == 0:
-            return ["result has zero columns"]
-        if entry.oracle is None:
-            return [] if len(spark_pdf) > 0 else ["rows-only entry returned 0 rows"]
-        oracle_pdf = con.cursor().execute(entry.oracle).df()
-        return compare_frames(spark_pdf, oracle_pdf)
-    except Exception:
-        return [traceback.format_exc(limit=8)]
+from tests.oracle_utils import duckdb_connection, replay_entry
 
 
 def main() -> int:
@@ -61,6 +48,9 @@ def main() -> int:
     ap.add_argument("--threads", type=int, default=8)
     args = ap.parse_args()
 
+    for c in args.conf:
+        if "=" not in c:
+            ap.error(f"--conf expects K=V, got {c!r}")
     extra = dict(c.split("=", 1) for c in args.conf)
     spark = get_spark(app_name="catalog-sweep", extra_confs=extra)
     for k, v in extra.items():
@@ -72,7 +62,7 @@ def main() -> int:
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=args.threads) as pool:
         futures = {
-            e.name: (pool.submit(_replay_one, spark, args.sf, con, e), e)
+            e.name: (pool.submit(replay_entry, spark, args.sf, con, e), e)
             for e in entries
         }
         failures = 0

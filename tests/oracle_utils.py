@@ -92,3 +92,29 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         if only_o:
             problems.append(f"{len(only_o)} rows only in oracle, e.g. {sorted(only_o)[:2]}")
     return problems
+
+
+def replay_entry(spark, sf_dir: str, con, entry) -> list[str]:
+    """Run one catalog entry and its oracle; return mismatch descriptions
+    (empty = pass). The single shared replay body for the pytest suite
+    AND scripts/sweep_catalog.py (ADVICE r11: the two copies would drift
+    when the compare logic changes). Exceptions are rendered into the
+    problem list so one bad entry cannot poison a shared executor.
+
+    Rows-only entries (oracle is None) get the driver's weaker check --
+    non-vacuous, since every rows-only op in the registry returns >= 1
+    row on the test tables by construction (VERDICT r7 finding #3).
+    DuckDB connections are not thread-safe; ``.cursor()`` is the
+    documented per-thread handle onto the same catalog."""
+    import traceback
+
+    try:
+        spark_pdf = entry.fn(spark, sf_dir).toPandas()
+        if len(spark_pdf.columns) == 0:
+            return ["result has zero columns"]
+        if entry.oracle is None:
+            return [] if len(spark_pdf) > 0 else ["rows-only entry returned 0 rows"]
+        oracle_pdf = con.cursor().execute(entry.oracle).df()
+        return compare_frames(spark_pdf, oracle_pdf)
+    except Exception:
+        return [traceback.format_exc(limit=8)]

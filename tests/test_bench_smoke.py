@@ -119,3 +119,35 @@ def test_clustering_demo_cache_roundtrip(spark, tmp_path, monkeypatch):
         os.stat(os.path.join(SF_SMOKE_DIR, "orders.parquet")).st_size
     ) in os.path.basename(cache_dir)
     shutil.rmtree(cache_dir, ignore_errors=True)
+
+
+def test_fingerprints_equivalent_rule():
+    """The executable adjudication rule (VERDICT r11 #2): byte totals
+    exact, count jitter inside the documented AQE band. The three r11
+    driver-vs-idle examples must adjudicate as equivalent; byte moves
+    and large count moves must not."""
+    from bench import fingerprints_equivalent
+
+    base = {
+        "jobs": 4, "stages": 10, "tasks": 96,
+        "shuffle_read_bytes": 12345, "shuffle_write_bytes": 12345,
+        "input_bytes": 1_000_000, "output_bytes": 0,
+    }
+    # pagerank: +-1 stage at identical bytes
+    assert fingerprints_equivalent(base, {**base, "stages": 11})
+    # purchase_attribution: 10 vs 15 stages (AQE reuse accounting)
+    assert fingerprints_equivalent(base, {**base, "stages": 15, "tasks": 104})
+    # incremental_dedup: +-1 job with a ~370-byte shuffle wobble
+    assert fingerprints_equivalent(
+        base, {**base, "jobs": 5, "shuffle_read_bytes": 12345 + 370}
+    )
+    # real plan changes: byte volume moved, or counts far outside band
+    assert not fingerprints_equivalent(
+        base, {**base, "input_bytes": 2_000_000}
+    )
+    assert not fingerprints_equivalent(base, {**base, "stages": 16})
+    assert not fingerprints_equivalent(base, {**base, "jobs": 6})
+    assert not fingerprints_equivalent(base, {**base, "tasks": 200})
+    # None = fingerprinting failed that run: equivalent only to None
+    assert fingerprints_equivalent(None, None)
+    assert not fingerprints_equivalent(base, None)

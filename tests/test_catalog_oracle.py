@@ -14,39 +14,16 @@ failure attribution, a fraction of the wall time.
 from __future__ import annotations
 
 import os
-import traceback
 from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
 from taxi_data_pipeline_pset2_spark.queries import registry
 from tests.conftest import SF_DIR
-from tests.oracle_utils import compare_frames, duckdb_connection
+from tests.oracle_utils import duckdb_connection, replay_entry
 
 ENTRIES = sorted(registry().values(), key=lambda e: e.name)
 REPLAY_THREADS = int(os.environ.get("SPARK_GRAFT_REPLAY_THREADS", "8"))
-
-
-def _replay_one(spark, sf_dir, con, entry) -> list[str]:
-    """Run one catalog entry and its oracle; return mismatch descriptions
-    (empty = pass). Exceptions are rendered into the problem list so one
-    bad entry cannot poison the shared executor."""
-    try:
-        spark_pdf = entry.fn(spark, sf_dir).toPandas()
-        if len(spark_pdf.columns) == 0:
-            return ["result has zero columns"]
-        if entry.oracle is None:
-            # rows-only check, mirroring the driver's weaker path -- but
-            # non-vacuous: every rows-only op in the registry (clustering,
-            # ANN top-k, graph, packing, ...) returns >=1 row on the test
-            # tables by construction (VERDICT r7 finding #3).
-            return [] if len(spark_pdf) > 0 else ["rows-only entry returned 0 rows"]
-        # DuckDB connections are not thread-safe; .cursor() is the
-        # documented per-thread handle onto the same catalog.
-        oracle_pdf = con.cursor().execute(entry.oracle).df()
-        return compare_frames(spark_pdf, oracle_pdf)
-    except Exception:
-        return [traceback.format_exc(limit=8)]
 
 
 @pytest.fixture(scope="module")
@@ -67,7 +44,7 @@ def replay_results(spark, sf_dir, request):
     try:
         with ThreadPoolExecutor(max_workers=REPLAY_THREADS) as pool:
             futures = {
-                e.name: pool.submit(_replay_one, spark, sf_dir, con, e)
+                e.name: pool.submit(replay_entry, spark, sf_dir, con, e)
                 for e in wanted
             }
             yield {name: f.result() for name, f in futures.items()}
