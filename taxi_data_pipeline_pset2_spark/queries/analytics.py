@@ -1780,3 +1780,339 @@ def seasonal_naive_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pinball_loss(
         pairs, "_y", "_f", quantiles=(0.5, 0.9), group_cols=["event_type"]
     )
+
+
+# -- r12 sketch-accuracy audits (VERDICT r11 item #5): the sketch family
+# is the one approximate family whose error was guaranteed on paper but
+# never MEASURED as a hash-verified catalog row. These three rows close
+# that, mirroring the recall-audit pattern (lsh/brp/pq/ivfpq/minhash/
+# simhash/fuzzy-blocking): exact ground truth and the approximate
+# estimate computed side by side, the error a first-class hash-compared
+# number in BOTH engines.
+
+_CMS_ERR_W, _CMS_ERR_D = 256, 4
+
+_CMS_ERROR_ORACLE = f"""
+    WITH src AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS v
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+    d(j) AS (VALUES (0), (1), (2), (3)),
+    sk AS (
+      SELECT j AS row,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v), 1, 8)
+                  AS BIGINT) % {_CMS_ERR_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM src, d GROUP BY 1, 2
+    ),
+    exact AS (SELECT v AS value, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM src GROUP BY 1),
+    probes AS (
+      SELECT value, j AS row,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || value),
+                                 1, 8) AS BIGINT) % {_CMS_ERR_W} AS bucket
+      FROM exact, d
+    ),
+    est AS (
+      SELECT value, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+      FROM probes LEFT JOIN sk USING (row, bucket) GROUP BY value
+    ),
+    err AS (
+      SELECT e.value, e.est, x.true_cnt, e.est - x.true_cnt AS err
+      FROM est e JOIN exact x USING (value)
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_items,
+      CAST(count(*) FILTER (err < 0) AS BIGINT) AS n_underestimates,
+      CAST(max(err) AS BIGINT) AS max_err,
+      CAST(sum(err) AS BIGINT) AS sum_err,
+      CAST(round(sum(err) * 1000000.0 / count(*)) AS BIGINT)
+        AS mean_err_x1e6,
+      CAST(ceil(exp(1.0) * n_tot.n / {_CMS_ERR_W}) AS BIGINT) AS err_bound,
+      CAST(count(*) FILTER (err > ceil(exp(1.0) * n_tot.n / {_CMS_ERR_W}))
+           AS BIGINT) AS n_over_bound
+    FROM err, n_tot
+    GROUP BY n_tot.n
+"""
+
+
+@query("cms_error_audit", oracle=_CMS_ERROR_ORACLE, tags=("sketch", "audit"))
+def cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured count-min-sketch point-estimate error vs EXACT counts,
+    every distinct l_partkey probed, at a deliberately narrow pinned
+    width x depth (256 x 4 -- far fewer cells than keys at sf0.01, so
+    collisions are real and the error is non-trivial). Reports the
+    one-sided-guarantee check (n_underestimates MUST be 0: CMS only
+    ever overcounts), the max/mean overcount, and the classic Markov
+    bound ceil(e*N/width) with how many items exceed it (expected
+    ~ n_items * e^-depth: the bound holds per item with prob
+    1 - e^-depth, so a FEW exceedances on thousands of items are the
+    mathematically honest outcome, not a defect). Engine-portable md5
+    hashing means DuckDB rebuilds the sketch bit-exactly and the whole
+    error profile hash-matches."""
+    from taxi_data_pipeline_pset2_spark.operators.cms import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    sk = cms_sketch(li, "l_partkey", width=_CMS_ERR_W, depth=_CMS_ERR_D)
+    est = cms_point_estimates(
+        sk, li.select("l_partkey"), "l_partkey",
+        width=_CMS_ERR_W, depth=_CMS_ERR_D,
+    )
+    exact = (
+        li.groupBy(F.col("l_partkey").cast("string").alias("value"))
+        .agg(F.count("*").cast("bigint").alias("true_cnt"))
+    )
+    n_tot = li.agg(F.count("*").cast("bigint").alias("n"))
+    err = (
+        est.join(exact, "value")
+        .select("value", (F.col("est") - F.col("true_cnt")).alias("err"))
+    )
+    bound = F.ceil(F.exp(F.lit(1.0)) * F.col("n") / _CMS_ERR_W)
+    return (
+        err.crossJoin(F.broadcast(n_tot))
+        .groupBy("n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum((F.col("err") < 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_underestimates"),
+            F.max("err").cast("bigint").alias("max_err"),
+            F.sum("err").cast("bigint").alias("sum_err"),
+            F.round(F.sum("err") * 1000000.0 / F.count("*"))
+            .cast("bigint")
+            .alias("mean_err_x1e6"),
+            bound.cast("bigint").alias("err_bound"),
+            F.sum((F.col("err") > bound).cast("bigint"))
+            .cast("bigint")
+            .alias("n_over_bound"),
+        )
+        .drop("n")
+    )
+
+
+_KMV_ERR_K = 256
+
+_KMV_ERROR_ORACLE = f"""
+    WITH src AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    hs AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(cents AS VARCHAR)), 1, 8)
+                           AS BIGINT) AS h
+      FROM src
+    ),
+    sk AS (SELECT h FROM hs ORDER BY h LIMIT {_KMV_ERR_K}),
+    ex AS (SELECT CAST(count(DISTINCT cents) AS BIGINT) AS exact_distinct
+           FROM src),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk FROM sk)
+    SELECT
+      ex.exact_distinct,
+      e.n_kept,
+      round(CASE WHEN e.n_kept >= {_KMV_ERR_K}
+            THEN ({_KMV_ERR_K - 1}.0 * 4294967296.0) / CAST(e.hk AS DOUBLE)
+            ELSE CAST(e.n_kept AS DOUBLE) END, 6) AS est_distinct,
+      CAST(round(abs(round(CASE WHEN e.n_kept >= {_KMV_ERR_K}
+                  THEN ({_KMV_ERR_K - 1}.0 * 4294967296.0)
+                       / CAST(e.hk AS DOUBLE)
+                  ELSE CAST(e.n_kept AS DOUBLE) END, 6)
+                 - ex.exact_distinct) * 1000000.0 / ex.exact_distinct)
+           AS BIGINT) AS rel_err_ppm
+    FROM ex, e
+"""
+
+
+@query("kmv_error_audit", oracle=_KMV_ERROR_ORACLE, tags=("sketch", "audit"))
+def kmv_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured KMV distinct-count error vs exact COUNT(DISTINCT) on a
+    high-cardinality column (lineitem extendedprice in integer cents --
+    thousands of distinct values vs k=256 sketch rows, so the
+    (k-1)*M/h_k estimator path is exercised, never the exact-count
+    fallback). Reports the exact truth, the estimate, and the relative
+    error in integer ppm (the *1e6-then-cast rule, identical on both
+    sides -- no float-rounding divergence). The expected relative error
+    of a k-row KMV is ~1/sqrt(k-2) ~ 6.3%; the measured number is the
+    honest single-draw realization of that, hash-verified because the
+    md5 hash makes the sketch itself deterministic."""
+    from taxi_data_pipeline_pset2_spark.operators.kmv import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    src = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    est = kmv_distinct_estimate(
+        kmv_sketch(src, "cents", _KMV_ERR_K), _KMV_ERR_K
+    )
+    exact = src.agg(
+        F.countDistinct("cents").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_distinct",
+            "n_kept",
+            "est_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                * 1000000.0
+                / F.col("exact_distinct")
+            )
+            .cast("bigint")
+            .alias("rel_err_ppm"),
+        )
+    )
+
+
+_MG_CAP = 16
+
+def _mg_oracle(cap: int = _MG_CAP, n_batches: int = 4) -> str:
+    """The full Misra-Gries merge chain (streaming/topk.py mg_merge) as
+    one flat WITH list: per batch, exact counts full-outer-merged into
+    the carried summary (fresh values floor at the accumulated
+    deduction D -- the r11 re-entry fix under audit here), the
+    (cap+1)-th largest counter subtracted, non-positives dropped, D
+    accumulated. Deterministic end to end: ties at the deduction
+    threshold resolve (est DESC, value ASC), all counts exact
+    integers."""
+    parts = [
+        """ex AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS value,
+             CAST(count(*) AS BIGINT) AS true_cnt
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(true_cnt) AS BIGINT) AS n FROM ex)"""
+    ]
+    for i in range(n_batches):
+        parts.append(f"""b{i} AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS value,
+             CAST(count(*) AS BIGINT) AS est
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_orderkey % {n_batches} = {i}
+      GROUP BY 1
+    )""")
+        if i == 0:
+            parts.append(f"""m0 AS (
+      SELECT value, est, CAST(0 AS BIGINT) AS mu FROM b0
+    )""")
+        else:
+            parts.append(f"""m{i} AS (
+      SELECT coalesce(s.value, b.value) AS value,
+             coalesce(s.est, 0) + coalesce(b.est, 0) AS est,
+             CASE WHEN s.value IS NULL THEN dd{i - 1}.dtot
+                  ELSE s.mu END AS mu
+      FROM s{i - 1} s FULL OUTER JOIN b{i} b ON s.value = b.value
+      CROSS JOIN dd{i - 1}
+    )""")
+        parts.append(f"""t{i} AS (
+      SELECT CASE WHEN count(*) > {cap} THEN min(est)
+             ELSE CAST(0 AS BIGINT) END AS d
+      FROM (SELECT est, value FROM m{i}
+            ORDER BY est DESC, value ASC LIMIT {cap + 1})
+    )""")
+        parts.append(f"""s{i} AS (
+      SELECT value, est - d AS est, mu + d AS mu
+      FROM m{i}, t{i} WHERE est > d
+    )""")
+        dd_prev = f"dd{i - 1}.dtot + " if i else ""
+        dd_from = f"dd{i - 1}, " if i else ""
+        parts.append(
+            f"dd{i} AS (SELECT {dd_prev}t{i}.d AS dtot FROM {dd_from}t{i})"
+        )
+    last = n_batches - 1
+    parts.append(f"""heavy AS (
+      SELECT ex.value FROM ex, tot WHERE ex.true_cnt * {cap + 1} > tot.n
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT coalesce(s.value, h.value) AS value,
+           CAST(s.est AS BIGINT) AS est,
+           CAST(s.mu AS BIGINT) AS max_undercount,
+           x.true_cnt,
+           h.value IS NOT NULL AS is_heavy,
+           CAST(x.true_cnt - s.est AS BIGINT) AS underestimate,
+           CAST(s.est + s.mu - x.true_cnt AS BIGINT) AS bound_slack
+    FROM s{last} s FULL OUTER JOIN heavy h ON s.value = h.value
+    JOIN ex x ON x.value = coalesce(s.value, h.value)
+    ORDER BY value"""
+    )
+
+
+@query(
+    "misra_gries_bound_audit",
+    oracle=_mg_oracle(),
+    tags=("sketch", "streaming", "audit"),
+)
+def misra_gries_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Misra-Gries deterministic guarantees as a hash-verified row
+    set: lineitem part keys streamed through mg_merge in 4 deterministic
+    batches (l_orderkey % 4) at capacity 16 -- far below the ~200-2000
+    distinct keys, so deductions and drop-lose-re-enter cycles really
+    happen -- then the FINAL summary joined full-outer against the
+    true heavy-hitter set (true > N/(cap+1)) with exact counts. Per
+    row: est <= true (underestimate >= 0, MG never overcounts),
+    true <= est + max_undercount (bound_slack >= 0 -- the exact bound
+    the r11 re-entry fix repaired; a zero floor for re-entering values
+    makes this negative), and every is_heavy row present (est NOT NULL
+    -- the completeness half of the guarantee). The oracle replays the
+    whole merge chain in SQL, so the bound audit is engine-independent,
+    not a pytest self-check."""
+    from taxi_data_pipeline_pset2_spark.streaming.topk import (
+        mg_merge,
+        topk_counters,
+    )
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    counts_all = (
+        li.groupBy(F.col("l_partkey").cast("string").alias("value"))
+        .agg(F.count("*").cast("bigint").alias("true_cnt"))
+    )
+    state = spark.createDataFrame(
+        [], "value string, est bigint, max_undercount bigint"
+    )
+    for i in range(4):
+        bc = (
+            li.filter(F.col("l_orderkey") % 4 == i)
+            .groupBy(F.col("l_partkey").cast("string").alias("value"))
+            .agg(F.count("*").cast("bigint").alias("est"))
+            .withColumn("max_undercount", F.lit(0).cast("bigint"))
+        )
+        # summary-sized state: checkpoint keeps the 4-step lineage from
+        # re-executing every upstream merge per reference to `state`
+        state = mg_merge(state, bc, _MG_CAP).localCheckpoint(eager=True)
+    counters = topk_counters(state)
+    tot = counts_all.agg(F.sum("true_cnt").cast("bigint").alias("n"))
+    heavy = (
+        counts_all.crossJoin(F.broadcast(tot))
+        .filter(F.col("true_cnt") * (_MG_CAP + 1) > F.col("n"))
+        .select("value", F.lit(True).alias("_h"))
+    )
+    return (
+        counters.join(heavy, "value", "full_outer")
+        .join(counts_all, "value")
+        .select(
+            "value",
+            F.col("est").cast("bigint").alias("est"),
+            F.col("max_undercount").cast("bigint").alias("max_undercount"),
+            "true_cnt",
+            F.coalesce(F.col("_h"), F.lit(False)).alias("is_heavy"),
+            (F.col("true_cnt") - F.col("est"))
+            .cast("bigint")
+            .alias("underestimate"),
+            (F.col("est") + F.col("max_undercount") - F.col("true_cnt"))
+            .cast("bigint")
+            .alias("bound_slack"),
+        )
+        .orderBy("value")
+    )

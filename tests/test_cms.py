@@ -129,3 +129,21 @@ class TestCmsJoinSize:
             cms_sketch(a, "k", 4096, 4), cms_sketch(b, "k", 4096, 4), 4
         ).collect()[0].est_join_size
         assert est == 2 * 1 + 1 * 2  # 3 keys in 4096 buckets: no collision
+
+
+def test_cms_error_audit_guarantees(spark):
+    """The r12 audit row's semantic claims, independent of the hash
+    compare: CMS is one-sided (zero underestimates), the mean is the
+    sum (the x1e6 column is derived, not independent), and every
+    probed item exists (n_items = distinct part keys)."""
+    from taxi_data_pipeline_pset2_spark.queries.analytics import (
+        cms_error_audit,
+    )
+    from tests.conftest import SF_SMOKE_DIR
+
+    row = cms_error_audit(spark, SF_SMOKE_DIR).collect()[0]
+    assert row.n_underestimates == 0
+    assert row.max_err >= 0 and row.sum_err >= 0
+    assert row.mean_err_x1e6 == round(row.sum_err * 1_000_000.0 / row.n_items)
+    assert row.n_items == 200
+    assert 0 <= row.n_over_bound <= row.n_items

@@ -118,3 +118,22 @@ class TestGroupedRollup:
             )
         )
         assert a == b
+
+
+def test_kmv_error_audit_is_estimator_path(spark):
+    """The audit must exercise the (k-1)*M/h_k estimator, not the
+    exact-count fallback (n_kept == k, exact > k), and the ppm column
+    must be consistent with the reported estimate and truth."""
+    from taxi_data_pipeline_pset2_spark.queries.analytics import (
+        kmv_error_audit,
+    )
+    from tests.conftest import SF_SMOKE_DIR
+
+    row = kmv_error_audit(spark, SF_SMOKE_DIR).collect()[0]
+    assert row.n_kept == 256
+    assert row.exact_distinct > 256
+    assert row.rel_err_ppm == round(
+        abs(row.est_distinct - row.exact_distinct)
+        * 1_000_000.0
+        / row.exact_distinct
+    )

@@ -280,3 +280,24 @@ def test_mg_reference_guarantee_property():
             assert under[v] <= total_d
 
     run()
+
+
+def test_misra_gries_bound_audit_guarantees(spark):
+    """The deterministic MG guarantees on the audit's real batch split:
+    never overcounts, the est+undercount bound holds for every kept
+    counter (the r11 re-entry fix), and every true heavy hitter is in
+    the summary."""
+    from taxi_data_pipeline_pset2_spark.queries.analytics import (
+        misra_gries_bound_audit,
+    )
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = misra_gries_bound_audit(spark, SF_SMOKE_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.est is not None:
+            assert r.underestimate >= 0, r
+            assert r.bound_slack >= 0, r
+        if r.is_heavy:
+            # completeness: heavy hitters are never missing
+            assert r.est is not None, r
