@@ -149,6 +149,14 @@ def download_file(
                     if not chunk:
                         break
                     f.write(chunk)
+                # flush+fsync BEFORE the rename: os.replace is atomic
+                # against process crash, but without fsync a power loss
+                # can surface the final name with unflushed bytes --
+                # violating the 'exists == complete' resume rule this
+                # module's skip-if-present depends on (definition-level
+                # audit, r12)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(part, dest)
             return os.path.getsize(dest)
         # HTTPException covers mid-body failures URLError does not

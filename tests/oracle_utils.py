@@ -13,6 +13,7 @@ import datetime as _dt
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TESTDATA_TABLES = (
@@ -51,9 +52,18 @@ def _canon_cell(v) -> str:
         return v.isoformat()
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        # np.ndarray MUST take this element-wise branch, never str():
+        # str() of a >1000-element array TRUNCATES with '...', so two
+        # different long arrays canonicalize identically -- a silent
+        # false PASS in the harness every local replay trusts
+        # (definition-level audit, r12)
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
+        # np.bool_ is NOT a bool subclass; without this it falls to
+        # str() = 'True' while a Python bool canonicalizes to 'true',
+        # making equivalent values compare unequal whenever the two
+        # engines' pandas bridges pick different bool representations
         return "true" if v else "false"
     try:
         if pd.isna(v):

@@ -218,3 +218,34 @@ def test_probe_url_malformed_scheme_is_loud(tmp_path):
     record an all-'brecha' manifest for a pure config error."""
     with pytest.raises(ValueError):
         hl.probe_url("http://[bad-template/{year}.parquet")
+
+
+def test_download_fsyncs_before_rename(tmp_path, monkeypatch):
+    """The 'exists == complete' resume rule requires the payload to be
+    durable BEFORE os.replace surfaces the final name: a power loss
+    after an unfsynced rename can leave a complete-looking file with
+    lost bytes (definition-level audit, r12). Pin the ordering:
+    fsync(part) happens, and happens before the rename."""
+    import os as _os
+
+    from taxi_data_pipeline_pset2_spark.sources.http_loader import (
+        download_file,
+    )
+
+    src = tmp_path / "payload.bin"
+    src.write_bytes(b"x" * 1024)
+    calls: list[str] = []
+    real_fsync, real_replace = _os.fsync, _os.replace
+    monkeypatch.setattr(
+        _os, "fsync", lambda fd: (calls.append("fsync"), real_fsync(fd))[1]
+    )
+    monkeypatch.setattr(
+        _os,
+        "replace",
+        lambda a, b: (calls.append("replace"), real_replace(a, b))[1],
+    )
+    dest = str(tmp_path / "out.bin")
+    n = download_file(f"file://{src}", dest)
+    assert n == 1024 and _os.path.getsize(dest) == 1024
+    assert "fsync" in calls, "payload never fsynced before rename"
+    assert calls.index("fsync") < calls.index("replace")

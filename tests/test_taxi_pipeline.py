@@ -357,3 +357,29 @@ def test_unique_and_accepted_values_follow_dbt_null_semantics(spark):
     assert {r.unexpected_value for r in bad} == {"teal"}  # NULLs pass
     # NULLs remain not_null's concern
     assert not_null(df, "k").count() == 2
+
+
+def test_dag_cycle_and_unknown_dep_rejected():
+    """The _topo_order contract's two failure modes, previously
+    implemented but unpinned (definition-level audit, r12): a
+    dependency cycle (incl. self-dependency) and a dep naming no
+    registered node must both raise before any node runs."""
+    import pytest as _pytest
+
+    from taxi_data_pipeline_pset2_spark.plans.dag import Node, Pipeline
+
+    selfdep = Pipeline(warehouse_dir="/tmp/unused")
+    selfdep.add(Node("a", lambda spark: None, deps=("a",)))
+    with _pytest.raises(ValueError, match="cycle at"):
+        selfdep._topo_order()
+
+    two = Pipeline(warehouse_dir="/tmp/unused")
+    two.add(Node("a", lambda spark, **kw: None, deps=("b",)))
+    two.add(Node("b", lambda spark, **kw: None, deps=("a",)))
+    with _pytest.raises(ValueError, match="cycle at"):
+        two._topo_order()
+
+    missing = Pipeline(warehouse_dir="/tmp/unused")
+    missing.add(Node("a", lambda spark, **kw: None, deps=("ghost",)))
+    with _pytest.raises(ValueError, match="unknown node"):
+        missing._topo_order()
