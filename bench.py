@@ -98,24 +98,33 @@ def _plan_fingerprint(spark, group_id: str) -> dict | None:
 
 def fingerprints_equivalent(a: dict | None, b: dict | None) -> bool:
     """The fingerprint adjudication rule, executable: two runs carry the
-    same physical plan iff their byte totals match exactly (shuffle
-    read/write, input, output -- these are data-volume facts AQE cannot
-    move without a genuine plan change, modulo a sub-kB accounting
-    wobble on tiny exchanges) AND job/stage/task counts agree within the
-    documented AQE jitter band (jobs +-1, stages +-5, tasks +-10% or
-    +-4, whichever is larger). Anything outside is a real plan change to
-    investigate, not ambient noise."""
+    same physical plan iff their WRITTEN byte totals match exactly
+    (shuffle write, input, output -- data-volume facts AQE cannot move
+    without a genuine plan change, modulo a sub-kB accounting wobble on
+    tiny exchanges) AND job/stage/task counts agree within the observed
+    jitter band (jobs +-1, stages +-5, tasks +-25% or +-6, whichever is
+    larger). Anything outside is a real plan change to investigate, not
+    ambient noise.
+
+    shuffle_read_bytes is deliberately NOT in the equality core: a
+    fetch retry re-reads blocks and double-counts them (r12 observed
+    pmi_collocations_docs read 27121 vs written 25266 on a loaded
+    host, same run otherwise byte-identical), so read totals wobble
+    above write totals under contention with no plan change. The task
+    band is calibrated by the documented examples: purchase_attribution
+    10 vs 15 stages/tasks (AQE reused-exchange accounting) and
+    incremental_dedup 119 vs 137 tasks (+15%, AQE coalesce) at
+    byte-identical volumes."""
     if a is None or b is None:
         return a is b
-    for k in ("shuffle_read_bytes", "shuffle_write_bytes",
-              "input_bytes", "output_bytes"):
+    for k in ("shuffle_write_bytes", "input_bytes", "output_bytes"):
         if abs(a[k] - b[k]) > 1024:
             return False
     if abs(a["jobs"] - b["jobs"]) > 1:
         return False
     if abs(a["stages"] - b["stages"]) > 5:
         return False
-    tol = max(4, int(0.10 * max(a["tasks"], b["tasks"])))
+    tol = max(6, int(0.25 * max(a["tasks"], b["tasks"])))
     return abs(a["tasks"] - b["tasks"]) <= tol
 
 

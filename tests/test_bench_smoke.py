@@ -135,15 +135,34 @@ def test_fingerprints_equivalent_rule():
     }
     # pagerank: +-1 stage at identical bytes
     assert fingerprints_equivalent(base, {**base, "stages": 11})
-    # purchase_attribution: 10 vs 15 stages (AQE reuse accounting)
+    # purchase_attribution: 10 vs 15 stages AND tasks (AQE reused-
+    # exchange accounting; r12 observed the task side too)
     assert fingerprints_equivalent(base, {**base, "stages": 15, "tasks": 104})
-    # incremental_dedup: +-1 job with a ~370-byte shuffle wobble
     assert fingerprints_equivalent(
-        base, {**base, "jobs": 5, "shuffle_read_bytes": 12345 + 370}
+        {**base, "stages": 10, "tasks": 10},
+        {**base, "stages": 15, "tasks": 15},
+    )
+    # incremental_dedup: +-1 job with a ~370-byte shuffle wobble; and
+    # the r12 observation of +15% task jitter at identical bytes
+    assert fingerprints_equivalent(
+        base, {**base, "jobs": 5, "shuffle_write_bytes": 12345 + 370}
+    )
+    assert fingerprints_equivalent(
+        {**base, "tasks": 119}, {**base, "tasks": 137}
+    )
+    # pmi_collocations_docs r12: fetch-retry double-counts shuffle READ
+    # bytes (+1855 over written) -- read totals are excluded from the
+    # equality core, so this adjudicates as the same plan
+    assert fingerprints_equivalent(
+        base, {**base, "shuffle_read_bytes": 12345 + 1855, "jobs": 5,
+               "stages": 12, "tasks": 98}
     )
     # real plan changes: byte volume moved, or counts far outside band
     assert not fingerprints_equivalent(
         base, {**base, "input_bytes": 2_000_000}
+    )
+    assert not fingerprints_equivalent(
+        base, {**base, "shuffle_write_bytes": 50_000}
     )
     assert not fingerprints_equivalent(base, {**base, "stages": 16})
     assert not fingerprints_equivalent(base, {**base, "jobs": 6})
