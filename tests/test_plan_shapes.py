@@ -634,3 +634,26 @@ def test_recall_audits_no_cartesian(spark, sf_dir):
         # toString prints each node once in the tree: exactly the two
         # scalar combiners, no data-sized nested loop
         assert plan.count("BroadcastNestedLoopJoin") == 2, name
+
+
+def test_sketch_audit_plans_have_no_cartesian_and_bounded_joins(
+    spark, sf_dir
+):
+    """r12 sketch-accuracy audits: the sketch probe join must stay
+    broadcast (the sketch is fixed-size by construction), the KMV
+    k-smallest must be TakeOrderedAndProject (never a full sort), and
+    the only BroadcastNestedLoopJoin allowed is the single-row total
+    crossJoin each audit carries."""
+    p = _plan(registry()["cms_error_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # single-row N total
+    assert "BroadcastHashJoin" in p  # the (row,bucket) sketch probe
+
+    p = _plan(registry()["kmv_error_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in p  # k-smallest, not a global sort
+
+    p = _plan(registry()["misra_gries_bound_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # single-row N total
