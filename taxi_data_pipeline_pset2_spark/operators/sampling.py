@@ -173,6 +173,12 @@ def temporal_split(
     CV hygiene (de Prado's purged/embargoed split, simplified to one
     boundary).
 
+    NULL timestamps are DROPPED with the embargo rows (both boundary
+    comparisons are NULL, so the split column is NULL): an undated row
+    can sit on either side of the cutoff, and guessing 'train' would
+    leak any actually-post-cutoff rows into training. Same convention
+    as the as-of joins (NULL timestamps match nothing).
+
     Pure projection + filter -- scan-shaped, and the timestamp
     predicate pushes down to pruned partitions on a time-partitioned
     table."""

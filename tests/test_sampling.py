@@ -451,3 +451,22 @@ def test_quality_mass_zero_total_group_keeps_top_row_and_rejects_negative(spark)
     )
     with _pytest.raises(Exception, match="negative weight"):
         select_quality_mass(neg, "score", "w", p=0.5, group_cols=["grp"]).collect()
+
+
+def test_temporal_split_drops_null_timestamps(spark):
+    """An undated row can sit on either side of the cutoff; guessing
+    'train' would leak post-cutoff rows into training. NULL ts rows
+    are dropped with the embargo band (definition audit, r12)."""
+    from taxi_data_pipeline_pset2_spark.operators.sampling import (
+        temporal_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, None), (3, "2024-02-01 00:00:00")],
+        "id int, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {
+        r.id: r.split
+        for r in temporal_split(df, "ts", "2024-01-10 00:00:00").collect()
+    }
+    assert out == {1: "train", 3: "test"}  # the NULL-ts row is absent
