@@ -134,6 +134,16 @@ AUDITED = [
      "equi-join over chunk-bounded posting lists; truth shares the "
      "shingle-index shape; only nested loops are the two scalar "
      "count combiners"),
+    ("cms_error_audit", "sketch probe is a broadcast (row,bucket) "
+     "equi-join against the fixed-size sketch; est-vs-exact join is "
+     "key-vocabulary-sized; only nested loop is the single-row N "
+     "total"),
+    ("kmv_error_audit", "k-smallest via TakeOrderedAndProject, never "
+     "a global sort; single-row estimate crossed with the single-row "
+     "exact count"),
+    ("misra_gries_bound_audit", "summary-sized state localCheckpointed "
+     "per merge; final full-outer join is summary x heavy-set sized; "
+     "only nested loop is the single-row N total"),
 ]
 
 
