@@ -10,10 +10,13 @@ Usage: python scripts/preflight_entries.py [sf_dir] name [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# anchor imports on the repo root, not the caller's cwd (same fix as
+# sweep_catalog.py, ADVICE r11)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 

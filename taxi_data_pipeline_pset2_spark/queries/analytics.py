@@ -1937,7 +1937,11 @@ def kmv_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides -- no float-rounding divergence). The expected relative error
     of a k-row KMV is ~1/sqrt(k-2) ~ 6.3%; the measured number is the
     honest single-draw realization of that, hash-verified because the
-    md5 hash makes the sketch itself deterministic."""
+    md5 hash makes the sketch itself deterministic. (The 32-bit hash
+    space adds expected ~n^2/2^33 collisions -- ~0.4 at the sf0.01
+    cardinality: the sketch estimates distinct HASHES, and that
+    sub-1-value bias is part of the measured error, identically in
+    both engines.)"""
     from taxi_data_pipeline_pset2_spark.operators.kmv import (
         kmv_distinct_estimate,
         kmv_sketch,
