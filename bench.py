@@ -98,10 +98,11 @@ def _plan_fingerprint(spark, group_id: str) -> dict | None:
 
 def fingerprints_equivalent(a: dict | None, b: dict | None) -> bool:
     """The fingerprint adjudication rule, executable: two runs carry the
-    same physical plan iff their WRITTEN byte totals match exactly
-    (shuffle write, input, output -- data-volume facts AQE cannot move
-    without a genuine plan change, modulo a sub-kB accounting wobble on
-    tiny exchanges) AND job/stage/task counts agree within the observed
+    same physical plan iff their WRITTEN byte totals (shuffle write,
+    input, output) agree within 1 KiB each -- data-volume facts AQE
+    cannot move without a genuine plan change, with the 1 KiB band
+    absorbing the observed sub-kB accounting wobble on tiny exchanges --
+    AND job/stage/task counts agree within the observed
     jitter band (jobs +-1, stages +-5, tasks +-25% or +-6, whichever is
     larger). Anything outside is a real plan change to investigate, not
     ambient noise.

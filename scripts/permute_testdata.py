@@ -109,6 +109,18 @@ def main() -> None:
             if dom is None:
                 select.append(f"{t}.{c} AS {c}")
             else:
+                # The remap below is an INNER join against the bijection
+                # map: a NULL key value would silently drop the row and
+                # only the post-write row-count assert would notice --
+                # after a partial twin corpus is already on disk
+                # (ADVICE r12). Fail fast, before any output is written.
+                n_null = con.execute(
+                    f"SELECT count(*) FROM {t} WHERE {c} IS NULL"
+                ).fetchone()[0]
+                assert n_null == 0, (
+                    f"{t}.{c}: {n_null} NULL key values; the inner-join "
+                    "key remap would drop these rows"
+                )
                 select.append(f"m_{c}.new_k AS {c}")
                 joins.append(
                     f"JOIN map_{dom} m_{c} ON m_{c}.old_k = {t}.{c}"

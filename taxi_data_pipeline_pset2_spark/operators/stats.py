@@ -243,8 +243,20 @@ def poisson_bootstrap_ci(
         raise ValueError("alpha in (0, 1)")
     group_cols = group_cols or []
     v = F.col(value_col).cast("double")
-    base = df.filter(v.isNotNull()).select(
-        *group_cols, v.alias("_v"), F.col(id_col).alias("_id")
+    # The n_boot-fold explode + per-replicate md5 below is the heavy
+    # per-row work; an under-partitioned source (one parquet split)
+    # would run it on one core while the rest idle. spread_small_input
+    # is a no-op whenever the scan already carries enough partitions
+    # (every real table at 100 TB) -- measured 2.2 s -> 0.6 s at sf0.1
+    # (guide section 2.5, input skew).
+    from taxi_data_pipeline_pset2_spark.operators.skew import (
+        spread_small_input,
+    )
+
+    base = spread_small_input(
+        df.filter(v.isNotNull()).select(
+            *group_cols, v.alias("_v"), F.col(id_col).alias("_id")
+        )
     )
     n_hash = (n_boot + 7) // 8
     id_str = F.coalesce(F.col("_id").cast("string"), F.lit("<null-id>"))
