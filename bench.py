@@ -665,12 +665,16 @@ def _pipeline_extras() -> dict:
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        # NOT checkpointed: at bench scale re-running the lazy 8-dim
-        # projection per consumer is cheaper than materializing it
-        # (measured 3.1 s lazy vs 4.1 s checkpointed); at corpus scale
-        # a localCheckpoint after project_pca is the right trade
-        reduced = project_pca(emb, fit_pca(emb, k=8)).withColumnRenamed(
-            "pca", "embedding"
+        # Checkpointed since r13: the kmeans driver fast path turned the
+        # clustering into a collect over `reduced`, so the lazy 8-dim
+        # projection now re-runs per consumer (probe + both verify sides
+        # + the anti-join) -- re-measured 2.8-3.5 s lazy vs 2.4-2.6 s
+        # checkpointed; at corpus scale the checkpoint was always the
+        # right trade.
+        reduced = (
+            project_pca(emb, fit_pca(emb, k=8))
+            .withColumnRenamed("pca", "embedding")
+            .localCheckpoint(eager=True)
         )
         return semantic_dedup(reduced, k=8, threshold=0.999)
 

@@ -7,9 +7,12 @@ Apriori restricted to 2-itemsets -- in practice the level that drives
 at grouped aggregates; this is the first genuinely combinatorial
 aggregate in the catalog, so the scale discipline is explicit:
 
- - the pair generation is a SELF-JOIN ON THE BASKET KEY with ``item_a <
-   item_b``, never a cartesian over items: work is sum over baskets of
-   C(items_in_basket, 2), linear in baskets for bounded basket width;
+ - pair generation explodes each basket's sorted item list in place
+   (association_rules, via dedup.py's chunked bucket_pairs -- one
+   basket-keyed aggregate, no self-join) or self-joins on the basket
+   key (item_similarity) -- never a cartesian over items: work is sum
+   over baskets of C(items_in_basket, 2), linear in baskets for
+   bounded basket width;
  - basket width is BOUNDED by ``max_basket_items``: a pathological
    basket with 10^4 items would contribute 5*10^7 pairs on its own, so
    over-wide baskets are dropped (counted, not silent -- the relational
@@ -58,29 +61,41 @@ def association_rules(
         raise ValueError(f"min_support must be in (0, 1], got {min_support}")
     if max_basket_items < 2:
         raise ValueError("max_basket_items must be >= 2")
+    from taxi_data_pipeline_pset2_spark.operators.dedup import bucket_pairs
+
     bi = (
         df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
         .distinct()
     )
-    # bound basket width BEFORE pairing: the width aggregate shares the
-    # distinct's hash partitioning on _b, so AQE plans it shuffle-free
-    sizes = bi.groupBy("_b").agg(F.count("*").alias("_w"))
-    bi = bi.join(
-        sizes.filter(F.col("_w") <= max_basket_items).select("_b"), "_b"
+    # ONE basket-keyed aggregate builds the sorted item list per basket;
+    # width bounding is then a column predicate on the array size, and
+    # pair generation explodes each list in place (the dedup.py
+    # posting-list machinery -- bounded at cap^2 structs per row). The
+    # r12 formulation self-joined bi on the basket key, which evaluated
+    # the scan->join->distinct subtree once per alias plus once each for
+    # the width/item/total aggregates (physical plan: 40 scan nodes at
+    # sf0.1; this form: 16 -- the source is read twice, not five times).
+    # Local wall is unchanged (rescans are page-cached at bench scale);
+    # at real scale rescans are real I/O, which is why the r13 plan
+    # keeps the single-aggregate shape. The emitted pair multiset is
+    # identical (sorted list, i < j), so support/confidence/lift hashes
+    # are unchanged.
+    baskets = (
+        bi.groupBy("_b")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_items"))
+        .filter(F.size("_items") <= max_basket_items)
     )
-    totals = bi.agg(F.countDistinct("_b").alias("_nb"))
-    items = bi.groupBy(F.col("_i").alias("_ic")).agg(
-        F.count("*").alias("_ni")
+    totals = baskets.agg(F.count("*").alias("_nb"))
+    items = (
+        baskets.select(F.explode("_items").alias("_ic"))
+        .groupBy("_ic")
+        .agg(F.count("*").alias("_ni"))
     )
     pairs = (
-        bi.alias("x")
-        .join(
-            bi.alias("y"),
-            (F.col("x._b") == F.col("y._b")) & (F.col("x._i") < F.col("y._i")),
-        )
+        bucket_pairs(baskets, "_items", cap=max_basket_items)
         .groupBy(
-            F.col("x._i").alias("item_a"), F.col("y._i").alias("item_b")
+            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
         )
         .agg(F.count("*").alias("n_ab"))
     )

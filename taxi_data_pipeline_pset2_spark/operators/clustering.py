@@ -54,6 +54,36 @@ from taxi_data_pipeline_pset2_spark.operators.similarity import (
 )
 
 
+def _exact_d2(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Exact int64 squared distances between grid-quantized rows.
+
+    Dimension-aware overflow bound (python-int arithmetic, so the check
+    itself cannot wrap): ||x-c||^2 <= D*(2*max_abs)^2 must fit int64 --
+    the magnitude cap alone only covers D <= 2048 (ADVICE r9)."""
+    import numpy as np
+
+    mx = int(max(np.abs(X).max(initial=0), np.abs(C).max(initial=0)))
+    if mx >= _MAX_ABS_IV or X.shape[1] * (2 * mx) ** 2 >= 1 << 63:
+        raise ValueError(
+            f"quantized magnitudes (max {mx}) too large for exact "
+            f"int64 distance arithmetic at dim {X.shape[1]}"
+        )
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all exact int64
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+# Driver fast-path bound for kmeans_fit_assign, in CELLS (rows * dims):
+# ~4M int64 cells is a few tens of MB collected -- the same bounded
+# fast-path budget as components.py's DRIVER_CC_EDGE_CAP. Above it the
+# distributed Lloyd loop runs unchanged, so the operator never depends
+# on the corpus fitting anywhere.
+DRIVER_KMEANS_CELL_CAP = 4_000_000
+
+
 def kmeans_fit_assign(
     emb: DataFrame,
     k: int = 8,
@@ -61,6 +91,7 @@ def kmeans_fit_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     return_centroids: bool = False,
+    driver_cell_cap: int = DRIVER_KMEANS_CELL_CAP,
 ) -> DataFrame:
     """Returns (id, cluster, dist) after ``n_iter`` exact-integer Lloyd
     rounds -- dist is the euclidean distance to the winning centroid in
@@ -69,7 +100,18 @@ def kmeans_fit_assign(
     array in original units (the model consumers like IVF need, without
     re-deriving it with another corpus pass -- and the re-derived means
     would be one Lloyd step ahead of the centroids that produced the
-    assignment)."""
+    assignment).
+
+    Corpora whose quantized matrix fits ``driver_cell_cap`` int64 cells
+    run the whole Lloyd loop driver-side on one collected numpy matrix
+    (r13): the distributed loop costs one cluster round-trip per round
+    (Arrow pass + aggregate + collect) that at small scale is pure job
+    overhead -- the same bounded-fast-path discipline as
+    connected_components / bpe_learn, with the identical exact-integer
+    update (shared _exact_d2, same floor((2S+n)/(2n)) centroid rule,
+    same first-min argmin), so the result is bit-identical and tests
+    pin the two paths equal. ``driver_cell_cap=0`` forces the
+    distributed loop."""
     import numpy as np
     import pandas as pd
 
@@ -87,6 +129,59 @@ def kmeans_fit_assign(
     base = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), int_embedding(F.col(vec_col)).alias("iv")
     )
+    out_schema = f"{id_col} long, cluster int, dist double"
+
+    if driver_cell_cap > 0:
+        # Bounded probe: collect at most cap-equivalent rows + 1. At or
+        # under the cap those rows ARE the whole corpus; over it, the
+        # distributed loop takes over (probe rows discarded).
+        first = base.select("iv").first()
+        dim = len(first["iv"]) if first is not None else 1
+        row_cap = max(driver_cell_cap // max(dim, 1), 1)
+        probe = base.limit(row_cap + 1).collect()
+        if not probe:
+            # empty corpus: the distributed loop degrades to an empty
+            # assignment; mirror it without tripping numpy shape errors
+            assigned = spark.createDataFrame([], out_schema)
+            if return_centroids:
+                return assigned, np.zeros((0, dim), dtype=np.float64)
+            return assigned
+        if len(probe) <= row_cap:
+            probe.sort(key=lambda r: r[id_col])
+            ids = [r[id_col] for r in probe]
+            X = np.array([r["iv"] for r in probe], dtype=np.int64)
+            centroids = X[:k].copy()
+            for _ in range(n_iter):
+                idx = _exact_d2(X, centroids).argmin(axis=1)
+                kk = centroids.shape[0]
+                sums = np.zeros_like(centroids)
+                np.add.at(sums, idx, X)
+                counts = np.bincount(idx, minlength=kk).astype(np.int64)
+                live = counts > 0
+                centroids[live] = np.floor_divide(
+                    2 * sums[live] + counts[live][:, None],
+                    2 * counts[live][:, None],
+                )
+            d2 = _exact_d2(X, centroids)
+            idx = d2.argmin(axis=1)
+            dist = _round_half_up_6(
+                np.sqrt(d2[np.arange(len(idx)), idx].astype(np.float64))
+                / SCALE
+            )
+            assigned = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cluster": idx.astype(np.int32),
+                        "dist": dist,
+                    }
+                ),
+                schema=out_schema,
+            )
+            if return_centroids:
+                return assigned, centroids.astype(np.float64) / SCALE
+            return assigned
+
     # One cached materialization feeds every Lloyd round AND the final
     # assignment; without it each round re-reads and re-projects the
     # source (n_iter extra corpus scans -- the r4 'wasteful' finding).
@@ -94,28 +189,6 @@ def kmeans_fit_assign(
     try:
         init_rows = base.orderBy(id_col).limit(k).collect()
         centroids = np.array([r["iv"] for r in init_rows], dtype=np.int64)  # (k, D)
-
-        out_schema = f"{id_col} long, cluster int, dist double"
-
-        def _exact_d2(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
-            # dimension-aware overflow bound (python-int arithmetic, so
-            # the check itself cannot wrap): ||x-c||^2 <= D*(2*max_abs)^2
-            # must fit int64 -- the magnitude cap alone only covers
-            # D <= 2048 (ADVICE r9)
-            mx = int(
-                max(np.abs(X).max(initial=0), np.abs(C).max(initial=0))
-            )
-            if mx >= _MAX_ABS_IV or X.shape[1] * (2 * mx) ** 2 >= 1 << 63:
-                raise ValueError(
-                    f"quantized magnitudes (max {mx}) too large for exact "
-                    f"int64 distance arithmetic at dim {X.shape[1]}"
-                )
-            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all exact int64
-            return (
-                (X * X).sum(axis=1)[:, None]
-                - 2 * (X @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
 
         def make_assign(cent: "np.ndarray"):
             b = spark.sparkContext.broadcast(cent)

@@ -70,6 +70,16 @@ def hashed_gram_buckets(
     """Exploded hashed features: (id?, bucket) one row per gram
     occurrence. ``id_col=None`` drops the id (model-fit path)."""
     keep = [F.col(id_col)] if id_col else []
+    # The gram explode + per-gram md5 below is the entry's hot loop; an
+    # under-partitioned source would run ~10M hashes in one scan task
+    # (guide 2.5). No-op when the scan is already wide.
+    from taxi_data_pipeline_pset2_spark.operators.skew import (
+        spread_small_input,
+    )
+
+    docs = spread_small_input(
+        docs.select(*keep, F.col(text_col))
+    )
     exploded = docs.select(*keep, F.explode(_grams(text_col)).alias("g"))
     return exploded.select(
         *keep,

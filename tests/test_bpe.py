@@ -108,3 +108,22 @@ def test_distributed_path_matches_driver_fast_path(spark):
     fast = bpe_learn(_docs(spark), n_merges=6)
     dist = bpe_learn(_docs(spark), n_merges=6, driver_cap=0)
     assert fast == dist == _ref_learn(TEXTS, 6)[0]
+
+
+def test_tokenize_vocab_dict_path_matches_distributed(spark):
+    """tokenize_bpe's vocab-dict fast path (r13) and the distributed
+    encode-distinct+join fallback must emit identical rows -- same
+    greedy kernel (_encode_symbols), two execution shapes."""
+    merges = bpe_learn(_docs(spark), n_merges=10)
+    fast = {
+        r.doc_id: (list(r.bpe_tokens), r.n_tokens)
+        for r in tokenize_bpe(_docs(spark), merges).collect()
+    }
+    dist = {
+        r.doc_id: (list(r.bpe_tokens), r.n_tokens)
+        for r in tokenize_bpe(
+            _docs(spark), merges, driver_vocab_cap=0
+        ).collect()
+    }
+    assert fast == dist
+    assert len(fast) == len(TEXTS)

@@ -56,7 +56,10 @@ def test_kmeans_iteration_uses_cached_corpus(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(cls, "collect", spy_collect)
     monkeypatch.setattr(cls, "unpersist", spy_unpersist)
-    out = kmeans_fit_assign(emb, k=4, n_iter=2)
+    # driver_cell_cap=0 forces the distributed Lloyd loop -- the path
+    # whose cache discipline this test pins (the r13 driver fast path
+    # does no per-round cluster work at all)
+    out = kmeans_fit_assign(emb, k=4, n_iter=2, driver_cell_cap=0)
     monkeypatch.undo()
 
     round_plans = [p for p in plans if "MapInPandas" in p]
@@ -66,8 +69,28 @@ def test_kmeans_iteration_uses_cached_corpus(spark, sf_dir, monkeypatch):
     assert unpersisted == [True]
     # and the rewrite stays deterministic across reruns
     a = {r.vec_id: r.cluster for r in out.collect()}
-    b = {r.vec_id: r.cluster for r in kmeans_fit_assign(emb, k=4, n_iter=2).collect()}
+    b = {
+        r.vec_id: r.cluster
+        for r in kmeans_fit_assign(
+            emb, k=4, n_iter=2, driver_cell_cap=0
+        ).collect()
+    }
     assert a == b
+
+
+def test_kmeans_driver_fast_path_matches_distributed(spark, sf_dir):
+    """The r13 driver fast path (whole Lloyd loop on one collected
+    matrix) and the distributed loop share the exact-integer update, so
+    (cluster, dist) and the returned centroids must be bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast, cf = kmeans_fit_assign(emb, k=4, n_iter=3, return_centroids=True)
+    dist_, cd = kmeans_fit_assign(
+        emb, k=4, n_iter=3, return_centroids=True, driver_cell_cap=0
+    )
+    a = {r.vec_id: (r.cluster, r.dist) for r in fast.collect()}
+    b = {r.vec_id: (r.cluster, r.dist) for r in dist_.collect()}
+    assert a == b
+    assert (cf == cd).all()
 
 
 def test_kmeans_exact_integer_reference(spark):
