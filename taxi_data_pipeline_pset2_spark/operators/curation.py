@@ -70,6 +70,16 @@ def curate_corpus(
     the model is fit on the already-deduped corpus so boilerplate mass
     cannot drag the reference distribution toward itself.
     """
+    # Spread an under-partitioned source once up front (r13): every
+    # stage below is per-row CPU (md5 fingerprints, shingle hashes,
+    # quality regexes, PII redaction) and would otherwise serialize in
+    # a one-split scan task; no-op at real scale (guide 2.5).
+    from taxi_data_pipeline_pset2_spark.operators.skew import (
+        spread_small_input,
+    )
+
+    docs = spread_small_input(docs)
+
     # 1. exact dedup: survivors only (min id per content fingerprint).
     # The id frame is MATERIALIZED (localCheckpoint, the clustering.py
     # device), not persist()-ed: `kept` is referenced by several later

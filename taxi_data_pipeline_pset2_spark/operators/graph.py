@@ -280,6 +280,7 @@ def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over an
     UNDIRECTED simple graph: (node, degree, triangles, clustering) with
@@ -298,7 +299,17 @@ def triangle_counts(
     (3 rows per triangle), one hash aggregate; the degree frame is
     node-sized. Deterministic under any partitioning, so it carries a
     full DuckDB oracle twin (unlike the iterative pagerank/LPA
-    siblings)."""
+    siblings). ``shuffle_partitions``: see _shuffle_override (the
+    small-graph execution knob shared with pagerank/LPA/kcore; never a
+    semantics knob -- a real deployment passes None to inherit the
+    cluster-tuned default)."""
+    with _shuffle_override(edges.sparkSession, shuffle_partitions):
+        return _triangle_counts_impl(edges, src_col, dst_col)
+
+
+def _triangle_counts_impl(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
     e0 = (
         edges.select(
             F.col(src_col).cast("string").alias("_s"),

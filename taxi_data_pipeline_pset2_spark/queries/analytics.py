@@ -1535,7 +1535,7 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
         .distinct()
     )
-    return triangle_counts(edges)
+    return triangle_counts(edges, shuffle_partitions=BENCH_GRAPH_SHUFFLE)
 
 
 # Single source of truth for the k-core oracle's unroll depth, cited by
