@@ -72,9 +72,11 @@ AUDITED = [
     ("jaro_winkler_matches", "prefix-blocked bounded bucket expansion; "
      "the only Python in the plan is the Arrow JW verify kernel on "
      "candidate pairs"),
-    ("brand_association_rules", "basket-key self-join with bounded "
-     "width -- never an item cartesian; item-frequency/total frames "
-     "broadcast onto the pair aggregate"),
+    ("brand_association_rules", "ONE basket-keyed aggregate feeds "
+     "width bounding, item/total frames and the in-place chunked pair "
+     "explode (r13; no basket self-join, two source reads total) -- "
+     "never an item cartesian; item-frequency/total frames broadcast "
+     "onto the pair aggregate"),
     ("fulfillment_survival_km", "subjects reduce to a (group,t) hash "
      "aggregate BEFORE the risk-set windows; no Python eval"),
     ("user_value_changepoint", "CUSUM identity keeps it join-free: two "
@@ -117,9 +119,11 @@ AUDITED = [
     ("packing_assignments", "ONE shuffle total (the shard groupBy "
      "feeding the Arrow BFD kernel); shard count bounds per-task "
      "state, never corpus size"),
-    ("kmeans_clusters", "per-round: one cached-corpus Arrow scan + a "
-     "k*D-sized exact-integer aggregate to the driver; no corpus "
-     "shuffle in any round"),
+    ("kmeans_clusters", "driver-cap-bounded corpora (this one) run "
+     "the whole exact-integer Lloyd loop on one collected matrix and "
+     "return a LocalTableScan (r13); above the cap, per-round: one "
+     "cached-corpus Arrow scan + a k*D-sized exact-integer aggregate "
+     "to the driver, no corpus shuffle in any round"),
     ("kmv_rollup_weekly_users", "sketches are aggregate-first: rank "
      "windows run over DISTINCT (group, hash) frames; weekly merge "
      "touches k-row partials, never raw events"),

@@ -57,9 +57,11 @@ _BASKET_ORACLE = """
 def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise brand association rules over order baskets
     (operators/basket.py): support / confidence / lift for every brand
-    pair co-occurring in >= 0.5% of orders. The pair generation is a
-    basket-key self-join (bounded width), never an item cartesian; item
-    frequencies and the basket total broadcast onto the pair aggregate."""
+    pair co-occurring in >= 0.5% of orders. Pair generation explodes
+    each basket's sorted item list in place (one basket-keyed
+    aggregate, chunked at cap^2 structs per row -- r13; no basket
+    self-join), never an item cartesian; item frequencies and the
+    basket total broadcast onto the pair aggregate."""
     from taxi_data_pipeline_pset2_spark.operators.basket import (
         association_rules,
     )
