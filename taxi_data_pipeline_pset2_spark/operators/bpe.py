@@ -322,7 +322,11 @@ def tokenize_bpe(
                     }
                 )
 
-        return spread_small_input(base).mapInPandas(run, schema=out_schema)
+        # id-keyed spread: hashing the _toks array to pick a partition
+        # would re-scan every token byte (VERDICT r13 #1)
+        return spread_small_input(base, key_cols=[id_col]).mapInPandas(
+            run, schema=out_schema
+        )
 
     # Distributed fallback: encode the distinct-word frame, join back.
     exploded = base.select(

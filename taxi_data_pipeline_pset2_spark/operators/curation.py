@@ -78,7 +78,7 @@ def curate_corpus(
         spread_small_input,
     )
 
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key_cols=[id_col])
 
     # 1. exact dedup: survivors only (min id per content fingerprint).
     # The id frame is MATERIALIZED (localCheckpoint, the clustering.py

@@ -218,7 +218,7 @@ def doc_shingles(
     expression into ``size()`` AND ``explode()`` -- a silent 3x. Binding the
     array as a lambda variable (1-element ``transform`` wrapper) pins a
     single evaluation, then ``inline`` emits (shingle, n_shingles) rows."""
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key_cols=[id_col])
     sh_expr = shingles(tokenize(F.col(text_col)), k)
     rows = F.element_at(
         F.transform(
@@ -476,7 +476,7 @@ def simhash_fingerprints(
     rather than recycling the first word."""
     if not 1 <= bits <= 62:
         raise ValueError(f"bits must be in [1, 62], got {bits}")
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key_cols=[id_col])
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).withColumn("h", stable_hash64(F.col("tok")))

@@ -78,7 +78,10 @@ def hashed_gram_buckets(
     )
 
     docs = spread_small_input(
-        docs.select(*keep, F.col(text_col))
+        docs.select(*keep, F.col(text_col)),
+        # id-keyed when an id exists; the model-fit path (no id) has
+        # only the text column, so the full-row default applies there
+        key_cols=[id_col] if id_col else None,
     )
     exploded = docs.select(*keep, F.explode(_grams(text_col)).alias("g"))
     return exploded.select(

@@ -21,7 +21,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+# Catalyst's "size unknown" sentinel: a leaf with no statistics reports
+# spark.sql.defaultSizeInBytes (default Long.MaxValue), and any plan
+# containing such a leaf propagates to >= this. Treated as "unknown",
+# not "big", below.
+_STATS_UNKNOWN_BYTES = (1 << 63) - 1
+# One default-sized scan split per spread slot: a frame estimated above
+# target*this is provably wide enough already (its scan alone yields
+# >= target tasks), so the spread is skipped without any physical
+# planning. Matches the session's spark.sql.files.maxPartitionBytes.
+_SPREAD_BYTES_PER_SLOT = 128 * 1024 * 1024
+
+
+def spread_small_input(
+    df: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
     """Hash-repartition an under-partitioned input before CPU-bound
     per-row work (shingling, hashing, decimal accumulation).
 
@@ -36,24 +50,57 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     Results are unaffected: every downstream consumer is
     order-independent by the engine's determinism contract.
 
-    The spread keys on ``xxhash64(*)`` of the row rather than round-robin
-    ``repartition(n)`` (r13): a keyless repartition first LOCALLY SORTS
-    its input (``spark.sql.execution.sortBeforeRepartition``, the
-    SPARK-23207 retry-determinism guard) -- and that sort runs inside the
-    very under-partitioned task the spread exists to relieve (measured:
-    ~0.4 s of the single scan task on a 600k-row frame). A deterministic
-    hash of the full row needs no such guard (same row -> same partition
+    The spread keys on ``xxhash64`` of ``key_cols`` rather than
+    round-robin ``repartition(n)`` (r13): a keyless repartition first
+    LOCALLY SORTS its input (``spark.sql.execution.sortBeforeRepartition``,
+    the SPARK-23207 retry-determinism guard) -- and that sort runs inside
+    the very under-partitioned task the spread exists to relieve. A
+    deterministic hash needs no such guard (same row -> same partition
     on any retry, the guide 2.5 'derive the synthetic key
-    deterministically' rule), costs one hash per row, and spreads as
-    evenly (distinct-row entropy; duplicate rows co-locate, which the
-    expansion work downstream never notices).
+    deterministically' rule) and costs one hash per row.
+
+    ``key_cols`` (r14, VERDICT r13 #1): callers that carry a cheap
+    high-entropy column (a doc/row id) pass it so the partitioning hash
+    reads a few bytes per row instead of re-scanning every payload byte
+    (hashing the full ``text`` column to PICK A PARTITION is real CPU at
+    100 TB, and was measured as the dedup_ngram_jaccard regression at
+    bench scale). Default stays the full row -- deterministic for any
+    frame. Rows tying on the key (or NULL keys) co-locate; callers pass
+    a column set with enough distinct values to spread (ids qualify).
+
+    Cost of the no-op check itself (VERDICT r13 #4): the old
+    ``df.rdd.getNumPartitions()`` probe physically planned the subtree
+    and built a Python-RDD conversion on EVERY call. Now the logical
+    plan's size estimate (a pure driver-side stats visitor, no physical
+    planning) short-circuits first: any frame provably bigger than
+    ``target * _SPREAD_BYTES_PER_SLOT`` -- every real input at 100 TB --
+    returns untouched with no RDD probe at all. Only small-or-unknown
+    estimates (the only candidates for spreading) still pay the exact
+    partition-count probe, which preserves the r13 no-op semantics for
+    frames that are already wide (e.g. downstream of an exchange or a
+    localCheckpoint, whose estimates are small or unknown).
     """
     if df.isStreaming:
         return df  # partitioning is the source's concern per micro-batch
     target = max(df.sparkSession.sparkContext.defaultParallelism // 2, 2)
+    try:
+        # py4j maps the scala BigInt to a Python int; str() keeps the
+        # conversion robust if a Spark version hands back an object.
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001 - stats are advisory; fall through
+        est = None
+    if (
+        est is not None
+        and est < _STATS_UNKNOWN_BYTES
+        and est > target * _SPREAD_BYTES_PER_SLOT
+    ):
+        return df  # provably big: scan parallelism alone covers target
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target, F.xxhash64(*[F.col(c) for c in df.columns]))
+    cols = key_cols if key_cols else df.columns
+    return df.repartition(target, F.xxhash64(*[F.col(c) for c in cols]))
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:

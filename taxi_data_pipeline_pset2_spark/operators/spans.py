@@ -64,7 +64,7 @@ def duplicated_spans(
     doc counts p -- bucket size is what bounds the pair fan-out, so it
     is the honest knob). The boilerplate escape hatch, approximate
     exactly like ``jaccard_pairs(max_df=...)`` and off by default."""
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key_cols=[id_col])
     grams = docs.select(
         F.col(id_col),
         F.posexplode(positioned_shingles(tokenize(F.col(text_col)), k)).alias(

@@ -256,7 +256,8 @@ def poisson_bootstrap_ci(
     base = spread_small_input(
         df.filter(v.isNotNull()).select(
             *group_cols, v.alias("_v"), F.col(id_col).alias("_id")
-        )
+        ),
+        key_cols=["_id"],
     )
     n_hash = (n_boot + 7) // 8
     id_str = F.coalesce(F.col("_id").cast("string"), F.lit("<null-id>"))

@@ -84,7 +84,7 @@ def quality_metrics(
 ) -> DataFrame:
     """Per-doc quality features + composite score (see
     :func:`_quality_exprs` for the definitions)."""
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key_cols=[id_col])
     exprs = _quality_exprs(text_col)
     return docs.select(
         F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
@@ -397,7 +397,7 @@ def gopher_quality_flags(
     - alpha_words: >= 80% of words contain an alphabetic character
     - stopwords: >= min_stopwords distinct required stop words appear
     """
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key_cols=[id_col])
     # Single-pass JVM regex counts instead of interpreted higher-order
     # lambdas per word/line (transform/filter run outside codegen):
     # - a "word" is a maximal \S+ run (what split-on-\s+ yields), so
@@ -486,7 +486,7 @@ def sentiment_scores(
     word-weight table small enough to inline; a corpus-sized lexicon
     would switch to a broadcast join on the exploded tokens instead.
     """
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key_cols=[id_col])
     lex = F.create_map(
         *[x for w, s in sorted(SENTIMENT_LEXICON.items()) for x in (F.lit(w), F.lit(s))]
     )

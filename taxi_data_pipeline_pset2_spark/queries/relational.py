@@ -87,7 +87,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise serialize it -- measured 2x on sf0.1."""
     from taxi_data_pipeline_pset2_spark.operators.skew import spread_small_input
 
-    li = spread_small_input(t(spark, sf_dir, "lineitem"))
+    # keyed on the primary key, not the full row: the spread hash reads
+    # 16 bytes/row instead of every payload byte (VERDICT r13 #1)
+    li = spread_small_input(
+        t(spark, sf_dir, "lineitem"), key_cols=["l_orderkey", "l_linenumber"]
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
