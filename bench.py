@@ -718,6 +718,7 @@ def _pipeline_extras() -> dict:
 
 
 def run() -> dict:
+    loadavg_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from taxi_data_pipeline_pset2_spark.queries import entries_tagged
     from taxi_data_pipeline_pset2_spark.session import get_spark
@@ -770,6 +771,11 @@ def run() -> dict:
         except Exception as exc:  # noqa: BLE001 - report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # sampled BEFORE the clustering/merge demos: the 1-min average still
+    # reflects the per-query timing region above (plus the bench's own
+    # task load); the demos' 250-file write storms would swamp it
+    loadavg_queries_end = round(os.getloadavg()[0], 2)
+
     try:
         cl = clustering_demo(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
@@ -791,6 +797,17 @@ def run() -> dict:
         "clustering": cl,
         "merge": mg,
         "sf": float(m.group(1)) if m else None,
+        # ambient-load marker (r14, carried VERDICT r12 #5): cross-round
+        # wall drift is adjudicated by plan fingerprints; the recorded
+        # loadavg says WHICH runs were contended without a re-run.
+        # "start" samples before the Spark session exists (pre-existing
+        # ambient load); "queries_end" samples right after the timed
+        # query loop -- it includes the bench's OWN task load, so read
+        # it relative to other runs of the same bench, not as ambient.
+        "loadavg_1min": {
+            "start": loadavg_start,
+            "queries_end": loadavg_queries_end,
+        },
     }
     if errors:
         out["errors"] = errors

@@ -161,7 +161,10 @@ def main() -> None:
     def pr(df):
         from taxi_data_pipeline_pset2_spark.operators.graph import pagerank
 
-        return pagerank(df, n_iter=8)
+        # driver_edge_cap=0: the probe measures the DISTRIBUTED loop's
+        # scaling -- the r14 driver fast path would otherwise absorb
+        # every factor of this sweep (its cap is 4M edges)
+        return pagerank(df, n_iter=8, driver_edge_cap=0)
 
     # kcore's 16x ratio crept 3.84 -> 4.39 across r9/r10 with a
     # plausible-but-unmeasured "more rounds to converge" explanation
@@ -173,7 +176,9 @@ def main() -> None:
         from taxi_data_pipeline_pset2_spark.operators.graph import kcore
 
         st: dict = {}
-        out = kcore(df, stats_out=st)
+        # driver_edge_cap=0: probe the DISTRIBUTED loop's scaling (the
+        # r14 driver fast path would absorb every factor of this sweep)
+        out = kcore(df, stats_out=st, driver_edge_cap=0)
         kcore_stats.append(st)
         return out
 
@@ -182,7 +187,7 @@ def main() -> None:
             label_propagation,
         )
 
-        return label_propagation(df, n_iter=4)
+        return label_propagation(df, n_iter=4, driver_edge_cap=0)
 
     graph_ops = {
         "triangle_counts": (scaled_edges, triangles),
@@ -220,9 +225,74 @@ def main() -> None:
 
         return incremental_dedup(probe_batch, index).new_index_rows
 
+    # stats-family probe (r14, VERDICT r13 #5): spearman's rank maps are
+    # per-DISTINCT-value windows, so the axis that matters is the
+    # distinct-value count -- the replica jitter below grows the value
+    # vocabulary linearly with the factor (x*f + rep), measuring the
+    # vocabulary-window regime the bucketed-rank variant was built for
+    # (r13 measured the bucketed form SLOWER at sf0.1's vocabulary and
+    # reverted it; this row is the crossover evidence).
+    vbase = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+    )
+
+    def scaled_values(factor: int):
+        if factor == 1:
+            return vbase
+        return vbase.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        ).select(
+            "flag",
+            (F.col("x") * factor + F.col("_rep")).alias("x"),
+            (F.col("y") * factor + F.col("_rep")).alias("y"),
+        ).repartition(32)
+
+    def spearman(df):
+        from taxi_data_pipeline_pset2_spark.operators.stats import (
+            spearman_corr,
+        )
+
+        return spearman_corr(df, "x", "y", ["flag"])
+
+    # ANN-family probe (r14, VERDICT r13 #8): the r13 driver fast path
+    # absorbed the bench entries, so this row proves the DISTRIBUTED
+    # Lloyd loop (driver_cell_cap=0) still scales in corpus rows --
+    # per-replica jitter keeps vectors distinct on the 1e-6 grid.
+    abase = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def scaled_emb(factor: int):
+        if factor == 1:
+            return abase
+        return abase.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        ).select(
+            (F.col("vec_id") * factor + F.col("_rep")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda e: e + F.col("_rep") * 1e-5
+            ).alias("embedding"),
+        ).repartition(32)
+
+    def kmeans_distributed(df):
+        from taxi_data_pipeline_pset2_spark.operators.clustering import (
+            kmeans_fit_assign,
+        )
+
+        return kmeans_fit_assign(df, k=8, n_iter=4, driver_cell_cap=0)
+
     runs = [(name, scaled, fn) for name, fn in ops.items()] + [
         (name, gen, fn) for name, (gen, fn) in graph_ops.items()
-    ] + [("incremental_dedup_vs_index", index_of, incr)]
+    ] + [
+        ("incremental_dedup_vs_index", index_of, incr),
+        ("spearman_distinct_values", scaled_values, spearman),
+        ("kmeans_lloyd_distributed", scaled_emb, kmeans_distributed),
+    ]
     results = []
     for name, gen, fn in runs:
         times: dict[int, float] = {}

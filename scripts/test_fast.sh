@@ -36,8 +36,13 @@ for s in $(seq 0 $(( SHARDS - 1 ))); do
   # test path and duplicate every other shard's work (ADVICE r8 item #4).
   [ -z "${GROUPS_ARR[$s]:-}" ] && continue
   live+=("$s")
+  # -m "slow or not slow" overrides pytest.ini's default deselection of
+  # the @slow cross-verification tests: the builder's sharded gate runs
+  # EVERYTHING; only the driver's single-process run takes the fast
+  # subset (r14, VERDICT r13 #2).
   # shellcheck disable=SC2086
   SPARK_GRAFT_CPUS=$CORES python -m pytest ${GROUPS_ARR[$s]} -q \
+    -m "slow or not slow" \
     --basetemp="/tmp/pytest-shard-$s" -p no:cacheprovider "$@" \
     > "/tmp/test_shard_$s.log" 2>&1 &
   pids+=($!)

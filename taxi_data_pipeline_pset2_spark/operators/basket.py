@@ -8,11 +8,10 @@ at grouped aggregates; this is the first genuinely combinatorial
 aggregate in the catalog, so the scale discipline is explicit:
 
  - pair generation explodes each basket's sorted item list in place
-   (association_rules, via dedup.py's chunked bucket_pairs -- one
-   basket-keyed aggregate, no self-join) or self-joins on the basket
-   key (item_similarity) -- never a cartesian over items: work is sum
-   over baskets of C(items_in_basket, 2), linear in baskets for
-   bounded basket width;
+   (both operators since r14, via dedup.py's chunked bucket_pairs --
+   one basket-keyed aggregate, no self-join) -- never a cartesian over
+   items: work is sum over baskets of C(items_in_basket, 2), linear in
+   baskets for bounded basket width;
  - basket width is BOUNDED by ``max_basket_items``: a pathological
    basket with 10^4 items would contribute 5*10^7 pairs on its own, so
    over-wide baskets are dropped (counted, not silent -- the relational
@@ -25,8 +24,8 @@ aggregate in the catalog, so the scale discipline is explicit:
    partitioning.
 
 At 100 TB the same shape holds: the (basket, item) distinct is one
-shuffle, the self-join reuses its partitioning (same key), and the
-pair aggregate's cardinality is item-vocabulary-squared at worst --
+shuffle, the basket aggregate reuses its partitioning (same key), and
+the pair aggregate's cardinality is item-vocabulary-squared at worst --
 bounded by min_support long before that.
 """
 
@@ -151,10 +150,17 @@ def item_similarity(
     lift (which normalizes by independence; cosine normalizes by
     popularity geometry).
 
-    Same scale shape as association_rules: basket-key self-join
-    bounded by ``max_basket_items``, item frequencies broadcast,
-    pairs below ``min_cooccur`` dropped before ranking. The per-item
-    top-k is one window over the (pairs x 2) symmetric frame --
+    Same scale shape as association_rules (since r14 the same PLAN
+    shape too): ONE basket-keyed aggregate builds the sorted item list,
+    width bounding is an array-size predicate, and pairs explode in
+    place via the chunked posting-list machinery -- the r13
+    association_rules rewrite (40 -> 16 scan nodes there) applied to
+    this operator's basket-key self-join, which evaluated the
+    scan->distinct subtree once per alias plus once each for the
+    width/item frequencies. The emitted pair multiset is identical
+    (sorted list, i < j, same cap). Item frequencies broadcast, pairs
+    below ``min_cooccur`` dropped before ranking. The per-item top-k is
+    one window over the (pairs x 2) symmetric frame --
     pair-vocabulary-sized, never corpus-sized. Ranking ties break by
     neighbor id, cosine rounds once to 6 dp AFTER ranking, so output
     is deterministic under any partitioning."""
@@ -164,25 +170,26 @@ def item_similarity(
         raise ValueError(f"min_cooccur must be >= 1, got {min_cooccur}")
     from pyspark.sql.window import Window
 
+    from taxi_data_pipeline_pset2_spark.operators.dedup import bucket_pairs
+
     bi = (
         df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
         .distinct()
     )
-    sizes = bi.groupBy("_b").agg(F.count("*").alias("_w"))
-    bi = bi.join(
-        sizes.filter(F.col("_w") <= max_basket_items).select("_b"), "_b"
+    baskets = (
+        bi.groupBy("_b")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_items"))
+        .filter(F.size("_items") <= max_basket_items)
     )
-    items = bi.groupBy(F.col("_i").alias("_ic")).agg(
-        F.count("*").alias("_ni")
+    items = (
+        baskets.select(F.explode("_items").alias("_ic"))
+        .groupBy("_ic")
+        .agg(F.count("*").alias("_ni"))
     )
     pairs = (
-        bi.alias("x")
-        .join(
-            bi.alias("y"),
-            (F.col("x._b") == F.col("y._b")) & (F.col("x._i") < F.col("y._i")),
-        )
-        .groupBy(F.col("x._i").alias("_a"), F.col("y._i").alias("_bb"))
+        bucket_pairs(baskets, "_items", cap=max_basket_items)
+        .groupBy(F.col("p.a").alias("_a"), F.col("p.b").alias("_bb"))
         .agg(F.count("*").cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= min_cooccur)
     )

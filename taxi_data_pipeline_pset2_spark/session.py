@@ -39,6 +39,18 @@ ENGINE_CONFS: dict[str, str] = {
     # side and push it into the big side's scan -- cheap insurance on
     # selective joins at scale.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Let AQE re-partition reads of cached plans (r14): default false
+    # only to keep a cached frame's output partitioning stable for
+    # downstream reuse, a guarantee no operator here relies on (results
+    # are partitioning-independent by the determinism contract, swept
+    # per round under hostile partition confs). With it on, the many
+    # persist()-backed intermediates (graph sym/e0 frames, bm25's
+    # two-scan corpus, curation's kept-id frame) get runtime-coalesced
+    # like any other exchange instead of freezing their static width --
+    # measured at sf0.1 best-of-4: bm25_topk_docs 0.95 -> 0.70 s,
+    # curate_corpus 1.69 -> 1.47 s, dedup_minhash_lsh 1.01 -> 0.94 s,
+    # nothing slower beyond noise.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

@@ -93,6 +93,36 @@ def test_kmeans_driver_fast_path_matches_distributed(spark, sf_dir):
     assert (cf == cd).all()
 
 
+def test_kmeans_empty_corpus_both_paths(spark):
+    """r14 (ADVICE r13): an empty corpus returns an empty assignment
+    (and (0, 1) centroids) from BOTH paths -- the distributed loop used
+    to IndexError on its zero-row init."""
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for cap in (None, 0):
+        kw = {} if cap is None else {"driver_cell_cap": 0}
+        out, cents = kmeans_fit_assign(
+            emb, k=3, n_iter=2, return_centroids=True, **kw
+        )
+        assert out.count() == 0
+        assert cents.shape == (0, 1)
+
+
+def test_kmeans_null_id_sorts_like_distributed_init(spark):
+    """r14 (ADVICE r13): a NULL id must not TypeError the driver fast
+    path's probe sort; both paths agree (NULLs-first init order, the
+    distributed orderBy's asc_nulls_first)."""
+    # exactly one NULL id: two NULL-id rows would make the init order
+    # WITHIN the tie engine-arbitrary in both paths (not what this pins)
+    rows = [(None, [9.0, 9.0])] + [
+        (int(i), [0.0, float(i)]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fast = kmeans_fit_assign(emb, k=2, n_iter=2)
+    dist_ = kmeans_fit_assign(emb, k=2, n_iter=2, driver_cell_cap=0)
+    key = lambda r: (r.vec_id is not None, r.vec_id, r.cluster, r.dist)  # noqa: E731
+    assert sorted(fast.collect(), key=key) == sorted(dist_.collect(), key=key)
+
+
 def test_kmeans_exact_integer_reference(spark):
     """r9 exact-integer Lloyd's: the full trajectory (assignments AND
     quantized centroids) must equal a from-scratch python integer

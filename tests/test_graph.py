@@ -550,6 +550,34 @@ def test_pagerank_driver_fast_path_matches_distributed(spark):
     assert fast == dist  # ordered comparison: values AND (desc, asc) order
 
 
+def test_kcore_lpa_driver_fast_path_matches_distributed(spark):
+    """r14 bounded driver fast paths for the integer loops: on a random
+    graph with duplicate/bidirectional edges and self-loops the numpy
+    H-index / LPA loops return the IDENTICAL table as the distributed
+    ones (all-integer updates, same smallest-label tie-break)."""
+    import random
+
+    from taxi_data_pipeline_pset2_spark.operators.graph import (
+        kcore,
+        label_propagation,
+    )
+
+    rng = random.Random(1414)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ] + [("v00", "v00"), ("v01", "v02"), ("v02", "v01")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    kc_fast = sorted(map(tuple, kcore(df).collect()))
+    kc_dist = sorted(map(tuple, kcore(df, driver_edge_cap=0).collect()))
+    assert kc_fast == kc_dist
+    lp_fast = sorted(map(tuple, label_propagation(df, n_iter=5).collect()))
+    lp_dist = sorted(
+        map(tuple, label_propagation(df, n_iter=5, driver_edge_cap=0).collect())
+    )
+    assert lp_fast == lp_dist
+
+
 def test_pagerank_shuffle_partitions_equivalence(spark):
     """shuffle_partitions is an execution knob, never a semantics knob:
     any value returns the identical table, and the session conf is
@@ -588,15 +616,30 @@ def test_kcore_lpa_shuffle_partitions_equivalence(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
     df = spark.createDataFrame(edges, "src string, dst string")
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    # base takes the r14 driver fast path; each probe forces the
+    # DISTRIBUTED loop, so this sweep pins partitioning-invariance AND
+    # driver-vs-distributed two-path equality for both operators
     kc_base = sorted(map(tuple, kcore(df).collect()))
     lpa_base = sorted(map(tuple, label_propagation(df, n_iter=4).collect()))
     for sp in (1, 8):
-        assert sorted(map(tuple, kcore(df, shuffle_partitions=sp).collect())) == kc_base
         assert (
             sorted(
                 map(
                     tuple,
-                    label_propagation(df, n_iter=4, shuffle_partitions=sp).collect(),
+                    kcore(
+                        df, shuffle_partitions=sp, driver_edge_cap=0
+                    ).collect(),
+                )
+            )
+            == kc_base
+        )
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    label_propagation(
+                        df, n_iter=4, shuffle_partitions=sp, driver_edge_cap=0
+                    ).collect(),
                 )
             )
             == lpa_base

@@ -681,3 +681,24 @@ def test_vectorized_knn_excludes_null_vectors(spark, sf_dir):
         for r in knn_topk_vectorized(with_null, F.col("vec_id") == qid, k=5).collect()
     ]
     assert got == base
+
+
+def test_verify_cosine_null_element_fails_loud(spark):
+    """r14 (ADVICE r13): a NULL ELEMENT inside an embedding list makes
+    the Arrow flatten come back float64-with-NaN; the kernel must raise
+    (like the pre-Arrow pandas kernel did), never silently demote the
+    exact int64 dot and drop the pair."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from taxi_data_pipeline_pset2_spark.operators.similarity import (
+        verify_cosine_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(PythonException, match="NULL"):
+        verify_cosine_pairs(emb, cands, threshold=0.0).collect()
