@@ -187,29 +187,37 @@ def pagerank(
         )
 
 
-def _pagerank_driver(spark, edges_tbl, ndeg_tbl, n, damping, n_iter):
-    """Driver-side power iteration over collected Arrow tables: the
-    same update rule as the distributed loop -- per-edge contribution
-    ``(rank[src] * w) / deg[src]`` (left-associated exactly like the
-    Spark expression), dangling mass redistributed uniformly, rank' =
-    (1-d)/n + d*dang/n + d*contrib -- followed by the identical
-    scaled-bigint 8-dp rounding and (rank desc, node asc) order. Float
-    sums here associate in edge order where the distributed aggregate
-    associates per partition; both land on the same 8-dp grid (the
-    DuckDB oracle, which sums in a third order, pins both paths --
-    verified at sf0.001/0.01/0.1 and on the key-permuted twin corpus)."""
+def _pagerank_driver(spark, edges_tbl, damping, n_iter):
+    """Driver-side power iteration over the collected Arrow edge table:
+    the same update rule as the distributed loop -- per-edge
+    contribution ``(rank[src] * w) / deg[src]`` (left-associated
+    exactly like the Spark expression), dangling mass redistributed
+    uniformly, rank' = (1-d)/n + d*dang/n + d*contrib -- followed by
+    the identical scaled-bigint 8-dp rounding and (rank desc, node asc)
+    order. The node set and out-degrees derive here from the same edge
+    rows the distributed aggregate sums (weights are > 0 by the entry
+    filter, so deg == 0 identifies dangling exactly like the NULL-_deg
+    rule). Float sums associate in edge order where the distributed
+    aggregate associates per partition; both land on the same 8-dp grid
+    (the DuckDB oracle, which sums in a third order, pins both paths --
+    verified at sf0.001/0.01/0.1 and on the key-permuted twin corpus;
+    integer-valued weights, the common case, sum exactly in any
+    order)."""
     import decimal
 
     import numpy as np
     import pandas as pd
 
-    node_arr = ndeg_tbl.column("node").to_pandas()  # object strings
-    deg = ndeg_tbl.column("_deg").to_numpy(zero_copy_only=False)  # NaN = dangling
-    idx = pd.Series(np.arange(n, dtype=np.int64), index=node_arr)
-    src_i = idx[edges_tbl.column("src").to_pandas()].to_numpy()
-    dst_i = idx[edges_tbl.column("dst").to_pandas()].to_numpy()
+    src = edges_tbl.column("src").to_pandas()
+    dst = edges_tbl.column("dst").to_pandas()
     w = edges_tbl.column("_w").to_numpy(zero_copy_only=False)
-    dangling = np.isnan(deg)
+    node_arr = pd.unique(pd.concat([src, dst], ignore_index=True))
+    n = len(node_arr)
+    idx = pd.Series(np.arange(n, dtype=np.int64), index=node_arr)
+    src_i = idx[src].to_numpy()
+    dst_i = idx[dst].to_numpy()
+    deg = np.bincount(src_i, weights=w, minlength=n)
+    dangling = deg == 0.0
     deg_src = deg[src_i]
     rank = np.full(n, 1.0 / n, dtype=np.float64)
     base_term = (1.0 - damping) / n
@@ -259,20 +267,33 @@ def _pagerank_impl(
         if weight_col
         else F.lit(1.0)
     )
-    e = (
-        edges.select(
-            F.col(src_col).cast("string").alias("src"),
-            F.col(dst_col).cast("string").alias("dst"),
-            w_expr.alias("_w"),
-        )
-        .filter(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("_w") > 0)
-        )
-        .repartition("src")
-        .persist()
+    e_raw = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+        w_expr.alias("_w"),
+    ).filter(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("_w") > 0)
     )
+    if driver_edge_cap > 0:
+        # Bounded probe straight off the cleaned scan (r14): a
+        # limit-count moves zero edge bytes to the driver, stops at
+        # cap+1 rows, and runs BEFORE the distributed setup -- so the
+        # under-cap path never pays the src repartition shuffle or the
+        # distributed degree aggregate at all (one probe job + one
+        # Arrow collect, then pure numpy). An at-scale graph pays the
+        # one cheap probe job and proceeds below unchanged.
+        m = e_raw.limit(driver_edge_cap + 1).count()
+        if m <= driver_edge_cap:
+            if m == 0:
+                return edges.sparkSession.createDataFrame(
+                    [], "node string, rank double"
+                )
+            return _pagerank_driver(
+                edges.sparkSession, e_raw.toArrow(), damping, n_iter
+            )
+    e = e_raw.repartition("src").persist()
     # out-degree folded INTO the rank frame once: each round would
     # otherwise re-join ranks-to-deg twice (dangling scan + contrib
     # scan) and pay a driver collect for the dangling scalar. Carrying
@@ -304,27 +325,6 @@ def _pagerank_impl(
         return edges.sparkSession.createDataFrame(
             [], "node string, rank double"
         )
-    if driver_edge_cap > 0:
-        # Bounded probe over the ALREADY-persisted edge frame: a
-        # limit-count moves zero edge bytes to the driver and stops
-        # reading at cap+1 rows, so an at-scale graph pays one cheap
-        # job, never a collect. Under the cap, both frames (already
-        # materialized by the count above) collect once as Arrow and
-        # the whole iteration runs in numpy -- no per-round jobs at all.
-        m = e.limit(driver_edge_cap + 1).count()
-        if m <= driver_edge_cap:
-            try:
-                return _pagerank_driver(
-                    edges.sparkSession,
-                    e.toArrow(),
-                    nodes_deg.toArrow(),
-                    n,
-                    damping,
-                    n_iter,
-                )
-            finally:
-                e.unpersist()
-                nodes_deg.unpersist()
     # Checkpoint CADENCE (VERDICT r7 item #6): a localCheckpoint per
     # round = one materialization job per round, and at sf0.1 the
     # ~0.67 s/round was almost all fixed job overhead. Rounds between

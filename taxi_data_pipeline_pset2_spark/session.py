@@ -39,18 +39,15 @@ ENGINE_CONFS: dict[str, str] = {
     # side and push it into the big side's scan -- cheap insurance on
     # selective joins at scale.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    # Let AQE re-partition reads of cached plans (r14): default false
-    # only to keep a cached frame's output partitioning stable for
-    # downstream reuse, a guarantee no operator here relies on (results
-    # are partitioning-independent by the determinism contract, swept
-    # per round under hostile partition confs). With it on, the many
-    # persist()-backed intermediates (graph sym/e0 frames, bm25's
-    # two-scan corpus, curation's kept-id frame) get runtime-coalesced
-    # like any other exchange instead of freezing their static width --
-    # measured at sf0.1 best-of-4: bm25_topk_docs 0.95 -> 0.70 s,
-    # curate_corpus 1.69 -> 1.47 s, dedup_minhash_lsh 1.01 -> 0.94 s,
-    # nothing slower beyond noise.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # NOT set: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    # (r14, measured and REVERTED). Letting AQE re-partition cached-plan
+    # reads won on scan-reuse shapes (bm25_topk_docs 0.95 -> 0.70 s,
+    # curate_corpus 1.69 -> 1.47 s best-of-4) but coalescing a cached
+    # corpus ALSO narrows the downstream Arrow kernels -- semdedup_pca
+    # regressed 1.93 -> 2.62 s and several kernel-shaped entries crept
+    # +10% -- a net wash-to-loss at bench scale. Revisit per-operator
+    # (a local conf around bm25's two scan passes) rather than
+    # session-wide if the scan-reuse win matters at cluster scale.
 }
 
 
